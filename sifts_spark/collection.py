@@ -1,0 +1,300 @@
+"""The user-facing Collection API — reference-parity surface, Spark inside.
+
+Mirrors /root/reference/src/sifts/core.py's public API exactly
+(signatures: ``add`` core.py:140, ``update`` core.py:173, ``delete``
+core.py:184, ``query`` core.py:190-198, ``get`` core.py:370, ``count``
+core.py:125, ``delete_all`` core.py:386, factory core.py:714-737):
+
+    col = Collection("/path/to/store", "my_collection",
+                     embedding_function=embed, use_fts=True)
+    col.add(["Lorem ipsum dolor", "sit amet"])
+    col.query("Lorem or amet", where={"k": "v"}, order_by="-k1",
+              limit=10, offset=0)
+    -> {"total": int, "results": [{"id", "content", "metadata", "rank"}]}
+
+Documented decisions where the reference's two backends diverge
+(SURVEY.md §2.7, §7):
+
+* ``total`` when the requested page is empty → 0 even if matches exist
+  (PostgreSQL semantics, ``count(*) OVER()`` of returned rows,
+  core.py:341-344 / tests/sifts/test_postgres.py:411-413; the SQLite
+  vector path reports the pre-slice total instead — we pin PG).
+* Search results default-sort by ``rank`` DESC (BM25 for text, cosine
+  for vector). The reference returns FTS hits in storage order and its
+  tests never assert FTS order; ours is deterministic and useful.
+* NOT a quirk we keep: the reference's SQLite vector path materializes
+  the whole collection client-side (core.py:527-542). Our vector path is
+  a distributed TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.metadata import compile_order_by, compile_where
+from sifts_spark.functions.vector import cosine_similarity
+from sifts_spark.operators import search as _search
+from sifts_spark.queryparser import parse_query
+from sifts_spark.session import get_spark
+from sifts_spark.sources.store import DOC_SCHEMA, DocumentStore, validate_name
+
+EmbeddingFunction = Callable[[list[str]], Sequence[Sequence[float]]]
+
+
+class SparkCollection:
+    """A named document collection inside a storage root."""
+
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        embedding_function: EmbeddingFunction | None = None,
+        use_fts: bool = True,
+        spark: SparkSession | None = None,
+    ):
+        self.name = validate_name(name)
+        self.embedding_function = embedding_function
+        self.use_fts = use_fts
+        self.spark = spark or get_spark()
+        self.store = DocumentStore(self.spark, root)
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+
+    def add(
+        self,
+        contents: Sequence[str],
+        ids: Sequence[str] | None = None,
+        metadatas: Sequence[dict | None] | None = None,
+    ) -> list[str]:
+        """Upsert documents; returns ids (UUIDv4 default, core.py:147-150).
+
+        Upsert-on-conflict semantics (core.py:493-501) come from the
+        store's newest-batch-wins read, not an in-place rewrite.
+        """
+        contents = list(contents)
+        if ids is None:
+            ids = [str(uuid.uuid4()) for _ in contents]
+        ids = [str(i) for i in ids]
+        if len(ids) != len(contents):
+            raise ValueError("ids and contents must have the same length")
+        if metadatas is None:
+            metadatas = [None] * len(contents)
+        if len(metadatas) != len(contents):
+            raise ValueError("metadatas and contents must have the same length")
+        metas = [None if m is None else json.dumps(m) for m in metadatas]
+
+        if self.embedding_function is not None:
+            # One batch call per add — reference call pattern core.py:518.
+            embs = [
+                [float(x) for x in v] for v in self.embedding_function(contents)
+            ]
+        else:
+            embs = [None] * len(contents)
+
+        rows = list(zip(ids, contents, metas, embs, [False] * len(contents)))
+        df = self.spark.createDataFrame(rows, DOC_SCHEMA)
+        self.store.append_batch(self.name, df)
+        return ids
+
+    def add_dataframe(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        content_col: str = "content",
+        metadata_col: str | None = None,
+        embedding_col: str | None = None,
+    ) -> None:
+        """Bulk ingest path (the 100 TB route): any DataFrame in, ids
+        defaulted with ``uuid()``, embeddings via a pandas_udf batch call
+        on executors (Arrow) when an embedding_function is configured."""
+        if metadata_col:
+            if df.schema[metadata_col].dataType.typeName() == "string":
+                meta_expr = F.col(metadata_col)
+            else:
+                meta_expr = F.to_json(F.col(metadata_col))
+        else:
+            meta_expr = F.lit(None).cast("string")
+        cols = [
+            (
+                F.coalesce(F.col(id_col).cast("string"), F.expr("uuid()"))
+                if id_col in df.columns
+                else F.expr("uuid()")
+            ).alias("id"),
+            F.col(content_col).cast("string").alias("content"),
+            meta_expr.alias("metadata"),
+        ]
+        out = df.select(*cols)
+        if embedding_col and embedding_col in df.columns:
+            out = out.withColumn(
+                "embedding", df[embedding_col].cast("array<float>")
+            )
+        elif self.embedding_function is not None:
+            fn = self.embedding_function
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("array<float>")
+            def _embed(s: pd.Series) -> pd.Series:
+                vecs = fn(s.tolist())
+                return pd.Series([[float(x) for x in v] for v in vecs])
+
+            out = out.withColumn("embedding", _embed(F.col("content")))
+        else:
+            out = out.withColumn("embedding", F.lit(None).cast("array<float>"))
+        out = out.withColumn("deleted", F.lit(False))
+        self.store.append_batch(self.name, out)
+
+    def update(
+        self,
+        ids: Sequence[str],
+        contents: Sequence[str],
+        metadatas: Sequence[dict | None] | None = None,
+    ) -> list[str]:
+        """Alias for add with mandatory ids (core.py:173-182)."""
+        if ids is None:
+            raise ValueError("update requires ids")
+        return self.add(contents, ids=ids, metadatas=metadatas)
+
+    def delete(self, ids: Sequence[str]) -> None:
+        """Append tombstones (core.py:184-188 parity; idempotent,
+        tests/sifts/test_sqlite.py:115-127)."""
+        ids = [str(i) for i in ids]
+        if not ids:
+            return
+        rows = [(i, None, None, None, True) for i in ids]
+        df = self.spark.createDataFrame(rows, DOC_SCHEMA)
+        self.store.append_batch(self.name, df)
+
+    def delete_all(self) -> None:
+        """Drop the collection partition (core.py:386-400)."""
+        self.store.drop_collection(self.name)
+
+    def compact(self) -> None:
+        self.store.compact(self.name)
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+
+    def docs(self) -> DataFrame:
+        """Current snapshot as a DataFrame (power-user escape hatch)."""
+        return self.store.read(self.name)
+
+    def count(self) -> int:
+        """core.py:125-138."""
+        return self.docs().count()
+
+    def get(
+        self,
+        limit: int | None = None,
+        offset: int = 0,
+        where: dict | None = None,
+        order_by: str | list[str] | None = None,
+    ) -> dict:
+        """Plain scan (core.py:370-384) — query('') with no rank column."""
+        return self.query(
+            "", limit=limit, offset=offset, where=where, order_by=order_by
+        )
+
+    def query(
+        self,
+        query_string: str = "",
+        limit: int | None = None,
+        offset: int = 0,
+        where: dict | None = None,
+        order_by: str | list[str] | None = None,
+        vector_search: bool = False,
+    ) -> dict:
+        """The unified query pipeline (core.py:190-364).
+
+        Stages: validate → match predicate (text AST | cosine | none) →
+        metadata filter → total (separate distributed count — cheaper
+        than the reference's count(*) OVER() single-partition window) →
+        sort → offset/limit → project.
+        """
+        # R1 validations (core.py:200-205)
+        if vector_search and order_by:
+            raise ValueError("order_by cannot be combined with vector_search")
+        if vector_search and self.embedding_function is None:
+            raise ValueError("vector_search requires an embedding_function")
+        has_text = bool(query_string.strip())
+        if has_text and not vector_search and not self.use_fts:
+            raise ValueError("Full-text search is not enabled for this collection")
+
+        df = self.docs()
+        is_search = False
+
+        if vector_search:
+            qvec = [float(x) for x in self.embedding_function([query_string])[0]]
+            qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+            df = df.filter(F.col("embedding").isNotNull()).withColumn(
+                "rank", cosine_similarity(F.col("embedding"), qlit)
+            )
+            is_search = True
+        elif has_text:
+            ast = parse_query(query_string)
+            matched = _search.match_filter(df, ast)
+            df = _search.bm25_rank_inline(self.docs(), matched, ast)
+            is_search = True
+
+        if where:
+            df = df.filter(compile_where(F.col("metadata"), where))
+
+        total = df.count()  # R8: pre-limit total, distributed count
+
+        sort_cols = compile_order_by(F.col("metadata"), order_by)
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        elif is_search:
+            # Deterministic default: rank desc, id tiebreak (documented
+            # deviation from reference storage order, SURVEY §2.7).
+            df = df.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
+
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+
+        proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
+        rows = df.select(*proj).collect()
+
+        results = []
+        for r in rows:
+            d: dict[str, Any] = {
+                "id": r["id"],
+                "content": r["content"],
+                "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
+            }
+            if is_search:
+                d["rank"] = r["rank"]
+            results.append(d)
+        # PG semantics: empty page reports total=0 (core.py:341-344).
+        return {"total": total if results else 0, "results": results}
+
+
+def Collection(
+    db_url: str = "",
+    name: str = "default",
+    embedding_function: EmbeddingFunction | None = None,
+    use_fts: bool = True,
+    spark: SparkSession | None = None,
+) -> SparkCollection:
+    """Factory with reference-shaped dispatch (core.py:714-737): the
+    ``db_url`` is a storage-root path (optionally ``file://``-prefixed);
+    empty → ``./sifts_spark_store`` (reference defaults to a local SQLite
+    file, core.py:721-724)."""
+    root = db_url or "./sifts_spark_store"
+    for prefix in ("file://", "sifts://"):
+        if root.startswith(prefix):
+            root = root[len(prefix):]
+    return SparkCollection(
+        root, name, embedding_function=embedding_function, use_fts=use_fts, spark=spark
+    )

@@ -1,0 +1,23 @@
+from sifts_spark.functions.text import (
+    TOKEN_SPLIT_RE,
+    tokenize,
+    tokenize_sql,
+    shingles,
+    char_ngrams,
+)
+from sifts_spark.functions.vector import cosine_similarity, l2_norm, dot
+from sifts_spark.functions.metadata import meta_get, compile_where, compile_order_by
+
+__all__ = [
+    "TOKEN_SPLIT_RE",
+    "tokenize",
+    "tokenize_sql",
+    "shingles",
+    "char_ngrams",
+    "cosine_similarity",
+    "l2_norm",
+    "dot",
+    "meta_get",
+    "compile_where",
+    "compile_order_by",
+]

@@ -1,0 +1,130 @@
+"""JSON-metadata predicates and ordering.
+
+Parity target: the reference's ``where`` dict compiler
+(/root/reference/src/sifts/core.py:228-300) and multi-key ``order_by``
+(core.py:302-317):
+
+* bare value → equality (core.py:289-300)
+* ``{"$eq"/"$gt"/"$lt"/"$gte"/"$lte": v}`` → comparison (core.py:263-287)
+* ``{"$in"/"$nin": [..]}`` → IN list (core.py:241-261); rows whose
+  metadata is NULL or lacks the key match NEITHER ``$in`` nor ``$nin``
+  (SQL NULL semantics, tests/sifts/test_sqlite.py:303-316) — Spark's
+  ``isin`` yields NULL for NULL input, which a filter drops, so the
+  semantics line up by construction.
+* numeric literal → numeric comparison (SQLite json_extract typing,
+  core.py:426-427; PG ``::double precision`` cast, core.py:572) —
+  we use ``try_cast('double')`` (ANSI-safe: non-numeric strings → NULL,
+  never an error); string literal → lexicographic.
+* unknown ``$op`` → ValueError (core.py:230-240).
+* ``order_by``: ``-`` prefix = DESC with NULLS FIRST, else ASC with
+  NULLS LAST (core.py:311-315) — docs with NULL metadata sort last
+  ascending / first descending. Spark's ``asc_nulls_last`` /
+  ``desc_nulls_first`` are exact builtins for this.
+
+Metadata is stored as a JSON STRING column; ``get_json_object`` extracts
+scalars as strings (NULL when missing) which Catalyst evaluates inside
+codegen. There is no schema catalog — typing is decided per-predicate by
+the Python literal's type, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import numbers
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OPS = {"$eq", "$gt", "$lt", "$gte", "$lte", "$in", "$nin"}
+
+
+class WhereError(ValueError):
+    pass
+
+
+def meta_get(metadata: Column, key: str) -> Column:
+    """Extract metadata[key] as a STRING (NULL if absent/NULL metadata)."""
+    _validate_key(key)
+    return F.get_json_object(metadata, f"$.{key}")
+
+
+def _validate_key(key: str) -> None:
+    # The reference .format()s keys unescaped into SQL (core.py:246-248) —
+    # an injection hazard we don't inherit, but validate anyway.
+    if not key or any(c in key for c in "'\"$.[]\\"):
+        raise WhereError(f"invalid metadata key: {key!r}")
+
+
+def _typed(extracted: Column, literal: Any) -> tuple[Column, Column]:
+    """Cast the extracted string per the literal's Python type."""
+    if isinstance(literal, bool):
+        raise WhereError("boolean metadata comparisons are not supported")
+    if isinstance(literal, numbers.Number):
+        return extracted.try_cast("double"), F.lit(float(literal))
+    return extracted, F.lit(literal)
+
+
+def compile_where(metadata: Column, where: dict[str, Any]) -> Column:
+    """Fold a ``where`` dict into one conjunctive Column predicate."""
+    pred: Column | None = None
+    for key, spec in where.items():
+        extracted = meta_get(metadata, key)
+        clause = _compile_one(extracted, spec)
+        pred = clause if pred is None else (pred & clause)
+    if pred is None:
+        return F.lit(True)
+    return pred
+
+
+def _compile_one(extracted: Column, spec: Any) -> Column:
+    if not isinstance(spec, dict):
+        col, lit = _typed(extracted, spec)
+        return col == lit
+    clause: Column | None = None
+    for op, value in spec.items():
+        if op not in _OPS:
+            raise WhereError(f"Invalid operator: {op}")
+        if op in ("$in", "$nin"):
+            if not isinstance(value, (list, tuple)):
+                raise WhereError(f"{op} requires a list")
+            if value and any(isinstance(v, numbers.Number) and not isinstance(v, bool) for v in value):
+                col = extracted.try_cast("double")
+                vals = [float(v) for v in value]
+            else:
+                col, vals = extracted, list(value)
+            c = col.isin(vals) if op == "$in" else (col.isNotNull() & ~col.isin(vals))
+        else:
+            col, lit = _typed(extracted, value)
+            c = {
+                "$eq": col == lit,
+                "$gt": col > lit,
+                "$lt": col < lit,
+                "$gte": col >= lit,
+                "$lte": col <= lit,
+            }[op]
+        clause = c if clause is None else (clause & c)
+    if clause is None:
+        raise WhereError("empty operator dict")
+    return clause
+
+
+def compile_order_by(
+    metadata: Column, order_by: str | list[str] | None, numeric: bool = False
+) -> list[Column]:
+    """order_by spec → list of sort Columns (reference core.py:302-317).
+
+    ``numeric=True`` casts extracted values to double before sorting
+    (mirrors SQLite json_extract's typed ordering for numeric metadata).
+    """
+    if order_by is None:
+        return []
+    keys = [order_by] if isinstance(order_by, str) else list(order_by)
+    cols: list[Column] = []
+    for raw in keys:
+        desc = raw.startswith("-")
+        key = raw.lstrip("+-")
+        col = meta_get(metadata, key)
+        if numeric:
+            col = col.try_cast("double")
+        cols.append(col.desc_nulls_first() if desc else col.asc_nulls_last())
+    return cols

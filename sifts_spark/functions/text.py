@@ -1,0 +1,88 @@
+"""Text primitives: tokenizer, shingles, n-grams — JVM-side only.
+
+Tokenizer parity target (/root/reference/src/sifts/core.py:555,655 —
+``to_tsvector('simple', content)``, and FTS5's default unicode61 tokenizer,
+core.py:460-462): lowercase whole words, split on non-alphanumerics,
+NO stemming, NO stopword removal.
+
+Everything here is built from ``pyspark.sql.functions`` higher-order
+functions so the expressions stay inside whole-stage codegen — no Python
+UDFs in the hot tokenize path. Each Spark expression has a ``*_sql`` twin
+producing the equivalent DuckDB SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Split pattern shared by Spark and the oracle. [^a-z0-9]+ after lower():
+# 'simple'-config parity — punctuation and whitespace both delimit.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(text: Column | str) -> Column:
+    """content STRING → tokens ARRAY<STRING> (lowercased, no empties)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE),
+        lambda t: t != F.lit(""),
+    )
+
+
+def tokenize_sql(text_expr: str) -> str:
+    """DuckDB SQL twin of :func:`tokenize`."""
+    return (
+        f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'),"
+        " _t -> _t <> '')"
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """tokens ARRAY<STRING> → word n-gram shingles ARRAY<STRING>.
+
+    A document shorter than ``n`` tokens yields its whole token string as
+    the single shingle (so every non-empty doc has ≥1 shingle — required
+    by MinHash, mirroring the convention in classic near-dup pipelines).
+    """
+    joined_all = F.array(F.array_join(tokens, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(joined_all)
+
+
+def shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB SQL twin of :func:`shingles` (1-based inclusive list slices)."""
+    t = tokens_expr
+    grams = (
+        f"list_transform(generate_series(1, len({t}) - {n} + 1),"
+        f" _i -> array_to_string({t}[_i:_i+{n - 1}], ' '))"
+    )
+    return f"CASE WHEN len({t}) >= {n} THEN {grams} ELSE [array_to_string({t}, ' ')] END"
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """content STRING → character n-grams ARRAY<STRING> over the
+    whitespace-normalized lowercased text (classic near-dup shingling)."""
+    col = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - n + 1),
+            lambda i: F.substring(norm, i, n),
+        ),
+    ).otherwise(F.array(norm))
+
+
+def char_ngrams_sql(text_expr: str, n: int = 5) -> str:
+    norm = f"regexp_replace(lower({text_expr}), '\\s+', ' ', 'g')"
+    grams = (
+        f"list_transform(generate_series(1, length({norm}) - {n} + 1),"
+        f" _i -> {norm}[_i:_i+{n - 1}])"
+    )
+    return (
+        f"CASE WHEN length({norm}) >= {n} THEN {grams} ELSE [{norm}] END"
+    )

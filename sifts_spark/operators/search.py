@@ -1,0 +1,227 @@
+"""Full-text search: boolean match, postings index, BM25 ranking.
+
+Reference parity targets:
+* FTS5 ``MATCH`` + join back to documents (/root/reference/src/sifts/
+  core.py:408-414) and PG ``tsvector @@ to_tsquery`` (core.py:551-557).
+* ``rank``: FTS5 exposes bm25 (lower = better), PG ``ts_rank``. We expose
+  classic BM25 (higher = better) and DEFAULT-SORT search results by it —
+  a documented deviation: the reference returns storage order
+  (SURVEY.md §2.7) and its tests never pin FTS order.
+
+Two physical strategies, same semantics:
+
+1. **Scan predicate** (:func:`match_filter`) — compile the query AST to a
+   boolean Column over on-the-fly tokens. One pass over the (partition-
+   pruned) collection, whole-stage codegen, zero shuffle. Right when the
+   collection fits a scan or when combined with selective metadata
+   filters.
+
+2. **Postings index** (:func:`build_postings` + :func:`search_postings`)
+   — the inverted-index path replacing FTS5/GIN for the 100 TB posture:
+   postings ``(term, id, tf, dl)`` sorted by ``term`` at write time so a
+   term lookup reads only matching row groups (min/max skipping); the
+   boolean evaluation groups candidate postings by id and re-applies the
+   SAME AST over the per-id matched-leaf set, then BM25-scores from the
+   aggregated (tf, df, N, avgdl). The only shuffle is the groupBy(id)
+   over candidate postings — proportional to matches, not corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.text import tokenize
+from sifts_spark.queryparser import And, Node, Or, Prefix, Term
+
+# Classic Okapi BM25 constants (same defaults as FTS5's bm25() and Lucene).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def match_filter(df: DataFrame, ast: Node, content_col: str = "content") -> DataFrame:
+    """Strategy 1: boolean predicate over on-the-fly tokens."""
+    return df.filter(ast.to_column(tokenize(F.col(content_col))))
+
+
+# ---------------------------------------------------------------------------
+# Postings index
+# ---------------------------------------------------------------------------
+
+
+def build_postings(docs: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
+    """documents → postings (term, id, tf, dl).
+
+    ``dl`` (doc length in tokens) rides on every posting so scoring never
+    joins back to the docs table. Map-side: explode is narrow; the single
+    shuffle is the (term, id) partial-count aggregation.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokenize(F.col(content_col)).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    return (
+        toks.select("id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def write_postings(postings: DataFrame, path: str) -> None:
+    """Persist postings sorted by term → parquet min/max row-group
+    skipping makes a term lookup an index probe, not a scan (the GIN/FTS5
+    replacement, SURVEY §4.2)."""
+    postings.repartitionByRange(F.col("term")).sortWithinPartitions(
+        "term", "id"
+    ).write.mode("overwrite").parquet(path)
+
+
+@dataclass(frozen=True)
+class _Leaf:
+    tag: str
+    cond_builder: object  # Column-producing callable over term col
+
+
+def _collect_leaves(ast: Node) -> list[Node]:
+    if isinstance(ast, (Term, Prefix)):
+        return [ast]
+    if isinstance(ast, (And, Or)):
+        return _collect_leaves(ast.left) + _collect_leaves(ast.right)
+    raise TypeError(f"unknown AST node {ast!r}")
+
+
+def _leaf_tag(leaf: Node) -> str:
+    return leaf.word if isinstance(leaf, Term) else leaf.prefix + "*"
+
+
+def _leaf_cond(leaf: Node, term: Column) -> Column:
+    if isinstance(leaf, Term):
+        return term == leaf.word
+    return term.startswith(leaf.prefix)
+
+
+def _retag(ast: Node) -> Node:
+    """Rewrite Prefix leaves to Terms over their synthetic ``p*`` tag so
+    the original AST evaluates directly on the per-id matched-tag set."""
+    if isinstance(ast, Term):
+        return ast
+    if isinstance(ast, Prefix):
+        return Term(ast.prefix + "*")
+    if isinstance(ast, And):
+        return And(_retag(ast.left), _retag(ast.right))
+    if isinstance(ast, Or):
+        return Or(_retag(ast.left), _retag(ast.right))
+    raise TypeError(f"unknown AST node {ast!r}")
+
+
+def corpus_stats(postings: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) from postings alone (distinct ids / mean dl)."""
+    row = (
+        postings.select("id", "dl")
+        .groupBy("id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    return (row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
+def search_postings(
+    postings: DataFrame,
+    ast: Node,
+    n_docs: int,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Boolean match + BM25 over the postings index → (id, rank).
+
+    Plan shape: postings scan filtered to the query's leaf terms
+    (pushed-down OR of equality/prefix predicates → row-group skipping)
+    → groupBy(id) collecting matched tags + summing per-term BM25
+    contributions → AST re-evaluated on the tag set. Candidate-
+    proportional, corpus-independent.
+    """
+    leaves = _collect_leaves(ast)
+    term = F.col("term")
+    cond = None
+    tag = None
+    for leaf in leaves:
+        c = _leaf_cond(leaf, term)
+        cond = c if cond is None else (cond | c)
+        tag = F.when(c, F.lit(_leaf_tag(leaf))) if tag is None else tag.when(
+            c, F.lit(_leaf_tag(leaf))
+        )
+
+    # df per leaf-tag (document frequency for idf). Computed on the
+    # filtered postings — small (|terms| rows), broadcast into scoring.
+    matched = postings.filter(cond).select(
+        "id", "tf", "dl", tag.alias("tag"), term
+    )
+    dfreq = matched.groupBy("tag").agg(F.countDistinct("id").alias("df"))
+
+    # idf per tag as a small literal-joined dim (broadcast).
+    idf = dfreq.withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+    ).select("tag", "idf")
+
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
+    contrib = F.col("idf") * (F.col("tf") * (k1 + 1.0)) / denom
+
+    scored = (
+        matched.join(F.broadcast(idf), "tag")
+        .groupBy("id")
+        .agg(
+            F.collect_set("tag").alias("_tags"),
+            F.sum(contrib).alias("rank"),
+        )
+    )
+    tagged_ast = _retag(ast)
+    return scored.filter(tagged_ast.to_column(F.col("_tags"))).drop("_tags")
+
+
+def bm25_rank_inline(
+    docs: DataFrame,
+    matched: DataFrame,
+    ast: Node,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """BM25 rank WITHOUT a prebuilt index: corpus stats aggregated from
+    ``docs`` (the collection snapshot), scores only for ``matched`` rows.
+    Used by the Collection facade where collections are mutable and
+    modest; the postings path is the bulk/scale API."""
+    stats = docs.select(
+        F.size(tokenize(F.col(content_col))).alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = (stats["n"] or 0), float(stats["avgdl"] or 0.0)
+
+    leaves = _collect_leaves(ast)
+    toks = tokenize(F.col(content_col))
+    dl = F.size(toks)
+
+    # Per-leaf tf over the token array (JVM-side filter/size, no explode).
+    def leaf_tf(leaf: Node) -> Column:
+        if isinstance(leaf, Term):
+            return F.size(F.filter(toks, lambda t: t == F.lit(leaf.word)))
+        return F.size(F.filter(toks, lambda t: t.startswith(leaf.prefix)))
+
+    # Per-leaf df computed over the full snapshot in ONE aggregate pass.
+    df_aggs = [
+        F.sum(F.when(leaf_tf(leaf) > 0, 1).otherwise(0)).alias(f"df_{i}")
+        for i, leaf in enumerate(leaves)
+    ]
+    dfs = docs.agg(*df_aggs).first()
+
+    rank: Column = F.lit(0.0)
+    for i, leaf in enumerate(leaves):
+        dfi = float(dfs[f"df_{i}"] or 0)
+        idf = math.log((n_docs - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        tf = leaf_tf(leaf).cast("double")
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
+        rank = rank + F.lit(idf) * (tf * (BM25_K1 + 1.0)) / denom
+    return matched.withColumn("rank", rank)

@@ -1,0 +1,177 @@
+"""The unified search-query language: parser → AST → Spark Column / SQL.
+
+Reference semantics (/root/reference/src/sifts/core.py:27-67 ``QueryParser``,
+golden tests tests/sifts/test_queryparser.py:1-56):
+
+* leading/trailing whitespace stripped (core.py:32)
+* bare word → term match, case-insensitive (core.py:35-39)
+* multiple words → implicit AND (tests/sifts/test_sqlite.py:56-63)
+* ``and`` / ``AND`` keyword → conjunction (core.py:37, :58)
+* ``or`` / ``OR`` keyword → disjunction (core.py:38, :59)
+* trailing ``*`` → prefix match (core.py:60; README.md:69)
+
+AND binds tighter than OR (FTS5 / to_tsquery operator precedence — the
+reference delegates precedence to those engines; we make it explicit).
+
+Instead of rewriting to a backend SQL string, we compile to an expression
+tree and fold it into a Spark ``Column`` over a ``tokens ARRAY<STRING>``
+column (produced by :func:`sifts_spark.functions.text.tokenize` — the
+'simple'-text-search-config-parity tokenizer: lowercase, split on
+non-alphanumeric, no stemming, no stopwords). ``array_contains`` /
+``exists`` stay inside whole-stage codegen — no UDFs, no join needed for
+the boolean-match path, so the filter is a plain scan predicate Catalyst
+can push.
+
+For the DuckDB correctness oracle the same AST compiles to ANSI SQL via
+:meth:`Node.to_sql` (``list_contains`` over the identically-tokenized list).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class ParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Node:
+    def to_column(self, tokens: Column) -> Column:
+        raise NotImplementedError
+
+    def to_sql(self, tokens_sql: str) -> str:
+        """ANSI/DuckDB SQL predicate over a list-of-tokens expression."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    word: str
+
+    def to_column(self, tokens: Column) -> Column:
+        return F.array_contains(tokens, self.word)
+
+    def to_sql(self, tokens_sql: str) -> str:
+        return f"list_contains({tokens_sql}, '{_sql_quote(self.word)}')"
+
+
+@dataclass(frozen=True)
+class Prefix(Node):
+    prefix: str
+
+    def to_column(self, tokens: Column) -> Column:
+        return F.exists(tokens, lambda t: t.startswith(self.prefix))
+
+    def to_sql(self, tokens_sql: str) -> str:
+        p = _sql_quote(self.prefix)
+        return (
+            f"len(list_filter({tokens_sql}, _t -> _t LIKE '{p}%')) > 0"
+        )
+
+
+@dataclass(frozen=True)
+class And(Node):
+    left: Node
+    right: Node
+
+    def to_column(self, tokens: Column) -> Column:
+        return self.left.to_column(tokens) & self.right.to_column(tokens)
+
+    def to_sql(self, tokens_sql: str) -> str:
+        return f"({self.left.to_sql(tokens_sql)} AND {self.right.to_sql(tokens_sql)})"
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    left: Node
+    right: Node
+
+    def to_column(self, tokens: Column) -> Column:
+        return self.left.to_column(tokens) | self.right.to_column(tokens)
+
+    def to_sql(self, tokens_sql: str) -> str:
+        return f"({self.left.to_sql(tokens_sql)} OR {self.right.to_sql(tokens_sql)})"
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+class QueryParser:
+    """Recursive-descent parser for the documented query surface.
+
+    Grammar::
+
+        query   := or_expr
+        or_expr := and_expr (("or") and_expr)*
+        and_expr:= atom (("and")? atom)*       -- bare adjacency = implicit AND
+        atom    := WORD | WORD"*"
+
+    Anything outside the documented surface (stray operators at the edges,
+    empty query) raises :class:`ParseError` — the reference passes such
+    input through to FTS5/to_tsquery where behavior is undefined
+    (SURVEY.md §2.4); we reject instead.
+    """
+
+    def __init__(self, query: str):
+        self._words = _TOKEN_RE.findall(query.strip())
+        self._pos = 0
+
+    def parse(self) -> Node:
+        if not self._words:
+            raise ParseError("empty query")
+        node = self._or_expr()
+        if self._pos != len(self._words):
+            raise ParseError(f"unexpected token {self._words[self._pos]!r}")
+        return node
+
+    def _peek(self) -> str | None:
+        return self._words[self._pos] if self._pos < len(self._words) else None
+
+    def _or_expr(self) -> Node:
+        node = self._and_expr()
+        while self._peek() is not None and self._peek().lower() == "or":
+            self._pos += 1
+            node = Or(node, self._and_expr())
+        return node
+
+    def _and_expr(self) -> Node:
+        node = self._atom()
+        while True:
+            nxt = self._peek()
+            if nxt is None or nxt.lower() == "or":
+                return node
+            if nxt.lower() == "and":
+                self._pos += 1
+                node = And(node, self._atom())
+            else:
+                node = And(node, self._atom())
+
+    def _atom(self) -> Node:
+        word = self._peek()
+        if word is None:
+            raise ParseError("query ends with an operator")
+        if word.lower() in ("and", "or"):
+            raise ParseError(f"operator {word!r} in term position")
+        self._pos += 1
+        if word.endswith("*") and len(word) > 1:
+            return Prefix(_normalize(word[:-1]))
+        return Term(_normalize(word))
+
+
+def _normalize(word: str) -> str:
+    """Index-level normalization matching the tokenizer: lowercase and
+    strip non-alphanumerics (the 'simple' config lowercases whole words)."""
+    return re.sub(r"[^a-z0-9]+", "", word.lower())
+
+
+def parse_query(query: str) -> Node:
+    return QueryParser(query).parse()

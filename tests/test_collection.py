@@ -1,0 +1,219 @@
+"""Behavioral tests for the Collection facade — mirrors the reference
+suite /root/reference/tests/sifts/test_sqlite.py (structure per FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sifts_spark.collection import Collection
+
+
+def ten_doc_fixture(store_root, spark, numeric=False):
+    """F1a / F1b: canonical 10-doc ordering/filter fixture
+    (ref test_sqlite.py:146-158 / :256-268)."""
+    col = Collection(store_root, "test", spark=spark)
+    k1s = list("abcdefghi") if not numeric else list(range(1, 10))
+    k2s = (["c"] * 3 + ["b"] * 3 + ["a"] * 3) if not numeric else [3, 3, 3, 2, 2, 2, 1, 1, 1]
+    ids = [f"i{i}" for i in range(1, 10)]
+    col.add(
+        ["Lorem"] * 9,
+        ids=ids,
+        metadatas=[{"k1": k1, "k2": k2} for k1, k2 in zip(k1s, k2s)],
+    )
+    col.add(["Lorem"], ids=["i0"], metadatas=[None])
+    return col
+
+
+# ---------------------------------------------------------------- basics
+
+
+def test_name_validation(store_root, spark):
+    # ref test_sqlite.py:27-36
+    with pytest.raises(ValueError):
+        Collection(store_root, "bad name!", spark=spark)
+    with pytest.raises(ValueError):
+        Collection(store_root, "", spark=spark)
+    Collection(store_root, "ok-name_+~#=/1", spark=spark)
+
+
+def test_add_search_wildcard_or(store_root, spark):
+    # F1c corpus, ref test_sqlite.py:39-53
+    col = Collection(store_root, "test", spark=spark)
+    col.add(["Lorem ipsum dolor", "sit amet"])
+    assert col.query("Lorem")["total"] == 1
+    assert col.query("am*")["total"] == 1
+    r = col.query("Lorem or amet")
+    assert r["total"] == 2
+    assert col.query("Lorem ipsum")["total"] == 1  # implicit AND
+    assert col.query("Lorem sit")["total"] == 0  # ref :56-63
+
+
+def test_tenant_isolation(store_root, spark):
+    # ref test_sqlite.py:66-75 — same store, different name → disjoint
+    a = Collection(store_root, "a", spark=spark)
+    b = Collection(store_root, "b", spark=spark)
+    a.add(["Lorem ipsum"], ids=["1"])
+    b.add(["sit amet"], ids=["1"])
+    assert a.count() == 1
+    assert b.count() == 1
+    assert a.query("Lorem")["total"] == 1
+    assert b.query("Lorem")["total"] == 0
+    assert a.get()["results"][0]["content"] == "Lorem ipsum"
+
+
+def test_uuid_default_ids_and_upsert(store_root, spark):
+    # ref test_sqlite.py:78-95
+    col = Collection(store_root, "test", spark=spark)
+    ids = col.add(["Lorem ipsum"])
+    assert len(ids) == 1 and len(ids[0]) == 36  # UUIDv4 format
+    # upsert on conflict: same id replaces
+    col.add(["replaced content"], ids=ids)
+    assert col.count() == 1
+    assert col.get()["results"][0]["content"] == "replaced content"
+
+
+def test_update_reindexes(store_root, spark):
+    # ref test_sqlite.py:98-112
+    col = Collection(store_root, "test", spark=spark)
+    ids = col.add(["Lorem ipsum"])
+    col.update(ids, ["dolor sit"])
+    assert col.query("Lorem")["total"] == 0
+    assert col.query("dolor")["total"] == 1
+
+
+def test_delete_idempotent(store_root, spark):
+    # ref test_sqlite.py:115-127
+    col = Collection(store_root, "test", spark=spark)
+    ids = col.add(["Lorem ipsum", "sit amet"])
+    col.delete([ids[0]])
+    assert col.count() == 1
+    col.delete([ids[0]])  # idempotent
+    assert col.count() == 1
+    col.delete(ids)
+    assert col.count() == 0
+
+
+def test_delete_all(store_root, spark):
+    col = Collection(store_root, "test", spark=spark)
+    other = Collection(store_root, "other", spark=spark)
+    col.add(["a", "b"])
+    other.add(["c"])
+    col.delete_all()
+    assert col.count() == 0
+    assert other.count() == 1
+
+
+def test_metadata_retrieval_incl_null(store_root, spark):
+    # ref test_sqlite.py:130-143
+    col = Collection(store_root, "test", spark=spark)
+    col.add(
+        ["Lorem", "ipsum"],
+        ids=["1", "2"],
+        metadatas=[{"k": "v"}, None],
+    )
+    res = col.get(order_by="k")["results"]
+    assert res[0]["metadata"] == {"k": "v"}
+    assert res[1]["metadata"] is None
+
+
+# ------------------------------------------------------------- ordering
+
+
+def test_order_by_single_key(store_root, spark):
+    # ref test_sqlite.py:146-186 invariants (FIXTURES.md F1a)
+    col = ten_doc_fixture("file://" + store_root, spark)
+    res = col.get(order_by="k1")["results"]
+    assert [r["id"] for r in res] == [f"i{i}" for i in range(1, 10)] + ["i0"]
+    res = col.get(order_by="-k1")["results"]
+    assert [r["id"] for r in res] == ["i0"] + [f"i{i}" for i in range(9, 0, -1)]
+
+
+def test_order_by_multi_key(store_root, spark):
+    col = ten_doc_fixture(store_root, spark)
+    res = col.get(order_by=["k2", "k1"])["results"]
+    assert [r["id"] for r in res] == [
+        "i7", "i8", "i9", "i4", "i5", "i6", "i1", "i2", "i3", "i0",
+    ]
+
+
+def test_limit_offset_pages(store_root, spark):
+    # ref test_sqlite.py:189-222
+    col = ten_doc_fixture(store_root, spark)
+    page1 = col.get(order_by="k1", limit=3)
+    assert page1["total"] == 10
+    assert [r["id"] for r in page1["results"]] == ["i1", "i2", "i3"]
+    page2 = col.get(order_by="k1", limit=3, offset=3)
+    assert [r["id"] for r in page2["results"]] == ["i4", "i5", "i6"]
+    last = col.get(order_by="k1", limit=3, offset=9)
+    assert [r["id"] for r in last["results"]] == ["i0"]
+    # page past the end: PG semantics → total 0 (SURVEY §2.7 decision)
+    empty = col.get(order_by="k1", limit=3, offset=50)
+    assert empty == {"total": 0, "results": []}
+
+
+# ---------------------------------------------------------------- where
+
+
+def test_where_string_operators(store_root, spark):
+    # ref test_sqlite.py:225-253
+    col = ten_doc_fixture(store_root, spark)
+    assert col.get(where={"k2": "a"})["total"] == 3
+    assert col.get(where={"k2": {"$eq": "a"}})["total"] == 3
+    assert col.get(where={"k2": {"$gt": "a"}})["total"] == 6
+    assert col.get(where={"k2": {"$gte": "b"}})["total"] == 6
+    assert col.get(where={"k2": {"$lt": "b"}})["total"] == 3
+    assert col.get(where={"k2": {"$lte": "b"}})["total"] == 6
+    assert col.get(where={"k1": {"$gt": "a"}, "k2": "c"})["total"] == 2
+
+
+def test_where_numeric_operators(store_root, spark):
+    # ref test_sqlite.py:256-284 (F1b: numeric comparison semantics)
+    col = ten_doc_fixture(store_root, spark, numeric=True)
+    assert col.get(where={"k2": 1})["total"] == 3
+    assert col.get(where={"k2": {"$gt": 1}})["total"] == 6
+    assert col.get(where={"k2": {"$gte": 2}})["total"] == 6
+    assert col.get(where={"k2": {"$lt": 2}})["total"] == 3
+    assert col.get(where={"k1": {"$lte": 4}})["total"] == 4
+
+
+def test_where_in_nin(store_root, spark):
+    # ref test_sqlite.py:287-316 — i0 (NULL metadata) in NEITHER result
+    col = ten_doc_fixture(store_root, spark)
+    r = col.get(where={"k1": {"$in": ["a", "b", "c", "d"]}}, order_by="k1")
+    assert [x["id"] for x in r["results"]] == ["i1", "i2", "i3", "i4"]
+    r = col.get(where={"k1": {"$nin": ["a", "b", "c", "d"]}}, order_by="k1")
+    assert [x["id"] for x in r["results"]] == ["i5", "i6", "i7", "i8", "i9"]
+
+
+def test_where_invalid_operator(store_root, spark):
+    # ref test_sqlite.py:300-302
+    col = ten_doc_fixture(store_root, spark)
+    with pytest.raises(ValueError):
+        col.get(where={"k1": {"$like": "a"}})
+
+
+def test_full_scan(store_root, spark):
+    # ref test_sqlite.py:319-326
+    col = ten_doc_fixture(store_root, spark)
+    r = col.get()
+    assert r["total"] == 10
+    assert len(r["results"]) == 10
+    assert "rank" not in r["results"][0]
+
+
+def test_search_with_where_and_order(store_root, spark):
+    # the phase-0 flagship: test_sqlite.py:208-212 analog
+    col = ten_doc_fixture(store_root, spark)
+    r = col.query("Lorem", where={"k2": "a"}, order_by="k1", limit=3)
+    assert r["total"] == 3
+    assert [x["id"] for x in r["results"]] == ["i7", "i8", "i9"]
+    assert r["results"][0]["rank"] is not None
+
+
+def test_compaction_preserves_snapshot(store_root, spark):
+    col = ten_doc_fixture(store_root, spark)
+    col.delete(["i5"])
+    col.compact()
+    assert col.count() == 9
+    assert col.get(where={"k2": "b"})["total"] == 2

@@ -1,0 +1,82 @@
+"""Parser golden tests — mirrors /root/reference/tests/sifts/test_queryparser.py
+(input → expression-tree instead of input → backend SQL string)."""
+
+import pytest
+
+from sifts_spark.queryparser import (
+    And,
+    Or,
+    ParseError,
+    Prefix,
+    Term,
+    parse_query,
+)
+
+
+def test_trim_whitespace():
+    # ref test_queryparser.py:4-6
+    assert parse_query(" Lorem\t") == Term("lorem")
+
+
+def test_single_word():
+    assert parse_query("Lorem") == Term("lorem")
+
+
+def test_and_keyword_lower():
+    # ref test_queryparser.py:9-11
+    assert parse_query("Lorem and ipsum") == And(Term("lorem"), Term("ipsum"))
+
+
+def test_and_keyword_upper():
+    # ref test_queryparser.py:34-41 (case-insensitive keyword)
+    assert parse_query("Lorem AND ipsum") == And(Term("lorem"), Term("ipsum"))
+
+
+def test_or_keyword():
+    # ref test_queryparser.py:14-16, 44-46
+    assert parse_query("Lorem or ipsum") == Or(Term("lorem"), Term("ipsum"))
+    assert parse_query("Lorem OR ipsum") == Or(Term("lorem"), Term("ipsum"))
+
+
+def test_implicit_and():
+    # ref test_sqlite.py:56-63 ("Lorem sit" → both must match)
+    assert parse_query("Lorem sit") == And(Term("lorem"), Term("sit"))
+
+
+def test_implicit_and_multiword():
+    assert parse_query("a b c") == And(And(Term("a"), Term("b")), Term("c"))
+
+
+def test_prefix_wildcard():
+    # ref test_queryparser.py:19-26, 49-56
+    assert parse_query("Lor*") == Prefix("lor")
+
+
+def test_prefix_in_conjunction():
+    assert parse_query("Lor* and ips*") == And(Prefix("lor"), Prefix("ips"))
+
+
+def test_and_binds_tighter_than_or():
+    # FTS5 / to_tsquery precedence
+    assert parse_query("a or b and c") == Or(Term("a"), And(Term("b"), Term("c")))
+    assert parse_query("a b or c") == Or(And(Term("a"), Term("b")), Term("c"))
+
+
+def test_mixed_case_normalized():
+    assert parse_query("LoReM") == Term("lorem")
+
+
+def test_empty_query_rejected():
+    with pytest.raises(ParseError):
+        parse_query("   ")
+
+
+def test_dangling_operator_rejected():
+    with pytest.raises(ParseError):
+        parse_query("Lorem and")
+    with pytest.raises(ParseError):
+        parse_query("or Lorem")
+
+
+def test_punctuation_stripped_like_tokenizer():
+    assert parse_query("Lorem,") == Term("lorem")

@@ -1,0 +1,93 @@
+"""Vector-search behavior — mirrors /root/reference/tests/sifts/
+test_sqlite.py:329-472 (FIXTURES.md F3: exact cosine ±1/3 checks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sifts_spark.collection import Collection
+
+# Deterministic embedding lookup (ref test_sqlite.py:348-357)
+_LOOKUP = {
+    "Lorem ipsum dolor": [1.0, 1.0, 1.0],
+    "sit amet": [1.0, -1.0, 1.0],
+    "consectetur": [-1.0, -1.0, 1.0],
+    "adipiscing": [-1.0, -1.0, -1.0],
+}
+
+
+def embed(texts):
+    return [_LOOKUP[t] for t in texts]
+
+
+def test_embedding_storage_roundtrip(store_root, spark):
+    # ref test_sqlite.py:329-345 — float32 exact roundtrip
+    col = Collection(
+        store_root, "test", embedding_function=lambda ts: [[0.0, 0.0, 0.0], [0.0, 0.5, 0.0]][: len(ts)], spark=spark
+    )
+    col.add(["a", "b"], ids=["1", "2"])
+    rows = {r["id"]: r["embedding"] for r in col.docs().collect()}
+    assert rows["1"] == [0.0, 0.0, 0.0]
+    assert rows["2"] == [0.0, 0.5, 0.0]
+
+
+def test_vector_knn_exact_cosines(store_root, spark):
+    # ref test_sqlite.py:348-379
+    col = Collection(store_root, "test", embedding_function=embed, spark=spark)
+    col.add(["Lorem ipsum dolor", "sit amet"])
+    r = col.query("consectetur", vector_search=True)
+    assert r["total"] == 2
+    assert r["results"][0]["content"] == "sit amet"
+    assert r["results"][0]["rank"] == pytest.approx(1.0 / 3.0)
+    assert r["results"][1]["content"] == "Lorem ipsum dolor"
+    assert r["results"][1]["rank"] == pytest.approx(-1.0 / 3.0)
+    # limit/offset slice post-ranking
+    r = col.query("consectetur", vector_search=True, limit=1)
+    assert r["results"][0]["content"] == "sit amet"
+    r = col.query("consectetur", vector_search=True, limit=1, offset=1)
+    assert r["results"][0]["content"] == "Lorem ipsum dolor"
+    # offset past the end → PG semantics: total=0 (pinned, FIXTURES.md F3)
+    r = col.query("consectetur", vector_search=True, offset=10)
+    assert r == {"total": 0, "results": []}
+
+
+def test_vector_validations(store_root, spark):
+    col = Collection(store_root, "test", spark=spark)  # no embedding_function
+    col.add(["x"])
+    with pytest.raises(ValueError):
+        col.query("q", vector_search=True)
+    col2 = Collection(store_root, "t2", embedding_function=embed, spark=spark)
+    col2.add(["Lorem ipsum dolor"])
+    with pytest.raises(ValueError):
+        col2.query("consectetur", vector_search=True, order_by="k1")
+
+
+def test_fts_and_vector_coexist(store_root, spark):
+    # ref test_sqlite.py:382-398
+    col = Collection(store_root, "test", embedding_function=embed, spark=spark)
+    col.add(["Lorem ipsum dolor", "sit amet"])
+    assert col.query("Lorem")["total"] == 1
+    v = col.query("consectetur", vector_search=True)
+    assert v["total"] == 2
+
+
+def test_vector_update(store_root, spark):
+    # ref test_sqlite.py:401-435 — re-adding updates the embedding
+    col = Collection(store_root, "test", embedding_function=embed, spark=spark)
+    ids = col.add(["Lorem ipsum dolor"])
+    col.update(ids, ["sit amet"])
+    r = col.query("consectetur", vector_search=True)
+    assert r["total"] == 1
+    assert r["results"][0]["rank"] == pytest.approx(1.0 / 3.0)
+
+
+def test_vector_only_collection(store_root, spark):
+    # ref test_sqlite.py:437-472 — use_fts=False still supports vectors
+    col = Collection(
+        store_root, "test", embedding_function=embed, use_fts=False, spark=spark
+    )
+    col.add(["Lorem ipsum dolor", "sit amet"])
+    with pytest.raises(ValueError):
+        col.query("Lorem")  # fts disabled
+    r = col.query("consectetur", vector_search=True)
+    assert r["total"] == 2

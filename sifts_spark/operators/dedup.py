@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §2.6 — deliberate extension):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup detection, each a declarative DataFrame pipeline.
+
+Determinism contract: every hash is md5 (identical bytes in any engine),
+so the DuckDB correctness oracle can replay the exact computation —
+no engine-specific murmur/xxhash anywhere.
+
+Scale shapes (the part that matters at 100 TB):
+* exact: one groupBy on a 32-byte digest — minimal shuffle width.
+* MinHash/LSH: signatures are computed map-side with higher-order
+  functions (no explode, no shuffle); the only shuffles are the
+  band-bucket self-join (pairs ∝ collisions, not corpus²) and the
+  verify join.
+* SimHash: 64-bit fingerprint folded map-side (nested HOFs), candidate
+  pairing by 16-bit prefix buckets + bit_count hamming.
+* embedding: blocked (label/IVF-cell) pairwise join — never corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.text import tokenize, shingles
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, canonical_id): canonical = min id among rows whose normalized
+    text digests equal. Single hash-partitioned window; at scale this is
+    one shuffle keyed by a 32-hex digest (uniform, skew-free)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    digest = F.md5(norm)
+    w = Window.partitionBy("_h")
+    return (
+        docs.select(F.col(id_col).alias("id"), digest.alias("_h"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .drop("_h")
+    )
+
+
+# -------------------------------------------------------------- MinHash
+
+
+def minhash_signature(
+    tokens: Column, num_hashes: int = 16, shingle_size: int = 3
+) -> Column:
+    """tokens → ARRAY<STRING> of ``num_hashes`` min-md5 values.
+
+    Hash family h_i(s) = md5(s || '#' || i); the min over a doc's
+    shingle set approximates its Jaccard kernel. Pure nested
+    higher-order functions — computed map-side, zero shuffle.
+    """
+    sh = shingles(tokens, shingle_size)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string")))
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard).
+
+    1. signature (map-side), 2. band keys md5(sig slice) (map-side),
+    3. explode bands + self-join on (band_idx, band_key) → candidates,
+    4. exact Jaccard verify on distinct shingle sets, threshold filter.
+    The self-join is the only corpus-wide shuffle and its key space is
+    the band buckets — collision-proportional, the standard LSH scale
+    argument (SNIPPETS/PAPERS: classic MMDS construction).
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
+        minhash_signature(toks, num_hashes, shingle_size).alias("sig"),
+    )
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs found by shared
+    rarest-shingle blocking: each doc keys on its ``min`` md5 shingle, so
+    near-identical docs collide with high probability while the join
+    stays bucket-proportional. Optional extra blocking column composes
+    (e.g. same source). → (id_a, id_b, jaccard)."""
+    toks = tokenize(F.col(text_col))
+    sh = F.array_distinct(shingles(toks, shingle_size))
+    key = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    cols = [F.col(id_col).alias("id"), sh.alias("sh"), key.alias("key")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = docs.select(*cols)
+    join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
+    if block_col:
+        join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
+    cand = base.alias("l").join(base.alias("r"), join_cond).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.sh").alias("sh_a"),
+        F.col("r.sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+
+def _md5_bits32(token: Column, offset: int) -> Column:
+    """Bits [offset, offset+31] of md5(token) as an ARRAY<INT> of 0/1."""
+    # mask for bit (b % 4) within a hex digit, MSB first: 8,4,2,1
+    masks = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(offset), F.lit(offset + 31)),
+        lambda b: (
+            F.conv(
+                F.substring(F.md5(token), F.floor(b / 4).cast("int") + 1, 1), 16, 10
+            )
+            .cast("int")
+            .bitwiseAND(F.element_at(masks, (b % 4).cast("int") + 1))
+            > 0
+        ).cast("int"),
+    )
+
+
+def simhash64(tokens: Column) -> tuple[Column, Column]:
+    """64-bit SimHash of a token array → (hi32 BIGINT, lo32 BIGINT).
+
+    Classic construction (Charikar): per bit b, sum ±1 over tokens by
+    md5-bit b; fingerprint bit = sum > 0. Folded entirely map-side with
+    nested higher-order functions: for each of 64 bit positions,
+    aggregate over tokens. Two 32-bit halves keep the value positive in
+    BIGINT so hamming distance is bit_count(xor) on both engines.
+    """
+
+    def half(offset: int) -> Column:
+        # per-bit vote sums: ARRAY<INT> length 32
+        votes = F.aggregate(
+            tokens,
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, t: F.zip_with(
+                acc, _md5_bits32(t, offset), lambda a, bit: a + (bit * 2 - 1)
+            ),
+        )
+        # fold bits into one integer: acc*2 + (vote>0)
+        return F.aggregate(
+            votes,
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc * 2 + (v > 0).cast("bigint"),
+        )
+
+    return half(0), half(32)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, simhash_hi, simhash_lo)."""
+    toks = tokenize(F.col(text_col))
+    hi, lo = simhash64(toks)
+    return docs.select(
+        F.col(id_col).alias("id"), hi.alias("simhash_hi"), lo.alias("simhash_lo")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: bucket by each of the four 16-bit chunks
+    (pigeonhole: any pair with hamming ≤ 3 shares a chunk; wider radii
+    raise recall probabilistically) → self-join per chunk → exact
+    hamming via bit_count(xor). → (id_a, id_b, hamming)."""
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("c"), F.shiftright("simhash_hi", 16).alias("v")),
+                F.struct(F.lit(1).alias("c"), F.col("simhash_hi").bitwiseAND(F.lit(65535)).alias("v")),
+                F.struct(F.lit(2).alias("c"), F.shiftright("simhash_lo", 16).alias("v")),
+                F.struct(F.lit(3).alias("c"), F.col("simhash_lo").bitwiseAND(F.lit(65535)).alias("v")),
+            )
+        ).alias("ck"),
+    ).select("id", "simhash_hi", "simhash_lo", "ck.c", "ck.v")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    hamming = F.bit_count(
+        F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))
+    ) + F.bit_count(F.col("l.simhash_lo").bitwiseXOR(F.col("r.simhash_lo")))
+    return (
+        l.join(
+            r,
+            (F.col("l.c") == F.col("r.c"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------- embedding cosine dedup
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold within blocks.
+
+    Blocking (label here; an IVF cell id in production) keeps the join
+    quadratic only within a block — the standard escape from corpus².
+    → (id_a, id_b, cos_sim)."""
+    from sifts_spark.functions.vector import cosine_similarity
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = vectors.select(*cols)
+    cond = F.col("l.id") < F.col("r.id")
+    if block_col:
+        cond = cond & (F.col("l.blk") == F.col("r.blk"))
+    sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
+    return (
+        base.alias("l")
+        .join(base.alias("r"), cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -148,18 +148,27 @@ def search_postings(
     leaves = _collect_leaves(ast)
     term = F.col("term")
     cond = None
-    tag = None
     for leaf in leaves:
         c = _leaf_cond(leaf, term)
         cond = c if cond is None else (cond | c)
-        tag = F.when(c, F.lit(_leaf_tag(leaf))) if tag is None else tag.when(
-            c, F.lit(_leaf_tag(leaf))
+    # A posting may satisfy SEVERAL leaves (e.g. query `mer* merge` and
+    # term "merge") — emit one row per (posting, matched leaf) so each
+    # query leaf scores independently, like FTS engines do.
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(_leaf_cond(leaf, term), F.lit(_leaf_tag(leaf)))
+                for leaf in leaves
+            ]
         )
-
-    # df per leaf-tag (document frequency for idf). Computed on the
-    # filtered postings — small (|terms| rows), broadcast into scoring.
-    matched = postings.filter(cond).select(
-        "id", "tf", "dl", tag.alias("tag"), term
+    )
+    # Per (id, leaf): tf sums over every term the leaf matches (a prefix
+    # leaf can match many terms in one doc; a plain term exactly one).
+    matched = (
+        postings.filter(cond)
+        .select("id", "tf", "dl", F.explode(tags).alias("tag"))
+        .groupBy("id", "tag")
+        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = matched.groupBy("tag").agg(F.countDistinct("id").alias("df"))
 

@@ -1,0 +1,149 @@
+"""Text-analysis operators: language id, quality scoring, token stats,
+fingerprinting. Training-data-pipeline extensions (SURVEY.md §7 phase 5).
+
+All pure ``pyspark.sql.functions`` expressions — map-side, codegen'd,
+shuffle-free — and each has an exact DuckDB-SQL twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.text import tokenize, shingles
+
+# Tiny per-language marker lexicons (top function words). Real pipelines
+# plug in fastText/CLD3 via mapInPandas (see operators/multimodal.py for
+# the UDF plumbing pattern); the heuristic keeps this engine dependency-
+# free and exactly reproducible in SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "un", "une", "du", "que"),
+    "es": ("el", "la", "los", "las", "que", "de", "un", "una", "es", "por"),
+    "it": ("il", "la", "che", "di", "un", "una", "per", "con", "del", "non"),
+}
+
+# BPE-ish surface tokenization: word pieces OR single non-space symbols.
+TOKEN_COUNT_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics → (id, n_tokens, n_distinct_tokens,
+    n_chars, avg_token_len, type_token_ratio)."""
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(nd.cast("double") / n, 6).alias("type_token_ratio"),
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Surface token count with a BPE-ish regex (words + symbols)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_COUNT_RE), 0))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] → (id, punct_ratio,
+    stopword_ratio, quality).
+
+    Components (each a clamped linear feature, Gopher/C4-style):
+      * length in tokens (saturating at 50)
+      * type-token ratio (repetition penalty)
+      * stopword ratio (too few stopwords = listy/non-prose)
+      * punctuation density (too much = markup/noise)
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n = F.size(toks)
+    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n, F.lit(1)), 6)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1))
+    len_feat = F.least(n.cast("double") / 50.0, F.lit(1.0))
+    quality = F.round(
+        0.35 * len_feat
+        + 0.25 * ttr
+        + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        6,
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language id → (id, pred_lang, lang_hits).
+
+    Scores each language by marker hits over the token array; argmax with
+    deterministic alphabetical tiebreak; 0 hits → 'und'. Map-side only.
+    """
+    toks = tokenize(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array([F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on (hits, lang) structs: max hits, then max lang — to get
+    # alphabetical-first tiebreak we compare on (hits, negated rank) via
+    # sorting: take struct with greatest hits, smallest lang.
+    best = F.array_max(
+        F.transform(
+            F.array(*scores),
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                # invert lang for tiebreak: greatest struct = alphabetically
+                # first lang among equal hits (chr(255-ord) trick avoided:
+                # use negative index into sorted list)
+                (-F.array_position(
+                    F.array(*[F.lit(l) for l in sorted(LANG_MARKERS)]), s["lang"]
+                )).alias("nrank"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Document fingerprint → (id, exact_md5, winnow_fp).
+
+    ``exact_md5``: md5 of whitespace-normalized lowercase text (exact-dup
+    key). ``winnow_fp``: md5 over the k smallest shingle hashes — a
+    winnowing-style locality-sensitive sketch: docs differing by a few
+    words usually share it.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    toks = tokenize(F.col(text_col))
+    hashes = F.array_sort(
+        F.transform(F.array_distinct(shingles(toks, shingle_size)), lambda s: F.md5(s))
+    )
+    winnow = F.md5(F.array_join(F.slice(hashes, 1, k), "|"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(norm).alias("exact_md5"),
+        winnow.alias("winnow_fp"),
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns.
+
+Extends the reference's exact-scan kNN (/root/reference/src/sifts/
+core.py:319-321 pgvector ``<=>``, :527-542 client-side numpy) to
+distributed shapes:
+
+* :func:`knn`: exact brute-force top-k for ONE query vector —
+  ``orderBy(desc(sim)).limit(k)`` compiles to TakeOrderedAndProject
+  (per-partition heap + driver merge, no global sort, no full
+  materialization — kills the reference's SQLite cliff).
+* :func:`knn_join`: top-k neighbors for a WHOLE table of queries —
+  broadcast the (small) query side, per-query window top-k.
+* :func:`ivf_knn_join`: the scale path — IVF-style cell pruning: assign
+  vectors to their nearest centroid (map-side), probe only the
+  ``nprobe`` closest cells per query; the candidate join is
+  cell-blocked, never corpus × queries.
+
+All cosine math is the higher-order-function expression from
+functions/vector.py — JVM-side, codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.vector import cosine_similarity
+
+
+def knn(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for one literal query vector → (id, cos_sim)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k per query row → (query_id, id, cos_sim, rank).
+
+    Query side is broadcast (queries ≪ corpus); ranking is a window
+    per query id. Deterministic tiebreak on neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = v.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("id")
+    )
+    return (
+        joined.select("query_id", "id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell_id",
+    centroid_vec_col: str = "centroid",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF assignment: each vector → its ``nprobe`` nearest centroids
+    → (id, v, cell_id, cell_rank). Centroids broadcast; map-side math;
+    one narrow output row per probe."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias("cell_id"),
+        F.col(centroid_vec_col).alias("cv"),
+    )
+    sim = cosine_similarity(F.col("v"), F.col("cv"))
+    w = Window.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cell_id"))
+    return (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        .select("id", "v", "cell_id", sim.alias("_csim"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+    )
+
+
+def ivf_knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k per query via IVF cell pruning
+    → (query_id, id, cos_sim, rank).
+
+    Corpus vectors index into their 1 nearest cell; queries probe their
+    ``nprobe`` nearest cells; candidates = equi-join on cell_id (a
+    shuffle keyed by cell — candidate-proportional), then exact re-rank.
+    Recall < 1 by construction; the exact twin is :func:`knn_join`.
+    """
+    data_cells = assign_cells(vectors, centroids, id_col, vec_col, nprobe=1)
+    query_cells = assign_cells(
+        queries, centroids, query_id_col, query_vec_col, nprobe=nprobe
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell_id")
+    joined = data_cells.select("id", "v", "cell_id").join(
+        query_cells, "cell_id"
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return (
+        joined.select("query_id", "id", sim.alias("cos_sim"))
+        .dropDuplicates(["query_id", "id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

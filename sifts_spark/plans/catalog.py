@@ -1,0 +1,739 @@
+"""The query catalog: every SURVEY.md §2 operator as a (Spark, oracle-SQL)
+pair over the driver's testdata tables.
+
+Each entry in :data:`QUERIES` is ``name -> fn(spark, sf_dir) -> DataFrame``;
+:data:`ORACLES` holds the DuckDB-ANSI-SQL twin producing identical rows
+(same column names, same types, same values) on the same parquet files.
+
+Determinism rules used throughout (so the driver's order-insensitive
+value-hash matches):
+* every computed column aliased identically on both sides;
+* float outputs rounded (4-6 dp) AFTER double-precision math — DuckDB's
+  float32 builtins (e.g. list_cosine_similarity) are avoided in oracles
+  in favor of explicit ::DOUBLE folds;
+* order-dependent double sums avoided: money-style aggregates go through
+  DECIMAL (exact, order-independent) then cast back to DOUBLE;
+* hashes are md5 only (identical in any engine);
+* pagination/topk always carries a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.metadata import compile_where
+from sifts_spark.functions.text import tokenize, tokenize_sql, shingles, shingles_sql
+from sifts_spark.functions.vector import cosine_similarity
+from sifts_spark.operators import dedup as D
+from sifts_spark.operators import search as S
+from sifts_spark.operators import textanalysis as TA
+from sifts_spark.operators import vector_search as V
+from sifts_spark.queryparser import parse_query
+from sifts_spark.sources.tables import load_table
+
+TOKS = tokenize_sql("text")
+
+# DuckDB double-precision cosine between two FLOAT[] expressions.
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({a})), _i -> {a}[_i]::DOUBLE * {b}[_i]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}, _x -> _x::DOUBLE * _x::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}, _x -> _x::DOUBLE * _x::DOUBLE)))))"
+    )
+
+
+def _prep(spark: SparkSession) -> None:
+    # Oracle parity regardless of the harness session's defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Full-text search (SURVEY §2.3 R2/R3, §2.4 query language)
+# =====================================================================
+
+_AST_TERM = parse_query("data")
+_AST_BOOL = parse_query("data and query or merge")
+_AST_PREFIX = parse_query("mer* small")
+
+
+@_register(
+    "fts_term",
+    f"SELECT doc_id FROM documents WHERE {_AST_TERM.to_sql(TOKS)}",
+)
+def fts_term(spark, sf_dir) -> DataFrame:
+    """Single-term match — R2/R3 analog (ref core.py:408-414)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_TERM, "text").select("doc_id")
+
+
+@_register(
+    "fts_bool",
+    f"SELECT doc_id FROM documents WHERE {_AST_BOOL.to_sql(TOKS)}",
+)
+def fts_bool(spark, sf_dir) -> DataFrame:
+    """and/or with FTS5 precedence (AND binds tighter) — §2.4."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_BOOL, "text").select("doc_id")
+
+
+@_register(
+    "fts_prefix",
+    f"SELECT doc_id FROM documents WHERE {_AST_PREFIX.to_sql(TOKS)}",
+)
+def fts_prefix(spark, sf_dir) -> DataFrame:
+    """Trailing-* prefix match + implicit AND — §2.4 (ref core.py:60)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_PREFIX, "text").select("doc_id")
+
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), dd AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM d WHERE len(toks) > 0
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd
+), tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, _t -> _t = 'data'))  AS tf_a,
+         len(list_filter(toks, _t -> _t = 'merge')) AS tf_b
+  FROM dd
+), dfs AS (
+  SELECT sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_a,
+         sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_b
+  FROM tf
+)
+SELECT doc_id,
+       round(
+         ln((n - df_a + 0.5) / (df_a + 0.5) + 1.0)
+           * (tf_a * 2.2) / (tf_a + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         + ln((n - df_b + 0.5) / (df_b + 0.5) + 1.0)
+           * (tf_b * 2.2) / (tf_b + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+         4) AS rank
+FROM tf, stats, dfs
+WHERE tf_a > 0 AND tf_b > 0
+"""
+
+
+@_register("fts_bm25", _BM25_SQL)
+def fts_bm25(spark, sf_dir) -> DataFrame:
+    """BM25-ranked conjunctive search via the postings index — the
+    FTS5-rank/ts_rank replacement (SURVEY §2.5, ref core.py:410,:554)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = S.build_postings(docs, "doc_id", "text")
+    n, avgdl = S.corpus_stats(postings)
+    res = S.search_postings(postings, parse_query("data merge"), n, avgdl)
+    return res.select(
+        F.col("id").cast("long").alias("doc_id"), F.round("rank", 4).alias("rank")
+    )
+
+
+# =====================================================================
+# Metadata predicates / ordering / pagination / counts (R5-R9, R13)
+# =====================================================================
+
+
+def _with_metadata(docs: DataFrame) -> DataFrame:
+    """Documents with a schemaless JSON metadata column (the engine's
+    native shape) built from the testdata columns."""
+    return docs.withColumn(
+        "metadata",
+        F.to_json(F.struct(F.col("lang"), F.col("source"), F.col("n_chars"))),
+    )
+
+
+@_register(
+    "meta_where_string",
+    "SELECT doc_id FROM documents "
+    "WHERE lang IN ('de','fr') AND source > 'src15'",
+)
+def meta_where_string(spark, sf_dir) -> DataFrame:
+    """$in + $gt on string metadata through the JSON path (R6,
+    ref core.py:241-300). Oracle uses the plain columns — semantics must
+    coincide exactly (lexicographic compare)."""
+    _prep(spark)
+    docs = _with_metadata(load_table(spark, sf_dir, "documents"))
+    pred = compile_where(
+        F.col("metadata"),
+        {"lang": {"$in": ["de", "fr"]}, "source": {"$gt": "src15"}},
+    )
+    return docs.filter(pred).select("doc_id")
+
+
+@_register(
+    "meta_where_numeric",
+    "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 300",
+)
+def meta_where_numeric(spark, sf_dir) -> DataFrame:
+    """Numeric-literal typing: JSON value try_cast to double (R6,
+    ref core.py:272-287 / :572)."""
+    _prep(spark)
+    docs = _with_metadata(load_table(spark, sf_dir, "documents"))
+    pred = compile_where(F.col("metadata"), {"n_chars": {"$gte": 100, "$lt": 300}})
+    return docs.filter(pred).select("doc_id")
+
+
+@_register(
+    "meta_where_nin",
+    "SELECT doc_id FROM documents "
+    "WHERE lang IS NOT NULL AND lang NOT IN ('en','de')",
+)
+def meta_where_nin(spark, sf_dir) -> DataFrame:
+    """$nin with SQL NULL semantics: NULL-key rows in neither $in nor
+    $nin (R6, ref test_sqlite.py:303-316)."""
+    _prep(spark)
+    docs = _with_metadata(load_table(spark, sf_dir, "documents"))
+    pred = compile_where(F.col("metadata"), {"lang": {"$nin": ["en", "de"]}})
+    return docs.filter(pred).select("doc_id")
+
+
+@_register(
+    "order_paginate",
+    "SELECT doc_id, lang, source FROM documents "
+    "ORDER BY lang ASC, source DESC, doc_id LIMIT 50 OFFSET 100",
+)
+def order_paginate(spark, sf_dir) -> DataFrame:
+    """Multi-key ORDER BY with direction + offset/limit pagination
+    (R7+R9, ref core.py:302-333). Unique doc_id tiebreak keeps the page
+    deterministic."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(
+            F.col("lang").asc_nulls_last(),
+            F.col("source").desc_nulls_first(),
+            F.col("doc_id"),
+        )
+        .offset(100)
+        .limit(50)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@_register(
+    "total_count",
+    "SELECT CAST(count(*) AS BIGINT) AS total FROM documents WHERE lang = 'en'",
+)
+def total_count(spark, sf_dir) -> DataFrame:
+    """Pre-limit total as a separate distributed count (R8 — chosen plan
+    over count(*) OVER(), SURVEY §4.2) + R13 count."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+
+
+@_register(
+    "group_count",
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source",
+)
+def group_count(spark, sf_dir) -> DataFrame:
+    """Grouped counts (R13 generalized to groupBy)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# =====================================================================
+# Vector search (R10/R11 — distributed, no driver materialization)
+# =====================================================================
+
+_KNN_SQL = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id AS id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
+  FROM embeddings, q
+)
+SELECT id, cos_sim FROM sims ORDER BY cos_sim DESC, id LIMIT 10
+"""
+
+
+@_register("vector_knn", _KNN_SQL)
+def vector_knn(spark, sf_dir) -> DataFrame:
+    """Exact cosine top-k — TakeOrderedAndProject, not a full sort
+    (R10, ref core.py:558-564; kills the R11 client-side cliff)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("id"), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, v.vec_id AS id,
+         round({_cos_sql('v.embedding', 'q.qe')}, 6) AS cos_sim
+  FROM embeddings v, q
+  WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("vector_knn_batch", _KNN_JOIN_SQL)
+def vector_knn_batch(spark, sf_dir) -> DataFrame:
+    """Top-k per query row (broadcast queries + per-query window)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return V.knn_join(emb, queries, k=5)
+
+
+# =====================================================================
+# Deduplication (north-star extensions, SURVEY §7 phase 5)
+# =====================================================================
+
+
+@_register(
+    "dedup_exact",
+    "SELECT doc_id AS id, "
+    "CAST(min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT)"
+    " AS canonical_id FROM documents",
+)
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup: md5-digest grouping, min-id canonicalization."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs)
+
+
+_SH = shingles_sql(TOKS, 3)
+_MINHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_distinct({_SH}) AS sh,
+         list_transform(generate_series(0, 15),
+           _i -> list_aggregate(
+                   list_transform({_SH}, _s -> md5(_s || '#' || _i::VARCHAR)),
+                   'min')) AS sig
+  FROM documents
+), banded AS (
+  SELECT id, sh, _b.b AS band,
+         md5(array_to_string(sig[_b.b * 4 + 1 : _b.b * 4 + 4], '|')) AS key
+  FROM base CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) _b
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(len(list_filter(sh_a, _x -> list_contains(sh_b, _x)))::DOUBLE
+               / (len(sh_a) + len(sh_b)
+                  - len(list_filter(sh_a, _x -> list_contains(sh_b, _x)))),
+               6) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@_register("dedup_minhash", _MINHASH_SQL)
+def dedup_minhash(spark, sf_dir) -> DataFrame:
+    """MinHash(16) → LSH(4×4 bands) → exact-Jaccard verify ≥ 0.5."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_size=3, jaccard_threshold=0.5
+    )
+
+
+_NGRAM_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, list_distinct({_SH}) AS sh,
+         list_aggregate(list_transform(list_distinct({_SH}), _s -> md5(_s)), 'min') AS key
+  FROM documents
+), cand AS (
+  SELECT l.id AS id_a, r.id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM base l JOIN base r ON l.key = r.key AND l.id < r.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(len(list_filter(sh_a, _x -> list_contains(sh_b, _x)))::DOUBLE
+               / (len(sh_a) + len(sh_b)
+                  - len(list_filter(sh_a, _x -> list_contains(sh_b, _x)))),
+               6) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+@_register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.8 over rarest-shingle-blocked pairs."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.8)
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tb AS (
+  SELECT doc_id, r.b AS b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(tok), (r.b // 4) + 1, 1)) - 1)
+                    >> (3 - (r.b % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) r
+), votes AS (
+  SELECT doc_id, b, sum(vote) AS votes FROM tb GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b < 32 AND votes > 0
+                       THEN 1::BIGINT << (31 - b) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         CAST(sum(CASE WHEN b >= 32 AND votes > 0
+                       THEN 1::BIGINT << (63 - b) ELSE 0 END) AS BIGINT) AS simhash_lo
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(fp.simhash_hi, 0) AS simhash_hi,
+       coalesce(fp.simhash_lo, 0) AS simhash_lo
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
+@_register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash fingerprints (Charikar), folded map-side."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+_EMB_DUP_SQL = f"""
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cos_sim
+FROM embeddings l JOIN embeddings r
+  ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
+"""
+
+
+@_register("dedup_embedding", _EMB_DUP_SQL)
+def dedup_embedding(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (IVF-cell shape)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs(emb, threshold=0.3)
+
+
+# =====================================================================
+# Text analysis (north-star extensions)
+# =====================================================================
+
+_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, n_chars, {TOKS} AS toks FROM documents)
+SELECT doc_id AS id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       round(list_sum(list_transform(toks, _t -> length(_t)))::DOUBLE / len(toks), 6) AS avg_token_len,
+       round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS type_token_ratio
+FROM t
+"""
+
+
+@_register("text_stats", _STATS_SQL)
+def text_stats(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.token_stats(docs)
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("int"),
+        F.col("n_distinct_tokens").cast("int"),
+        F.col("n_chars").cast("int"),
+        "avg_token_len",
+        "type_token_ratio",
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_filter(toks, _t -> list_contains(
+             ['the','and','of','to','a','in','is','that','it','was'], _t))) AS n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         greatest(length(text), 1) AS chars,
+         len(list_distinct(toks)) AS nd
+  FROM t
+)
+SELECT doc_id AS id,
+       round(n_punct::DOUBLE / chars, 6) AS punct_ratio,
+       round(n_stop::DOUBLE / greatest(n, 1), 6) AS stopword_ratio,
+       round(0.35 * least(n::DOUBLE / 50.0, 1.0)
+             + 0.25 * (nd::DOUBLE / greatest(n, 1))
+             + 0.25 * least(round(n_stop::DOUBLE / greatest(n, 1), 6) * 5.0, 1.0)
+             + 0.15 * (1.0 - least(round(n_punct::DOUBLE / chars, 6) * 10.0, 1.0)),
+             6) AS quality
+FROM f
+"""
+
+
+@_register("text_quality", _QUALITY_SQL)
+def text_quality(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.quality_score(docs)
+
+
+def _langid_sql() -> str:
+    langs = sorted(TA.LANG_MARKERS)
+    hits_cols = ",\n         ".join(
+        f"len(list_filter(toks, _t -> list_contains({list(TA.LANG_MARKERS[l])}, _t))) AS h_{l}"
+        for l in langs
+    )
+    # alphabetical-first argmax: l wins if its hits >= every later lang
+    # and > every earlier lang
+    pred_cases = []
+    for i, l in enumerate(langs):
+        conds = []
+        for j, m in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"h_{l} {op} h_{m}")
+        pred_cases.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    best_hits = f"greatest({', '.join('h_' + l for l in langs)})"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         {hits_cols}
+  FROM t
+)
+SELECT doc_id AS id,
+       CASE WHEN {best_hits} = 0 THEN 'und'
+            ELSE CASE {' '.join(pred_cases)} END END AS pred_lang,
+       CAST({best_hits} AS INT) AS lang_hits
+FROM h
+"""
+
+
+@_register("text_langid", _langid_sql())
+def text_langid(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.language_id(docs)
+    return out.select("id", "pred_lang", F.col("lang_hits").cast("int"))
+
+
+_FP_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+SELECT doc_id AS id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS exact_md5,
+       md5(array_to_string(
+             list_sort(list_transform(list_distinct({_SH}), _s -> md5(_s)))[1:4],
+             '|')) AS winnow_fp
+FROM t
+"""
+
+
+@_register("text_fingerprint", _FP_SQL)
+def text_fingerprint(spark, sf_dir) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.fingerprint(docs, k=4, shingle_size=3)
+
+
+@_register(
+    "text_token_count",
+    "SELECT doc_id AS id, CAST(len(regexp_extract_all(lower(text),"
+    " '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens FROM documents",
+)
+def text_token_count(spark, sf_dir) -> DataFrame:
+    """BPE-ish surface token counting (words + single symbols)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        TA.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+    )
+
+
+# =====================================================================
+# Events: windowed aggregation + sessionization (streaming-shaped)
+# =====================================================================
+
+
+@_register(
+    "events_hourly",
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def events_hourly(spark, sf_dir) -> DataFrame:
+    """Tumbling 1h window aggregation — the batch twin of the
+    Structured-Streaming ingest path (sifts_spark/streaming). DECIMAL
+    sum: order-independent, oracle-exact."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@_register("events_sessionize", _SESSION_SQL)
+def events_sessionize(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + running sum; the batch
+    twin of a session-window streaming aggregation."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = (
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000,
+            1,
+        ).otherwise(0)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_idx", F.sum("new_session").over(wsum))
+        .groupBy("user_id", F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
+    )
+
+
+# =====================================================================
+# Relational benchmarks (the 100 TB posture: scan-heavy aggs + joins)
+# =====================================================================
+
+
+@_register(
+    "lineitem_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, "
+    "round(avg(l_quantity), 6) AS avg_qty, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def lineitem_pricing(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the scan+partial-agg benchmark.
+    DECIMAL sums for order-independence; predicate pushes to parquet."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    "SELECT n.n_name AS nation, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def revenue_by_nation(spark, sf_dir) -> DataFrame:
+    """Star-join benchmark: fact × 3 dims. Dims broadcast (under the
+    64 MB threshold) → no fact shuffle until the final small agg."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        # orders is fact-sized — shuffle join (AQE may still pick SHJ);
+        # only true dims broadcast.
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The entry() query: BM25 search over the documents collection."""
+    return fts_bm25(spark, sf_dir)

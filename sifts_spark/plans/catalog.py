@@ -139,9 +139,10 @@ def fts_bm25(spark, sf_dir) -> DataFrame:
     FTS5-rank/ts_rank replacement (SURVEY §2.5, ref core.py:410,:554)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    postings = S.build_postings(docs, "doc_id", "text")
-    n, avgdl = S.corpus_stats(postings)
-    res = S.search_postings(postings, parse_query("data merge"), n, avgdl)
+    # Persisted: read three times (corpus stats, df per term, scoring) —
+    # in production this is the on-disk postings index (write_postings).
+    postings = S.build_postings(docs, "doc_id", "text").persist()
+    res = S.search_postings(postings, parse_query("data merge"))
     return res.select(
         F.col("id").cast("long").alias("doc_id"), F.round("rank", 4).alias("rank")
     )

@@ -204,6 +204,26 @@ class SparkCollection:
             "", limit=limit, offset=offset, where=where, order_by=order_by
         )
 
+    def query_df(
+        self,
+        query_string: str = "",
+        limit: int | None = None,
+        offset: int = 0,
+        where: dict | None = None,
+        order_by: str | list[str] | None = None,
+        vector_search: bool = False,
+    ) -> DataFrame:
+        """DataFrame variant of :meth:`query` — the requested page as a
+        DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
+        pipeline composition (feed dedup/analysis operators without a
+        driver round-trip)."""
+        df, is_search = self._query_plan(
+            query_string, where, order_by, vector_search
+        )
+        df = self._paginate(df, is_search, order_by, limit, offset)
+        proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
+        return df.select(*proj)
+
     def query(
         self,
         query_string: str = "",
@@ -220,49 +240,11 @@ class SparkCollection:
         than the reference's count(*) OVER() single-partition window) →
         sort → offset/limit → project.
         """
-        # R1 validations (core.py:200-205)
-        if vector_search and order_by:
-            raise ValueError("order_by cannot be combined with vector_search")
-        if vector_search and self.embedding_function is None:
-            raise ValueError("vector_search requires an embedding_function")
-        has_text = bool(query_string.strip())
-        if has_text and not vector_search and not self.use_fts:
-            raise ValueError("Full-text search is not enabled for this collection")
-
-        df = self.docs()
-        is_search = False
-
-        if vector_search:
-            qvec = [float(x) for x in self.embedding_function([query_string])[0]]
-            qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
-            df = df.filter(F.col("embedding").isNotNull()).withColumn(
-                "rank", cosine_similarity(F.col("embedding"), qlit)
-            )
-            is_search = True
-        elif has_text:
-            ast = parse_query(query_string)
-            matched = _search.match_filter(df, ast)
-            df = _search.bm25_rank_inline(self.docs(), matched, ast)
-            is_search = True
-
-        if where:
-            df = df.filter(compile_where(F.col("metadata"), where))
-
+        df, is_search = self._query_plan(
+            query_string, where, order_by, vector_search
+        )
         total = df.count()  # R8: pre-limit total, distributed count
-
-        sort_cols = compile_order_by(F.col("metadata"), order_by)
-        if sort_cols:
-            df = df.orderBy(*sort_cols)
-        elif is_search:
-            # Deterministic default: rank desc, id tiebreak (documented
-            # deviation from reference storage order, SURVEY §2.7).
-            df = df.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
-
-        if offset:
-            df = df.offset(offset)
-        if limit is not None:
-            df = df.limit(limit)
-
+        df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
         rows = df.select(*proj).collect()
 
@@ -278,6 +260,66 @@ class SparkCollection:
             results.append(d)
         # PG semantics: empty page reports total=0 (core.py:341-344).
         return {"total": total if results else 0, "results": results}
+
+    def _query_plan(
+        self,
+        query_string: str,
+        where: dict | None,
+        order_by: str | list[str] | None,
+        vector_search: bool,
+    ) -> tuple[DataFrame, bool]:
+        """Validate + build the pre-pagination plan (match ∧ where, with
+        rank column for searches)."""
+        # R1 validations (core.py:200-205)
+        if vector_search and order_by:
+            raise ValueError("order_by cannot be combined with vector_search")
+        if vector_search and self.embedding_function is None:
+            raise ValueError("vector_search requires an embedding_function")
+        has_text = bool(query_string.strip())
+        if has_text and not vector_search and not self.use_fts:
+            raise ValueError("Full-text search is not enabled for this collection")
+
+        df = self.docs()
+        is_search = False
+        if vector_search:
+            qvec = [float(x) for x in self.embedding_function([query_string])[0]]
+            qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+            df = df.filter(F.col("embedding").isNotNull()).withColumn(
+                "rank", cosine_similarity(F.col("embedding"), qlit)
+            )
+            is_search = True
+        elif has_text:
+            ast = parse_query(query_string)
+            matched = _search.match_filter(df, ast)
+            df = _search.bm25_rank_inline(self.docs(), matched, ast)
+            is_search = True
+
+        if where:
+            df = df.filter(compile_where(F.col("metadata"), where))
+        return df, is_search
+
+    def _paginate(
+        self,
+        df: DataFrame,
+        is_search: bool,
+        order_by: str | list[str] | None,
+        limit: int | None,
+        offset: int,
+    ) -> DataFrame:
+        """Sort (R7 / rank-desc default) then offset/limit (R9)."""
+        sort_cols = compile_order_by(F.col("metadata"), order_by)
+        if sort_cols:
+            # id tiebreak keeps pages deterministic under equal keys
+            df = df.orderBy(*sort_cols, F.col("id"))
+        elif is_search:
+            # Deterministic default: rank desc, id tiebreak (documented
+            # deviation from reference storage order, SURVEY §2.7).
+            df = df.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
 
 
 def Collection(

@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Training-data pipelines carry media as ``BINARY`` columns beside typed
+metadata; decode/feature-extraction runs as Arrow-batched pandas
+iterators (``mapInPandas``) so the heavy per-item Python work streams
+through executors batch-by-batch without materializing a partition.
+
+The actual codec calls are STUBBED in this environment (no PIL/ffmpeg
+in the container): ``FakeImageDecoder`` is a deterministic stand-in so
+the Spark-side plumbing — schema, batch iteration, partition sizing,
+UDF signatures — is real and fully tested; swap ``decoder=`` for a real
+implementation in production. ``RealImageDecoder`` documents the
+intended integration and raises ``NotImplementedError``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Media row schema: the binary payload plus typed sidecar metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+Decoder = Callable[[bytes], tuple[int, int, float]]
+
+
+class RealImageDecoder:
+    """Production integration point: decode bytes → (width, height,
+    mean_luma) with PIL/turbojpeg. Not available in this container."""
+
+    def __call__(self, payload: bytes) -> tuple[int, int, float]:
+        raise NotImplementedError(
+            "image codecs are not installed in this environment; "
+            "inject a real decoder (e.g. PIL.Image.open) in production"
+        )
+
+
+class FakeImageDecoder:
+    """Deterministic stand-in: dimensions and luma derived from the
+    payload's sha256 — stable across runs/engines, exercising the full
+    batch path with realistic value shapes."""
+
+    def __call__(self, payload: bytes) -> tuple[int, int, float]:
+        h = hashlib.sha256(payload).digest()
+        width = 16 + h[0] % 240
+        height = 16 + h[1] % 240
+        mean_luma = round(h[2] / 255.0, 6)
+        return width, height, mean_luma
+
+
+def extract_image_features(
+    media: DataFrame,
+    decoder: Decoder | None = None,
+    batch_hint_mb: int = 64,
+) -> DataFrame:
+    """media rows → per-image features via Arrow-batched mapInPandas.
+
+    Scale shape: narrow map over the media table — no shuffle; Spark
+    sizes input splits by ``spark.sql.files.maxPartitionBytes`` so each
+    task holds ~one Arrow batch of payloads in memory (binary columns
+    dominate; keep maxPartitionBytes well under per-task memory when
+    payloads are large). Column pruning keeps non-selected media columns
+    out of the Arrow transfer.
+    """
+    dec = decoder or FakeImageDecoder()
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                data = bytes(payload)
+                w, h, luma = dec(data)
+                rows.append(
+                    (
+                        media_id,
+                        len(data),
+                        hashlib.sha256(data).hexdigest(),
+                        w,
+                        h,
+                        luma,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "sha256",
+                    "width",
+                    "height",
+                    "mean_luma",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n_seconds: float = 1.0,
+    frame_decoder: Callable[[bytes, float], bytes] | None = None,
+) -> DataFrame:
+    """video rows → (media_id, frame_ts, frame_payload) — one row per
+    sampled frame, exploded map-side.
+
+    The frame extraction is the stubbed step (ffmpeg absent); the fake
+    emits one deterministic pseudo-frame per sampled timestamp so the
+    explode/partitioning shape is real: output rows ∝ duration, so a
+    repartition after this op rebalances long-video skew.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_ts", T.DoubleType(), False),
+            T.StructField("frame_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def fake_frame(payload: bytes, ts: float) -> bytes:
+        return hashlib.sha256(payload + str(ts).encode()).digest()
+
+    dec = frame_decoder or fake_frame
+
+    def process(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                if payload is None:
+                    continue
+                duration = float((meta or {}).get("duration_s", 0.0))
+                n = max(int(duration / every_n_seconds), 1)
+                for i in range(n):
+                    ts = round(i * every_n_seconds, 6)
+                    rows.append((media_id, ts, dec(bytes(payload), ts)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_ts", "frame_payload"]
+            )
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        process, out_schema
+    )

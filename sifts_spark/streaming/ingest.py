@@ -1,0 +1,116 @@
+"""Structured-Streaming ingest into the document store + windowed aggs.
+
+The reference has NO streaming surface (SURVEY.md §2.6 — ingestion is
+synchronous batch upsert); this module is the north-star extension
+(SURVEY §7 phase 5): continuous document arrival feeding the same
+append-only store that batch `add` uses, plus event-stream analytics
+with watermarks.
+
+Design: `foreachBatch` bridges the stream to the batch write path, so
+EVERY write-side invariant (newest-batch-wins upsert, tombstones,
+postings derivation) is shared between batch and streaming — one code
+path, no divergence. The store's append-only layout makes each
+micro-batch an atomic directory add, and checkpointing gives
+exactly-once per micro-batch (re-run batches overwrite by batch id
+guard below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sifts_spark.collection import SparkCollection
+
+
+def stream_collection_ingest(
+    stream_df: DataFrame,
+    collection: SparkCollection,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    content_col: str = "content",
+    metadata_col: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """readStream source → collection store, via foreachBatch.
+
+    Each micro-batch lands as one store batch directory — identical
+    semantics to a batch ``add_dataframe`` call. Restart-safe: Spark's
+    checkpoint replays an uncommitted micro-batch; the store dedups by
+    id at read (newest batch wins), so a replay is idempotent-by-value.
+    """
+    seen: set[int] = set()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
+        if batch_df.isEmpty():
+            return
+        collection.add_dataframe(
+            batch_df,
+            id_col=id_col,
+            content_col=content_col,
+            metadata_col=metadata_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_aggregates(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data handling.
+
+    Watermark bounds state: rows later than ``watermark`` behind the max
+    seen event time are dropped and their windows finalized — the
+    streaming twin of the batch ``events_hourly`` catalog query.
+    Works on both streaming and batch DataFrames (watermark is a no-op
+    in batch), so the same function serves both tiers.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "sum_value")
+    )
+
+
+def sessionized_event_aggregates(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows (gap-based) per key.
+
+    Uses Spark's native ``session_window`` — state-store backed, gap-
+    merged at runtime; the streaming twin of the batch lag/cumsum
+    ``events_sessionize`` catalog query.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,77 @@
+"""Multimodal column plumbing tests (decode stubbed, pipeline real)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.operators.multimodal import (
+    FakeImageDecoder,
+    MEDIA_SCHEMA,
+    RealImageDecoder,
+    extract_image_features,
+    sample_video_frames,
+)
+
+
+def _media_df(spark, n=20, kind="image"):
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 10
+        meta = {"duration_s": str(float(i % 5 + 1))} if kind == "video" else {}
+        rows.append((f"m{i}", kind, f"{kind}/fake", bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_batch_shape(spark):
+    media = _media_df(spark, 20)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    by_id = {r["media_id"]: r for r in rows}
+    # deterministic fake: same payload -> same features, valid ranges
+    assert by_id["m0"]["n_bytes"] == 320
+    assert 16 <= by_id["m0"]["width"] <= 255
+    assert 16 <= by_id["m0"]["height"] <= 255
+    assert 0.0 <= by_id["m0"]["mean_luma"] <= 1.0
+    # sha256 matches driver-side recomputation
+    payload = hashlib.sha256(b"media-0").digest() * 10
+    assert by_id["m0"]["sha256"] == hashlib.sha256(payload).hexdigest()
+
+
+def test_image_features_null_payload(spark):
+    media = spark.createDataFrame(
+        [("x", "image", None, None, None)], MEDIA_SCHEMA
+    )
+    rows = extract_image_features(media).collect()
+    assert rows[0]["n_bytes"] is None
+    assert rows[0]["sha256"] is None
+
+
+def test_image_features_partitioned(spark):
+    """The mapInPandas path must behave identically across partitionings."""
+    media = _media_df(spark, 50)
+    one = {r["media_id"]: r["sha256"] for r in extract_image_features(media.coalesce(1)).collect()}
+    many = {r["media_id"]: r["sha256"] for r in extract_image_features(media.repartition(8)).collect()}
+    assert one == many
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        RealImageDecoder()(b"bytes")
+
+
+def test_video_frame_sampling(spark):
+    media = _media_df(spark, 10, kind="video")
+    frames = sample_video_frames(media, every_n_seconds=1.0)
+    counts = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # duration i%5+1 seconds -> that many sampled frames
+    for i in range(10):
+        assert counts[f"m{i}"] == i % 5 + 1
+    row = frames.filter((F.col("media_id") == "m3") & (F.col("frame_ts") == 1.0)).first()
+    assert isinstance(row["frame_payload"], (bytes, bytearray))

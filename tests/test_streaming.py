@@ -1,0 +1,98 @@
+"""Structured-Streaming ingest + windowed aggregation tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.collection import Collection
+from sifts_spark.sources.tables import load_table
+from sifts_spark.streaming import (
+    sessionized_event_aggregates,
+    stream_collection_ingest,
+    windowed_event_aggregates,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
+
+
+def test_stream_ingest_into_collection(spark, tmp_path):
+    # stage documents as a file-source stream (one file = one micro-batch)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    docs.write.parquet(os.path.join(src, "chunk1"))
+
+    col = Collection(str(tmp_path / "store"), "streamed", spark=spark)
+    stream = spark.readStream.schema(docs.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    q = stream_collection_ingest(
+        stream.select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.col("text").alias("content"),
+            F.to_json(F.struct("lang", "source")).alias("metadata"),
+        ),
+        col,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metadata_col="metadata",
+    )
+    q.awaitTermination(120)
+    assert col.count() == 100
+    # ingested docs are immediately searchable through the same path
+    assert col.query("data")["total"] > 0
+    meta = col.get(limit=1)["results"][0]["metadata"]
+    assert set(meta) == {"lang", "source"}
+
+
+def test_windowed_aggregates_stream_equals_batch(spark, tmp_path):
+    """The streaming windowed agg must equal the batch twin (same fn)."""
+    events = load_table(spark, SF_DIR, "events")
+    batch = windowed_event_aggregates(events).orderBy("window_start", "event_type")
+
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_aggregates(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM winagg").orderBy("window_start", "event_type")
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in batch.collect()
+    ]
+
+
+def test_sessionized_aggregates_stream(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev2")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionized_event_aggregates(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessagg")
+    n_sessions = got.count()
+    assert n_sessions > 0
+    # every session holds >= 1 event and ends after it starts
+    bad = got.filter(
+        (F.col("n_events") < 1) | (F.col("session_end") <= F.col("session_start"))
+    ).count()
+    assert bad == 0
+    # session count matches the batch lag/cumsum sessionizer
+    from sifts_spark.plans.catalog import events_sessionize
+
+    assert n_sessions == events_sessionize(spark, SF_DIR).count()

@@ -1,0 +1,42 @@
+"""Session-scoped cache registry: every operator-internal ``persist()``
+is tracked so callers can release executor memory after their action.
+
+Round-1 hazard fixed here: sketch DataFrames (MinHash bands, SimHash
+digit arrays, n-gram blocks, bench postings) were pinned with
+``persist()`` and never released — a cache leak in any long-lived
+pipeline. Operators now route through :func:`track`; pipeline drivers
+(bench.py, tests, user jobs) call :func:`release_all` once their action
+completes. The persists themselves remain measured-necessary (they stop
+Catalyst's project-collapsing from re-inlining md5 sketch subtrees into
+both sides of self-joins).
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[weakref.ReferenceType] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """persist() a DataFrame and remember it for :func:`release_all`."""
+    df.persist()
+    _TRACKED.append(weakref.ref(df))
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every tracked DataFrame still alive; returns the count."""
+    released = 0
+    while _TRACKED:
+        ref = _TRACKED.pop()
+        df = ref()
+        if df is not None:
+            try:
+                df.unpersist()
+                released += 1
+            except Exception:
+                pass
+    return released

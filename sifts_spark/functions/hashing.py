@@ -1,0 +1,197 @@
+"""Vectorized sketch kernels: Arrow-batched pandas_udf twins of the
+higher-order-function MinHash / SimHash expressions in operators/dedup.
+
+Why these exist (bench-driven): Spark evaluates higher-order functions
+(``transform``/``aggregate`` lambdas) in an interpreted per-element loop
+— correct and map-side, but md5-per-shingle x 16 hash functions burned
+~1.4 ms/doc at sf0.1 (47% of the round-1 bench). The kernels below
+compute THE SAME md5-derived values (bit-for-bit: the DuckDB correctness
+oracle replays them unchanged) inside one Arrow batch per partition —
+hashlib's C md5 plus numpy bit math, no per-element interpreter round
+trips. Both paths stay available: ``impl="arrow"`` (default, fast) and
+``impl="hof"`` (pure-JVM expression, zero Python in the plan).
+
+Scale shape is unchanged: one narrow map-side pass per document, no
+shuffle, Arrow transfer is one batch per partition — exactly the
+"UDFs are the slow path; when you must, Arrow-batched pandas UDFs"
+posture. The per-doc payload (token/shingle arrays) is already needed
+by the sketch; nothing extra crosses the JVM<->Python boundary.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sifts_spark.functions.text import TOKEN_SPLIT_RE
+
+_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+
+def _py_tokenize(text: str) -> list[str]:
+    """Python twin of functions.text.tokenize — same split regex over
+    the lowercased text, empties dropped."""
+    return [t for t in _SPLIT.split(text.lower()) if t]
+
+
+def _py_shingles(toks: list[str], n: int) -> list[str]:
+    """Python twin of functions.text.shingles (distinct set)."""
+    if len(toks) >= n:
+        return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+    return [" ".join(toks)]
+
+
+def ensure_min_parallelism(df):
+    """Repartition up to the session's default parallelism when the
+    input has fewer partitions (a single local parquet file reads as ONE
+    split — which would serialize any per-partition kernel). On a real
+    cluster reading many files/splits this is a no-op: partitions >>
+    cores, no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """shingle array -> ARRAY<STRING> of ``num_hashes`` min-md5 hex values.
+
+    Value-identical to :func:`sifts_spark.operators.dedup.minhash_signature`
+    (hash family h_i(s) = md5(s || '#' || i), min over the doc's shingle
+    set; min over raw digests == min over hex strings — hex encoding is
+    order-preserving — so the inner loop compares bytes and hexes only
+    the 16 winners).
+    """
+    suffixes = [f"#{i}".encode() for i in range(num_hashes)]
+
+    @pandas_udf("array<string>")
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None:
+                out.append(None)
+                continue
+            mins: list[bytes | None] = [None] * num_hashes
+            for s in sh:
+                base = s.encode()
+                for i, suf in enumerate(suffixes):
+                    d = md5(base + suf).digest()
+                    m = mins[i]
+                    if m is None or d < m:
+                        mins[i] = d
+            out.append([m.hex() if m is not None else None for m in mins])
+        return pd.Series(out)
+
+    return _sig(shingle_col)
+
+
+def shingle_minhash_arrow(
+    text_col: Column, num_hashes: int = 16, shingle_size: int = 3
+) -> Column:
+    """text -> STRUCT<sh ARRAY<STRING>, sig ARRAY<STRING>>: distinct word
+    shingles AND their MinHash signature in ONE Arrow pass.
+
+    Bench-driven fusion: the interpreted HOF shingle construction
+    (transform + slice + array_join per position) cost more than the md5
+    signature itself at sf0.1 (5.3s of a 7.2s query). Tokenize, shingle,
+    and hash are value-identical twins of functions/text.py +
+    operators/dedup.minhash_signature, so the DuckDB oracle is unchanged.
+    """
+    suffixes = [f"#{i}".encode() for i in range(num_hashes)]
+
+    @pandas_udf(
+        "struct<sh: array<string>, sig: array<string>>"
+    )
+    def _sk(texts: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for text in texts:
+            if text is None:
+                shs.append(None)
+                sigs.append(None)
+                continue
+            sh = _py_shingles(_py_tokenize(text), shingle_size)
+            mins: list[bytes | None] = [None] * num_hashes
+            for s in sh:
+                base = s.encode()
+                for i, suf in enumerate(suffixes):
+                    d = md5(base + suf).digest()
+                    m = mins[i]
+                    if m is None or d < m:
+                        mins[i] = d
+            shs.append(sh)
+            sigs.append([m.hex() if m is not None else None for m in mins])
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return _sk(text_col)
+
+
+def shingle_minkey_arrow(text_col: Column, shingle_size: int = 3) -> Column:
+    """text -> STRUCT<sh ARRAY<STRING>, key STRING>: distinct shingles
+    plus the rarest-shingle block key (min md5 hex over shingles) — the
+    Arrow twin of the n-gram-Jaccard blocking sketch."""
+
+    @pandas_udf("struct<sh: array<string>, key: string>")
+    def _sk(texts: pd.Series) -> pd.DataFrame:
+        shs, keys = [], []
+        for text in texts:
+            if text is None:
+                shs.append(None)
+                keys.append(None)
+                continue
+            sh = _py_shingles(_py_tokenize(text), shingle_size)
+            keys.append(min(md5(s.encode()).digest() for s in sh).hex() if sh else None)
+            shs.append(sh)
+        return pd.DataFrame({"sh": shs, "key": keys})
+
+    return _sk(text_col)
+
+
+# MSB-first bit expansion of a byte: _BYTE_BITS[b] = 8 bits of b.
+_BYTE_BITS = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).astype(np.int64)
+# Fold weights turning 32 MSB-first bits into a non-negative BIGINT.
+_POW32 = (1 << np.arange(31, -1, -1, dtype=np.int64))
+
+
+def simhash64_arrow(tokens_col: Column) -> Column:
+    """tokens ARRAY<STRING> -> STRUCT<simhash_hi BIGINT, simhash_lo BIGINT>.
+
+    Value-identical to :func:`sifts_spark.operators.dedup.simhash64` over
+    per-token md5 digests: vote per bit b (0-63, MSB-first over the first
+    8 digest bytes) is +-1 by the token's md5 bit; fingerprint bit = votes
+    strictly > 0; packed as two 32-bit halves (always >= 0 in BIGINT).
+    """
+
+    @pandas_udf("struct<simhash_hi: bigint, simhash_lo: bigint>")
+    def _fp(tokens: pd.Series) -> pd.DataFrame:
+        his = np.empty(len(tokens), dtype=object)
+        los = np.empty(len(tokens), dtype=object)
+        for row, toks in enumerate(tokens):
+            if toks is None:
+                his[row] = None
+                los[row] = None
+                continue
+            if len(toks) == 0:
+                his[row] = 0
+                los[row] = 0
+                continue
+            # bytes matrix: one md5 prefix (8 bytes) per token
+            raw = np.frombuffer(
+                b"".join(md5(t.encode()).digest()[:8] for t in toks),
+                dtype=np.uint8,
+            ).reshape(len(toks), 8)
+            bits = _BYTE_BITS[raw].reshape(len(toks), 64)  # 0/1 per bit
+            votes = bits.sum(axis=0) * 2 - len(toks)  # sum of (+-1)
+            fp = (votes > 0).astype(np.int64)
+            his[row] = int((fp[:32] * _POW32).sum())
+            los[row] = int((fp[32:] * _POW32).sum())
+        return pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
+
+    return _fp(tokens_col)

@@ -21,10 +21,21 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sifts_spark.caching import track
+from sifts_spark.functions.hashing import (
+    ensure_min_parallelism,
+    shingle_minhash_arrow,
+    shingle_minkey_arrow,
+    simhash64_arrow,
+)
 from sifts_spark.functions.text import tokenize, shingles
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------- exact
@@ -82,6 +93,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.5,
+    impl: str = "arrow",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard).
 
@@ -91,17 +104,41 @@ def minhash_lsh_pairs(
     The self-join is the only corpus-wide shuffle and its key space is
     the band buckets — collision-proportional, the standard LSH scale
     argument (SNIPPETS/PAPERS: classic MMDS construction).
+
+    ``impl="arrow"`` computes signatures in an Arrow-batched kernel
+    (functions/hashing.py — same md5 values, ~10x less CPU than the
+    interpreted HOF path); ``impl="hof"`` keeps the pure-JVM expression.
+
+    ``max_bucket_size`` is the skew guard: a degenerate band key (e.g.
+    a corpus of near-empty docs sharing one signature) makes one bucket
+    quadratic in the self-join — AQE skew-split cannot save a join that
+    is itself O(bucket²) in one key. Buckets above the cap are dropped
+    from candidate generation and LOGGED (never silently): pairs inside
+    a dropped bucket are simply not candidates, the standard recall
+    trade every production LSH dedup makes. ``None`` disables the cap.
     """
     rows_per_band = num_hashes // bands
-    toks = tokenize(F.col(text_col))
-    # Stage 1 materialized: shingle arrays computed ONCE per doc (persist
-    # blocks project-collapsing from inlining the construction into each
-    # of the 16 hash maps). min over the distinct set == min over the bag.
-    sh_base = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
-    ).persist()
-    base = sh_base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Stage 1 materialized: shingle arrays + signatures computed ONCE per
+    # doc (persist blocks project-collapsing from inlining the sketch
+    # into each self-join branch). min over distinct set == min over bag.
+    if impl == "arrow":
+        # Fused tokenize+shingle+signature Arrow kernel — one batch per
+        # partition (spread first: one local file reads as one split).
+        sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size)
+        base = track(
+            ensure_min_parallelism(
+                docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            )
+            .select("id", sk.alias("_sk"))
+            .select("id", F.col("_sk.sh").alias("sh"), F.col("_sk.sig").alias("sig"))
+        )
+    else:
+        toks = tokenize(F.col(text_col))
+        sh_base = track(docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
+        ))
+        base = sh_base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     banded = base.select(
         "id",
         "sh",
@@ -125,7 +162,28 @@ def minhash_lsh_pairs(
     # per candidate row (Catalyst doesn't CSE across join branches) —
     # measured 150s → ~5s at 500 docs. On a cluster this persists the
     # (small) sketch table, never the corpus.
-    banded = banded.persist()
+    banded = track(banded)
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        hot = sizes.filter(F.col("_bn") > max_bucket_size)
+        dropped = hot.limit(21).collect()  # small eager probe, sketch cached
+        if dropped:
+            more = "+" if len(dropped) > 20 else ""
+            logger.warning(
+                "minhash_lsh_pairs: dropping %d%s band bucket(s) over "
+                "max_bucket_size=%d (largest=%d docs) — pairs within them "
+                "are not candidates",
+                min(len(dropped), 20), more, max_bucket_size,
+                max(r["_bn"] for r in dropped),
+            )
+            banded = banded.join(
+                F.broadcast(hot.select("band", "key")),
+                ["band", "key"],
+                "left_anti",
+            )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -163,21 +221,36 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs found by shared
     rarest-shingle blocking: each doc keys on its ``min`` md5 shingle, so
     near-identical docs collide with high probability while the join
-    stays bucket-proportional. Optional extra blocking column composes
+    stays bucket-proportional (recall is probabilistic — a true-dup pair
+    is found iff the two docs share their rarest shingle, probability ~J
+    for Jaccard J; this is a 1-hash LSH candidate generator, not an
+    exhaustive join). Optional extra blocking column composes
     (e.g. same source). → (id_a, id_b, jaccard)."""
-    toks = tokenize(F.col(text_col))
-    sh = F.array_distinct(shingles(toks, shingle_size))
-    key = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    cols = [F.col(id_col).alias("id"), sh.alias("sh"), key.alias("key")]
-    if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    # Materialized once — both self-join branches read the sketch, not
-    # the shingle-expression subtree (see minhash_lsh_pairs note).
-    base = docs.select(*cols).persist()
+    if impl == "arrow":
+        sk = shingle_minkey_arrow(F.col("_t"), shingle_size)
+        sel = [F.col(id_col).alias("id"), F.col(text_col).alias("_t")]
+        if block_col:
+            sel.append(F.col(block_col).alias("blk"))
+        pre = ensure_min_parallelism(docs.select(*sel)).withColumn("_sk", sk)
+        cols = ["id", F.col("_sk.sh").alias("sh"), F.col("_sk.key").alias("key")]
+        if block_col:
+            cols.append(F.col("blk"))
+        base = track(pre.select(*cols))
+    else:
+        toks = tokenize(F.col(text_col))
+        sh = F.array_distinct(shingles(toks, shingle_size))
+        key = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+        cols = [F.col(id_col).alias("id"), sh.alias("sh"), key.alias("key")]
+        if block_col:
+            cols.append(F.col(block_col).alias("blk"))
+        # Materialized once — both self-join branches read the sketch, not
+        # the shingle-expression subtree (see minhash_lsh_pairs note).
+        base = track(docs.select(*cols))
     join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
     if block_col:
         join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
@@ -251,14 +324,28 @@ def simhash64(digits_col: Column) -> tuple[Column, Column]:
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """→ (id, simhash_hi, simhash_lo)."""
+    """→ (id, simhash_hi, simhash_lo).
+
+    ``impl="arrow"`` (default) computes the fingerprint in one Arrow
+    batch per partition (functions/hashing.py — identical md5-derived
+    bits, ~10x less CPU); ``impl="hof"`` keeps the pure-JVM nested-HOF
+    fold. Both are map-side, shuffle-free."""
     toks = tokenize(F.col(text_col))
-    base = docs.select(
+    if impl == "arrow":
+        fp = simhash64_arrow(toks)
+        return ensure_min_parallelism(docs).select(
+            F.col(id_col).alias("id"), fp.alias("_fp")
+        ).select(
+            "id", F.col("_fp.simhash_hi").alias("simhash_hi"),
+            F.col("_fp.simhash_lo").alias("simhash_lo"),
+        )
+    base = track(docs.select(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: _digit_values(F.md5(t))).alias("dg"),
-    ).persist()
+    ))
     hi, lo = simhash64(F.col("dg"))
     return base.select("id", hi.alias("simhash_hi"), lo.alias("simhash_lo"))
 
@@ -275,7 +362,9 @@ def simhash_pairs(
     (pigeonhole: any pair with hamming ≤ 3 shares a chunk; wider radii
     raise recall probabilistically) → self-join per chunk → exact
     hamming via bit_count(xor). → (id_a, id_b, hamming)."""
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    # Persisted: both self-join branches read the (narrow) fingerprint
+    # table instead of re-running the sketch per side.
+    fp = track(simhash_fingerprints(docs, id_col, text_col))
     chunks = fp.select(
         "id",
         "simhash_hi",

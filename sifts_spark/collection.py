@@ -30,6 +30,7 @@ Documented decisions where the reference's two backends diverge
 from __future__ import annotations
 
 import json
+import re
 import uuid
 from collections.abc import Callable, Sequence
 from typing import Any
@@ -329,14 +330,35 @@ def Collection(
     use_fts: bool = True,
     spark: SparkSession | None = None,
 ) -> SparkCollection:
-    """Factory with reference-shaped dispatch (core.py:714-737): the
-    ``db_url`` is a storage-root path (optionally ``file://``-prefixed);
-    empty → ``./sifts_spark_store`` (reference defaults to a local SQLite
-    file, core.py:721-724)."""
+    """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
+
+    The reference routes: empty → default SQLite file (core.py:721-724),
+    ``sqlite:///path`` → SQLite backend (core.py:725-731), anything else
+    → a Postgres DSN (core.py:732-737). Here every collection lives in
+    ONE Spark store whose root may sit on any Hadoop-supported
+    filesystem:
+
+    * empty → ``./sifts_spark_store`` (default-file parity)
+    * ``sqlite:///path`` / ``sifts://path`` → ``path`` as the store root
+      (a reference user's SQLite URL keeps working; the "db file"
+      becomes a store directory)
+    * ``file://``, ``hdfs://``, ``s3a://``, ``gs://``, ``abfs://``, … →
+      passed through to the Hadoop FileSystem resolved from the scheme
+    * ``postgres://`` / ``postgresql://`` DSNs → rejected with guidance:
+      there is no server to dial; point the engine at a storage root.
+    """
     root = db_url or "./sifts_spark_store"
-    for prefix in ("file://", "sifts://"):
+    if re.match(r"^postgres(ql)?://", root):
+        raise ValueError(
+            "PostgreSQL DSNs are not supported: this engine stores "
+            "collections on a (distributed) filesystem. Pass a storage "
+            "root path or URI (e.g. '/data/store', 'hdfs:///store', "
+            "'s3a://bucket/store') instead."
+        )
+    for prefix in ("sqlite:///", "sifts://"):
         if root.startswith(prefix):
-            root = root[len(prefix):]
+            root = root[len(prefix):] or "./sifts_spark_store"
+            break
     return SparkCollection(
         root, name, embedding_function=embedding_function, use_fts=use_fts, spark=spark
     )

@@ -23,6 +23,21 @@ layout that gives Spark-native upsert/delete WITHOUT requiring Delta:
   read-time dedup cost; at 100 TB you run it on a schedule exactly like
   Delta OPTIMIZE.
 
+**Object-store safe**: every layout/metadata operation (batch discovery,
+partition drop, compaction cleanup) goes through the Hadoop FileSystem
+API resolved from the root's scheme — the identical code path serves
+local disk, ``file://``, ``hdfs://``, ``s3a://``, ``gs://``, ``abfs://``.
+No driver-side POSIX directory calls anywhere: at 100 TB the store
+lives on an object store that those calls would simply not see.
+
+Schema evolution (reference core.py:472-482 ``PRAGMA table_info`` +
+``ALTER TABLE ADD COLUMN`` parity): DOC_SCHEMA is the canonical superset;
+``append_batch`` fills any absent nullable column with NULL, and the read
+path always presents the canonical schema (missing columns in old batch
+files read as NULL via explicit-schema parquet reads) — an old store
+created before a column existed keeps working, like the reference's
+lazily ALTERed tables.
+
 Scale notes: the dedup shuffle is per-collection (partition-pruned) and
 keyed by ``id`` — the same shuffle a Delta MERGE pays. A freshly
 compacted collection has exactly one version per id, and AQE coalesces
@@ -33,7 +48,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -66,26 +80,55 @@ def validate_name(name: str) -> str:
     return name
 
 
+def normalize_root(root: str) -> str:
+    """Scheme-preserving root normalization: URIs pass through untouched
+    (``hdfs://``, ``s3a://``, ``file://`` …); bare local paths are
+    absolutized so the store is stable under driver cwd changes."""
+    if "://" in root or root.startswith("file:"):
+        return root.rstrip("/")
+    return os.path.abspath(root)
+
+
 class DocumentStore:
     """One storage root holding many named collections (multi-tenant,
     reference core.py:226: one physical table, ``name``-filtered)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = normalize_root(root)
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        # FileSystem resolved from the ROOT's scheme — local, HDFS and
+        # object stores all route through this one handle.
+        self._fs = self._Path(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._fs.mkdirs(self._Path(self.root))
 
     # ---- layout helpers (driver-side fs metadata ops, like a catalog) ----
+    # All go through the Hadoop FileSystem API: object-store safe.
+
+    def _exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def _ls_names(self, path: str) -> list[str]:
+        if not self._exists(path):
+            return []
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._Path(path))
+        ]
+
+    def _delete_dir(self, path: str) -> None:
+        if self._exists(path):
+            self._fs.delete(self._Path(path), True)
 
     def _partition_dir(self, name: str) -> str:
-        return os.path.join(self.root, f"name={urllib.parse.quote(name, safe='')}")
+        return f"{self.root}/name={urllib.parse.quote(name, safe='')}"
 
     def _batch_dirs(self, name: str) -> list[str]:
-        pdir = self._partition_dir(name)
-        if not os.path.isdir(pdir):
-            return []
         return sorted(
-            d for d in os.listdir(pdir) if d.startswith("batch=")
+            d for d in self._ls_names(self._partition_dir(name))
+            if d.startswith("batch=")
         )
 
     def next_batch(self, name: str) -> int:
@@ -97,25 +140,36 @@ class DocumentStore:
     def collection_names(self) -> list[str]:
         return sorted(
             urllib.parse.unquote(d.split("=", 1)[1])
-            for d in os.listdir(self.root)
+            for d in self._ls_names(self.root)
             if d.startswith("name=")
         )
 
     # ---- write path ----
 
     def append_batch(self, name: str, df: DataFrame) -> int:
-        """Append one batch (columns of DOC_SCHEMA minus partition cols)."""
+        """Append one batch (columns of DOC_SCHEMA minus partition cols).
+
+        Schema evolution: columns of DOC_SCHEMA absent from ``df`` are
+        filled with NULL (except ``deleted`` → false), so callers with
+        older/narrower shapes keep working — the reference's lazy
+        ALTER-ADD-COLUMN parity (core.py:472-482)."""
+        cols = []
+        for f in DOC_SCHEMA.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType))
+            elif f.name == "deleted":
+                cols.append(F.lit(False).alias("deleted"))
+            elif f.name == "id":
+                raise ValueError("append_batch requires an 'id' column")
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         batch = self.next_batch(name)
-        out = os.path.join(self._partition_dir(name), f"batch={batch}")
-        df.select([f.name for f in DOC_SCHEMA.fields]).write.mode(
-            "errorifexists"
-        ).parquet(out)
+        out = f"{self._partition_dir(name)}/batch={batch}"
+        df.select(*cols).write.mode("errorifexists").parquet(out)
         return batch
 
     def drop_collection(self, name: str) -> None:
-        pdir = self._partition_dir(name)
-        if os.path.isdir(pdir):
-            shutil.rmtree(pdir)
+        self._delete_dir(self._partition_dir(name))
 
     def compact(self, name: str) -> None:
         """Fold all batches of a collection into a single new batch."""
@@ -126,10 +180,10 @@ class DocumentStore:
         # Materialize the deduped snapshot into a NEW batch dir (never
         # overwrite inputs mid-read), then drop the superseded batches.
         batch = self.next_batch(name)
-        out = os.path.join(self._partition_dir(name), f"batch={batch}")
+        out = f"{self._partition_dir(name)}/batch={batch}"
         current.select([f.name for f in DOC_SCHEMA.fields]).write.parquet(out)
         for d in old:
-            shutil.rmtree(os.path.join(self._partition_dir(name), d))
+            self._delete_dir(f"{self._partition_dir(name)}/{d}")
 
     # ---- read path ----
 
@@ -145,7 +199,7 @@ class DocumentStore:
         return self.spark.read.schema(DOC_SCHEMA).option(
             "basePath", self._partition_dir(name)
         ).parquet(
-            *[os.path.join(self._partition_dir(name), d) for d in dirs]
+            *[f"{self._partition_dir(name)}/{d}" for d in dirs]
         )
 
     def read(self, name: str) -> DataFrame:

@@ -83,7 +83,12 @@ class SparkCollection:
         contents = list(contents)
         if ids is None:
             ids = [str(uuid.uuid4()) for _ in contents]
-        ids = [str(i) for i in ids]
+        # None/empty entries get generated UUIDs (core.py:147-150 —
+        # str(None) would silently collide every such doc on id "None").
+        ids = [
+            str(i) if i is not None and str(i) != "" else str(uuid.uuid4())
+            for i in ids
+        ]
         if len(ids) != len(contents):
             raise ValueError("ids and contents must have the same length")
         if metadatas is None:
@@ -103,6 +108,7 @@ class SparkCollection:
         rows = list(zip(ids, contents, metas, embs, [False] * len(contents)))
         df = self.spark.createDataFrame(rows, DOC_SCHEMA)
         self.store.append_batch(self.name, df)
+        self._maintain_index()
         return ids
 
     def add_dataframe(
@@ -152,6 +158,7 @@ class SparkCollection:
             out = out.withColumn("embedding", F.lit(None).cast("array<float>"))
         out = out.withColumn("deleted", F.lit(False))
         self.store.append_batch(self.name, out)
+        self._maintain_index()
 
     def update(
         self,
@@ -173,13 +180,21 @@ class SparkCollection:
         rows = [(i, None, None, None, True) for i in ids]
         df = self.spark.createDataFrame(rows, DOC_SCHEMA)
         self.store.append_batch(self.name, df)
+        self._maintain_index()
 
     def delete_all(self) -> None:
         """Drop the collection partition (core.py:386-400)."""
         self.store.drop_collection(self.name)
 
     def compact(self) -> None:
-        self.store.compact(self.name)
+        self.store.compact(self.name, postings=self.use_fts)
+
+    def _maintain_index(self) -> None:
+        """W3: derived-index maintenance on every write (reference
+        core.py:504-514 — fts index updated in the same add). Writes a
+        postings batch for the just-appended docs batch."""
+        if self.use_fts:
+            self.store.maintain_postings(self.name)
 
     # ------------------------------------------------------------------
     # read path
@@ -290,9 +305,15 @@ class SparkCollection:
             )
             is_search = True
         elif has_text:
+            # One lazy plan (no driver-side stats actions): the postings
+            # index scores BM25 with broadcast corpus stats
+            # (operators/search.search_postings); (id, rank) joins back
+            # to the snapshot for content/metadata.
             ast = parse_query(query_string)
-            matched = _search.match_filter(df, ast)
-            df = _search.bm25_rank_inline(self.docs(), matched, ast)
+            scored = _search.search_postings(
+                self.store.read_postings(self.name), ast
+            )
+            df = df.join(scored, "id")
             is_search = True
 
         if where:
@@ -307,8 +328,11 @@ class SparkCollection:
         limit: int | None,
         offset: int,
     ) -> DataFrame:
-        """Sort (R7 / rank-desc default) then offset/limit (R9)."""
-        sort_cols = compile_order_by(F.col("metadata"), order_by)
+        """Sort (R7 / rank-desc default) then offset/limit (R9).
+
+        ``limit`` in (None, 0) means NO limit — the reference's default
+        ``limit=0`` only appends LIMIT when truthy (core.py:327-333)."""
+        sort_cols = compile_order_by(F.col("metadata"), order_by, numeric="auto")
         if sort_cols:
             # id tiebreak keeps pages deterministic under equal keys
             df = df.orderBy(*sort_cols, F.col("id"))
@@ -318,7 +342,7 @@ class SparkCollection:
             df = df.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
         if offset:
             df = df.offset(offset)
-        if limit is not None:
+        if limit:
             df = df.limit(limit)
         return df
 

@@ -109,12 +109,27 @@ def _compile_one(extracted: Column, spec: Any) -> Column:
 
 
 def compile_order_by(
-    metadata: Column, order_by: str | list[str] | None, numeric: bool = False
+    metadata: Column,
+    order_by: str | list[str] | None,
+    numeric: bool | str = False,
 ) -> list[Column]:
     """order_by spec → list of sort Columns (reference core.py:302-317).
 
-    ``numeric=True`` casts extracted values to double before sorting
-    (mirrors SQLite json_extract's typed ordering for numeric metadata).
+    ``numeric``:
+
+    * ``False`` — lexicographic on the extracted string.
+    * ``True`` — cast to double before sorting.
+    * ``"auto"`` (the facade default) — emulate SQLite ``json_extract``
+      typed ordering (core.py:426-430): per value, numbers sort
+      numerically and BEFORE strings (SQLite type order NULL < number <
+      text), strings lexicographically — so ``order_by="k"`` over
+      numeric metadata gives 9 < 10, not "10" < "9". Caveat: JSON
+      *strings* that look numeric ("10") are indistinguishable from
+      numbers after ``get_json_object`` extraction and sort numerically.
+
+    Null placement (core.py:311-315): DESC → NULLS FIRST, ASC → NULLS
+    LAST — docs with NULL metadata always sort last ascending / first
+    descending.
     """
     if order_by is None:
         return []
@@ -124,7 +139,14 @@ def compile_order_by(
         desc = raw.startswith("-")
         key = raw.lstrip("+-")
         col = meta_get(metadata, key)
-        if numeric:
+        if numeric == "auto":
+            num = col.try_cast("double")
+            # (missing, typeclass, numeric value, string value) — each
+            # piece directed together so the whole key reverses cleanly.
+            pieces = [col.isNull(), num.isNull(), num, col]
+            cols.extend(p.desc() if desc else p.asc() for p in pieces)
+            continue
+        if numeric is True:
             col = col.try_cast("double")
         cols.append(col.desc_nulls_first() if desc else col.asc_nulls_last())
     return cols

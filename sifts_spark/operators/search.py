@@ -28,10 +28,6 @@ Two physical strategies, same semantics:
 
 from __future__ import annotations
 
-import math
-import os
-from dataclasses import dataclass
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,12 +73,6 @@ def write_postings(postings: DataFrame, path: str) -> None:
     postings.repartitionByRange(F.col("term")).sortWithinPartitions(
         "term", "id"
     ).write.mode("overwrite").parquet(path)
-
-
-@dataclass(frozen=True)
-class _Leaf:
-    tag: str
-    cond_builder: object  # Column-producing callable over term col
 
 
 def _collect_leaves(ast: Node) -> list[Node]:
@@ -205,46 +195,3 @@ def search_postings(
     )
     tagged_ast = _retag(ast)
     return scored.filter(tagged_ast.to_column(F.col("_tags"))).drop("_tags")
-
-
-def bm25_rank_inline(
-    docs: DataFrame,
-    matched: DataFrame,
-    ast: Node,
-    id_col: str = "id",
-    content_col: str = "content",
-) -> DataFrame:
-    """BM25 rank WITHOUT a prebuilt index: corpus stats aggregated from
-    ``docs`` (the collection snapshot), scores only for ``matched`` rows.
-    Used by the Collection facade where collections are mutable and
-    modest; the postings path is the bulk/scale API."""
-    stats = docs.select(
-        F.size(tokenize(F.col(content_col))).alias("dl")
-    ).agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).first()
-    n_docs, avgdl = (stats["n"] or 0), float(stats["avgdl"] or 0.0)
-
-    leaves = _collect_leaves(ast)
-    toks = tokenize(F.col(content_col))
-    dl = F.size(toks)
-
-    # Per-leaf tf over the token array (JVM-side filter/size, no explode).
-    def leaf_tf(leaf: Node) -> Column:
-        if isinstance(leaf, Term):
-            return F.size(F.filter(toks, lambda t: t == F.lit(leaf.word)))
-        return F.size(F.filter(toks, lambda t: t.startswith(leaf.prefix)))
-
-    # Per-leaf df computed over the full snapshot in ONE aggregate pass.
-    df_aggs = [
-        F.sum(F.when(leaf_tf(leaf) > 0, 1).otherwise(0)).alias(f"df_{i}")
-        for i, leaf in enumerate(leaves)
-    ]
-    dfs = docs.agg(*df_aggs).first()
-
-    rank: Column = F.lit(0.0)
-    for i, leaf in enumerate(leaves):
-        dfi = float(dfs[f"df_{i}"] or 0)
-        idf = math.log((n_docs - dfi + 0.5) / (dfi + 0.5) + 1.0)
-        tf = leaf_tf(leaf).cast("double")
-        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(avgdl, 1e-9))
-        rank = rank + F.lit(idf) * (tf * (BM25_K1 + 1.0)) / denom
-    return matched.withColumn("rank", rank)

@@ -170,9 +170,12 @@ class DocumentStore:
 
     def drop_collection(self, name: str) -> None:
         self._delete_dir(self._partition_dir(name))
+        self._delete_dir(self._postings_dir(name))
 
-    def compact(self, name: str) -> None:
-        """Fold all batches of a collection into a single new batch."""
+    def compact(self, name: str, postings: bool = False) -> None:
+        """Fold all batches of a collection into a single new batch;
+        stale postings batches are dropped with their docs batches (the
+        OPTIMIZE moment where liveness-join dead weight is reclaimed)."""
         old = self._batch_dirs(name)
         if len(old) <= 1:
             return
@@ -184,6 +187,11 @@ class DocumentStore:
         current.select([f.name for f in DOC_SCHEMA.fields]).write.parquet(out)
         for d in old:
             self._delete_dir(f"{self._partition_dir(name)}/{d}")
+        for d in self._postings_batch_dirs(name):
+            if d != f"batch={batch}":
+                self._delete_dir(f"{self._postings_dir(name)}/{d}")
+        if postings:
+            self.maintain_postings(name)
 
     # ---- read path ----
 
@@ -211,3 +219,103 @@ class DocumentStore:
             .filter((F.col("_rn") == 1) & (~F.col("deleted")))
             .drop("_rn", "batch")
         )
+
+    def live_versions(self, name: str) -> DataFrame:
+        """(id, batch) of the winning non-deleted version per id — a
+        column-pruned scan (parquet reads id/batch/deleted only)."""
+        raw = self.read_raw(name).select("id", "batch", "deleted")
+        w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+        return (
+            raw.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("deleted")))
+            .select("id", "batch")
+        )
+
+    # ---- derived postings index (W3: FTS5/GIN replacement) -------------
+    #
+    # Incrementally maintained: every docs batch gets a postings batch
+    # derived from the WRITTEN parquet (one evaluation of the caller's
+    # plan even with non-deterministic columns like uuid() ids), written
+    # term-sorted so a term lookup is a row-group probe. Staleness is
+    # resolved at read by joining on the live (id, batch) winners —
+    # Lucene-segment semantics: stale postings are dead weight until
+    # ``compact`` physically drops them. Crash between docs write and
+    # postings write self-heals: a missing postings batch is rebuilt
+    # lazily (and repaired on the next ``maintain_postings`` call).
+    # Reference analog: fts index maintained on every add
+    # (/root/reference/src/sifts/core.py:504-514).
+
+    def _postings_dir(self, name: str) -> str:
+        return f"{self.root}/_postings/name={urllib.parse.quote(name, safe='')}"
+
+    def _postings_batch_dirs(self, name: str) -> list[str]:
+        return sorted(
+            d for d in self._ls_names(self._postings_dir(name))
+            if d.startswith("batch=")
+        )
+
+    def _read_batch_docs(self, name: str, batch_dir: str) -> DataFrame:
+        return self.spark.read.schema(DOC_SCHEMA).parquet(
+            f"{self._partition_dir(name)}/{batch_dir}"
+        )
+
+    def _build_batch_postings(self, name: str, batch_dir: str) -> DataFrame:
+        from sifts_spark.operators.search import build_postings
+
+        batch = int(batch_dir.split("=", 1)[1])
+        docs = self._read_batch_docs(name, batch_dir).filter(~F.col("deleted"))
+        return build_postings(docs, "id", "content").withColumn(
+            "batch", F.lit(batch).cast("long")
+        )
+
+    def maintain_postings(self, name: str) -> None:
+        """Write postings batches for every docs batch that lacks one
+        (normally exactly the batch just appended). Idempotent; overwrite
+        mode heals partial writes."""
+        have = set(self._postings_batch_dirs(name))
+        for d in self._batch_dirs(name):
+            if d in have:
+                continue
+            p = self._build_batch_postings(name, d)
+            # term-sorted within files => parquet min/max row-group
+            # skipping turns a term lookup into an index probe
+            p.sortWithinPartitions("term", "id").write.mode(
+                "overwrite"
+            ).parquet(f"{self._postings_dir(name)}/{d}")
+
+    def read_postings(self, name: str) -> DataFrame:
+        """Live postings (term, id, dl, tf) — one lazy plan.
+
+        On-disk postings batches are unioned with lazily-built postings
+        for any docs batch not yet indexed (crash healing / stores
+        written with use_fts off), then joined with the live (id, batch)
+        winners so stale versions and tombstoned docs drop out."""
+        docs_dirs = self._batch_dirs(name)
+        POSTINGS_SCHEMA = T.StructType(
+            [
+                T.StructField("term", T.StringType(), True),
+                T.StructField("id", T.StringType(), True),
+                T.StructField("dl", T.IntegerType(), True),
+                T.StructField("tf", T.LongType(), True),
+            ]
+        )
+        if not docs_dirs:
+            return self.spark.createDataFrame([], POSTINGS_SCHEMA)
+        have = set(self._postings_batch_dirs(name))
+        on_disk = [d for d in docs_dirs if d in have]
+        missing = [d for d in docs_dirs if d not in have]
+        parts: list[DataFrame] = []
+        if on_disk:
+            parts.append(
+                self.spark.read.schema(POSTINGS_SCHEMA)
+                .option("basePath", self._postings_dir(name))
+                .parquet(*[f"{self._postings_dir(name)}/{d}" for d in on_disk])
+                .select("term", "id", "dl", "tf", F.col("batch").cast("long"))
+            )
+        for d in missing:
+            parts.append(self._build_batch_postings(name, d))
+        p = parts[0]
+        for more in parts[1:]:
+            p = p.unionByName(more)
+        live = self.live_versions(name)
+        return p.join(live, ["id", "batch"]).select("term", "id", "dl", "tf")

@@ -217,3 +217,95 @@ def test_compaction_preserves_snapshot(store_root, spark):
     col.compact()
     assert col.count() == 9
     assert col.get(where={"k2": "b"})["total"] == 2
+
+
+# ------------------------------------------------- round-2 parity fixes
+
+
+def test_order_by_numeric_metadata(store_root, spark):
+    """Numeric JSON metadata sorts numerically (9 < 10), mirroring
+    SQLite json_extract typed ordering — ref test_sqlite.py:256-284
+    fixture shape; ADVICE r1 item."""
+    col = Collection(store_root, "test", spark=spark)
+    col.add(
+        ["Lorem"] * 3,
+        ids=["a", "b", "c"],
+        metadatas=[{"n": 9}, {"n": 10}, {"n": 2}],
+    )
+    res = col.get(order_by="n")["results"]
+    assert [r["id"] for r in res] == ["c", "a", "b"]  # 2 < 9 < 10
+    res = col.get(order_by="-n")["results"]
+    assert [r["id"] for r in res] == ["b", "a", "c"]
+
+
+def test_order_by_mixed_types_numbers_before_strings(store_root, spark):
+    """SQLite type order: NULL handling via direction, numbers < text."""
+    col = Collection(store_root, "test", spark=spark)
+    col.add(
+        ["Lorem"] * 4,
+        ids=["s1", "n10", "n9", "x"],
+        metadatas=[{"k": "apple"}, {"k": 10}, {"k": 9}, None],
+    )
+    res = col.get(order_by="k")["results"]
+    assert [r["id"] for r in res] == ["n9", "n10", "s1", "x"]
+    res = col.get(order_by="-k")["results"]
+    assert [r["id"] for r in res] == ["x", "s1", "n10", "n9"]
+
+
+def test_none_ids_get_uuids(store_root, spark):
+    """None/empty ids become UUIDs, never the string 'None'
+    (ref core.py:147-150; ADVICE r1 item)."""
+    col = Collection(store_root, "test", spark=spark)
+    ids1 = col.add(["one"], ids=[None])
+    ids2 = col.add(["two"], ids=[None])
+    assert ids1[0] != "None" and ids2[0] != "None"
+    assert ids1[0] != ids2[0]
+    assert col.count() == 2
+    ids3 = col.add(["three"], ids=[""])
+    assert ids3[0] != ""
+    assert col.count() == 3
+
+
+def test_limit_zero_means_unlimited(store_root, spark):
+    """limit in (None, 0) = no limit — reference core.py:327-333 only
+    appends LIMIT when truthy (ADVICE r1 item)."""
+    col = ten_doc_fixture(store_root, spark)
+    r = col.get(limit=0)
+    assert r["total"] == 10 and len(r["results"]) == 10
+
+
+# ------------------------------------------------- postings index (W3)
+
+
+def test_postings_maintained_on_add_and_delete(store_root, spark):
+    """The facade maintains the postings index on every write
+    (ref core.py:504-514) and serves text queries from it."""
+    col = Collection(store_root, "test", spark=spark)
+    col.add(["Lorem ipsum dolor", "sit amet"], ids=["a", "b"])
+    pdirs = col.store._postings_batch_dirs("test")
+    assert pdirs == ["batch=1"]
+    assert col.query("lorem")["total"] == 1
+    # update re-indexes: stale version's postings must not match
+    col.add(["sit amet consectetur"], ids=["a"])
+    assert col.store._postings_batch_dirs("test") == ["batch=1", "batch=2"]
+    assert col.query("lorem")["total"] == 0
+    assert col.query("sit")["total"] == 2
+    # delete drops the doc from the index via liveness resolution
+    col.delete(["b"])
+    assert col.query("sit")["total"] == 1
+    # compact folds postings with docs
+    col.compact()
+    assert len(col.store._batch_dirs("test")) == 1
+    assert len(col.store._postings_batch_dirs("test")) == 1
+    assert col.query("sit")["total"] == 1
+
+
+def test_postings_self_heal_missing_batch(store_root, spark):
+    """A docs batch without its postings batch (crash window, or a store
+    written with use_fts off) is still searchable: read_postings builds
+    the missing slice lazily."""
+    col = Collection(store_root, "test", use_fts=False, spark=spark)
+    col.add(["Lorem ipsum"], ids=["a"])
+    assert col.store._postings_batch_dirs("test") == []
+    fts = Collection(store_root, "test", spark=spark)
+    assert fts.query("lorem")["total"] == 1

@@ -162,15 +162,29 @@ class QueryParser:
         if word.lower() in ("and", "or"):
             raise ParseError(f"operator {word!r} in term position")
         self._pos += 1
-        if word.endswith("*") and len(word) > 1:
-            return Prefix(_normalize(word[:-1]))
-        return Term(_normalize(word))
+        is_prefix = word.endswith("*") and len(word) > 1
+        if is_prefix:
+            word = word[:-1]
+        # Split the query word EXACTLY like the content tokenizer splits
+        # documents ("don't" indexes as [don, t] — functions/text.py), so
+        # a punctuated query word becomes the conjunction of its token
+        # parts and can actually match. Stripping punctuation instead
+        # (round-1 behavior) produced the unmatchable term "dont".
+        parts = _split_like_tokenizer(word)
+        if not parts:
+            raise ParseError(f"no searchable characters in {word!r}")
+        leaves: list[Node] = [Term(p) for p in parts[:-1]]
+        leaves.append(Prefix(parts[-1]) if is_prefix else Term(parts[-1]))
+        node = leaves[0]
+        for leaf in leaves[1:]:
+            node = And(node, leaf)
+        return node
 
 
-def _normalize(word: str) -> str:
-    """Index-level normalization matching the tokenizer: lowercase and
-    strip non-alphanumerics (the 'simple' config lowercases whole words)."""
-    return re.sub(r"[^a-z0-9]+", "", word.lower())
+def _split_like_tokenizer(word: str) -> list[str]:
+    """Query-side twin of functions.text.tokenize: lowercase, split on
+    non-alphanumerics, drop empties ('simple'-config parity)."""
+    return [p for p in re.split(r"[^a-z0-9]+", word.lower()) if p]
 
 
 def parse_query(query: str) -> Node:

@@ -406,23 +406,47 @@ def embedding_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold within blocks.
+    """Near-dup pairs by cosine ≥ threshold within blocks
+    → (id_a, id_b, cos_sim).
 
-    Blocking (label here; an IVF cell id in production) keeps the join
-    quadratic only within a block — the standard escape from corpus².
-    → (id_a, id_b, cos_sim)."""
+    Default blocking is IVF cells: each vector is assigned map-side to
+    its nearest centroid (``centroids`` or a deterministic lowest-id
+    seed, :func:`~sifts_spark.operators.vector_search.deterministic_centroids`),
+    and the pairwise join runs only within a cell — the corpus is never
+    self-joined whole, and cell population is bounded by corpus/k on
+    average rather than by whatever a metadata column happens to hold.
+    A categorical ``block_col`` remains as an explicit override (e.g.
+    join only within one source), but it is NOT the default because a
+    hot label degenerates to corpus² inside that label.
+
+    Recall bound: a true-dup pair straddling a cell boundary is missed
+    (nprobe=1 assignment) — the standard IVF trade; raise ``n_cells``
+    resolution or pre-normalize upstream if that matters.
+    """
     from sifts_spark.functions.vector import cosine_similarity
+    from sifts_spark.operators.vector_search import (
+        cell_assign_expr,
+        deterministic_centroids,
+    )
 
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if block_col:
-        cols.append(F.col(block_col).alias("blk"))
-    base = vectors.select(*cols)
-    cond = F.col("l.id") < F.col("r.id")
-    if block_col:
-        cond = cond & (F.col("l.blk") == F.col("r.blk"))
+        base = vectors.select(*cols, F.col(block_col).alias("blk"))
+    else:
+        if centroids is None:
+            centroids = deterministic_centroids(vectors, n_cells, id_col, vec_col)
+        # Driver-collect the (tiny) centroid table once, inline it as a
+        # literal → cell assignment is a pure map-side projection.
+        rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+        base = track(
+            vectors.select(*cols, cell_assign_expr(F.col("v"), rows).alias("blk"))
+        )
+    cond = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
     sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
     return (
         base.alias("l")

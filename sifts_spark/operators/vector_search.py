@@ -90,12 +90,17 @@ def assign_cells(
 ) -> DataFrame:
     """IVF assignment: each vector → its ``nprobe`` nearest centroids
     → (id, v, cell_id, cell_rank). Centroids broadcast; map-side math;
-    one narrow output row per probe."""
+    one narrow output row per probe.
+
+    Similarity is rounded to 6 dp BEFORE ranking (ties broken by
+    cell_id) so the assignment is reproducible across engines — raw
+    double near-ties would make the oracle comparison flaky.
+    """
     c = centroids.select(
         F.col(centroid_id_col).alias("cell_id"),
         F.col(centroid_vec_col).alias("cv"),
     )
-    sim = cosine_similarity(F.col("v"), F.col("cv"))
+    sim = F.round(cosine_similarity(F.col("v"), F.col("cv")), 6)
     w = Window.partitionBy("id").orderBy(F.col("_csim").desc(), F.col("cell_id"))
     return (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -104,6 +109,60 @@ def assign_cells(
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= nprobe)
     )
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: the ``n_cells`` lowest-id vectors
+    → (cell_id, centroid). A reproducible stand-in for k-means||
+    (whose init is randomized): good enough to break a corpus into
+    cells for blocking, and — crucially for the correctness gate —
+    replayable by an ANSI-SQL oracle. cell_id is the source row's id.
+
+    Scale: a TakeOrdered of ``n_cells`` rows — no full sort; the result
+    is centroid-sized and always broadcast by callers."""
+    return (
+        vectors.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid"))
+        .orderBy("cell_id")
+        .limit(n_cells)
+    )
+
+
+def cell_assign_expr(vec_col, centroid_rows) -> "F.Column":
+    """Map-side nearest-centroid id for ``vec_col`` given driver-side
+    ``centroid_rows`` = [(numeric cell_id, [float, ...]), ...].
+
+    The centroids are inlined as an array-of-structs literal, so cell
+    assignment is a pure projection — the corpus is NEVER shuffled or
+    joined to be assigned (the crossJoin+window in :func:`assign_cells`
+    shuffles per-id; this path is the 100 TB default for dedup blocking
+    where only the cell id is needed). argmax by (rounded sim desc,
+    cell_id asc) via struct array_max; numeric cell ids required for
+    the negated tiebreak field."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec])
+                .cast("array<double>")
+                .alias("cv"),
+            )
+            for cid, vec in centroid_rows
+        ]
+    )
+    sims = F.transform(
+        cells,
+        lambda c: F.struct(
+            F.round(cosine_similarity(vec_col, c["cv"]), 6).alias("s"),
+            (-c["cid"]).alias("nid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_max(sims)["cid"]
 
 
 def ivf_knn_join(

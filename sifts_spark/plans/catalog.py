@@ -458,10 +458,74 @@ WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
 
 @_register("dedup_embedding", _EMB_DUP_SQL)
 def dedup_embedding(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-blocked (IVF-cell shape)."""
+    """Embedding-cosine near-dup pairs with the categorical block_col
+    override (same-label pairs only)."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_dup_pairs(emb, threshold=0.3)
+    return D.embedding_dup_pairs(emb, block_col="label", threshold=0.3)
+
+
+_CELL_ASSIGN_SQL = f"""
+c AS (SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+_ranked_cells AS (
+  SELECT e.vec_id AS id, e.embedding AS v, c.cell_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                                     c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN c
+)
+"""
+
+_EMB_IVF_SQL = f"""
+WITH {_CELL_ASSIGN_SQL},
+a AS (SELECT id, v, cell_id FROM _ranked_cells WHERE rn = 1)
+SELECT l.id AS id_a, r.id AS id_b, round({_cos_sql('l.v', 'r.v')}, 6) AS cos_sim
+FROM a l JOIN a r ON l.cell_id = r.cell_id AND l.id < r.id
+WHERE round({_cos_sql('l.v', 'r.v')}, 6) >= 0.3
+"""
+
+
+@_register("dedup_embedding_ivf", _EMB_IVF_SQL)
+def dedup_embedding_ivf(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup with the DEFAULT blocker: map-side IVF cell
+    assignment (deterministic lowest-id centroids, inlined as a literal
+    → the corpus is never shuffled to be assigned). The 100 TB-safe
+    default — cell population ~corpus/k, no hot-label corpus² hazard."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = V.deterministic_centroids(emb, n_cells=8)
+    return D.embedding_dup_pairs(emb, centroids=cents, threshold=0.3)
+
+
+_IVF_KNN_SQL = f"""
+WITH {_CELL_ASSIGN_SQL},
+d AS (SELECT id, v, cell_id FROM _ranked_cells WHERE rn = 1),
+q AS (
+  SELECT id AS query_id, v AS qv, cell_id
+  FROM _ranked_cells WHERE id < 5 AND rn <= 2
+), scored AS (
+  SELECT DISTINCT q.query_id, d.id, round({_cos_sql('d.v', 'q.qv')}, 6) AS cos_sim
+  FROM d JOIN q USING (cell_id) WHERE d.id <> q.query_id
+), ranked AS (
+  SELECT query_id, id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("ivf_knn", _IVF_KNN_SQL)
+def ivf_knn(spark, sf_dir) -> DataFrame:
+    """Approximate kNN via IVF cell pruning (nprobe=2): the scale path
+    for similarity search — candidates come from a cell-keyed equi-join,
+    never corpus × queries. Exact twin: vector_knn_batch."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = V.deterministic_centroids(emb, n_cells=8)
+    return V.ivf_knn_join(emb, queries, cents, k=5, nprobe=2)
 
 
 # =====================================================================

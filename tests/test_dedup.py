@@ -1,0 +1,104 @@
+"""Dedup operator behavior: blocking shapes, skew guards, clustering.
+
+The value-level semantics of these operators are pinned by the DuckDB
+oracle (plans/catalog.py entries); these tests pin the *plan shapes*
+that matter at 100 TB — no cartesian joins, cell blocking by default,
+skew caps actually dropping hot buckets — which the oracle cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.caching import release_all
+from sifts_spark.operators import dedup as D
+from sifts_spark.operators.vector_search import deterministic_centroids
+
+
+@pytest.fixture(autouse=True)
+def _release_caches():
+    yield
+    release_all()
+
+
+def _vectors(spark):
+    # Two tight clusters around orthogonal axes + one outlier.
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.99, 0.01, 0.0], "a"),
+        (2, [0.98, -0.01, 0.0], "b"),
+        (3, [0.0, 1.0, 0.0], "b"),
+        (4, [0.01, 0.99, 0.0], "a"),
+        (5, [0.0, 0.0, 1.0], "c"),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_embedding_dedup_default_cell_blocking_finds_cluster_pairs(spark):
+    vecs = _vectors(spark)
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell_id long, centroid array<double>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(
+            vecs, centroids=cents, threshold=0.99
+        ).collect()
+    }
+    # within-cell near-identical pairs found; cross-cell pairs never compared
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert all(a != 5 and b != 5 for a, b in pairs)
+
+
+def test_embedding_dedup_default_plan_is_equi_join_not_cartesian(spark):
+    vecs = _vectors(spark)
+    df = D.embedding_dup_pairs(vecs, threshold=0.5)  # default: IVF cells
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join must be keyed on the cell id (blk), i.e. candidate-
+    # proportional, not corpus²
+    assert "blk" in plan
+
+
+def test_deterministic_centroids_lowest_ids(spark):
+    vecs = _vectors(spark)
+    cents = deterministic_centroids(vecs, n_cells=3).collect()
+    assert [r["cell_id"] for r in cents] == [0, 1, 2]
+
+
+def test_block_col_override_still_works(spark):
+    vecs = _vectors(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_dup_pairs(
+            vecs, block_col="label", threshold=0.99
+        ).collect()
+    }
+    # 0/1 share label 'a'; 0/2 near-identical but different labels → missed
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_lsh_skew_guard_drops_degenerate_bucket(spark, caplog):
+    # A corpus of identical docs: every band bucket holds every doc —
+    # quadratic without the cap. With the cap the job completes and
+    # emits zero candidates from the dropped buckets, loudly.
+    docs = spark.createDataFrame(
+        [(i, "the same tiny document text repeated") for i in range(30)],
+        "doc_id long, text string",
+    )
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="sifts_spark.operators.dedup"):
+        out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=10)
+        assert out.count() == 0
+    assert any("dropping" in r.message for r in caplog.records)
+    # without the cap the same corpus yields all 30*29/2 pairs
+    out2 = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=None)
+    assert out2.count() == 30 * 29 // 2

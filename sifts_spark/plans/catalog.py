@@ -447,6 +447,51 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     return D.simhash_fingerprints(docs)
 
 
+_SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS tok FROM documents
+), tb AS (
+  SELECT doc_id, r.b AS b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(md5(tok), (r.b // 4) + 1, 1)) - 1)
+                    >> (3 - (r.b % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) r
+), votes AS (
+  SELECT doc_id, b, sum(vote) AS votes FROM tb GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b < 32 AND votes > 0
+                       THEN 1::BIGINT << (31 - b) ELSE 0 END) AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN b >= 32 AND votes > 0
+                       THEN 1::BIGINT << (63 - b) ELSE 0 END) AS BIGINT) AS lo
+  FROM votes GROUP BY doc_id
+), f AS (
+  SELECT d.doc_id AS id, coalesce(fp.hi, 0) AS hi, coalesce(fp.lo, 0) AS lo
+  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+), ck AS (
+  SELECT id, hi, lo, _c.c AS c,
+         CASE _c.c WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+                   WHEN 2 THEN lo >> 16 ELSE lo & 65535 END AS v
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) _c
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+       CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT) AS hamming
+FROM ck l JOIN ck r ON l.c = r.c AND l.v = r.v AND l.id < r.id
+WHERE CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT) <= 16
+"""
+
+
+@_register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit chunk pigeonhole candidates +
+    exact bit_count(xor) hamming ≤ 16."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.simhash_pairs(docs, max_hamming=16)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 _EMB_DUP_SQL = f"""
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        round({_cos_sql('l.embedding', 'r.embedding')}, 6) AS cos_sim
@@ -735,6 +780,107 @@ def events_sessionize(spark, sf_dir) -> DataFrame:
             F.min("ts").alias("session_start"),
         )
     )
+
+
+# =====================================================================
+# Store snapshot semantics (W1 upsert / W5 delete under the oracle)
+# =====================================================================
+
+_SNAPSHOT_SQL = """
+WITH raw AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text AS content,
+         false AS deleted, CAST(1 AS BIGINT) AS batch
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), text || ' v2', false, CAST(2 AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), NULL, true, CAST(3 AS BIGINT)
+  FROM documents WHERE doc_id % 7 = 0
+), resolved AS (
+  SELECT id, content, deleted,
+         row_number() OVER (PARTITION BY id ORDER BY batch DESC) AS rn
+  FROM raw
+)
+SELECT id, md5(content) AS content_md5
+FROM resolved WHERE rn = 1 AND NOT deleted
+"""
+
+
+@_register("store_snapshot", _SNAPSHOT_SQL)
+def store_snapshot(spark, sf_dir) -> DataFrame:
+    """The DocumentStore's LSM read resolution (newest-batch-wins upsert
+    + tombstone delete) over a synthetic 3-batch history: batch 1 = all
+    docs, batch 2 = every 10th updated, batch 3 = every 7th deleted.
+    Runs the SAME resolve_snapshot used by DocumentStore.read, so W1/W5
+    write semantics sit under the value-hash gate."""
+    from sifts_spark.sources.store import resolve_snapshot
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    ident = F.col("doc_id").cast("string").alias("id")
+    b1 = docs.select(
+        ident, F.col("text").alias("content"),
+        F.lit(False).alias("deleted"), F.lit(1).cast("long").alias("batch"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        ident, F.concat(F.col("text"), F.lit(" v2")).alias("content"),
+        F.lit(False).alias("deleted"), F.lit(2).cast("long").alias("batch"),
+    )
+    b3 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        ident, F.lit(None).cast("string").alias("content"),
+        F.lit(True).alias("deleted"), F.lit(3).cast("long").alias("batch"),
+    )
+    raw = b1.unionByName(b2).unionByName(b3)
+    return resolve_snapshot(raw).select("id", F.md5("content").alias("content_md5"))
+
+
+# =====================================================================
+# Multimodal plumbing (Arrow-batched mapInPandas under the oracle)
+# =====================================================================
+
+_HEXPOS = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+
+def _hex_byte_sql(i: int) -> str:
+    """Byte value of hex digit pair starting at 1-based char ``i``."""
+    return f"(({_HEXPOS.format(i=i)}) * 16 + ({_HEXPOS.format(i=i + 1)}))"
+
+
+_IMAGE_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text, sha256(text) AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       h AS sha256,
+       CAST(16 + {_hex_byte_sql(1)} % 240 AS INT) AS width,
+       CAST(16 + {_hex_byte_sql(3)} % 240 AS INT) AS height,
+       round({_hex_byte_sql(5)} / 255.0, 6) AS mean_luma
+FROM m
+"""
+
+
+@_register("image_features", _IMAGE_FEATURES_SQL)
+def image_features(spark, sf_dir) -> DataFrame:
+    """The full multimodal batch path — binary payload column through
+    Arrow-batched mapInPandas feature extraction — with the
+    deterministic FakeImageDecoder (sha256-derived dims/luma), so the
+    plumbing itself is value-hash-checked. Payloads here are the doc
+    texts utf-8-encoded; a real deployment swaps the decoder only."""
+    from sifts_spark.operators.multimodal import FakeImageDecoder, extract_image_features
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return extract_image_features(media, decoder=FakeImageDecoder())
 
 
 # =====================================================================

@@ -89,6 +89,25 @@ def normalize_root(root: str) -> str:
     return os.path.abspath(root)
 
 
+def resolve_snapshot(raw: DataFrame) -> DataFrame:
+    """LSM snapshot resolution: newest version per ``id`` wins
+    (``batch`` descending), tombstones (``deleted``) dropped after the
+    version race — the read-time equivalent of the reference's
+    ``ON CONFLICT(id) DO UPDATE`` + ``DELETE`` (core.py:493-501,
+    :370-384).
+
+    Shared by :meth:`DocumentStore.read` and the catalog's
+    ``store_snapshot`` oracle entry, so the write-path semantics (W1
+    upsert / W5 delete) are pinned by the DuckDB correctness gate, not
+    only by pytest. One shuffle keyed by ``id``."""
+    w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("deleted")))
+        .drop("_rn", "batch")
+    )
+
+
 class DocumentStore:
     """One storage root holding many named collections (multi-tenant,
     reference core.py:226: one physical table, ``name``-filtered)."""
@@ -212,13 +231,7 @@ class DocumentStore:
 
     def read(self, name: str) -> DataFrame:
         """Current snapshot: newest version per id, tombstones dropped."""
-        raw = self.read_raw(name)
-        w = Window.partitionBy("id").orderBy(F.col("batch").desc())
-        return (
-            raw.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") == 1) & (~F.col("deleted")))
-            .drop("_rn", "batch")
-        )
+        return resolve_snapshot(self.read_raw(name))
 
     def live_versions(self, name: str) -> DataFrame:
         """(id, batch) of the winning non-deleted version per id — a

@@ -24,6 +24,52 @@ from pyspark.sql.streaming import StreamingQuery
 from sifts_spark.collection import SparkCollection
 
 
+def make_idempotent_sink(
+    collection: SparkCollection,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    content_col: str = "content",
+    metadata_col: str | None = None,
+):
+    """foreachBatch sink with DURABLE per-batch commit markers.
+
+    Spark's checkpoint guarantees a restarted query re-offers the same
+    ``batch_id`` with the same data; an in-memory seen-set (the naive
+    guard) forgets across restarts, so a replay would re-append the
+    batch — and when ids are minted (uuid) that means duplicate
+    documents. Here each committed batch writes a zero-byte marker
+    ``<checkpoint>/_sifts_commits/<batch_id>`` through the Hadoop
+    FileSystem API (object-store safe, same scheme handling as the
+    store); replays skip on marker hit regardless of process restarts.
+
+    Remaining window: a crash BETWEEN ``add_dataframe`` and the marker
+    write replays the append. With caller-supplied stable ids that is
+    idempotent-by-value (newest-batch-wins read); with minted uuid ids
+    it can duplicate — supply stable ids for end-to-end exactly-once.
+    """
+    spark = collection.store.spark
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    commits = f"{checkpoint_dir.rstrip('/')}/_sifts_commits"
+    fs = HPath(commits).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(HPath(commits))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = HPath(f"{commits}/{batch_id}")
+        if fs.exists(marker):
+            return
+        if not batch_df.isEmpty():
+            collection.add_dataframe(
+                batch_df,
+                id_col=id_col,
+                content_col=content_col,
+                metadata_col=metadata_col,
+            )
+        fs.createNewFile(marker)
+
+    return sink
+
+
 def stream_collection_ingest(
     stream_df: DataFrame,
     collection: SparkCollection,
@@ -36,25 +82,13 @@ def stream_collection_ingest(
     """readStream source → collection store, via foreachBatch.
 
     Each micro-batch lands as one store batch directory — identical
-    semantics to a batch ``add_dataframe`` call. Restart-safe: Spark's
-    checkpoint replays an uncommitted micro-batch; the store dedups by
-    id at read (newest batch wins), so a replay is idempotent-by-value.
+    semantics to a batch ``add_dataframe`` call. Restart-safe: the sink
+    records durable commit markers (:func:`make_idempotent_sink`), so a
+    checkpoint replay after restart skips already-committed batches.
     """
-    seen: set[int] = set()
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in seen:
-            return
-        seen.add(batch_id)
-        if batch_df.isEmpty():
-            return
-        collection.add_dataframe(
-            batch_df,
-            id_col=id_col,
-            content_col=content_col,
-            metadata_col=metadata_col,
-        )
-
+    sink = make_idempotent_sink(
+        collection, checkpoint_dir, id_col, content_col, metadata_col
+    )
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -47,6 +47,31 @@ def test_stream_ingest_into_collection(spark, tmp_path):
     assert set(meta) == {"lang", "source"}
 
 
+def test_replay_after_restart_is_skipped_by_commit_marker(spark, tmp_path):
+    """A restarted query re-offers committed batch ids; the durable
+    marker (not an in-memory set) must skip them even when ids are
+    MINTED (uuid) — the case where a replayed append would duplicate."""
+    from sifts_spark.streaming import make_idempotent_sink
+
+    col = Collection(str(tmp_path / "store"), "replays", spark=spark)
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.createDataFrame([("doc one",), ("doc two",)], "content string")
+
+    sink = make_idempotent_sink(col, ckpt, id_col="missing_id")
+    sink(batch, 0)
+    assert col.count() == 2
+    sink(batch, 0)  # same-process replay
+    assert col.count() == 2
+
+    # "restart": a FRESH sink instance (in-memory state gone) replays
+    # batch 0 and then delivers new batch 1
+    sink2 = make_idempotent_sink(col, ckpt, id_col="missing_id")
+    sink2(batch, 0)
+    assert col.count() == 2
+    sink2(spark.createDataFrame([("doc three",)], "content string"), 1)
+    assert col.count() == 3
+
+
 def test_windowed_aggregates_stream_equals_batch(spark, tmp_path):
     """The streaming windowed agg must equal the batch twin (same fn)."""
     events = load_table(spark, SF_DIR, "events")

@@ -25,15 +25,19 @@ HEADLINE = [
     "order_paginate",
     "vector_knn",
     "vector_knn_batch",
+    "ivf_knn",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_clusters",
     "text_quality",
     "text_langid",
     "events_hourly",
     "events_sessionize",
+    "events_asof",
     "lineitem_pricing",
     "revenue_by_nation",
+    "top_orders_revenue",
 ]
 
 

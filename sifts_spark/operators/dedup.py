@@ -399,6 +399,70 @@ def simhash_pairs(
     )
 
 
+# -------------------------------------------------- duplicate clusters
+
+
+def duplicate_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (id, cluster_id)
+    with cluster_id = min id in the component (singletons label
+    themselves). The step after any pairwise dedup: pairs say "these two
+    are dups", clusters say "keep one canonical doc per group" even when
+    duplicates chain (A~B, B~C, A!~C).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min label among itself and its neighbors; converges within the
+    component diameter (near-dup clusters are shallow — dup chains of
+    length >10 are rare in practice, and ``max_iter`` guards the rest).
+    Each round is one join + groupBy keyed by vertex id — all shuffles
+    key-partitioned, nothing quadratic; ``localCheckpoint`` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    The driver-side loop runs one tiny action (``isEmpty`` on changed
+    labels) per round — this is an iterative algorithm, not a
+    collect-the-data loop; the data never leaves executors.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        vertices.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nl"))
+        )
+        proposed = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                "id",
+                "label",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("new_label"),
+            )
+        )
+        new_labels = proposed.select(
+            "id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if proposed.filter(F.col("new_label") != F.col("label")).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------- embedding cosine dedup
 
 

@@ -147,3 +147,24 @@ def fingerprint(
         F.md5(norm).alias("exact_md5"),
         winnow.alias("winnow_fp"),
     )
+
+
+# PII-ish patterns kept RE2/Java-regex-portable (no lookarounds): the
+# same source string compiles identically in Spark (Java regex) and
+# DuckDB (RE2), so redaction is oracle-checkable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Redact PII-shaped spans with ``[KIND]`` markers — map-side
+    regexp_replace chain, shuffle-free. A filter stage in every
+    training-data pipeline; patterns deliberately simple/portable —
+    production swaps in a vetted PII model via mapInPandas."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out

@@ -132,17 +132,10 @@ def deterministic_centroids(
     )
 
 
-def cell_assign_expr(vec_col, centroid_rows) -> "F.Column":
-    """Map-side nearest-centroid id for ``vec_col`` given driver-side
-    ``centroid_rows`` = [(numeric cell_id, [float, ...]), ...].
-
-    The centroids are inlined as an array-of-structs literal, so cell
-    assignment is a pure projection — the corpus is NEVER shuffled or
-    joined to be assigned (the crossJoin+window in :func:`assign_cells`
-    shuffles per-id; this path is the 100 TB default for dedup blocking
-    where only the cell id is needed). argmax by (rounded sim desc,
-    cell_id asc) via struct array_max; numeric cell ids required for
-    the negated tiebreak field."""
+def _cell_sims_expr(vec_col, centroid_rows):
+    """ARRAY<STRUCT<s,nid,cid>> of rounded similarities to inlined
+    centroid literals; natural struct ordering = (sim asc, cell_id
+    desc), so max/sort-desc yields (sim desc, cell_id asc)."""
     cells = F.array(
         *[
             F.struct(
@@ -154,7 +147,7 @@ def cell_assign_expr(vec_col, centroid_rows) -> "F.Column":
             for cid, vec in centroid_rows
         ]
     )
-    sims = F.transform(
+    return F.transform(
         cells,
         lambda c: F.struct(
             F.round(cosine_similarity(vec_col, c["cv"]), 6).alias("s"),
@@ -162,7 +155,27 @@ def cell_assign_expr(vec_col, centroid_rows) -> "F.Column":
             c["cid"].alias("cid"),
         ),
     )
-    return F.array_max(sims)["cid"]
+
+
+def cell_assign_expr(vec_col, centroid_rows) -> "F.Column":
+    """Map-side nearest-centroid id for ``vec_col`` given driver-side
+    ``centroid_rows`` = [(numeric cell_id, [float, ...]), ...].
+
+    The centroids are inlined as an array-of-structs literal, so cell
+    assignment is a pure projection — the corpus is NEVER shuffled or
+    joined to be assigned (the crossJoin+window in :func:`assign_cells`
+    shuffles per-id; this path is the 100 TB default). argmax by
+    (rounded sim desc, cell_id asc) via struct array_max; numeric cell
+    ids required for the negated tiebreak field."""
+    return F.array_max(_cell_sims_expr(vec_col, centroid_rows))["cid"]
+
+
+def cell_topn_expr(vec_col, centroid_rows, nprobe: int) -> "F.Column":
+    """Map-side ARRAY of the ``nprobe`` nearest cell ids (the query-side
+    multi-probe assignment) — sort-desc + slice over the same inlined
+    similarity array as :func:`cell_assign_expr`."""
+    ranked = F.reverse(F.array_sort(_cell_sims_expr(vec_col, centroid_rows)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda c: c["cid"])
 
 
 def ivf_knn_join(
@@ -180,25 +193,36 @@ def ivf_knn_join(
     """Approximate top-k per query via IVF cell pruning
     → (query_id, id, cos_sim, rank).
 
-    Corpus vectors index into their 1 nearest cell; queries probe their
-    ``nprobe`` nearest cells; candidates = equi-join on cell_id (a
-    shuffle keyed by cell — candidate-proportional), then exact re-rank.
+    Corpus vectors index into their 1 nearest cell and queries probe
+    their ``nprobe`` nearest cells MAP-SIDE (centroids are by
+    definition centroid-table-sized → driver-collected once and
+    inlined; no assignment shuffle, no crossJoin — the corpus's only
+    shuffle is the cell-keyed candidate equi-join, candidate-
+    proportional). A (query, id) candidate arises at most once (data
+    row lives in exactly one cell, probe cells are distinct), so no
+    dedup pass. Exact re-rank per query via window top-k.
     Recall < 1 by construction; the exact twin is :func:`knn_join`.
     """
-    data_cells = assign_cells(vectors, centroids, id_col, vec_col, nprobe=1)
-    query_cells = assign_cells(
-        queries, centroids, query_id_col, query_vec_col, nprobe=nprobe
-    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell_id")
-    joined = data_cells.select("id", "v", "cell_id").join(
-        query_cells, "cell_id"
+    rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+    data_cells = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        cell_assign_expr(F.col(vec_col), rows).alias("cell_id"),
     )
+    query_cells = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.explode(cell_topn_expr(F.col(query_vec_col), rows, nprobe)).alias(
+            "cell_id"
+        ),
+    )
+    joined = data_cells.join(query_cells, "cell_id")
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
     sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
     return (
         joined.select("query_id", "id", sim.alias("cos_sim"))
-        .dropDuplicates(["query_id", "id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

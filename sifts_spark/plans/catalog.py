@@ -26,6 +26,8 @@ from sifts_spark.functions.metadata import compile_where
 from sifts_spark.functions.text import tokenize, tokenize_sql, shingles, shingles_sql
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import dedup as D
+from sifts_spark.operators import relational as R
+from sifts_spark.operators import sampling as SA
 from sifts_spark.operators import search as S
 from sifts_spark.operators import textanalysis as TA
 from sifts_spark.operators import vector_search as V
@@ -783,6 +785,165 @@ def events_sessionize(spark, sf_dir) -> DataFrame:
 
 
 # =====================================================================
+# Duplicate clustering (connected components over near-dup pairs)
+# =====================================================================
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE mh AS (
+  SELECT id_a, id_b FROM ({_MINHASH_SQL}) _mh
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM mh
+  UNION
+  SELECT id_b, id_a FROM mh
+), reach(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN e ON e.src = r.m
+)
+SELECT id, min(m) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@_register("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir) -> DataFrame:
+    """MinHash pairs → transitive duplicate CLUSTERS (iterative min-label
+    propagation = distributed connected components; oracle replays it as
+    a recursive transitive closure). cluster_id = min doc id in the
+    component; singletons label themselves."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_size=3, jaccard_threshold=0.5
+    )
+    verts = docs.select(F.col("doc_id").alias("id"))
+    return D.duplicate_clusters(verts, pairs)
+
+
+# =====================================================================
+# As-of join (time-series most-recent-match — Spark has no built-in)
+# =====================================================================
+
+_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r0 AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS purchase_ts, round(r.value, 6) AS purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@_register("events_asof", _ASOF_SQL)
+def events_asof(spark, sf_dir) -> DataFrame:
+    """Each click joined to the user's most recent purchase at-or-before
+    it (backward-inclusive as-of join). Spark rewrite: union-tag + one
+    ordered window per key — linear, one shuffle; the oracle uses
+    DuckDB's native ASOF LEFT JOIN. Right side pre-deduped to one row
+    per (user, ts) — the operator's documented determinism contract."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.round("value", 6).alias("value"))
+    )
+    out = R.asof_join(clicks, purchases, on="user_id", prefix="purchase_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("purchase_ts"), F.col("purchase_value"),
+    )
+
+
+# =====================================================================
+# Deterministic sampling / per-group selection
+# =====================================================================
+
+
+@_register(
+    "sample_stratified",
+    "SELECT doc_id, lang FROM ("
+    "  SELECT doc_id, lang, row_number() OVER ("
+    "    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+    "  FROM documents) _s WHERE rn <= 20",
+)
+def sample_stratified(spark, sf_dir) -> DataFrame:
+    """Exactly-20-per-language deterministic sample (md5-hash order =
+    unbiased, engine/partitioning-independent draw)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.stratified_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
+
+
+@_register(
+    "topk_per_group",
+    "SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rank FROM ("
+    "  SELECT doc_id, source, n_chars, row_number() OVER ("
+    "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn"
+    "  FROM documents) _s WHERE rn <= 3",
+)
+def topk_per_group_q(spark, sf_dir) -> DataFrame:
+    """Top-3 longest docs per source — the per-group selection window."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.topk_per_group(docs, "source", "n_chars", 3, "doc_id").select(
+        "doc_id", "source", "n_chars", "rank"
+    )
+
+
+# =====================================================================
+# PII scrubbing (map-side redaction, oracle-checked byte-for-byte)
+# =====================================================================
+
+_SCRUB_INPUT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or call +1 (555) 010-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+)
+
+
+def _scrub_sql() -> str:
+    from sifts_spark.operators.textanalysis import PII_PATTERNS
+
+    expr = _SCRUB_INPUT_SQL
+    for kind in ("email", "phone", "ipv4"):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"SELECT doc_id AS id, md5({expr}) AS scrubbed_md5 FROM documents"
+
+
+@_register("text_scrub", _scrub_sql())
+def text_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction over doc text with synthetic injected email+phone
+    (so the redaction provably fires); md5 of the scrubbed text is
+    compared byte-for-byte against DuckDB running the same RE2/Java-
+    portable patterns."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(TA.scrub_pii(synth)).alias("scrubbed_md5"),
+    )
+
+
+# =====================================================================
 # Store snapshot semantics (W1 upsert / W5 delete under the oracle)
 # =====================================================================
 
@@ -952,6 +1113,51 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+@_register(
+    "top_orders_revenue",
+    "SELECT o.o_orderkey AS orderkey, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+    "o.o_orderdate AS orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY o.o_orderkey, o.o_orderdate "
+    "ORDER BY revenue DESC, orderkey LIMIT 10",
+)
+def top_orders_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter → fact join → grouped
+    revenue → top-10. Segment-filtered customer keys broadcast into
+    orders (date filter pushed to the parquet scan), ONE fact shuffle
+    (lineitem ⋈ filtered orders on orderkey), TakeOrdered final —
+    never a full sort."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(building), orders["o_custkey"] == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
     )
 
 

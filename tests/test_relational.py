@@ -1,0 +1,92 @@
+"""asof_join / duplicate_clusters / sampling operator semantics.
+
+Value-level parity with DuckDB is pinned by the catalog oracle entries
+(events_asof, dedup_clusters, sample_stratified, topk_per_group);
+these tests pin edge semantics on tiny hand-built inputs.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from sifts_spark.operators.dedup import duplicate_clusters
+from sifts_spark.operators.relational import asof_join
+from sifts_spark.operators.sampling import stratified_sample, topk_per_group
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_match(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01T10:00:00")),  # before any right -> NULL
+            (2, 100, _ts("2024-01-01T12:00:00")),  # exact-ts right row matches
+            (3, 100, _ts("2024-01-01T13:30:00")),  # most recent = 12:00
+            (4, 200, _ts("2024-01-01T12:30:00")),  # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T12:00:00"), 5.0),
+            (100, _ts("2024-01-01T14:00:00"), 7.0),
+            (200, _ts("2024-01-01T11:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["r_ts"], r["r_value"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-01T12:00:00"), 5.0)  # inclusive
+    assert out[3] == (_ts("2024-01-01T12:00:00"), 5.0)  # not 14:00
+    assert out[4] == (_ts("2024-01-01T11:00:00"), 9.0)
+    # all left rows survive (left-join semantics)
+    assert len(out) == 4
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    # chain 1-2, 2-3 (1 and 3 never paired directly) + isolated 4, 5-6
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(verts, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(90)], "id long, grp string"
+    )
+    a = {(r["id"], r["grp"]) for r in stratified_sample(df, "grp", 5, "id").collect()}
+    # repartitioning must not change the draw
+    b = {
+        (r["id"], r["grp"])
+        for r in stratified_sample(df.repartition(7), "grp", 5, "id").collect()
+    }
+    assert a == b
+    assert len(a) == 15
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id long, grp string")
+    assert stratified_sample(small, "grp", 5, "id").count() == 2
+
+
+def test_topk_per_group_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "a", 5), (4, "b", 1)],
+        "id long, grp string, v long",
+    )
+    got = {
+        (r["grp"], r["rank"]): r["id"]
+        for r in topk_per_group(df, "grp", "v", 2, "id").collect()
+    }
+    # tie on v=10 broken by id asc
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 4}

@@ -99,8 +99,10 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
         elif np.issubdtype(sv.dtype, np.datetime64) or np.issubdtype(
             ov.dtype, np.datetime64
         ):
-            if not (pd.to_datetime(sv) == pd.to_datetime(ov)).all():
-                return False, f"col {c}: timestamp cells differ"
+            st, ot = pd.to_datetime(sv), pd.to_datetime(ov)
+            eq = (st == ot) | (st.isna() & ot.isna())
+            if not eq.all():
+                return False, f"col {c}: {int((~eq).sum())} timestamp cells differ"
         else:
             if not (sv.astype(str) == ov.astype(str)).all():
                 bad = (sv.astype(str) != ov.astype(str)).sum()

@@ -168,3 +168,53 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4"))
     for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
     return out
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate detection → (id, n_shingles, n_common,
+    boiler_ratio): the fraction of a doc's distinct word-``shingle_size``-
+    grams that appear in ≥ ``min_df`` distinct documents. High ratio =
+    templated/boilerplate content — a standard pre-training filter
+    signal (shingle-df is the corpus-statistics twin of the per-doc
+    quality heuristics above).
+
+    Scale shape: explode (map-side) → shingle-keyed count (shuffle 1,
+    uniform md5-free keys) → hot-shingle semi-join (same key → shuffle
+    reuse under AQE) → per-doc count (shuffle 2, keyed by id). Nothing
+    quadratic; the hot-shingle set is df-filtered so its size is
+    corpus-vocabulary-bounded, not corpus-bounded.
+    """
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_size))
+    from sifts_spark.caching import track
+
+    base = track(docs.select(F.col(id_col).alias("id"), sh.alias("sh")))
+    frag = base.select("id", F.explode("sh").alias("s"))
+    common = (
+        frag.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("s")
+    )
+    n_common = (
+        frag.join(common, "s").groupBy("id").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        base.select("id", F.size("sh").alias("n_shingles"))
+        .join(n_common, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )

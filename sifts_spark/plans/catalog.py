@@ -712,6 +712,58 @@ def text_token_count(spark, sf_dir) -> DataFrame:
     )
 
 
+_BOILER_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, list_distinct({_SH}) AS shs FROM documents
+), f AS (
+  SELECT id, x AS s FROM base, unnest(shs) AS t(x)
+), common AS (
+  SELECT s FROM (SELECT s, count(*) AS _df FROM f GROUP BY s) WHERE _df >= 5
+), nc AS (
+  SELECT id, count(*) AS n_common FROM f JOIN common USING (s) GROUP BY id
+)
+SELECT base.id,
+       CAST(len(shs) AS INT) AS n_shingles,
+       CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(nc.n_common, 0) / greatest(len(shs), 1), 6) AS boiler_ratio
+FROM base LEFT JOIN nc ON base.id = nc.id
+"""
+
+
+@_register("text_boilerplate", _BOILER_SQL)
+def text_boilerplate(spark, sf_dir) -> DataFrame:
+    """Corpus-statistics boilerplate ratio: fraction of a doc's distinct
+    3-shingles appearing in >= 5 docs."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.boilerplate_score(docs, shingle_size=3, min_df=5)
+    return out.select(
+        "id", F.col("n_shingles").cast("int"), "n_common", "boiler_ratio"
+    )
+
+
+@_register(
+    "chars_quantiles",
+    "SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50, "
+    "round(quantile_cont(n_chars, 0.9), 6) AS p90, "
+    "round(quantile_cont(n_chars, 0.99), 6) AS p99 "
+    "FROM documents GROUP BY lang",
+)
+def chars_quantiles(spark, sf_dir) -> DataFrame:
+    """Exact per-group percentiles (linear interpolation — identical
+    math in Spark percentile and DuckDB quantile_cont). At 100 TB the
+    exact percentile is a per-group sort; approx_percentile is the
+    documented scale escape (t-digest, no sort) when error is
+    acceptable."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 # =====================================================================
 # Events: windowed aggregation + sessionization (streaming-shaped)
 # =====================================================================

@@ -4,10 +4,13 @@ from sifts_spark.streaming.ingest import (
     windowed_event_aggregates,
     sessionized_event_aggregates,
 )
+from sifts_spark.streaming.stateful import batch_user_stats, running_user_stats
 
 __all__ = [
     "make_idempotent_sink",
     "stream_collection_ingest",
     "windowed_event_aggregates",
     "sessionized_event_aggregates",
+    "batch_user_stats",
+    "running_user_stats",
 ]

@@ -72,6 +72,54 @@ def test_replay_after_restart_is_skipped_by_commit_marker(spark, tmp_path):
     assert col.count() == 3
 
 
+def test_stateful_running_stats_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key lifetime totals must ACCUMULATE
+    across micro-batches (state store), and the final update per key
+    must equal the batch twin."""
+    from sifts_spark.streaming.stateful import batch_user_stats, running_user_stats
+
+    events = load_table(spark, SF_DIR, "events").limit(400)
+    src = str(tmp_path / "ev_state")
+    # two files + maxFilesPerTrigger=1 => two micro-batches
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(src)
+    half2.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM running_stats")
+    # update mode emits one row per key per batch it appears in; the
+    # LAST emission per key (max n_events — monotone) is the lifetime total
+    final = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in got.orderBy("n_events").collect()
+    }
+    # read-back of src includes both files
+    expected = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6), r["last_ts"])
+        for r in batch_user_stats(
+            spark.read.schema(events.schema).parquet(src)
+        ).collect()
+    }
+    assert final == expected
+    # accumulation proof: some key must have emitted twice (two batches)
+    multi = got.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+
+
 def test_windowed_aggregates_stream_equals_batch(spark, tmp_path):
     """The streaming windowed agg must equal the batch twin (same fn)."""
     events = load_table(spark, SF_DIR, "events")

@@ -125,6 +125,80 @@ def extract_image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms_level", T.DoubleType(), True),
+    ]
+)
+
+
+class FakeAudioDecoder:
+    """Deterministic stand-in for an audio codec (ffmpeg/soundfile absent
+    in this container): duration/sample-rate/RMS derived from the
+    payload's sha256 — stable across runs/engines. Swap for a real
+    decoder in production; the Spark-side plumbing is identical."""
+
+    def __call__(self, payload: bytes) -> tuple[float, int, float]:
+        h = hashlib.sha256(payload).digest()
+        duration_s = round(0.5 + (h[0] * 256 + h[1]) / 65535.0 * 299.5, 6)
+        sample_rate = (8000, 16000, 22050, 44100, 48000)[h[2] % 5]
+        rms_level = round(h[3] / 255.0, 6)
+        return duration_s, sample_rate, rms_level
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decoder=None,
+) -> DataFrame:
+    """audio rows → (media_id, n_bytes, sha256, duration_s, sample_rate,
+    rms_level) via Arrow-batched mapInPandas — same narrow, shuffle-free
+    shape as :func:`extract_image_features`; column pruning keeps the
+    payload the only wide column in the Arrow transfer."""
+    dec = decoder or FakeAudioDecoder()
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, None, None, None, None))
+                    continue
+                data = bytes(payload)
+                dur, sr, rms = dec(data)
+                rows.append(
+                    (
+                        media_id,
+                        len(data),
+                        hashlib.sha256(data).hexdigest(),
+                        dur,
+                        sr,
+                        rms,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "sha256",
+                    "duration_s",
+                    "sample_rate",
+                    "rms_level",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        process, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_video_frames(
     media: DataFrame,
     every_n_seconds: float = 1.0,

@@ -1096,6 +1096,38 @@ def image_features(spark, sf_dir) -> DataFrame:
     return extract_image_features(media, decoder=FakeImageDecoder())
 
 
+_AUDIO_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text, sha256(text) AS h
+  FROM documents
+)
+SELECT media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       h AS sha256,
+       round(0.5 + ({_hex_byte_sql(1)} * 256 + {_hex_byte_sql(3)}) / 65535.0 * 299.5, 6) AS duration_s,
+       CAST(CASE {_hex_byte_sql(5)} % 5
+            WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+            WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+       round({_hex_byte_sql(7)} / 255.0, 6) AS rms_level
+FROM m
+"""
+
+
+@_register("audio_features", _AUDIO_FEATURES_SQL)
+def audio_features(spark, sf_dir) -> DataFrame:
+    """Audio twin of image_features: binary payloads through the Arrow
+    mapInPandas batch path with the deterministic FakeAudioDecoder."""
+    from sifts_spark.operators.multimodal import FakeAudioDecoder, extract_audio_features
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_audio_features(media, decoder=FakeAudioDecoder())
+
+
 # =====================================================================
 # Relational benchmarks (the 100 TB posture: scan-heavy aggs + joins)
 # =====================================================================

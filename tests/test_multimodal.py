@@ -75,3 +75,21 @@ def test_video_frame_sampling(spark):
         assert counts[f"m{i}"] == i % 5 + 1
     row = frames.filter((F.col("media_id") == "m3") & (F.col("frame_ts") == 1.0)).first()
     assert isinstance(row["frame_payload"], (bytes, bytearray))
+
+
+def test_audio_features_deterministic(spark):
+    from sifts_spark.operators.multimodal import (
+        FakeAudioDecoder,
+        extract_audio_features,
+    )
+
+    media = _media_df(spark, 15, kind="audio")
+    rows = extract_audio_features(media).collect()
+    assert len(rows) == 15
+    by_id = {r["media_id"]: r for r in rows}
+    payload = hashlib.sha256(b"media-3").digest() * 10
+    dur, sr, rms = FakeAudioDecoder()(payload)
+    got = by_id["m3"]
+    assert (got["duration_s"], got["sample_rate"], got["rms_level"]) == (dur, sr, rms)
+    assert 0.5 <= got["duration_s"] <= 300.0
+    assert got["sample_rate"] in (8000, 16000, 22050, 44100, 48000)

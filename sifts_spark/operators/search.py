@@ -69,10 +69,14 @@ def build_postings(docs: DataFrame, id_col: str = "id", content_col: str = "cont
 def write_postings(postings: DataFrame, path: str) -> None:
     """Persist postings sorted by term → parquet min/max row-group
     skipping makes a term lookup an index probe, not a scan (the GIN/FTS5
-    replacement, SURVEY §4.2)."""
+    replacement, SURVEY §4.2). A parquet bloom filter on ``term`` covers
+    the case range stats can't: a rare term inside a wide row group —
+    the reader drops the group on a definite bloom miss."""
     postings.repartitionByRange(F.col("term")).sortWithinPartitions(
         "term", "id"
-    ).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").option(
+        "parquet.bloom.filter.enabled#term", "true"
+    ).parquet(path)
 
 
 def _collect_leaves(ast: Node) -> list[Node]:

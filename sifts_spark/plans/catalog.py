@@ -836,6 +836,61 @@ def events_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
+@_register(
+    "events_rollup",
+    "SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour_of_day, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY ROLLUP (event_type, extract(hour FROM ts))",
+)
+def events_rollup(spark, sf_dir) -> DataFrame:
+    """ROLLUP hierarchy (type → type×hour → grand total) — one pass,
+    partial-agg friendly; the reference has no grouping sets at all
+    (SURVEY §2.6)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@_register(
+    "distinct_users_by_type",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY event_type",
+)
+def distinct_users_by_type(spark, sf_dir) -> DataFrame:
+    """Exact COUNT(DISTINCT) beside a plain count — Spark expands to a
+    two-phase partial-distinct aggregate (no corpus re-shuffle per
+    distinct column). approx_count_distinct (HLL) is the documented
+    scale escape when exactness is negotiable (engine-specific sketch →
+    not oracle-comparable)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register(
+    "docs_except",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "EXCEPT SELECT doc_id FROM documents WHERE source < 'src10'",
+)
+def docs_except(spark, sf_dir) -> DataFrame:
+    """Set difference (EXCEPT/exceptAll family — absent from the
+    reference, SURVEY §2.6): English docs not in early sources."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    early = docs.filter(F.col("source") < "src10").select("doc_id")
+    return en.subtract(early)  # EXCEPT (distinct) — left-anti under the hood
+
+
 # =====================================================================
 # Duplicate clustering (connected components over near-dup pairs)
 # =====================================================================

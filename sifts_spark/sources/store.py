@@ -291,10 +291,13 @@ class DocumentStore:
                 continue
             p = self._build_batch_postings(name, d)
             # term-sorted within files => parquet min/max row-group
-            # skipping turns a term lookup into an index probe
+            # skipping turns a term lookup into an index probe; the term
+            # bloom filter additionally drops groups on rare-term misses
             p.sortWithinPartitions("term", "id").write.mode(
                 "overwrite"
-            ).parquet(f"{self._postings_dir(name)}/{d}")
+            ).option("parquet.bloom.filter.enabled#term", "true").parquet(
+                f"{self._postings_dir(name)}/{d}"
+            )
 
     def read_postings(self, name: str) -> DataFrame:
         """Live postings (term, id, dl, tf) — one lazy plan.

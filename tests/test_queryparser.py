@@ -110,3 +110,52 @@ def test_unsearchable_word_rejected():
 
     with pytest.raises(ParseError):
         parse_query("!!!")
+
+
+# ---- property tests (hypothesis): parser totality + oracle parity ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    # arbitrary printable junk: parser must either return a tree or
+    # raise ParseError — never crash with anything else
+    @given(st.text(min_size=0, max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_parser_total_on_arbitrary_text(q):
+        try:
+            node = parse_query(q)
+        except ParseError:
+            return
+        assert node is not None
+
+    _word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8
+    )
+
+    @st.composite
+    def _queries(draw):
+        n = draw(st.integers(1, 5))
+        parts = []
+        for _ in range(n):
+            w = draw(_word)
+            if draw(st.booleans()):
+                w += "*"
+            parts.append(w)
+            parts.append(draw(st.sampled_from([" ", " and ", " or "])))
+        return "".join(parts[:-1])
+
+    @given(_queries())
+    @settings(max_examples=100, deadline=None)
+    def test_wellformed_queries_compile_to_sql(q):
+        """Every well-formed query yields a tree whose to_sql is
+        DuckDB-parseable (the oracle path can always replay it)."""
+        import duckdb
+
+        node = parse_query(q)
+        sql = node.to_sql("list_value('lorem', 'ipsum')")
+        duckdb.sql(f"SELECT {sql}")  # raises on malformed SQL

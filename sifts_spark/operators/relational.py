@@ -19,6 +19,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate the (small) build side
+    ``salt_buckets``× and scatter each probe row to one replica, so a
+    hot key's probe rows spread over ``salt_buckets`` reducers instead
+    of landing on one.
+
+    The classic salting rewrite for when AQE's skew split can't help
+    (e.g. the skew is in the *join* key of a shuffle join and one key
+    alone exceeds an executor). Build-side cost is |build|×S rows —
+    use only when build is dim-sized. Result is byte-identical to the
+    plain join: the salt column never leaves this function.
+    """
+    salted_build = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    # the salt must be ROW-dependent, not key-dependent: hashing only
+    # the join key would send every row of the hot key to one bucket,
+    # defeating the spread. Hashing the whole row is deterministic
+    # (retry/resume-safe, unlike rand()) and scatters a hot key's rows
+    # across all buckets as long as rows differ anywhere.
+    salted_probe = probe.withColumn(
+        "_salt",
+        F.pmod(F.hash(*[F.col(c) for c in probe.columns]), F.lit(salt_buckets)),
+    )
+    return salted_probe.join(salted_build, [on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

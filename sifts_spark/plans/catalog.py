@@ -891,6 +891,125 @@ def docs_except(spark, sf_dir) -> DataFrame:
     return en.subtract(early)  # EXCEPT (distinct) — left-anti under the hood
 
 
+_ROLLING_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(round(avg(CAST(n AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS avg_7d,
+       CAST(n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS delta_1d
+FROM d
+"""
+
+
+@_register("events_rolling", _ROLLING_SQL)
+def events_rolling(spark, sf_dir) -> DataFrame:
+    """Rolling 7-day average + day-over-day delta (frame-bounded window
+    + lag — window breadth the reference lacks, SURVEY §2.6). One
+    shuffle for the daily pre-agg; both window functions share the same
+    (event_type, day) sort so Catalyst evaluates them in one Window
+    node — no second exchange."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.avg(F.col("n").cast("double")).over(
+                w.rowsBetween(-6, Window.currentRow)
+            ),
+            6,
+        ).alias("avg_7d"),
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta_1d"),
+    )
+
+
+@_register(
+    "docs_lang_salted",
+    "SELECT d.doc_id, d.lang, t.lang_total FROM documents d JOIN "
+    "(SELECT lang, CAST(count(*) AS BIGINT) AS lang_total "
+    " FROM documents GROUP BY lang) t USING (lang)",
+)
+def docs_lang_salted(spark, sf_dir) -> DataFrame:
+    """Skew-safe salted equi-join on the skewed ``lang`` key (~44% of
+    docs are 'en'). :func:`sifts_spark.operators.relational.salted_join`
+    spreads the hot key over 8 reducers by replicating the dim side;
+    the oracle is the PLAIN join — salting must be invisible in the
+    result. At 100 TB this is the rewrite for when one key alone
+    exceeds an executor and AQE's skew split can't apply (it doesn't
+    split broadcast or bucketed colocated joins)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    # hint the salted build side away from broadcast so the salt path
+    # is actually exercised (a broadcast join never skews)
+    return R.salted_join(
+        docs.select("doc_id", "lang"), totals.hint("shuffle_hash"), on="lang"
+    ).select("doc_id", "lang", "lang_total")
+
+
+_SMALLQTY_SQL = """
+WITH t AS (
+  SELECT l_partkey, 0.9 * avg(CAST(l_quantity AS DOUBLE)) AS qty_thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS small_revenue
+FROM lineitem l
+JOIN t ON l.l_partkey = t.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DOUBLE) < t.qty_thresh
+GROUP BY p.p_brand
+"""
+
+
+@_register("part_small_qty_revenue", _SMALLQTY_SQL)
+def part_small_qty_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery decorrelated into
+    an agg + self-join — revenue of lineitems below 90% of their part's
+    average quantity, by brand. Every join key here is ``partkey``: the
+    threshold agg's output is already hash-partitioned by it, so the
+    fact↔threshold join reuses that exchange, and ``part`` shuffles on
+    the same key — one partitioning carried through the whole plan. No
+    broadcast hints: threshold and ``part`` are both SF-proportional
+    (NOT dim-sized at 100 TB); AQE may still broadcast them when small.
+    Final agg is 25 brands — partial map-side combine collapses it.
+    DECIMAL revenue sum: order-independent."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.9) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_thresh"))
+        .join(
+            part.select("p_partkey", "p_brand"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
 # =====================================================================
 # Duplicate clustering (connected components over near-dup pairs)
 # =====================================================================

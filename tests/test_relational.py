@@ -90,3 +90,40 @@ def test_topk_per_group_rank_and_ties(spark):
     }
     # tie on v=10 broken by id asc
     assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 4}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is invisible in the result: same rows as the plain join,
+    no _salt column leaks, left rows with unmatched keys drop (inner)."""
+    from sifts_spark.operators.relational import salted_join
+
+    probe = spark.createDataFrame(
+        [(i, "hot" if i % 10 != 9 else f"cold{i}") for i in range(200)],
+        "id INT, k STRING",
+    )
+    build = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"cold{i}", float(i)) for i in range(9, 200, 10)],
+        "k STRING, v DOUBLE",
+    )
+    got = salted_join(probe, build, on="k", salt_buckets=4)
+    assert "_salt" not in got.columns
+    expected = probe.join(build, "k")
+    assert got.count() == expected.count() == 200
+    assert got.subtract(expected).count() == 0
+    assert expected.subtract(got).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A hot key's probe rows scatter across salt buckets (row-dependent
+    hash, not key-dependent — key-hash salting would re-concentrate the
+    hot key in one bucket)."""
+    from pyspark.sql import functions as F
+
+    S = 8
+    probe = spark.range(1000).select(F.lit("hot").alias("k"), F.col("id"))
+    salted = probe.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in probe.columns]), F.lit(S))
+    )
+    per_bucket = salted.groupBy("_salt").count().collect()
+    assert len(per_bucket) == S  # all buckets used
+    assert max(r["count"] for r in per_bucket) < 1000 * 0.5  # spread, not one bucket

@@ -14,6 +14,8 @@ accumulating in float32 diverges from the DuckDB oracle (which promotes);
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -41,3 +43,114 @@ def cosine_similarity_sql(a_expr: str, b_expr: str) -> str:
     """DuckDB twin. list_cosine_similarity matches zip_with/aggregate
     up to float addition order; round before hashing (the harness does)."""
     return f"list_cosine_similarity({a_expr}, {b_expr})"
+
+
+# ------------------------------------------------------- Arrow kernels
+#
+# Vectorized twins of the IVF cell-assignment expressions in
+# operators/vector_search (cell_assign_expr / cell_topn_expr). The HOF
+# path evaluates cosine-per-centroid in an interpreted per-element loop
+# (~1.5 ms/row for 8 centroids x 64 dims at sf0.1 — it dominated the
+# ivf_knn bench); these compute THE SAME rounded-to-6dp similarities as
+# one numpy (N x dim) @ (dim x cells) matmul per Arrow batch. Tie-break
+# parity: centroids sorted by cell_id ascending + stable argsort on
+# -sim == (sim desc, cell_id asc), exactly the struct ordering the HOF
+# path uses. Sum order differs (pairwise SIMD vs sequential fold) only
+# in the last ulp — 9 decimal digits below the 6-dp rounding guard.
+
+
+def _centroid_matrix(centroid_rows):
+    """[(cid, [floats]), ...] -> (cids sorted asc, matrix, norms)."""
+    rows = sorted(centroid_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return cids, mat, norms
+
+
+def _batch_cell_sims(vecs, mat, norms):
+    """pd.Series of embeddings -> (N x cells) rounded similarity matrix
+    (rows with null/zero-norm vectors come out as NaN)."""
+    v = np.array(
+        [np.zeros(mat.shape[1]) if x is None else np.asarray(x, dtype=np.float64)
+         for x in vecs]
+    )
+    vn = np.sqrt((v * v).sum(axis=1))
+    denom = np.outer(vn, norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, (v @ mat.T) / denom, np.nan)
+    return np.round(sims, 6)
+
+
+def cosine_similarity_arrow(a_col: Column, b_col: Column) -> Column:
+    """Pairwise cosine(a, b) rounded to 6 dp, Arrow-vectorized — the
+    batch twin of ``F.round(cosine_similarity(a, b), 6)`` for candidate-
+    pair re-ranking, where the interpreted HOF fold (~30 µs/pair at
+    dim 64) dominates blocked self-joins. NULL/zero-norm → NULL (NaN
+    out of the kernel, dropped by any ``>= threshold`` filter, same as
+    the HOF's NULL)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        dim = next((len(x) for x in a if x is not None), 0)
+        za = np.zeros(dim)
+        av = np.array(
+            [za if x is None else np.asarray(x, dtype=np.float64) for x in a]
+        )
+        bv = np.array(
+            [za if x is None else np.asarray(x, dtype=np.float64) for x in b]
+        )
+        num = (av * bv).sum(axis=1)
+        denom = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, num / denom, np.nan)
+        return pd.Series(np.round(out, 6))
+
+    return _cos(a_col, b_col)
+
+
+def cell_assign_arrow(vec_col: Column, centroid_rows) -> Column:
+    """Map-side nearest-centroid id, Arrow-vectorized. Value-identical
+    to :func:`sifts_spark.operators.vector_search.cell_assign_expr`:
+    argmax by (sim rounded to 6dp desc, cell_id asc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, mat, norms = _centroid_matrix(centroid_rows)
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        sims = _batch_cell_sims(vecs, mat, norms)
+        # argmax returns the FIRST max -> lowest cell_id on ties
+        best = np.nanargmax(
+            np.where(np.isnan(sims), -np.inf, sims), axis=1
+        )
+        return pd.Series(cids[best])
+
+    return _assign(vec_col)
+
+
+def cell_topn_arrow(vec_col: Column, centroid_rows, nprobe: int) -> Column:
+    """Map-side ARRAY of the ``nprobe`` nearest cell ids, Arrow-
+    vectorized twin of
+    :func:`sifts_spark.operators.vector_search.cell_topn_expr`."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, mat, norms = _centroid_matrix(centroid_rows)
+
+    @pandas_udf("array<long>")
+    def _topn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        sims = _batch_cell_sims(vecs, mat, norms)
+        # stable sort on -sim: ties keep column order == cell_id asc
+        order = np.argsort(
+            np.where(np.isnan(sims), np.inf, -sims), axis=1, kind="stable"
+        )[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
+    return _topn(vec_col)

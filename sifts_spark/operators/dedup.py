@@ -414,16 +414,20 @@ def duplicate_clusters(
     are dups", clusters say "keep one canonical doc per group" even when
     duplicates chain (A~B, B~C, A!~C).
 
-    Iterative min-label propagation: each round every vertex takes the
-    min label among itself and its neighbors; converges within the
-    component diameter (near-dup clusters are shallow — dup chains of
-    length >10 are rare in practice, and ``max_iter`` guards the rest).
-    Each round is one join + groupBy keyed by vertex id — all shuffles
-    key-partitioned, nothing quadratic; ``localCheckpoint`` truncates
-    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
-    The driver-side loop runs one tiny action (``isEmpty`` on changed
-    labels) per round — this is an iterative algorithm, not a
-    collect-the-data loop; the data never leaves executors.
+    Iterative min-label propagation **restricted to the dup subgraph**:
+    only vertices that appear in some pair can ever change label, so
+    the per-round join + groupBy runs over a |pairs|-sized table —
+    orders of magnitude smaller than the corpus at any realistic dup
+    rate — and the full vertex set is touched exactly once, by the
+    final left join that labels singletons with their own id (AQE
+    broadcasts the propagated labels when they fit). Converges within
+    the component diameter (near-dup clusters are shallow; ``max_iter``
+    guards the rest). Each round checkpoints ``proposed`` once and
+    derives both the convergence check and the next labels from that
+    one materialization — one compute per round, lineage truncated.
+    The driver-side loop runs one tiny action (``isEmpty``) per round —
+    this is an iterative algorithm, not a collect-the-data loop; the
+    data never leaves executors.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -434,7 +438,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     labels = (
-        vertices.select(F.col(id_col).alias("id"))
+        edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
@@ -452,15 +456,18 @@ def duplicate_clusters(
                 "label",
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("new_label"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = proposed.select(
-            "id", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        if proposed.filter(F.col("new_label") != F.col("label")).isEmpty():
-            labels = new_labels
+        changed = not proposed.filter(F.col("new_label") != F.col("label")).isEmpty()
+        labels = proposed.select("id", F.col("new_label").alias("label"))
+        if not changed:
             break
-        labels = new_labels
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(labels.withColumnRenamed("label", "_cl"), "id", "left")
+        .select("id", F.coalesce(F.col("_cl"), F.col("id")).alias("cluster_id"))
+    )
 
 
 # ---------------------------------------------- embedding cosine dedup
@@ -474,6 +481,7 @@ def embedding_dup_pairs(
     centroids: DataFrame | None = None,
     n_cells: int = 16,
     threshold: float = 0.95,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold within blocks
     → (id_a, id_b, cos_sim).
@@ -506,19 +514,82 @@ def embedding_dup_pairs(
             centroids = deterministic_centroids(vectors, n_cells, id_col, vec_col)
         # Driver-collect the (tiny) centroid table once, inline it as a
         # literal → cell assignment is a pure map-side projection.
+        # impl="arrow": numpy-matmul kernel (see functions/vector);
+        # impl="hof": pure-JVM expression. Same values either way.
         rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
-        base = track(
-            vectors.select(*cols, cell_assign_expr(F.col("v"), rows).alias("blk"))
-        )
+        if impl == "arrow":
+            from sifts_spark.functions.hashing import ensure_min_parallelism
+            from sifts_spark.functions.vector import cell_assign_arrow
+
+            vectors = ensure_min_parallelism(vectors)
+            assign = cell_assign_arrow(F.col(vec_col), rows)
+        else:
+            assign = cell_assign_expr(F.col(vec_col), rows)
+        base = track(vectors.select(*cols, assign.alias("blk")))
+    if impl == "arrow":
+        return _block_pairs_arrow(base, threshold)
     cond = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
-    sim = cosine_similarity(F.col("l.v"), F.col("r.v"))
+    sim = F.round(cosine_similarity(F.col("l.v"), F.col("r.v")), 6)
     return (
         base.alias("l")
         .join(base.alias("r"), cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(sim, 6).alias("cos_sim"),
+            sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _block_pairs_arrow(base: DataFrame, threshold: float) -> DataFrame:
+    """(id, v, blk) → within-block cosine pairs ≥ threshold, via
+    ``applyInPandas`` per block: each vector crosses the Arrow boundary
+    ONCE (the self-join alternative ships BOTH vectors of every
+    candidate pair — dim×|pairs| floats, ~100× more bytes at any real
+    block size), and the quadratic part runs as a chunked numpy matmul
+    in C. One shuffle, keyed by block. Memory per task is bounded at
+    chunk×|block| doubles; the quadratic WORK per hot block is
+    inherent to blocked pairwise dedup — cap cell population upstream
+    (n_cells) exactly as the join path requires. Values are identical
+    to the HOF join: round-6dp cosine, id_a < id_b, NaN never ≥
+    threshold."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = base.schema["id"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf["id"].to_numpy()
+        v = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt((v * v).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (v[lo:hi] @ v.T) / np.outer(norms[lo:hi], norms)
+            s = np.round(s, 6)
+            # strict upper triangle in ROW POSITION avoids double-count;
+            # order each emitted pair by id VALUE (id_a < id_b)
+            ii, jj = np.nonzero(s >= threshold)
+            keep = (ii + lo) < jj
+            ii, jj = ii[keep], jj[keep]
+            a, b = ids[ii + lo], ids[jj]
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            out_a.extend(a2.tolist())
+            out_b.extend(b2.tolist())
+            out_s.extend(s[ii, jj].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    return (
+        base.filter(F.col("blk").isNotNull())
+        .groupBy("blk")
+        .applyInPandas(_pairs, schema=out_schema)
     )

@@ -189,6 +189,7 @@ def ivf_knn_join(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     exclude_self: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k per query via IVF cell pruning
     → (query_id, id, cos_sim, rank).
@@ -202,24 +203,48 @@ def ivf_knn_join(
     row lives in exactly one cell, probe cells are distinct), so no
     dedup pass. Exact re-rank per query via window top-k.
     Recall < 1 by construction; the exact twin is :func:`knn_join`.
+
+    ``impl="arrow"`` (default) assigns cells with the numpy matmul
+    kernels in functions/vector (one (N×dim)@(dim×cells) per Arrow
+    batch — the interpreted HOF cosine loop was ~1.5 ms/row); value-
+    identical tie-breaks, same 6-dp rounding. ``impl="hof"`` keeps the
+    pure-JVM expression path (zero Python in the plan).
     """
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cell_assign_arrow, cell_topn_arrow
+
     rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+    assign = (
+        (lambda c: cell_assign_arrow(c, rows))
+        if impl == "arrow"
+        else (lambda c: cell_assign_expr(c, rows))
+    )
+    if impl == "arrow":
+        vectors = ensure_min_parallelism(vectors)
     data_cells = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        cell_assign_expr(F.col(vec_col), rows).alias("cell_id"),
+        assign(F.col(vec_col)).alias("cell_id"),
+    )
+    topn = (
+        cell_topn_arrow(F.col(query_vec_col), rows, nprobe)
+        if impl == "arrow"
+        else cell_topn_expr(F.col(query_vec_col), rows, nprobe)
     )
     query_cells = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-        F.explode(cell_topn_expr(F.col(query_vec_col), rows, nprobe)).alias(
-            "cell_id"
-        ),
+        F.explode(topn).alias("cell_id"),
     )
     joined = data_cells.join(query_cells, "cell_id")
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
-    sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
+    if impl == "arrow":
+        from sifts_spark.functions.vector import cosine_similarity_arrow
+
+        sim = cosine_similarity_arrow(F.col("v"), F.col("qv"))
+    else:
+        sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
     return (
         joined.select("query_id", "id", sim.alias("cos_sim"))

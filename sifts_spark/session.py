@@ -29,6 +29,19 @@ def get_spark(
     spark-submit master wins.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers must be able to import sifts_spark: cloudpickle
+    # serializes the Arrow kernels' module-level helpers BY REFERENCE,
+    # so a driver running outside the repo (any user script) would hit
+    # ModuleNotFoundError in the first pandas_udf stage. Putting the
+    # package root on PYTHONPATH before the JVM starts is the local-mode
+    # equivalent of spark-submit --py-files / a pip-installed egg on a
+    # real cluster (where this is a no-op if the package is installed).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

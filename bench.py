@@ -26,6 +26,8 @@ HEADLINE = [
     "vector_knn",
     "vector_knn_batch",
     "ivf_knn",
+    "srp_knn",
+    "dedup_embedding_ivf",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
@@ -38,6 +40,7 @@ HEADLINE = [
     "lineitem_pricing",
     "revenue_by_nation",
     "top_orders_revenue",
+    "part_small_qty_revenue",
 ]
 
 

@@ -21,6 +21,8 @@ functions/vector.py — JVM-side, codegen, no UDF.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -248,6 +250,123 @@ def ivf_knn_join(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
     return (
         joined.select("query_id", "id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ----------------------------------------------------------- SRP-LSH
+
+
+def srp_hyperplanes(dim: int, n_planes: int = 32, seed: int = 1) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for signed-random-
+    projection LSH: h[p][i] = sin(seed + p*7919 + i*104729), in [-1,1]
+    and uncorrelated enough for bucketing. Generated driver-side ONCE
+    and inlined as literals into both the Spark plan and the SQL oracle
+    — the two engines never each re-derive them, so libm ulp
+    differences cannot desynchronize the buckets."""
+    import math
+
+    return [
+        [math.sin(float(seed + p * 7919 + i * 104729)) for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def srp_band_keys_arrow(vec_col, planes, bands: int) -> "F.Column":
+    """vector → ARRAY<LONG> of ``bands`` LSH band keys. Bit p of band b
+    is sign(dot(v, plane[b*r+p])) with r = n_planes/bands; one numpy
+    (N×dim)@(dim×planes) matmul per Arrow batch. A sign flip requires
+    |dot| within ~1 ulp of 0 — vanishing for real-valued embeddings, so
+    the oracle twin (same inlined planes, sequential double fold)
+    buckets identically."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array(planes, dtype=np.float64)
+    n_planes = H.shape[0]
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    r = n_planes // bands
+
+    @pandas_udf("array<long>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = np.array(
+            [np.zeros(H.shape[1]) if x is None else np.asarray(x, dtype=np.float64)
+             for x in vecs]
+        )
+        bits = (v @ H.T) >= 0.0  # (N, n_planes)
+        weights = (1 << np.arange(r, dtype=np.int64))
+        keys = bits.reshape(len(v), bands, r) @ weights  # (N, bands)
+        return pd.Series(list(keys.astype(np.int64)))
+
+    return _keys(vec_col)
+
+
+def srp_knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k per query via signed-random-projection LSH
+    → (query_id, id, cos_sim, rank). The LSH-bucketed scale path beside
+    :func:`ivf_knn_join` (SURVEY: "IVF or LSH-bucketed variant"):
+
+    * band keys are map-side (one Arrow matmul, no shuffle);
+    * candidates come from the (band, key) equi-join — collision-
+      proportional, never corpus × queries;
+    * a pair colliding in several bands is deduped BEFORE the exact
+      re-rank (dropDuplicates on (query_id, id) — dup rows are
+      identical, so the pick is deterministic);
+    * exact cosine re-rank, window top-k with (sim desc, id) tiebreak.
+
+    Recall grows with bands (OR-amplification: P[candidate] =
+    1-(1-s^r)^b for cosine-angle similarity s); misses are the LSH
+    trade, the exact twin is :func:`knn_join`.
+    """
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cosine_similarity_arrow
+
+    planes = srp_hyperplanes(dim, n_planes, seed)
+    vectors = ensure_min_parallelism(vectors)
+    data_sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(srp_band_keys_arrow(F.col(vec_col), planes, bands)).alias(
+            "band", "key"
+        ),
+    )
+    query_sig = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        F.posexplode(
+            srp_band_keys_arrow(F.col(query_vec_col), planes, bands)
+        ).alias("band", "key"),
+    )
+    cand = (
+        data_sig.join(query_sig, ["band", "key"])
+        .select("query_id", "id", "qv", "v")
+        .dropDuplicates(["query_id", "id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    return (
+        cand.select(
+            "query_id",
+            "id",
+            cosine_similarity_arrow(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -575,6 +575,68 @@ def ivf_knn(spark, sf_dir) -> DataFrame:
     return V.ivf_knn_join(emb, queries, cents, k=5, nprobe=2)
 
 
+# SRP-LSH: hyperplanes generated ONCE driver-side (math.sin fold,
+# vector_search.srp_hyperplanes) and inlined as literals in BOTH plans
+# — the engines never re-derive them, so bucketing is reproducible.
+_SRP_PLANES = V.srp_hyperplanes(dim=64, n_planes=32, seed=1)
+_SRP_H_SQL = (
+    "["
+    + ",".join("[" + ",".join(repr(x) for x in row) + "]" for row in _SRP_PLANES)
+    + "]"
+)
+
+_SRP_KNN_SQL = f"""
+WITH h AS (SELECT {_SRP_H_SQL}::DOUBLE[][] AS H),
+dots AS (
+  SELECT e.vec_id, e.embedding,
+    list_transform(generate_series(1, 32), p ->
+      list_sum(list_transform(generate_series(1, 64), i ->
+        e.embedding[i]::DOUBLE * h.H[p][i]))) AS dp
+  FROM embeddings e, h
+),
+sig AS (
+  SELECT vec_id, embedding, b.band,
+    list_sum(list_transform(generate_series(1, 4), j ->
+      CASE WHEN dp[b.band*4 + j] >= 0
+      THEN (2**(j-1))::BIGINT ELSE 0::BIGINT END)) AS key
+  FROM dots, (SELECT unnest(generate_series(0, 7)) AS band) b
+),
+q AS (SELECT * FROM sig WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS id,
+         q.embedding AS qv, d.embedding AS v
+  FROM sig d JOIN q ON d.band = q.band AND d.key = q.key
+  WHERE d.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, id, round({_cos_sql('v', 'qv')}, 6) AS cos_sim FROM cand
+),
+ranked AS (
+  SELECT query_id, id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("srp_knn", _SRP_KNN_SQL)
+def srp_knn(spark, sf_dir) -> DataFrame:
+    """Approximate kNN via signed-random-projection LSH (8 bands × 4
+    bits — OR-amplified for a weakly-similar corpus; raise bits/band as
+    corpus similarity and density grow) — the LSH-bucketed scale path
+    beside ivf_knn: band keys are one map-side Arrow matmul, candidates
+    come from the (band, key) equi-join (collision-proportional, never
+    corpus × queries), pairs dedup before the exact re-rank."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return V.srp_knn_join(
+        emb, queries, dim=64, k=5, n_planes=32, bands=8, seed=1
+    )
+
+
 # =====================================================================
 # Text analysis (north-star extensions)
 # =====================================================================

@@ -91,3 +91,33 @@ def test_vector_only_collection(store_root, spark):
         col.query("Lorem")  # fts disabled
     r = col.query("consectetur", vector_search=True)
     assert r["total"] == 2
+
+
+def test_srp_knn_recall_against_exact(spark):
+    """SRP-LSH candidates are a subset ranked exactly: every returned
+    neighbor's similarity must equal the exact twin's for that pair,
+    and recall@5 over the sf0.001 corpus should be well above chance
+    (8 bands x 4 bits on 64-dim vectors — OR-amplified because the
+    synthetic corpus is weakly similar; top cosine ~0.3)."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.operators.vector_search import knn_join, srp_knn_join
+    from sifts_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = srp_knn_join(emb, queries, dim=64, k=5, bands=8).collect()
+    exact = knn_join(emb, queries, k=5).collect()
+    exact_pairs = {(r["query_id"], r["id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["id"]) for r in approx}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # theory for this corpus: p=1-acos(0.3)/pi~0.6 per bit, so
+    # 1-(1-0.6^4)^8 ~ 0.67 for a sim-0.3 neighbor; chance is ~1%.
+    assert recall >= 0.4, f"recall collapsed: {recall}"
+    # sims are exact (re-rank is exact cosine), so any overlapping pair
+    # carries the same rounded similarity
+    exact_sim = {(r["query_id"], r["id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["id"])
+        if key in exact_sim:
+            assert abs(r["cos_sim"] - exact_sim[key]) < 1e-9

@@ -116,12 +116,20 @@ class SparkCollection:
         df: DataFrame,
         id_col: str = "id",
         content_col: str = "content",
-        metadata_col: str | None = None,
+        metadata_col: str | None = "metadata",
         embedding_col: str | None = None,
     ) -> None:
         """Bulk ingest path (the 100 TB route): any DataFrame in, ids
         defaulted with ``uuid()``, embeddings via a pandas_udf batch call
-        on executors (Arrow) when an embedding_function is configured."""
+        on executors (Arrow) when an embedding_function is configured.
+
+        ``metadata_col`` mirrors ``id_col``'s presence check: the
+        default picks up a ``metadata`` column when the frame has one
+        (the canonical ingest shape from sources/ingest.read_documents)
+        and degrades to NULL when it doesn't — silently dropping
+        caller-visible metadata is the one wrong default."""
+        if metadata_col and metadata_col not in df.columns:
+            metadata_col = None
         if metadata_col:
             if df.schema[metadata_col].dataType.typeName() == "string":
                 meta_expr = F.col(metadata_col)

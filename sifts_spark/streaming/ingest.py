@@ -148,3 +148,38 @@ def sessionized_event_aggregates(
             "n_events",
         )
     )
+
+
+def stream_stream_enrich_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "1 hour",
+    tolerance: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with bounded state: match left rows to
+    right rows of the same key whose event time is within
+    ``[left_ts - tolerance, left_ts]`` (the streaming cousin of the
+    batch as-of join — a window, not most-recent, because unbounded
+    "most recent" needs unbounded state).
+
+    Both sides carry watermarks and the join condition carries the time
+    bound — the two things Structured Streaming REQUIRES to evict
+    state; without them a stream-stream join buffers both streams
+    forever. State per key is bounded by tolerance + watermark. Works
+    identically on batch frames (watermarks are no-ops) so batch twins
+    can pin values.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {tolerance}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -169,3 +169,39 @@ def test_sessionized_aggregates_stream(spark, tmp_path):
     from sifts_spark.plans.catalog import events_sessionize
 
     assert n_sessions == events_sessionize(spark, SF_DIR).count()
+
+
+def test_stream_stream_join_bounded_and_equals_batch(spark, tmp_path):
+    """Stream-stream windowed equi-join: runs as a real streaming query
+    (both sides readStream — Spark rejects it outright if state isn't
+    bounded by watermark + time-range condition) and matches the same
+    function applied to the batch frames."""
+    from sifts_spark.streaming import stream_stream_enrich_join
+
+    events = load_table(spark, SF_DIR, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("buy_id"), "value"
+    )
+    batch = stream_stream_enrich_join(clicks, buys, on="user_id")
+    n_batch = batch.count()
+    assert n_batch > 0
+
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks.write.parquet(cdir)
+    buys.write.parquet(bdir)
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    bs = spark.readStream.schema(buys.schema).parquet(bdir)
+    out = stream_stream_enrich_join(cs, bs, on="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ssjoin").first()["n"]
+    assert got == n_batch

@@ -953,6 +953,34 @@ def docs_except(spark, sf_dir) -> DataFrame:
     return en.subtract(early)  # EXCEPT (distinct) — left-anti under the hood
 
 
+@_register(
+    "docs_minus_blocklist",
+    "SELECT d.doc_id, d.source FROM documents d "
+    "WHERE d.source <> 'src01' AND NOT EXISTS ("
+    "  SELECT 1 FROM documents b WHERE b.source = 'src01' "
+    "  AND md5(b.text) = md5(d.text))",
+)
+def docs_minus_blocklist(spark, sf_dir) -> DataFrame:
+    """Blocklist anti-join — the 'remove known-bad docs by content
+    hash' pipeline op: digests of a quarantined source become the
+    blocklist; everything content-identical to it is dropped via
+    LEFT ANTI (no row widening, nulls can't leak, and a dim-sized
+    blocklist broadcasts — at 100 TB this is a map-side filter)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    block = (
+        docs.filter(F.col("source") == "src01")
+        .select(F.md5(F.col("text")).alias("digest"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("source") != "src01")
+        .withColumn("digest", F.md5(F.col("text")))
+        .join(F.broadcast(block), "digest", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
 _ROLLING_SQL = """
 WITH d AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

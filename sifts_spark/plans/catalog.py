@@ -954,28 +954,63 @@ def docs_except(spark, sf_dir) -> DataFrame:
 
 
 @_register(
+    "orders_priority_semijoin",
+    "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders o WHERE o.o_orderdate >= DATE '1995-01-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "            AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o.o_orderpriority",
+)
+def orders_priority_semijoin(spark, sf_dir) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join (the only join flavor
+    not yet in the catalog). The semi join keeps orders single-sided —
+    no row multiplication from multi-lineitem orders, no post-join
+    dedup; both sides shuffle once on orderkey and the 5-priority agg
+    collapses map-side."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
     "docs_minus_blocklist",
     "SELECT d.doc_id, d.source FROM documents d "
-    "WHERE d.source <> 'src01' AND NOT EXISTS ("
-    "  SELECT 1 FROM documents b WHERE b.source = 'src01' "
-    "  AND md5(b.text) = md5(d.text))",
+    "WHERE d.source <> 'src1' AND NOT EXISTS ("
+    "  SELECT 1 FROM documents b WHERE b.source = 'src1' "
+    "  AND md5(substr(b.text, 1, 32)) = md5(substr(d.text, 1, 32)))",
 )
 def docs_minus_blocklist(spark, sf_dir) -> DataFrame:
-    """Blocklist anti-join — the 'remove known-bad docs by content
-    hash' pipeline op: digests of a quarantined source become the
-    blocklist; everything content-identical to it is dropped via
-    LEFT ANTI (no row widening, nulls can't leak, and a dim-sized
-    blocklist broadcasts — at 100 TB this is a map-side filter)."""
+    """Blocklist anti-join — the 'remove known-bad docs by fingerprint'
+    pipeline op: head fingerprints (digest of the first 32 chars — the
+    boilerplate/mirror-header signal; the testdata has no full-content
+    dups across sources, so a whole-doc digest would make this check
+    vacuous) of a quarantined source become the blocklist; every doc
+    opening identically is dropped via LEFT ANTI (no row widening,
+    nulls can't leak, and a dim-sized blocklist broadcasts — at 100 TB
+    this is a map-side filter)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 32))
     block = (
-        docs.filter(F.col("source") == "src01")
-        .select(F.md5(F.col("text")).alias("digest"))
+        docs.filter(F.col("source") == "src1")
+        .select(fp.alias("digest"))
         .distinct()
     )
     return (
-        docs.filter(F.col("source") != "src01")
-        .withColumn("digest", F.md5(F.col("text")))
+        docs.filter(F.col("source") != "src1")
+        .withColumn("digest", fp)
         .join(F.broadcast(block), "digest", "left_anti")
         .select("doc_id", "source")
     )

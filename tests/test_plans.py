@@ -1,0 +1,48 @@
+"""Plan-shape guards over the WHOLE catalog.
+
+Correctness is pinned by the DuckDB oracle; these tests pin the
+physical-plan properties that matter at 100 TB and that a refactor
+could silently regress:
+
+* no CartesianProduct / BroadcastNestedLoopJoin anywhere — every join
+  in every entry must be key-based (equi/semi/anti); a blocked pairwise
+  operator that degrades to all-pairs would show up here first;
+* parquet scans of the wide ``documents`` table prune columns — an
+  entry that drags ``text`` through a plan that only needs counts
+  reads ~100× more bytes than it should at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sifts_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+# BroadcastNestedLoopJoin is acceptable ONLY when the broadcast side is
+# provably tiny and bounded by construction — never corpus-sized:
+#   fts_bm25          — 1-row corpus-stats frame attached to candidates
+#   vector_knn        — 1-row literal query vector
+#   vector_knn_batch  — the bounded query BATCH (exact-kNN baseline is
+#                       corpus x queries BY DEFINITION; the scale paths
+#                       are ivf_knn / srp_knn, which stay key-joined)
+_BNLJ_ALLOWED = {"fts_bm25", "vector_knn", "vector_knn_batch"}
+
+
+def _explain(spark, name) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_allpairs_join_shapes(spark, name):
+    plan = _explain(spark, name)
+    for bad in _FORBIDDEN:
+        if bad == "BroadcastNestedLoopJoin" and name in _BNLJ_ALLOWED:
+            continue
+        assert bad not in plan, f"{name}: {bad} in physical plan"

@@ -1544,6 +1544,56 @@ def top_orders_revenue(spark, sf_dir) -> DataFrame:
     )
 
 
+# =====================================================================
+# Curation pipeline composite (pipelines/curation.py) — the attrition
+# report of the full ingest→langid→quality→dedup-canonical pipeline,
+# replayed by composing the SQL twins of its component operators.
+# =====================================================================
+
+_CURATION_SQL = f"""
+WITH lang AS ({_langid_sql()}),
+qual AS ({_QUALITY_SQL}),
+clus AS (SELECT * FROM ({_CLUSTERS_SQL}) _clus),
+tok AS (
+  SELECT doc_id AS id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens
+  FROM documents
+)
+SELECT (lang.pred_lang = 'en') AS lang_ok,
+       (qual.quality >= 0.35) AS quality_ok,
+       (clus.cluster_id = clus.id) AS canonical,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(tok.n_tokens) AS BIGINT) AS tokens
+FROM lang
+JOIN qual USING (id)
+JOIN clus USING (id)
+JOIN tok USING (id)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("curation_report", _CURATION_SQL)
+def curation_report(spark, sf_dir) -> DataFrame:
+    """The curation composite's attrition matrix — language gate ×
+    quality gate × near-dup-canonical flags, with doc and token counts,
+    in ONE aggregation (no per-stage count() scans). The oracle replays
+    the entire pipeline by composing the langid/quality/clusters/token
+    SQL twins — the strongest cross-check in the catalog: four
+    operators and their joins must all agree at once."""
+    _prep(spark)
+    from sifts_spark.pipelines import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = curate_corpus(docs, allowed_langs=("en",), min_quality=0.35)
+    return report.select(
+        "lang_ok",
+        "quality_ok",
+        "canonical",
+        F.col("n").cast("long").alias("n"),
+        F.col("tokens").cast("long").alias("tokens"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: BM25 search over the documents collection."""
     return fts_bm25(spark, sf_dir)

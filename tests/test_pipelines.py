@@ -1,0 +1,57 @@
+"""Corpus-curation composite: stage tagging, canonical dedup, report
+consistency — driven over the real sf0.001 documents table."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sifts_spark.operators.dedup import minhash_lsh_pairs
+from sifts_spark.pipelines import curate_corpus
+from sifts_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curate_corpus_end_to_end(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    curated, report = curate_corpus(docs, allowed_langs=("en",), min_quality=0.2)
+    cur = curated.collect()
+    rep = report.collect()
+
+    n_input = docs.count()
+    assert sum(r["n"] for r in rep) == n_input  # report covers every doc
+    assert 0 < len(cur) < n_input  # gates actually fire
+
+    # every kept doc passes its gates
+    assert all(r["pred_lang"] == "en" and r["quality"] >= 0.2 for r in cur)
+
+    # canonical-keep: no two kept docs are near-dups of each other
+    kept_ids = {r["id"] for r in cur}
+    pairs = minhash_lsh_pairs(
+        docs.select(F.col("doc_id").alias("id"), "text"), id_col="id"
+    ).collect()
+    for p in pairs:
+        assert not (p["id_a"] in kept_ids and p["id_b"] in kept_ids)
+
+    # attrition matrix equals the kept count
+    kept_row = [r for r in rep if r["lang_ok"] and r["quality_ok"] and r["canonical"]]
+    assert len(kept_row) == 1 and kept_row[0]["n"] == len(cur)
+
+
+def test_curate_scrubs_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog with a mail to " +
+                "reach me at bob@example.com for more and more of this " +
+                "text that is long enough to pass the quality gate with " +
+                "many varied common english words in it today"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    curated, _ = curate_corpus(docs, min_quality=0.0)
+    row = curated.first()
+    assert row is not None
+    assert "bob@example.com" not in row["text"]
+    assert re.search(r"\[EMAIL\]|<EMAIL>|\bEMAIL\b", row["text"]) or "@" not in row["text"]

@@ -954,6 +954,22 @@ def docs_except(spark, sf_dir) -> DataFrame:
 
 
 @_register(
+    "docs_intersect",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200",
+)
+def docs_intersect(spark, sf_dir) -> DataFrame:
+    """Set intersection (completes the set-op family with docs_except):
+    English docs that are also long — left-semi under the hood, one
+    shuffle on the already-distinct key."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    long_ = docs.filter(F.col("n_chars") > 200).select("doc_id")
+    return en.intersect(long_)
+
+
+@_register(
     "orders_priority_semijoin",
     "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
     "FROM orders o WHERE o.o_orderdate >= DATE '1995-01-01' "

@@ -407,6 +407,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_col: str = "id",
     max_iter: int = 50,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (id, cluster_id)
     with cluster_id = min id in the component (singletons label
@@ -437,6 +438,52 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Small dup-subgraph short-circuit: the edge list is |pairs|-sized
+    # and BOUNDED (unlike the corpus) — below the threshold (~200k
+    # edges ≈ a few MB, the same driver-budget class as collected
+    # centroids), union-find on the driver replaces 3-6 scheduled
+    # join+checkpoint rounds with one collect + one createDataFrame.
+    # Past the threshold the distributed propagation below runs — the
+    # 100 TB path when dup pairs themselves are huge.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so cluster_id = min id in component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        schema = vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+        ).schema
+        labels_df = vertices.sparkSession.createDataFrame(mapping, schema)
+        return (
+            vertices.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(
+                F.broadcast(labels_df.withColumnRenamed("cluster_id", "_cl")),
+                "id",
+                "left",
+            )
+            .select(
+                "id", F.coalesce(F.col("_cl"), F.col("id")).alias("cluster_id")
+            )
+        )
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

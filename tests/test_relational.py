@@ -127,3 +127,30 @@ def test_salted_join_spreads_hot_key(spark):
     per_bucket = salted.groupBy("_salt").count().collect()
     assert len(per_bucket) == S  # all buckets used
     assert max(r["count"] for r in per_bucket) < 1000 * 0.5  # spread, not one bucket
+
+
+def test_duplicate_clusters_distributed_path_matches_unionfind(spark):
+    """Force the iterative propagation (driver_threshold=0) and check
+    it produces exactly the union-find short-circuit's labeling."""
+    from sifts_spark.operators.dedup import duplicate_clusters
+
+    verts = spark.createDataFrame([(str(i),) for i in range(20)], "id STRING")
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"),   # chain -> min 1
+         ("7", "9"), ("9", "8"),               # triangle-ish -> min 7
+         ("15", "16")],
+        "id_a STRING, id_b STRING",
+    )
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(verts, pairs, id_col="id").collect()
+    }
+    slow = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            verts, pairs, id_col="id", driver_threshold=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast["4"] == "1" and fast["8"] == "7" and fast["16"] == "15"
+    assert fast["0"] == "0"  # singleton labels itself

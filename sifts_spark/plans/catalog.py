@@ -920,6 +920,47 @@ def events_rollup(spark, sf_dir) -> DataFrame:
 
 
 @_register(
+    "events_cube",
+    "SELECT event_type, user_id % 10 AS user_bucket, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY CUBE (event_type, user_id % 10)",
+)
+def events_cube(spark, sf_dir) -> DataFrame:
+    """CUBE — all 4 grouping sets of (type, user_bucket) in one pass
+    (completes the grouping-sets family with events_rollup)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "events_pivot",
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click, "
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase, "
+    "CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view "
+    "FROM events GROUP BY 1",
+)
+def events_pivot(spark, sf_dir) -> DataFrame:
+    """PIVOT: daily value by event type as columns. The value list is
+    EXPLICIT — Spark's two-pass value discovery (a distinct scan before
+    the agg) is the thing to avoid at 100 TB; with pinned values this
+    compiles to one pass of conditional aggregates. DECIMAL sums for
+    order-independence, as everywhere."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        )
+    )
+
+
+@_register(
     "distinct_users_by_type",
     "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
     "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY event_type",

@@ -87,12 +87,25 @@ def _compile_one(extracted: Column, spec: Any) -> Column:
         if op in ("$in", "$nin"):
             if not isinstance(value, (list, tuple)):
                 raise WhereError(f"{op} requires a list")
-            if value and any(isinstance(v, numbers.Number) and not isinstance(v, bool) for v in value):
-                col = extracted.try_cast("double")
-                vals = [float(v) for v in value]
-            else:
-                col, vals = extracted, list(value)
-            c = col.isin(vals) if op == "$in" else (col.isNotNull() & ~col.isin(vals))
+            # element-wise typing (SQLite semantics, core.py:241-261):
+            # each list element compares under ITS OWN type — a mixed
+            # [0, 'alpha'] list matches value 0 numerically and 'alpha'
+            # textually; a type-mismatched comparison is a NON-match
+            # (SQLite type ordering), not SQL NULL — hence the
+            # per-element coalesce(False). NULL/missing metadata still
+            # matches neither $in nor $nin (test_sqlite.py:303-316).
+            any_match: Column | None = None
+            for v in value:
+                col, lit = _typed(extracted, v)
+                elem = F.coalesce(col == lit, F.lit(False))
+                any_match = elem if any_match is None else (any_match | elem)
+            if any_match is None:  # empty list
+                any_match = F.lit(False)
+            c = (
+                (extracted.isNotNull() & any_match)
+                if op == "$in"
+                else (extracted.isNotNull() & ~any_match)
+            )
         else:
             col, lit = _typed(extracted, value)
             c = {

@@ -132,3 +132,59 @@ if HAVE_HYP:
         }
         want = {i for i, m in enumerate(METAS) if _model(m, where)}
         assert got == want, f"where={where!r}: spark={sorted(got)} model={sorted(want)}"
+
+
+# ---------------- order_by "auto" typed ordering vs SQLite type-order model
+
+
+def _sqlite_sort_key(meta, key):
+    """SQLite json_extract typed ordering (core.py:426-430): NULL,
+    then numbers (numeric order), then strings (lexicographic) —
+    with the documented caveat that numeric-looking JSON strings are
+    indistinguishable from numbers after extraction."""
+    ext = _extract(meta, key)
+    if ext is None:
+        return (2, 0, "")  # missing -> last ascending (nulls last)
+    n = _num(ext)
+    if n is not None:
+        return (0, n, "")
+    return (1, 0, ext)
+
+
+if HAVE_HYP:
+
+    @given(
+        key=st.sampled_from(KEYS),
+        desc=st.booleans(),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_order_by_auto_matches_sqlite_type_order(meta_df, key, desc):
+        from sifts_spark.functions.metadata import compile_order_by
+
+        cols = compile_order_by(
+            F.col("metadata"), ("-" if desc else "") + key, numeric="auto"
+        )
+        got = [r["id"] for r in meta_df.orderBy(*cols, F.col("id")).collect()]
+        idx = list(range(len(METAS)))
+        if desc:
+            # DESC: nulls first, then strings desc, then numbers desc —
+            # full reversal of the ascending typed key; ties by id asc
+            want = sorted(
+                idx,
+                key=lambda i: tuple(
+                    -x if isinstance(x, (int, float)) else _neg_str(x)
+                    for x in _sqlite_sort_key(METAS[i], key)
+                ) + (i,),
+            )
+        else:
+            want = sorted(idx, key=lambda i: _sqlite_sort_key(METAS[i], key) + (i,))
+        assert got == want, f"key={key} desc={desc}\n got={got}\nwant={want}"
+
+
+def _neg_str(s):
+    """Order-reversing transform for strings (for the DESC model)."""
+    return tuple(-ord(c) for c in s)

@@ -121,3 +121,32 @@ def test_srp_knn_recall_against_exact(spark):
         key = (r["query_id"], r["id"])
         if key in exact_sim:
             assert abs(r["cos_sim"] - exact_sim[key]) < 1e-9
+
+
+def test_vector_search_with_where_filter(store_root, spark):
+    """vector_search composes with metadata where: the filter constrains
+    candidates BEFORE ranking, and total is the filtered match count
+    (reference composes tsquery/vector with metadata WHERE the same
+    way, core.py:190-364)."""
+    lookup = {
+        "red one": [1.0, 0.0, 0.0],
+        "red two": [0.9, 0.1, 0.0],
+        "blue one": [1.0, 0.0, 0.1],
+        "consectetur": [1.0, 0.0, 0.0],
+    }
+    col = Collection(
+        store_root,
+        "vw",
+        embedding_function=lambda ts: [lookup[t] for t in ts],
+        spark=spark,
+    )
+    col.add(
+        ["red one", "red two", "blue one"],
+        ids=["r1", "r2", "b1"],
+        metadatas=[{"c": "red"}, {"c": "red"}, {"c": "blue"}],
+    )
+    r = col.query("consectetur", vector_search=True, where={"c": "red"})
+    assert r["total"] == 2
+    assert [x["id"] for x in r["results"]] == ["r1", "r2"]  # cos ranks
+    # b1 is globally closest-but-one yet filtered out
+    assert all(x["metadata"]["c"] == "red" for x in r["results"])

@@ -114,16 +114,17 @@ def main() -> None:
             release_all()
         setup["codegen_warmup_sf0.001"] = round(time.perf_counter() - t0, 3)
 
-    # Best-of-2 per query: single-shot numbers swing 2-7x run-to-run
-    # (JVM GC pauses, Arrow worker pool churn, AQE re-plans) even on an
-    # idle box; the min of two back-to-back runs is the steady-state
+    # Best-of-3 per query: single-shot numbers swing 2-7x run-to-run
+    # (JVM GC pauses, Arrow worker pool churn, AQE re-plans, and
+    # multi-second host CPU-steal bursts that can poison BOTH runs of a
+    # best-of-2); the min of three back-to-back runs is the steady-state
     # throughput a long-running cluster job pays, which is the quantity
     # this bench exists to track.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

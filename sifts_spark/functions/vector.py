@@ -86,9 +86,11 @@ def cosine_similarity_arrow(a_col: Column, b_col: Column) -> Column:
     """Pairwise cosine(a, b) rounded to 6 dp, Arrow-vectorized — the
     batch twin of ``F.round(cosine_similarity(a, b), 6)`` for candidate-
     pair re-ranking, where the interpreted HOF fold (~30 µs/pair at
-    dim 64) dominates blocked self-joins. NULL/zero-norm → NULL (NaN
-    out of the kernel, dropped by any ``>= threshold`` filter, same as
-    the HOF's NULL)."""
+    dim 64) dominates blocked self-joins. NULL/zero-norm → NULL, exactly
+    like the HOF path (Spark's Divide is null-on-zero): returning NaN
+    here would be value-DIFFERENT in ranking consumers, because Spark
+    sorts NaN ABOVE every double, so a zero-norm embedding would rank
+    at the TOP of a ``cos_sim DESC`` window instead of last."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -107,7 +109,8 @@ def cosine_similarity_arrow(a_col: Column, b_col: Column) -> Column:
         denom = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
         with np.errstate(divide="ignore", invalid="ignore"):
             out = np.where(denom > 0, num / denom, np.nan)
-        return pd.Series(np.round(out, 6))
+        # NaN -> None so the Arrow column carries real NULLs
+        return pd.Series(np.round(out, 6)).where(~np.isnan(out), None)
 
     return _cos(a_col, b_col)
 

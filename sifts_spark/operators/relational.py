@@ -36,7 +36,17 @@ def salted_join(
     alone exceeds an executor). Build-side cost is |build|×S rows —
     use only when build is dim-sized. Result is byte-identical to the
     plain join: the salt column never leaves this function.
+
+    Only probe-side-preserving joins are supported: with ``right`` or
+    ``full``, an unmatched build row would surface once PER SALT
+    REPLICA (the explode duplicates it), silently multiplying rows.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; how={how!r} would "
+            "duplicate unmatched build rows once per salt replica"
+        )
     salted_build = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from sifts_spark.collection import SparkCollection
+from sifts_spark.collection import DEFAULT_METADATA_COL, SparkCollection
 
 
 def make_idempotent_sink(
@@ -29,7 +29,7 @@ def make_idempotent_sink(
     checkpoint_dir: str,
     id_col: str = "id",
     content_col: str = "content",
-    metadata_col: str | None = None,
+    metadata_col: str | None = DEFAULT_METADATA_COL,
 ):
     """foreachBatch sink with DURABLE per-batch commit markers.
 
@@ -46,6 +46,11 @@ def make_idempotent_sink(
     write replays the append. With caller-supplied stable ids that is
     idempotent-by-value (newest-batch-wins read); with minted uuid ids
     it can duplicate — supply stable ids for end-to-end exactly-once.
+
+    ``metadata_col`` mirrors the batch default: a ``metadata`` column is
+    auto-detected when present (so streaming and batch ingest of the
+    canonical ``(id, content, metadata)`` frame agree), NULL-filled when
+    absent; an explicitly passed absent column raises in add_dataframe.
     """
     spark = collection.store.spark
     jvm = spark._jvm
@@ -76,7 +81,7 @@ def stream_collection_ingest(
     checkpoint_dir: str,
     id_col: str = "id",
     content_col: str = "content",
-    metadata_col: str | None = None,
+    metadata_col: str | None = DEFAULT_METADATA_COL,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """readStream source → collection store, via foreachBatch.

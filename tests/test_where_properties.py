@@ -171,20 +171,18 @@ if HAVE_HYP:
         got = [r["id"] for r in meta_df.orderBy(*cols, F.col("id")).collect()]
         idx = list(range(len(METAS)))
         if desc:
-            # DESC: nulls first, then strings desc, then numbers desc —
-            # full reversal of the ascending typed key; ties by id asc
+            # DESC: full reversal of the ascending typed key, ties by id
+            # asc. Two stable sorts: id-asc base order, then reverse=True
+            # on the typed key preserves id-asc within equal keys. (An
+            # order-negating character transform like tuple(-ord(c)) would
+            # mis-order prefix pairs: 'a' before 'ab' descending.)
             want = sorted(
-                idx,
-                key=lambda i: tuple(
-                    -x if isinstance(x, (int, float)) else _neg_str(x)
-                    for x in _sqlite_sort_key(METAS[i], key)
-                ) + (i,),
+                sorted(idx),
+                key=lambda i: _sqlite_sort_key(METAS[i], key),
+                reverse=True,
             )
         else:
             want = sorted(idx, key=lambda i: _sqlite_sort_key(METAS[i], key) + (i,))
         assert got == want, f"key={key} desc={desc}\n got={got}\nwant={want}"
 
 
-def _neg_str(s):
-    """Order-reversing transform for strings (for the DESC model)."""
-    return tuple(-ord(c) for c in s)

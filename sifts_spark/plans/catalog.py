@@ -46,8 +46,17 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def _prep(spark: SparkSession) -> None:
-    # Oracle parity regardless of the harness session's defaults.
+    # Oracle parity regardless of the harness session's defaults. Every
+    # entry calls this BEFORE load_table, so these runtime confs govern
+    # the reads even under a stock SparkSession (which is what the
+    # driver's harness builds — r03 proved fixes in our session factory
+    # never reach it).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Naive parquet timestamps must come back as LTZ instants (identical
+    # values under UTC), not TIMESTAMP_NTZ which unix_micros/watermarks
+    # reject; load_table also casts defensively if this conf arrives
+    # after a cached read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 QUERIES: dict = {}

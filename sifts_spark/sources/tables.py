@@ -29,13 +29,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events parquet stores TIMESTAMP(NANOS) which Spark's vector
-        # reader rejects; read nanos as long and truncate to micros —
-        # exactly what DuckDB's TIMESTAMP (µs) coercion does.
+        # The events parquet carries NAIVE timestamps. Two session-default
+        # hazards, both normalized HERE (the layer every caller — including
+        # the driver's stock SparkSession — flows through), not in the
+        # session factory:
+        #   * TIMESTAMP(NANOS) files: Spark's vectorized reader rejects
+        #     nanos; read as long and truncate to micros (DuckDB's µs
+        #     coercion does the same).
+        #   * timestamp[us] files: Spark 4 with default
+        #     inferTimestampNTZ=true reads them as TIMESTAMP_NTZ, which
+        #     unix_micros/watermarks reject. Cast to TIMESTAMP — with the
+        #     UTC session timezone the instant is value-identical to the
+        #     naive wall-clock the DuckDB oracle sees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -30,10 +30,22 @@ TABLES = (
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from sifts_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     only = set(sys.argv[1:])
-    spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
+    # A deliberately STOCK session (no sifts_spark.session.get_spark):
+    # the driver's harness builds its own vanilla SparkSession, so any
+    # catalog entry that silently depends on our factory's defaults
+    # (timezone, inferTimestampNTZ, Arrow, broadcast threshold) must
+    # fail HERE, before the driver sees it. r03 regression proof: the
+    # events NTZ fix lived in get_spark and the driver never ran it.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("PYTHONPATH", repo)
+    spark = (
+        SparkSession.builder.appName("correctness-vanilla")
+        .master("local[8]")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

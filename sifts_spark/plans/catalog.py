@@ -83,8 +83,11 @@ def _register(name: str, oracle: str | None = None):
 # =====================================================================
 
 _AST_TERM = parse_query("data")
-_AST_BOOL = parse_query("data and query or merge")
-_AST_PREFIX = parse_query("mer* small")
+# One compound query exercising the WHOLE §2.4 surface: and/or with FTS5
+# precedence (AND binds tighter), trailing-* prefix atoms, and implicit
+# AND — so a single driver row covers what fts_bool + fts_prefix used to
+# (the catalog is capped at the driver's 50-entry check window).
+_AST_BOOL = parse_query("data and quer* or mer* small")
 
 
 @_register(
@@ -103,21 +106,12 @@ def fts_term(spark, sf_dir) -> DataFrame:
     f"SELECT doc_id FROM documents WHERE {_AST_BOOL.to_sql(TOKS)}",
 )
 def fts_bool(spark, sf_dir) -> DataFrame:
-    """and/or with FTS5 precedence (AND binds tighter) — §2.4."""
+    """and/or with FTS5 precedence (AND binds tighter) + trailing-*
+    prefix atoms + implicit AND — the full §2.4 query language in one
+    entry (ref core.py:60, 408-414)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return S.match_filter(docs, _AST_BOOL, "text").select("doc_id")
-
-
-@_register(
-    "fts_prefix",
-    f"SELECT doc_id FROM documents WHERE {_AST_PREFIX.to_sql(TOKS)}",
-)
-def fts_prefix(spark, sf_dir) -> DataFrame:
-    """Trailing-* prefix match + implicit AND — §2.4 (ref core.py:60)."""
-    _prep(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    return S.match_filter(docs, _AST_PREFIX, "text").select("doc_id")
 
 
 _BM25_SQL = f"""
@@ -907,17 +901,11 @@ def events_sessionize(spark, sf_dir) -> DataFrame:
     )
 
 
-@_register(
-    "events_rollup",
-    "SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour_of_day, "
-    "CAST(count(*) AS BIGINT) AS n, "
-    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
-    "FROM events GROUP BY ROLLUP (event_type, extract(hour FROM ts))",
-)
 def events_rollup(spark, sf_dir) -> DataFrame:
     """ROLLUP hierarchy (type → type×hour → grand total) — one pass,
     partial-agg friendly; the reference has no grouping sets at all
-    (SURVEY §2.6)."""
+    (SURVEY §2.6). Not a driver entry (events_cube's grouping sets are
+    a strict superset); pinned by tests/test_relational.py."""
     _prep(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.rollup(
@@ -931,17 +919,26 @@ def events_rollup(spark, sf_dir) -> DataFrame:
 @_register(
     "events_cube",
     "SELECT event_type, user_id % 10 AS user_bucket, "
-    "CAST(count(*) AS BIGINT) AS n "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
     "FROM events GROUP BY CUBE (event_type, user_id % 10)",
 )
 def events_cube(spark, sf_dir) -> DataFrame:
-    """CUBE — all 4 grouping sets of (type, user_bucket) in one pass
-    (completes the grouping-sets family with events_rollup)."""
+    """CUBE — all 4 grouping sets of (type, user_bucket) in one
+    Expand+partial-agg pass. CUBE's grouping sets are a strict superset
+    of ROLLUP's, so this single entry pins the whole grouping-sets
+    family (the former events_rollup entry folded in here — catalog
+    capped at the driver's 50-entry window; rollup itself stays under
+    pytest). Decimal sum keeps the value order-independent for the
+    oracle hash."""
     _prep(spark)
     ev = load_table(spark, sf_dir, "events")
     return ev.cube(
         "event_type", (F.col("user_id") % 10).alias("user_bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
 
 
 @_register(
@@ -1003,15 +1000,12 @@ def docs_except(spark, sf_dir) -> DataFrame:
     return en.subtract(early)  # EXCEPT (distinct) — left-anti under the hood
 
 
-@_register(
-    "docs_intersect",
-    "SELECT doc_id FROM documents WHERE lang = 'en' "
-    "INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200",
-)
 def docs_intersect(spark, sf_dir) -> DataFrame:
     """Set intersection (completes the set-op family with docs_except):
     English docs that are also long — left-semi under the hood, one
-    shuffle on the already-distinct key."""
+    shuffle on the already-distinct key. Not a driver entry (docs_except
+    pins the same physical family — catalog capped at the driver's
+    50-entry window); pinned by tests/test_relational.py."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     en = docs.filter(F.col("lang") == "en").select("doc_id")
@@ -1660,20 +1654,13 @@ def curation_report(spark, sf_dir) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------
-# Registration-order shuffle: the driver's correctness harness checks
-# the FIRST 50 registered entries, and the catalog has 53.  Push the
-# three least information-dense entries (each a near-twin of another
-# green entry: fts_prefix ~ fts_term/fts_bool, docs_intersect ~
-# docs_except, events_cube ~ events_rollup) to the END of the dict so
-# revenue_by_nation / top_orders_revenue / curation_report — notably
-# the 4-operator curation composite — land inside the checked window.
-# Dicts preserve insertion order, so pop+reinsert moves an entry last.
-# ---------------------------------------------------------------------
-for _name in ("fts_prefix", "docs_intersect", "events_cube"):
-    QUERIES[_name] = QUERIES.pop(_name)
-    ORACLES[_name] = ORACLES.pop(_name)
-del _name
+# The driver's correctness harness checks the first 50 registered
+# entries; the catalog holds exactly 50 so EVERY entry is checked every
+# round (no rotation). Consolidations that paid for this: the prefix
+# atom lives inside fts_bool's query string, events_cube subsumes
+# events_rollup (superset grouping sets), docs_except stands for the
+# shuffle-on-distinct-key set-op family (intersect pinned in pytest).
+assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -154,3 +154,58 @@ def test_duplicate_clusters_distributed_path_matches_unionfind(spark):
     assert fast == slow
     assert fast["4"] == "1" and fast["8"] == "7" and fast["16"] == "15"
     assert fast["0"] == "0"  # singleton labels itself
+
+
+# ---------------------------------------------------------------------
+# De-registered catalog entries (the driver checks only 50 entries, so
+# docs_intersect / events_rollup ceded their rows to docs_except /
+# events_cube). Their DuckDB-oracle parity is pinned HERE instead, with
+# the same SQL twins they had as driver entries.
+# ---------------------------------------------------------------------
+
+_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{_SF_DIR}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def test_docs_intersect_matches_oracle(spark):
+    from sifts_spark.plans.catalog import docs_intersect
+
+    got = sorted(
+        r.doc_id for r in docs_intersect(spark, _SF_DIR).collect()
+    )
+    want = sorted(
+        _duck(
+            "SELECT doc_id FROM documents WHERE lang = 'en' "
+            "INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200"
+        )["doc_id"].tolist()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_events_rollup_matches_oracle(spark):
+    from sifts_spark.plans.catalog import events_rollup
+
+    got = {
+        (r.event_type, r.hour_of_day): (r.n, round(r.sum_value, 6))
+        for r in events_rollup(spark, _SF_DIR).collect()
+    }
+    odf = _duck(
+        "SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hour_of_day, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY ROLLUP (event_type, extract(hour FROM ts))"
+    )
+    want = {}
+    for _, r in odf.iterrows():
+        et = None if r.event_type != r.event_type else r.event_type  # NaN -> None
+        hod = None if r.hour_of_day != r.hour_of_day else int(r.hour_of_day)
+        want[(et, hod)] = (int(r.n), round(float(r.sum_value), 6))
+    assert got == want

@@ -68,6 +68,12 @@ class SparkCollection:
         self.use_fts = use_fts
         self.spark = spark or get_spark()
         self.store = DocumentStore(self.spark, root)
+        # (N, avgdl) memo keyed by the store's batch-dir snapshot: text
+        # queries pass these two scalars into BM25 instead of running a
+        # stats aggregation per query; any write changes the batch list
+        # and invalidates the key (concurrent external writers too —
+        # the key is re-listed from the store, not tracked locally).
+        self._stats_cache: dict[tuple[str, ...], tuple[int, float]] = {}
 
     # ------------------------------------------------------------------
     # write path
@@ -325,13 +331,17 @@ class SparkCollection:
             )
             is_search = True
         elif has_text:
-            # One lazy plan (no driver-side stats actions): the postings
-            # index scores BM25 with broadcast corpus stats
-            # (operators/search.search_postings); (id, rank) joins back
-            # to the snapshot for content/metadata.
+            # BM25 with MEMOIZED corpus stats: (N, avgdl) come from the
+            # store's doclen sidecar (a tiny two-column scan, cached per
+            # snapshot) — the query plan itself contains no stats
+            # aggregation over the postings index (FTS5/GIN keep these
+            # stats materialized; at 100 TB a per-query index-stats scan
+            # is the difference between an index probe and a table scan).
             ast = parse_query(query_string)
+            n_docs, avgdl = self._corpus_stats()
             scored = _search.search_postings(
-                self.store.read_postings(self.name), ast
+                self.store.read_postings(self.name), ast,
+                n_docs=n_docs, avgdl=avgdl,
             )
             df = df.join(scored, "id")
             is_search = True
@@ -339,6 +349,17 @@ class SparkCollection:
         if where:
             df = df.filter(compile_where(F.col("metadata"), where))
         return df, is_search
+
+    def _corpus_stats(self) -> tuple[int, float]:
+        """Memoized (N, avgdl) for BM25 — recomputed only when the
+        store's batch snapshot changes (our writes or a concurrent
+        writer's; the cache key is the freshly listed batch-dir tuple)."""
+        key = tuple(self.store._batch_dirs(self.name))
+        hit = self._stats_cache.get(key)
+        if hit is None:
+            hit = self.store.corpus_stats(self.name)
+            self._stats_cache = {key: hit}  # single-snapshot cache
+        return hit
 
     def _paginate(
         self,

@@ -190,6 +190,7 @@ class DocumentStore:
     def drop_collection(self, name: str) -> None:
         self._delete_dir(self._partition_dir(name))
         self._delete_dir(self._postings_dir(name))
+        self._delete_dir(self._doclen_dir(name))
 
     def compact(self, name: str, postings: bool = False) -> None:
         """Fold all batches of a collection into a single new batch;
@@ -209,6 +210,9 @@ class DocumentStore:
         for d in self._postings_batch_dirs(name):
             if d != f"batch={batch}":
                 self._delete_dir(f"{self._postings_dir(name)}/{d}")
+        for d in self._doclen_batch_dirs(name):
+            if d != f"batch={batch}":
+                self._delete_dir(f"{self._doclen_dir(name)}/{d}")
         if postings:
             self.maintain_postings(name)
 
@@ -267,6 +271,26 @@ class DocumentStore:
             if d.startswith("batch=")
         )
 
+    # ---- doclen sidecar (corpus stats without touching the index) ------
+    #
+    # BM25 needs (N, avgdl) over the LIVE snapshot. Deriving them from
+    # the postings index is a full index-stats scan per query — the
+    # scale-killer FTS5/GIN avoid by materializing stats. The Spark
+    # answer is a Lucene-norms-style sidecar: one (id, dl) row per doc
+    # per batch, written beside each postings batch. Stats then cost a
+    # two-column scan of ~N tiny rows joined to the live winners —
+    # postings-index-size-independent — and the Collection facade
+    # memoizes the resulting two scalars per store snapshot.
+
+    def _doclen_dir(self, name: str) -> str:
+        return f"{self.root}/_doclen/name={urllib.parse.quote(name, safe='')}"
+
+    def _doclen_batch_dirs(self, name: str) -> list[str]:
+        return sorted(
+            d for d in self._ls_names(self._doclen_dir(name))
+            if d.startswith("batch=")
+        )
+
     def _read_batch_docs(self, name: str, batch_dir: str) -> DataFrame:
         return self.spark.read.schema(DOC_SCHEMA).parquet(
             f"{self._partition_dir(name)}/{batch_dir}"
@@ -282,9 +306,9 @@ class DocumentStore:
         )
 
     def maintain_postings(self, name: str) -> None:
-        """Write postings batches for every docs batch that lacks one
-        (normally exactly the batch just appended). Idempotent; overwrite
-        mode heals partial writes."""
+        """Write postings (and doclen-sidecar) batches for every docs
+        batch that lacks one (normally exactly the batch just appended).
+        Idempotent; overwrite mode heals partial writes."""
         have = set(self._postings_batch_dirs(name))
         for d in self._batch_dirs(name):
             if d in have:
@@ -298,6 +322,25 @@ class DocumentStore:
             ).option("parquet.bloom.filter.enabled#term", "true").parquet(
                 f"{self._postings_dir(name)}/{d}"
             )
+        # Doclens derive from the WRITTEN postings parquet (no second
+        # tokenize pass); a doclen batch trails its postings batch only
+        # across a crash, and heals here / lazily in read_doclens.
+        have_dl = set(self._doclen_batch_dirs(name))
+        for d in self._postings_batch_dirs(name):
+            if d in have_dl:
+                continue
+            self._batch_doclens_from_postings(name, d).write.mode(
+                "overwrite"
+            ).parquet(f"{self._doclen_dir(name)}/{d}")
+
+    def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:
+        batch = int(batch_dir.split("=", 1)[1])
+        return (
+            self.spark.read.parquet(f"{self._postings_dir(name)}/{batch_dir}")
+            .groupBy("id")
+            .agg(F.first("dl").alias("dl"))
+            .withColumn("batch", F.lit(batch).cast("long"))
+        )
 
     def read_postings(self, name: str) -> DataFrame:
         """Live postings (term, id, dl, tf) — one lazy plan.
@@ -335,3 +378,55 @@ class DocumentStore:
             p = p.unionByName(more)
         live = self.live_versions(name)
         return p.join(live, ["id", "batch"]).select("term", "id", "dl", "tf")
+
+    def read_doclens(self, name: str) -> DataFrame:
+        """Live (id, dl) for every doc with ≥1 token — the stats-sidecar
+        read path. Missing sidecar batches (crash, use_fts=False stores)
+        fall back to the batch postings (on disk if present, else built
+        from the docs batch), so the result is always exact."""
+        docs_dirs = self._batch_dirs(name)
+        DL_SCHEMA = T.StructType(
+            [
+                T.StructField("id", T.StringType(), True),
+                T.StructField("dl", T.IntegerType(), True),
+                T.StructField("batch", T.LongType(), True),
+            ]
+        )
+        if not docs_dirs:
+            return self.spark.createDataFrame([], DL_SCHEMA)
+        have = set(self._doclen_batch_dirs(name))
+        have_postings = set(self._postings_batch_dirs(name))
+        on_disk = [d for d in docs_dirs if d in have]
+        parts: list[DataFrame] = []
+        if on_disk:
+            parts.append(
+                self.spark.read.schema(DL_SCHEMA)
+                .parquet(*[f"{self._doclen_dir(name)}/{d}" for d in on_disk])
+            )
+        for d in docs_dirs:
+            if d in have:
+                continue
+            if d in have_postings:
+                parts.append(self._batch_doclens_from_postings(name, d))
+            else:
+                batch = int(d.split("=", 1)[1])
+                parts.append(
+                    self._build_batch_postings(name, d)
+                    .groupBy("id")
+                    .agg(F.first("dl").alias("dl"))
+                    .withColumn("batch", F.lit(batch).cast("long"))
+                )
+        p = parts[0]
+        for more in parts[1:]:
+            p = p.unionByName(more)
+        live = self.live_versions(name)
+        return p.join(live, ["id", "batch"]).select("id", "dl")
+
+    def corpus_stats(self, name: str) -> tuple[int, float]:
+        """(N, avgdl) of the live snapshot from the doclen sidecar — a
+        tiny two-column scan, NOT a postings-index aggregation. Callers
+        (Collection) memoize per store snapshot."""
+        row = self.read_doclens(name).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        return (row["n"] or 0), float(row["avgdl"] or 0.0)

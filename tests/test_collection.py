@@ -309,3 +309,48 @@ def test_postings_self_heal_missing_batch(store_root, spark):
     assert col.store._postings_batch_dirs("test") == []
     fts = Collection(store_root, "test", spark=spark)
     assert fts.query("lorem")["total"] == 1
+
+
+def test_corpus_stats_sidecar_exact_and_cached(store_root, spark):
+    """BM25 corpus stats come from the doclen sidecar and track the live
+    snapshot across upsert/delete — with NO stats aggregation over the
+    postings index inside the query plan (the crossJoin(broadcast(stats))
+    subtree the un-statted path builds shows up as a
+    BroadcastNestedLoopJoin; its absence pins the sidecar path)."""
+    from sifts_spark.operators.search import corpus_stats
+
+    col = Collection(store_root, "stats", spark=spark)
+    col.add(["aa bb cc", "aa bb", "dd"], ids=["1", "2", "3"])
+    # exact vs the postings-derived definition (docs with >=1 token)
+    n, avgdl = col._corpus_stats()
+    n2, avgdl2 = corpus_stats(col.store.read_postings("stats"))
+    assert (n, round(avgdl, 9)) == (n2, round(avgdl2, 9)) == (3, round(2.0, 9))
+
+    # upsert + delete shift the live stats; the memo must follow
+    col.add(["aa bb cc dd ee"], ids=["2"])       # dl 2 -> 5
+    col.delete(["3"])                             # drops dl 1
+    n, avgdl = col._corpus_stats()
+    assert (n, avgdl) == (2, 4.0)                 # (3 + 5) / 2
+
+    # plan shape: the facade text query carries no stats subtree
+    plan = col.query_df("aa")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # memo: same snapshot -> no recompute (poison the store method)
+    calls = []
+    orig = col.store.corpus_stats
+    col.store.corpus_stats = lambda name: calls.append(name) or orig(name)
+    col.query("aa")
+    col.query("bb")
+    assert calls == []  # served from the memo both times
+
+
+def test_corpus_stats_sees_external_writer(store_root, spark):
+    """The memo key is the freshly listed batch snapshot, so a SECOND
+    Collection handle writing to the same store invalidates it."""
+    a = Collection(store_root, "shared", spark=spark)
+    b = Collection(store_root, "shared", spark=spark)
+    a.add(["one two"], ids=["1"])
+    assert a._corpus_stats() == (1, 2.0)
+    b.add(["three four five six"], ids=["2"])
+    assert a._corpus_stats() == (2, 3.0)

@@ -38,6 +38,43 @@ from sifts_spark.functions.text import tokenize, shingles
 logger = logging.getLogger(__name__)
 
 
+def cap_buckets(
+    df: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int | None,
+    op_name: str,
+) -> DataFrame:
+    """Skew guard shared by every bucketed self-join candidate generator.
+
+    A degenerate bucket key (a corpus of identical, templated, or empty
+    docs collapsing onto one band key / chunk value / rarest shingle)
+    makes the self-join O(bucket²) in that one key — AQE skew-split
+    cannot save a join that is itself quadratic in a single key's rows.
+    Buckets above ``max_bucket_size`` are dropped from candidate
+    generation and LOGGED (never silently): pairs inside a dropped
+    bucket are simply not candidates — the standard recall trade every
+    production LSH/near-dup pipeline makes (a 10k-doc identical-text
+    bucket is better served by exact_duplicates anyway).
+    ``None`` disables the cap."""
+    if max_bucket_size is None:
+        return df
+    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    hot = sizes.filter(F.col("_bn") > max_bucket_size)
+    dropped = hot.limit(21).collect()  # small eager probe; input cached
+    if not dropped:
+        return df
+    more = "+" if len(dropped) > 20 else ""
+    logger.warning(
+        "%s: dropping %d%s bucket(s) over max_bucket_size=%d "
+        "(largest=%d rows) — pairs within them are not candidates",
+        op_name, min(len(dropped), 20), more, max_bucket_size,
+        max(r["_bn"] for r in dropped),
+    )
+    return df.join(
+        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -164,26 +201,7 @@ def minhash_lsh_pairs(
     # (small) sketch table, never the corpus.
     banded = track(banded)
 
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        hot = sizes.filter(F.col("_bn") > max_bucket_size)
-        dropped = hot.limit(21).collect()  # small eager probe, sketch cached
-        if dropped:
-            more = "+" if len(dropped) > 20 else ""
-            logger.warning(
-                "minhash_lsh_pairs: dropping %d%s band bucket(s) over "
-                "max_bucket_size=%d (largest=%d docs) — pairs within them "
-                "are not candidates",
-                min(len(dropped), 20), more, max_bucket_size,
-                max(r["_bn"] for r in dropped),
-            )
-            banded = banded.join(
-                F.broadcast(hot.select("band", "key")),
-                ["band", "key"],
-                "left_anti",
-            )
+    banded = cap_buckets(banded, ["band", "key"], max_bucket_size, "minhash_lsh_pairs")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -222,6 +240,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     block_col: str | None = None,
     impl: str = "arrow",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs found by shared
     rarest-shingle blocking: each doc keys on its ``min`` md5 shingle, so
@@ -230,7 +249,8 @@ def ngram_jaccard_pairs(
     is found iff the two docs share their rarest shingle, probability ~J
     for Jaccard J; this is a 1-hash LSH candidate generator, not an
     exhaustive join). Optional extra blocking column composes
-    (e.g. same source). → (id_a, id_b, jaccard)."""
+    (e.g. same source). ``max_bucket_size`` caps a degenerate shingle
+    bucket (see :func:`cap_buckets`). → (id_a, id_b, jaccard)."""
     if impl == "arrow":
         sk = shingle_minkey_arrow(F.col("_t"), shingle_size)
         sel = [F.col(id_col).alias("id"), F.col(text_col).alias("_t")]
@@ -251,6 +271,12 @@ def ngram_jaccard_pairs(
         # Materialized once — both self-join branches read the sketch, not
         # the shingle-expression subtree (see minhash_lsh_pairs note).
         base = track(docs.select(*cols))
+    base = cap_buckets(
+        base,
+        ["key", "blk"] if block_col else ["key"],
+        max_bucket_size,
+        "ngram_jaccard_pairs",
+    )
     join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
     if block_col:
         join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
@@ -355,13 +381,16 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: bucket by each of the four 16-bit chunks
     (pigeonhole: any pair with hamming ≤ 3 shares a chunk; wider radii
     raise recall probabilistically) → self-join per chunk → exact
-    hamming via bit_count(xor). → (id_a, id_b, hamming)."""
+    hamming via bit_count(xor). ``max_bucket_size`` caps a degenerate
+    chunk bucket — a templated corpus collapses thousands of docs onto
+    one 16-bit value (see :func:`cap_buckets`). → (id_a, id_b, hamming)."""
     # Persisted: both self-join branches read the (narrow) fingerprint
     # table instead of re-running the sketch per side.
     fp = track(simhash_fingerprints(docs, id_col, text_col))
@@ -378,6 +407,7 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash_hi", "simhash_lo", "ck.c", "ck.v")
+    chunks = cap_buckets(chunks, ["c", "v"], max_bucket_size, "simhash_pairs")
     l, r = chunks.alias("l"), chunks.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))

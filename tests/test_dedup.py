@@ -102,3 +102,37 @@ def test_lsh_skew_guard_drops_degenerate_bucket(spark, caplog):
     # without the cap the same corpus yields all 30*29/2 pairs
     out2 = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=None)
     assert out2.count() == 30 * 29 // 2
+
+
+def test_skew_guard_on_simhash_and_ngram_degenerate_corpus(spark, caplog):
+    """The shared cap (cap_buckets) must bound candidate generation on
+    ALL bucketed self-joins, not just MinHash: hundreds of identical docs
+    (every chunk value / rarest shingle identical) plus empty docs, the
+    two degenerate shapes that collapse a corpus onto one bucket."""
+    import logging
+
+    rows = [(i, "the exact same templated document body") for i in range(300)]
+    rows += [(1000 + i, "") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="sifts_spark.operators.dedup"):
+        assert D.simhash_pairs(docs, max_bucket_size=50).count() == 0
+        assert any(
+            "simhash_pairs: dropping" in r.message for r in caplog.records
+        )
+        caplog.clear()
+        assert D.ngram_jaccard_pairs(docs, max_bucket_size=50).count() == 0
+        assert any(
+            "ngram_jaccard_pairs: dropping" in r.message for r in caplog.records
+        )
+    release_all()
+
+    # Uncapped, the identical docs DO pair (recall intact when buckets
+    # are sane-sized ... here we keep it small enough to be cheap):
+    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    assert D.simhash_pairs(small, max_bucket_size=None).count() == 20 * 19 // 2
+    assert (
+        D.ngram_jaccard_pairs(small, max_bucket_size=None).count()
+        == 20 * 19 // 2
+    )
+    release_all()

@@ -52,11 +52,26 @@ def ensure_min_parallelism(df):
     input has fewer partitions (a single local parquet file reads as ONE
     split — which would serialize any per-partition kernel). On a real
     cluster reading many files/splits this is a no-op: partitions >>
-    cores, no shuffle is added."""
+    cores, no shuffle is added.
+
+    File-backed frames are judged by ``inputFiles()`` — a driver-side
+    file-index lookup — instead of ``df.rdd.getNumPartitions()``, whose
+    DataFrame→RDD conversion re-plans the query per call (measured as a
+    visible constant in the sf0.1 ANN queries). A many-splits-per-file
+    source can repartition needlessly under this test; that mild
+    round-robin cost beats paying the RDD conversion on every hot call,
+    and the many-small-files layout of real table storage makes the
+    no-op branch the common one."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
+        # non-file source (in-memory test frames, cached plans): the RDD
+        # view is the only partition-count oracle; cheap for those.
+        return df
+    return df.repartition(target)
 
 
 def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column:

@@ -593,7 +593,9 @@ def embedding_dup_pairs(
         # literal → cell assignment is a pure map-side projection.
         # impl="arrow": numpy-matmul kernel (see functions/vector);
         # impl="hof": pure-JVM expression. Same values either way.
-        rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+        from sifts_spark.operators.vector_search import centroid_rows
+
+        rows = centroid_rows(centroids)
         if impl == "arrow":
             from sifts_spark.functions.hashing import ensure_min_parallelism
             from sifts_spark.functions.vector import cell_assign_arrow

@@ -134,6 +134,19 @@ def deterministic_centroids(
     )
 
 
+def centroid_rows(centroids) -> list:
+    """Normalize a centroid table to driver rows [(cell_id, [floats])].
+
+    Accepts either a (tiny, centroid-sized) DataFrame — collected HERE,
+    once — or an already-collected list, which callers on a hot path
+    (bench loops, repeated queries against one index) should prefer: a
+    real deployment persists its centroid table and loads it once, not
+    per query."""
+    if isinstance(centroids, list):
+        return centroids
+    return [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+
+
 def _cell_sims_expr(vec_col, centroid_rows):
     """ARRAY<STRUCT<s,nid,cid>> of rounded similarities to inlined
     centroid literals; natural struct ordering = (sim asc, cell_id
@@ -183,7 +196,7 @@ def cell_topn_expr(vec_col, centroid_rows, nprobe: int) -> "F.Column":
 def ivf_knn_join(
     vectors: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids,  # DataFrame | list[(cell_id, [float])] — see centroid_rows
     k: int = 5,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -192,6 +205,7 @@ def ivf_knn_join(
     query_vec_col: str = "embedding",
     exclude_self: bool = True,
     impl: str = "arrow",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k per query via IVF cell pruning
     → (query_id, id, cos_sim, rank).
@@ -215,7 +229,7 @@ def ivf_knn_join(
     from sifts_spark.functions.hashing import ensure_min_parallelism
     from sifts_spark.functions.vector import cell_assign_arrow, cell_topn_arrow
 
-    rows = [(r["cell_id"], list(r["centroid"])) for r in centroids.collect()]
+    rows = centroid_rows(centroids)
     assign = (
         (lambda c: cell_assign_arrow(c, rows))
         if impl == "arrow"
@@ -223,10 +237,18 @@ def ivf_knn_join(
     )
     if impl == "arrow":
         vectors = ensure_min_parallelism(vectors)
+    # coalesce makes the join key provably non-nullable, so the inner
+    # join does NOT infer an IsNotNull(cell_id) filter. That inference
+    # is poison on a Python-UDF key: the filter's UDF instance is pushed
+    # below the repartition while the projection keeps its own copy —
+    # the whole corpus-assignment kernel runs TWICE (observed in the
+    # sf0.1 plan as two ArrowEvalPython[_assign] nodes). The sentinel
+    # only ever tags null embeddings and matches no real cell.
+    no_cell = F.lit(-(2**62)).cast("long")
     data_cells = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        assign(F.col(vec_col)).alias("cell_id"),
+        F.coalesce(assign(F.col(vec_col)), no_cell).alias("cell_id"),
     )
     topn = (
         cell_topn_arrow(F.col(query_vec_col), rows, nprobe)
@@ -238,6 +260,15 @@ def ivf_knn_join(
         F.col(query_vec_col).alias("qv"),
         F.explode(topn).alias("cell_id"),
     )
+    if broadcast_queries:
+        # The query batch is the small side BY CONSTRUCTION of a kNN
+        # lookup; without the hint Spark's size estimator (which sees
+        # only file stats) happily builds the hash relation from the
+        # CORPUS side — a driver-side materialization of every vector,
+        # which is an OOM at real scale and was measured slower here.
+        # Corpus-vs-corpus callers pass broadcast_queries=False and get
+        # the cell-keyed shuffle join.
+        query_cells = F.broadcast(query_cells)
     joined = data_cells.join(query_cells, "cell_id")
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))

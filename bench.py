@@ -114,22 +114,40 @@ def main() -> None:
             release_all()
         setup["codegen_warmup_sf0.001"] = round(time.perf_counter() - t0, 3)
 
+    def steal_jiffies() -> int:
+        # /proc/stat cpu line, field 8 = steal. Host CPU-steal bursts
+        # are the main run-to-run poison on shared boxes; recording the
+        # delta per timed run makes every number auditable instead of
+        # "always check steal manually" (SURVEY §6.1).
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return -1
+
     # Best-of-3 per query: single-shot numbers swing 2-7x run-to-run
     # (JVM GC pauses, Arrow worker pool churn, AQE re-plans, and
     # multi-second host CPU-steal bursts that can poison BOTH runs of a
     # best-of-2); the min of three back-to-back runs is the steady-state
     # throughput a long-running cluster job pays, which is the quantity
-    # this bench exists to track.
+    # this bench exists to track. ``runs`` carries every (sec, steal)
+    # sample so the best-of selection is auditable after the fact.
     times: dict[str, float] = {}
+    runs: dict[str, list] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
+        samples = []
         for _ in range(3):
+            s0 = steal_jiffies()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            samples.append([round(dt, 3), steal_jiffies() - s0])
+            best = min(best, dt)
             release_all()  # operator caches don't outlive the query
         times[name] = round(best, 3)
+        runs[name] = samples
 
     total = round(sum(times.values()), 3)
     print(
@@ -139,6 +157,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs": runs,
+                "steal_jiffies_total": sum(
+                    s for rs in runs.values() for _, s in rs if s >= 0
+                ),
                 "setup": setup,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

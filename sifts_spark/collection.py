@@ -46,8 +46,12 @@ from sifts_spark.session import get_spark
 from sifts_spark.sources.store import DOC_SCHEMA, DocumentStore, validate_name
 
 # Default metadata column for bulk/streaming ingest: auto-detected if
-# present, NULL-filled if absent. Any OTHER missing column name raises.
+# present, NULL-filled if absent. Any EXPLICITLY passed missing column
+# name raises — including "metadata" itself, which is why the default
+# is a sentinel object rather than the string (an explicit
+# metadata_col="metadata" must be distinguishable from the default).
 DEFAULT_METADATA_COL = "metadata"
+_AUTO_METADATA = object()
 
 EmbeddingFunction = Callable[[list[str]], Sequence[Sequence[float]]]
 
@@ -126,28 +130,32 @@ class SparkCollection:
         df: DataFrame,
         id_col: str = "id",
         content_col: str = "content",
-        metadata_col: str | None = DEFAULT_METADATA_COL,
+        metadata_col: str | None = _AUTO_METADATA,  # type: ignore[assignment]
         embedding_col: str | None = None,
     ) -> None:
         """Bulk ingest path (the 100 TB route): any DataFrame in, ids
         defaulted with ``uuid()``, embeddings via a pandas_udf batch call
         on executors (Arrow) when an embedding_function is configured.
 
-        ``metadata_col``: the DEFAULT picks up a ``metadata`` column when
-        the frame has one (the canonical ingest shape from
-        sources/ingest.read_documents) and degrades to NULL when it
-        doesn't. An EXPLICITLY passed column that is absent raises —
-        silently dropping caller-visible metadata on a typo'd name is
-        the one wrong default."""
-        if metadata_col and metadata_col not in df.columns:
-            if metadata_col == DEFAULT_METADATA_COL:
-                metadata_col = None
-            else:
-                raise ValueError(
-                    f"metadata_col={metadata_col!r} not in DataFrame columns "
-                    f"{df.columns}; pass metadata_col=None to ingest without "
-                    "metadata"
-                )
+        ``metadata_col``: the DEFAULT (a sentinel, not the string) picks
+        up a ``metadata`` column when the frame has one (the canonical
+        ingest shape from sources/ingest.read_documents) and degrades to
+        NULL when it doesn't. ANY explicitly passed column that is
+        absent raises — even ``"metadata"`` itself — because silently
+        dropping caller-visible metadata on a typo'd name is the one
+        wrong default."""
+        if metadata_col is _AUTO_METADATA:
+            metadata_col = (
+                DEFAULT_METADATA_COL
+                if DEFAULT_METADATA_COL in df.columns
+                else None
+            )
+        elif metadata_col and metadata_col not in df.columns:
+            raise ValueError(
+                f"metadata_col={metadata_col!r} not in DataFrame columns "
+                f"{df.columns}; pass metadata_col=None to ingest without "
+                "metadata"
+            )
         if metadata_col:
             if df.schema[metadata_col].dataType.typeName() == "string":
                 meta_expr = F.col(metadata_col)

@@ -144,17 +144,57 @@ class DocumentStore:
     def _partition_dir(self, name: str) -> str:
         return f"{self.root}/name={urllib.parse.quote(name, safe='')}"
 
+    _BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
+    _RESERVE_RE = re.compile(r"^\.reserve-batch-(\d+)$")
+
     def _batch_dirs(self, name: str) -> list[str]:
         return sorted(
             d for d in self._ls_names(self._partition_dir(name))
-            if d.startswith("batch=")
+            if self._BATCH_DIR_RE.match(d)
         )
 
     def next_batch(self, name: str) -> int:
-        dirs = self._batch_dirs(name)
-        if not dirs:
-            return 1
-        return max(int(d.split("=", 1)[1]) for d in dirs) + 1
+        """Next unclaimed batch number: one past the max over BOTH
+        written batch dirs and in-flight reservation markers, so a
+        writer that reserved but hasn't materialized its dir yet still
+        holds its number against other writers."""
+        nums = [0]
+        for d in self._ls_names(self._partition_dir(name)):
+            m = self._BATCH_DIR_RE.match(d) or self._RESERVE_RE.match(d)
+            if m:
+                nums.append(int(m.group(1)))
+        return max(nums) + 1
+
+    def reserve_batch(self, name: str) -> int:
+        """Atomically claim the next batch number via a marker file.
+
+        ``FileSystem.createNewFile`` is atomic on local disk and HDFS
+        (O_EXCL / namenode create): of two racing writers exactly one
+        wins a number, the loser re-lists and claims the next. On
+        eventual-consistency object stores without atomic create the
+        marker narrows but cannot close the race — there, run one
+        writer per collection (the same contract Delta's S3 single-
+        writer LogStore documents) or front writes with a queue.
+
+        The marker outlives a FAILED write on purpose: the number stays
+        burned, so a half-written ``batch=N`` dir can never be claimed
+        by a later writer; readers never see N because ``_batch_dirs``
+        lists only materialized dirs and ``append_batch`` removes the
+        marker only after its write commits."""
+        part = self._partition_dir(name)
+        self._fs.mkdirs(self._Path(part))
+        for _ in range(64):
+            batch = self.next_batch(name)
+            marker = self._Path(f"{part}/.reserve-batch-{batch}")
+            try:
+                if self._fs.createNewFile(marker):
+                    return batch
+            except Exception:
+                pass  # lost the race for this number — re-list, try next
+        raise RuntimeError(
+            f"could not reserve a write batch for collection {name!r} "
+            "after 64 attempts — writer storm or stuck reservation markers"
+        )
 
     def collection_names(self) -> list[str]:
         return sorted(
@@ -182,9 +222,12 @@ class DocumentStore:
                 raise ValueError("append_batch requires an 'id' column")
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        batch = self.next_batch(name)
+        batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
         df.select(*cols).write.mode("errorifexists").parquet(out)
+        # Write committed: the dir itself now claims the number; the
+        # marker's remaining job (shielding an in-flight write) is done.
+        self._fs.delete(self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False)
         return batch
 
     def drop_collection(self, name: str) -> None:
@@ -202,9 +245,12 @@ class DocumentStore:
         current = self.read(name)
         # Materialize the deduped snapshot into a NEW batch dir (never
         # overwrite inputs mid-read), then drop the superseded batches.
-        batch = self.next_batch(name)
+        batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
         current.select([f.name for f in DOC_SCHEMA.fields]).write.parquet(out)
+        self._fs.delete(
+            self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False
+        )
         for d in old:
             self._delete_dir(f"{self._partition_dir(name)}/{d}")
         for d in self._postings_batch_dirs(name):

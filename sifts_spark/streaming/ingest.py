@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from sifts_spark.collection import DEFAULT_METADATA_COL, SparkCollection
+from sifts_spark.collection import _AUTO_METADATA, SparkCollection
 
 
 def make_idempotent_sink(
@@ -29,7 +29,7 @@ def make_idempotent_sink(
     checkpoint_dir: str,
     id_col: str = "id",
     content_col: str = "content",
-    metadata_col: str | None = DEFAULT_METADATA_COL,
+    metadata_col: str | None = _AUTO_METADATA,  # type: ignore[assignment]
 ):
     """foreachBatch sink with DURABLE per-batch commit markers.
 
@@ -47,10 +47,11 @@ def make_idempotent_sink(
     idempotent-by-value (newest-batch-wins read); with minted uuid ids
     it can duplicate — supply stable ids for end-to-end exactly-once.
 
-    ``metadata_col`` mirrors the batch default: a ``metadata`` column is
-    auto-detected when present (so streaming and batch ingest of the
-    canonical ``(id, content, metadata)`` frame agree), NULL-filled when
-    absent; an explicitly passed absent column raises in add_dataframe.
+    ``metadata_col`` mirrors the batch default (the same sentinel): a
+    ``metadata`` column is auto-detected when present (so streaming and
+    batch ingest of the canonical ``(id, content, metadata)`` frame
+    agree), NULL-filled when absent; ANY explicitly passed absent
+    column — including "metadata" itself — raises in add_dataframe.
     """
     spark = collection.store.spark
     jvm = spark._jvm
@@ -81,7 +82,7 @@ def stream_collection_ingest(
     checkpoint_dir: str,
     id_col: str = "id",
     content_col: str = "content",
-    metadata_col: str | None = DEFAULT_METADATA_COL,
+    metadata_col: str | None = _AUTO_METADATA,  # type: ignore[assignment]
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """readStream source → collection store, via foreachBatch.

@@ -81,3 +81,67 @@ def test_factory_url_dispatch(tmp_path, spark):
         Collection("postgresql://user@host/db", "test", spark=spark)
     with pytest.raises(ValueError, match="storage root"):
         Collection("postgres://user@host/db", "test", spark=spark)
+
+
+def test_concurrent_writers_reserve_distinct_batches(store_root, spark):
+    """Two handles on one collection: a reservation claimed before the
+    other writer's dir even exists must still push the second writer to
+    the next number (the reserve-marker protocol, atomic createNewFile)."""
+    from sifts_spark.sources.store import DocumentStore
+
+    a = DocumentStore(spark, store_root)
+    b = DocumentStore(spark, store_root)
+    # a reserves but has not materialized its batch dir yet (in-flight)
+    n1 = a.reserve_batch("c")
+    n2 = b.reserve_batch("c")  # must see a's marker, not reuse the number
+    assert (n1, n2) == (1, 2)
+
+    # both writes land under their reserved numbers
+    df1 = spark.createDataFrame([("x", "one")], "id string, content string")
+    df2 = spark.createDataFrame([("y", "two")], "id string, content string")
+    out1 = f"{a._partition_dir('c')}/batch={n1}"
+    out2 = f"{b._partition_dir('c')}/batch={n2}"
+    from pyspark.sql import functions as F
+    for df, out in ((df1, out1), (df2, out2)):
+        df.select(
+            "id", "content",
+            F.lit(None).cast("string").alias("metadata"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit(False).alias("deleted"),
+        ).write.parquet(out)
+    assert {r["id"] for r in a.read("c").collect()} == {"x", "y"}
+
+
+def test_interleaved_writers_via_append_batch(store_root, spark):
+    """Plain interleaved append_batch through two handles: distinct
+    batches, no leftover reservation markers, consistent snapshot."""
+    from sifts_spark.sources.store import DocumentStore
+
+    a = DocumentStore(spark, store_root)
+    b = DocumentStore(spark, store_root)
+    df = lambda i, c: spark.createDataFrame([(i, c)], "id string, content string")
+    assert a.append_batch("c", df("x", "one")) == 1
+    assert b.append_batch("c", df("y", "two")) == 2
+    assert a.append_batch("c", df("x", "one-v2")) == 3
+    # markers removed after committed writes
+    assert not [
+        n for n in a._ls_names(a._partition_dir("c")) if n.startswith(".reserve")
+    ]
+    got = {r["id"]: r["content"] for r in a.read("c").collect()}
+    assert got == {"x": "one-v2", "y": "two"}
+
+
+def test_failed_write_burns_the_reserved_number(store_root, spark):
+    """A reservation whose write never committed keeps its number burned
+    (marker survives), so later writers skip it and readers never see a
+    half-written dir."""
+    from sifts_spark.sources.store import DocumentStore
+
+    a = DocumentStore(spark, store_root)
+    n = a.reserve_batch("c")          # crash here: marker left behind
+    assert n == 1
+    b = DocumentStore(spark, store_root)
+    df = spark.createDataFrame([("y", "two")], "id string, content string")
+    assert b.append_batch("c", df) == 2
+    assert b._batch_dirs("c") == ["batch=2"]
+    assert [r["id"] for r in b.read("c").collect()] == ["y"]

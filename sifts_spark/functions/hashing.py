@@ -210,3 +210,45 @@ def simhash64_arrow(tokens_col: Column) -> Column:
         return pd.DataFrame({"simhash_hi": his, "simhash_lo": los})
 
     return _fp(tokens_col)
+
+
+def langid_arrow(text_col: Column, markers: dict) -> Column:
+    """text -> STRUCT<pred_lang STRING, lang_hits INT>: marker-word
+    language id in one Arrow pass — the batch twin of
+    :func:`sifts_spark.operators.textanalysis.language_id`'s expression
+    path, which pays 5 interpreted HOF filter-lambdas per doc (the top
+    profile entry at sf1: 14.8s). Tokenization is the proven
+    ``_py_tokenize`` twin; a token contributes one hit to EVERY language
+    whose marker set contains it (multiplicity kept), argmax with
+    alphabetical tiebreak, 0 hits -> 'und' — exactly the JVM semantics,
+    pinned by an impl-equivalence test."""
+    langs = sorted(markers)
+    lookup: dict[str, list[int]] = {}
+    for li, lang in enumerate(langs):
+        for w in markers[lang]:
+            lookup.setdefault(w, []).append(li)
+
+    @pandas_udf("struct<pred_lang: string, lang_hits: int>")
+    def _lid(texts: pd.Series) -> pd.DataFrame:
+        preds = np.empty(len(texts), dtype=object)
+        hits_out = np.empty(len(texts), dtype=object)
+        for row, txt in enumerate(texts):
+            if txt is None:
+                # JVM-twin parity: null text -> hits stay NULL, and the
+                # `WHEN hits > 0` guard falls to the 'und' branch.
+                preds[row] = "und"
+                hits_out[row] = None
+                continue
+            counts = [0] * len(langs)
+            for t in _py_tokenize(txt):
+                for li in lookup.get(t, ()):
+                    counts[li] += 1
+            best_li, best = 0, counts[0]
+            for li in range(1, len(langs)):
+                if counts[li] > best:
+                    best_li, best = li, counts[li]
+            preds[row] = langs[best_li] if best > 0 else "und"
+            hits_out[row] = best
+        return pd.DataFrame({"pred_lang": preds, "lang_hits": hits_out})
+
+    return _lid(text_col)

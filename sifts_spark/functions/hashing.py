@@ -252,3 +252,28 @@ def langid_arrow(text_col: Column, markers: dict) -> Column:
         return pd.DataFrame({"pred_lang": preds, "lang_hits": hits_out})
 
     return _lid(text_col)
+
+
+def stopword_count_arrow(text_col: Column, stopwords) -> Column:
+    """text -> INT count of tokens that are stopwords (multiplicity
+    kept) — the batch twin of
+    ``F.size(F.filter(tokenize(text), t -> array_contains(stop, t)))``,
+    the one interpreted HOF inside quality_score. Returns an INTEGER,
+    so the quality ratios and their F.round stay in the JVM expression:
+    zero float-parity surface. NULL text -> NULL (size(filter(null))
+    semantics in the twin return -1 for null arrays ONLY when size's
+    legacy flag is set; modern Spark returns NULL — pinned by the
+    equivalence test)."""
+    stop = frozenset(stopwords)
+
+    @pandas_udf("int")
+    def _nstop(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=object)
+        for row, txt in enumerate(texts):
+            if txt is None:
+                out[row] = None
+            else:
+                out[row] = sum(1 for t in _py_tokenize(txt) if t in stop)
+        return pd.Series(out)
+
+    return _nstop(text_col)

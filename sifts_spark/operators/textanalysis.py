@@ -50,7 +50,12 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_COUNT_RE), 0))
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "hof",
+) -> DataFrame:
     """Heuristic quality score in [0,1] → (id, punct_ratio,
     stopword_ratio, quality).
 
@@ -59,12 +64,30 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
       * type-token ratio (repetition penalty)
       * stopword ratio (too few stopwords = listy/non-prose)
       * punctuation density (too much = markup/noise)
+
+    ``impl="hof"`` (default) is pure JVM expression. Unlike language_id
+    (5 filter lambdas — Arrow kernel 20× at sf1), the single stopword
+    HOF here is NOT the dominant cost: measured head-to-head, swapping
+    it for the Arrow count kernel (``impl="arrow"``, zero float-parity
+    surface — the kernel returns an INTEGER and every ratio/round stays
+    JVM-side) is ~17% faster at sf1 but 40% slower at sf0.1 from the
+    Python worker constant. The expression path wins on plan purity;
+    the kernel stays available for corpora where the crossover flips.
     """
     text = F.col(text_col)
     toks = tokenize(text)
     n = F.size(toks)
-    stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    if impl == "arrow":
+        from sifts_spark.functions.hashing import (
+            ensure_min_parallelism,
+            stopword_count_arrow,
+        )
+
+        docs = ensure_min_parallelism(docs)
+        n_stop = stopword_count_arrow(text, LANG_MARKERS["en"])
+    else:
+        stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
     punct_ratio = F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
     stop_ratio = F.round(n_stop.cast("double") / F.greatest(n, F.lit(1)), 6)

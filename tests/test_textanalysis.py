@@ -43,3 +43,22 @@ def test_langid_arrow_matches_hof_on_edge_rows(spark):
     # tie on "la la la": fr/es/it all score 3 -> alphabetically first
     assert arrow[4] == ("es", 3) or arrow[4] == ("fr", 3) or arrow[4] == ("it", 3)
     assert arrow[4] == hof[4]
+
+
+def test_quality_arrow_matches_hof(spark):
+    from sifts_spark.operators.textanalysis import quality_score
+
+    rows = [
+        (1, "the cat and the hat was in that box of things"),
+        (2, "zzz!!! ??? ###"),
+        (3, ""),
+        (4, None),
+        (5, "the " * 60),             # length saturation + repetition
+        (6, "a b c d e f g h i j"),   # short, no stopwords beyond 'a'
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["id"]: (r["punct_ratio"], r["stopword_ratio"], r["quality"])
+         for r in quality_score(docs, impl="arrow").collect()}
+    h = {r["id"]: (r["punct_ratio"], r["stopword_ratio"], r["quality"])
+         for r in quality_score(docs, impl="hof").collect()}
+    assert a == h

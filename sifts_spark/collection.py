@@ -66,12 +66,20 @@ class SparkCollection:
         embedding_function: EmbeddingFunction | None = None,
         use_fts: bool = True,
         spark: SparkSession | None = None,
+        auto_compact_batches: int | None = None,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
         self.use_fts = use_fts
         self.spark = spark or get_spark()
         self.store = DocumentStore(self.spark, root)
+        # LSM write amplification control: every read resolves
+        # newest-batch-wins across ALL live batches, so an append-heavy
+        # collection accretes read-side work. When set, any write that
+        # leaves >= N batches triggers compact() inline — the auto-
+        # OPTIMIZE posture; leave None to schedule compaction yourself
+        # (the Delta-OPTIMIZE-on-a-cron posture, right for bulk loads).
+        self.auto_compact_batches = auto_compact_batches
         # (N, avgdl) memo keyed by the store's batch-dir snapshot: text
         # queries pass these two scalars into BM25 instead of running a
         # stats aggregation per query; any write changes the batch list
@@ -226,9 +234,15 @@ class SparkCollection:
     def _maintain_index(self) -> None:
         """W3: derived-index maintenance on every write (reference
         core.py:504-514 — fts index updated in the same add). Writes a
-        postings batch for the just-appended docs batch."""
+        postings batch for the just-appended docs batch, then applies
+        the auto-compaction policy if configured."""
         if self.use_fts:
             self.store.maintain_postings(self.name)
+        if (
+            self.auto_compact_batches
+            and len(self.store._batch_dirs(self.name)) >= self.auto_compact_batches
+        ):
+            self.compact()
 
     # ------------------------------------------------------------------
     # read path
@@ -402,6 +416,7 @@ def Collection(
     embedding_function: EmbeddingFunction | None = None,
     use_fts: bool = True,
     spark: SparkSession | None = None,
+    auto_compact_batches: int | None = None,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -433,5 +448,10 @@ def Collection(
             root = root[len(prefix):] or "./sifts_spark_store"
             break
     return SparkCollection(
-        root, name, embedding_function=embedding_function, use_fts=use_fts, spark=spark
+        root,
+        name,
+        embedding_function=embedding_function,
+        use_fts=use_fts,
+        spark=spark,
+        auto_compact_batches=auto_compact_batches,
     )

@@ -354,3 +354,22 @@ def test_corpus_stats_sees_external_writer(store_root, spark):
     assert a._corpus_stats() == (1, 2.0)
     b.add(["three four five six"], ids=["2"])
     assert a._corpus_stats() == (2, 3.0)
+
+
+def test_auto_compaction_bounds_batches(store_root, spark):
+    """auto_compact_batches folds the LSM once the batch count reaches
+    the threshold: snapshot identical, postings still serve FTS, and
+    upsert/delete semantics survive the fold."""
+    col = Collection(store_root, "ac", spark=spark, auto_compact_batches=3)
+    col.add(["alpha doc"], ids=["1"])
+    col.add(["beta doc"], ids=["2"])
+    assert len(col.store._batch_dirs("ac")) == 2   # below threshold
+    col.add(["gamma doc"], ids=["3"])              # 3rd batch -> compact
+    assert len(col.store._batch_dirs("ac")) == 1
+    col.add(["alpha doc v2 zzz"], ids=["1"])       # upsert post-compact
+    col.delete(["2"])                              # 3 batches again -> compact
+    assert len(col.store._batch_dirs("ac")) == 1
+    got = {r["id"]: r["content"] for r in col.store.read("ac").collect()}
+    assert got == {"1": "alpha doc v2 zzz", "3": "gamma doc"}
+    q = col.query("zzz")
+    assert q["total"] == 1 and q["results"][0]["id"] == "1"

@@ -189,3 +189,38 @@ def stream_stream_enrich_join(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+def stream_collection_appends(collection: SparkCollection) -> DataFrame:
+    """Tail a collection as a streaming CHANGE FEED of appended rows.
+
+    The store's append-only layout makes this free: every write lands as
+    new parquet files under ``name=<collection>/batch=N/``, so Spark's
+    file stream source — pointed at the partition directory with a
+    recursive lookup — discovers each batch's files in the micro-batch
+    after they appear. The outbound complement of
+    :func:`stream_into_collection`: downstream consumers (index
+    builders, replicators, trainers) subscribe to a collection instead
+    of polling snapshots.
+
+    Semantics: an APPEND feed, exactly the store's write log — upserts
+    arrive as new versions of an id, deletes as ``deleted=true``
+    tombstones; consumers needing snapshot semantics apply
+    newest-batch-wins downstream (``resolve_snapshot`` is the batch
+    helper) or subscribe pre-resolved aggregates. The ``batch`` column
+    is not exposed (Spark's file source sees files, not partition dirs,
+    under a recursive glob) — version order rides on arrival order, or
+    re-read the store in batch when total order matters.
+    """
+    store = collection.store
+    part = store._partition_dir(collection.name)
+    # The dir must exist before a stream can watch it.
+    store._fs.mkdirs(store.spark._jvm.org.apache.hadoop.fs.Path(part))
+    from sifts_spark.sources.store import DOC_SCHEMA
+
+    return (
+        store.spark.readStream.schema(DOC_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(part)
+    )

@@ -205,3 +205,40 @@ def test_stream_stream_join_bounded_and_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM ssjoin").first()["n"]
     assert got == n_batch
+
+
+def test_stream_collection_appends_is_a_change_feed(spark, tmp_path):
+    """Writes made AFTER the stream starts are discovered by later
+    micro-batches: upsert versions and tombstones arrive as appended
+    rows (the store's write log), not snapshot diffs."""
+    from sifts_spark.collection import Collection
+    from sifts_spark.streaming.ingest import stream_collection_appends
+
+    col = Collection(str(tmp_path / "store"), "feed", spark=spark)
+    col.add(["first doc"], ids=["1"])
+
+    feed = stream_collection_appends(col)
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("feed_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        col.add(["first doc v2"], ids=["1"])   # upsert -> new version row
+        col.delete(["1"])                      # tombstone row
+        col.add(["second doc"], ids=["2"])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT id, content, deleted FROM feed_sink ORDER BY id, content"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["id"], r["content"], r["deleted"]) for r in rows}
+    assert ("1", "first doc", False) in got
+    assert ("1", "first doc v2", False) in got
+    assert ("1", None, True) in got            # tombstone
+    assert ("2", "second doc", False) in got
+    assert len(got) == 4

@@ -67,6 +67,7 @@ class SparkCollection:
         use_fts: bool = True,
         spark: SparkSession | None = None,
         auto_compact_batches: int | None = None,
+        vacuum_grace_seconds: float = 300.0,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
@@ -80,12 +81,21 @@ class SparkCollection:
         # OPTIMIZE posture; leave None to schedule compaction yourself
         # (the Delta-OPTIMIZE-on-a-cron posture, right for bulk loads).
         self.auto_compact_batches = auto_compact_batches
-        # (N, avgdl) memo keyed by the store's batch-dir snapshot: text
-        # queries pass these two scalars into BM25 instead of running a
-        # stats aggregation per query; any write changes the batch list
-        # and invalidates the key (concurrent external writers too —
-        # the key is re-listed from the store, not tracked locally).
-        self._stats_cache: dict[tuple[str, ...], tuple[int, float]] = {}
+        # Retention clock handed to store.vacuum() after facade-driven
+        # compactions: superseded batches stay on disk this long so any
+        # in-flight reader planned pre-compact keeps its files (Delta's
+        # VACUUM retention contract). 0 reclaims immediately —
+        # single-threaded callers only.
+        self.vacuum_grace_seconds = vacuum_grace_seconds
+        # (N, avgdl) memo keyed by a LOCAL write-version counter: text
+        # queries pass these two scalars into BM25 with ZERO filesystem
+        # metadata ops on the hot path (the previous key was a fresh
+        # batch-dir LIST — an RTT per query on an object store). Our own
+        # writes bump the counter; EXTERNAL writers' batches are picked
+        # up by the postings read (manifest-resolved per query) but the
+        # two cached stats scalars need refresh() — documented contract.
+        self._docs_version = 0
+        self._stats_cache: dict[int, tuple[int, float]] = {}
 
     # ------------------------------------------------------------------
     # write path
@@ -227,15 +237,28 @@ class SparkCollection:
     def delete_all(self) -> None:
         """Drop the collection partition (core.py:386-400)."""
         self.store.drop_collection(self.name)
+        self._docs_version += 1
 
-    def compact(self) -> None:
+    def compact(self, vacuum: bool = True) -> None:
+        """OPTIMIZE + (optionally) VACUUM: fold live batches, then
+        reclaim superseded dirs older than ``vacuum_grace_seconds``."""
         self.store.compact(self.name, postings=self.use_fts)
+        if vacuum:
+            self.store.vacuum(self.name, self.vacuum_grace_seconds)
+
+    def refresh(self) -> None:
+        """Invalidate cached per-snapshot query constants (BM25 corpus
+        stats). Call after a DIFFERENT process/handle wrote to this
+        collection; your own writes through this facade invalidate
+        automatically."""
+        self._docs_version += 1
 
     def _maintain_index(self) -> None:
         """W3: derived-index maintenance on every write (reference
         core.py:504-514 — fts index updated in the same add). Writes a
         postings batch for the just-appended docs batch, then applies
         the auto-compaction policy if configured."""
+        self._docs_version += 1
         if self.use_fts:
             self.store.maintain_postings(self.name)
         if (
@@ -373,10 +396,10 @@ class SparkCollection:
         return df, is_search
 
     def _corpus_stats(self) -> tuple[int, float]:
-        """Memoized (N, avgdl) for BM25 — recomputed only when the
-        store's batch snapshot changes (our writes or a concurrent
-        writer's; the cache key is the freshly listed batch-dir tuple)."""
-        key = tuple(self.store._batch_dirs(self.name))
+        """Memoized (N, avgdl) for BM25 — recomputed when THIS facade
+        writes (local version counter, no filesystem metadata op on the
+        query path). External writers: call :meth:`refresh`."""
+        key = self._docs_version
         hit = self._stats_cache.get(key)
         if hit is None:
             hit = self.store.corpus_stats(self.name)
@@ -417,6 +440,7 @@ def Collection(
     use_fts: bool = True,
     spark: SparkSession | None = None,
     auto_compact_batches: int | None = None,
+    vacuum_grace_seconds: float = 300.0,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -454,4 +478,5 @@ def Collection(
         use_fts=use_fts,
         spark=spark,
         auto_compact_batches=auto_compact_batches,
+        vacuum_grace_seconds=vacuum_grace_seconds,
     )

@@ -21,7 +21,32 @@ layout that gives Spark-native upsert/delete WITHOUT requiring Delta:
   like Delta ``replaceWhere`` — core.py:386-400 parity).
 * ``compact()`` folds a collection's batches into one, bounding the
   read-time dedup cost; at 100 TB you run it on a schedule exactly like
-  Delta OPTIMIZE.
+  Delta OPTIMIZE. Compaction never deletes data: it publishes a new
+  ``_manifest`` that stops referencing the superseded batches, and
+  ``vacuum()`` reclaims them later — the Delta OPTIMIZE/VACUUM split.
+
+**The `_manifest` (transactional metadata).** Each collection carries a
+tiny JSON file ``name=X/_manifest`` — the live batch list plus the
+postings/doclen sidecar batch lists — written to a temp name and
+**renamed into place** (atomic on local/HDFS; on S3A rename is
+copy+delete, hence the single-writer contract below). Readers resolve
+batch dirs through the manifest (one small read, no LIST) and fall back
+to a directory LIST when it is absent or unreadable — pre-manifest
+stores keep working. This is what the reference gets from DB
+transactions (core.py:446-455, :592-601), reconstructed Delta-log-style:
+
+* **compact-vs-reader race closed**: a reader that planned against the
+  old manifest still has its files on disk until ``vacuum(min_age)``
+  reclaims them; size ``min_age`` above your longest query, exactly
+  Delta's VACUUM retention contract.
+* **writer contract**: concurrent ``append_batch`` writers are safe on
+  any FS with atomic create (local/HDFS) — each publish re-derives the
+  live list from the materialized dirs, so interleaved publishes
+  converge instead of losing updates. ``compact``/``vacuum`` assume a
+  single maintenance process (the Delta-on-S3 single-writer posture);
+  the worst interleaving re-lists a superseded batch, which is
+  value-identical dead weight under newest-batch-wins (the folded batch
+  outranks everything it folded), reclaimed by the next compact.
 
 **Object-store safe**: every layout/metadata operation (batch discovery,
 partition drop, compaction cleanup) goes through the Hadoop FileSystem
@@ -46,13 +71,21 @@ the near-empty post-filter partitions.
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import time
 import urllib.parse
+import uuid
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Sentinel distinguishing "no manifest passed" from "there is no manifest
+# (use a directory LIST)" in the read-path helpers.
+_UNSET = object()
 
 # Canonical document schema (reference core.py:457-482 + embedding column).
 # metadata is a JSON STRING (schemaless, like SQLite's JSON TEXT column);
@@ -147,7 +180,114 @@ class DocumentStore:
     _BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
     _RESERVE_RE = re.compile(r"^\.reserve-batch-(\d+)$")
 
-    def _batch_dirs(self, name: str) -> list[str]:
+    # ---- manifest: the collection's transactional metadata --------------
+    #
+    # One JSON file per collection, atomically renamed into place:
+    #   {"version": n, "batches": [...], "postings": [...],
+    #    "doclens": [...], "superseded_at": {"<batch>": epoch_s}}
+    # Readers resolve through it (one open+read, no LIST — an RTT saver
+    # on object stores); writers re-publish after every layout change.
+    # Absent/unreadable manifest -> LIST fallback, which is always
+    # value-identical: it can only ADD superseded batches, and
+    # newest-batch-wins resolution makes those dead weight, not wrong
+    # answers (the folded batch outranks every batch it folded).
+
+    def _manifest_path(self, name: str) -> str:
+        return f"{self._partition_dir(name)}/_manifest"
+
+    def read_manifest(self, name: str) -> dict | None:
+        """The collection's manifest, or None (no manifest / unreadable
+        / mid-replace window) — callers fall back to a directory LIST."""
+        p = self._Path(self._manifest_path(name))
+        try:
+            if not self._fs.exists(p):
+                return None
+            stream = self._fs.open(p)
+            try:
+                raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            m = json.loads(raw)
+            if not isinstance(m, dict) or not isinstance(m.get("batches"), list):
+                return None
+            return m
+        except Exception:
+            return None
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        """Write-to-temp + rename-into-place. Hadoop rename refuses to
+        clobber, so replacing an existing manifest is delete+rename —
+        the sub-millisecond no-manifest window in between degrades
+        readers to the (value-identical) LIST fallback, never to an
+        error."""
+        part = self._partition_dir(name)
+        tmp = self._Path(f"{part}/._manifest.tmp-{uuid.uuid4().hex}")
+        dst = self._Path(self._manifest_path(name))
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        if not self._fs.rename(tmp, dst):
+            self._fs.delete(dst, False)
+            if not self._fs.rename(tmp, dst):
+                self._fs.delete(tmp, False)
+                raise IOError(
+                    f"could not publish manifest for collection {name!r}"
+                )
+
+    def _publish_manifest(
+        self, name: str, superseded: set[int] | None = None
+    ) -> dict:
+        """Re-derive and publish the manifest.
+
+        The live lists come from a LIST of materialized dirs minus the
+        accumulated superseded set — NOT from read-modify-write of the
+        previous batch list — so two interleaved appenders converge on
+        the union of their batches instead of losing an update. Newly
+        superseded batches (compact) are stamped with the current time;
+        ``vacuum`` honors that stamp as the retention clock."""
+        prev = self.read_manifest(name) or {}
+        sup_at = {
+            str(k): float(v)
+            for k, v in (prev.get("superseded_at") or {}).items()
+        }
+        if superseded:
+            now = time.time()
+            for n in superseded:
+                sup_at.setdefault(str(n), now)
+
+        def _nums(names: list[str]) -> set[int]:
+            out = set()
+            for d in names:
+                m = self._BATCH_DIR_RE.match(d)
+                if m:
+                    out.add(int(m.group(1)))
+            return out
+
+        mat = _nums(self._ls_names(self._partition_dir(name)))
+        post = _nums(self._ls_names(self._postings_dir(name)))
+        dl = _nums(self._ls_names(self._doclen_dir(name)))
+        sup = {int(k) for k in sup_at}
+        # prune stamps whose dirs are fully reclaimed (post-vacuum)
+        sup_at = {k: v for k, v in sup_at.items() if int(k) in (mat | post | dl)}
+        m = {
+            "version": int(prev.get("version", 0)) + 1,
+            "batches": sorted(mat - sup),
+            "postings": sorted(post - sup),
+            "doclens": sorted(dl - sup),
+            "superseded_at": sup_at,
+        }
+        self._write_manifest(name, m)
+        return m
+
+    def _batch_dirs(self, name: str, manifest=_UNSET) -> list[str]:
+        """Live docs batch dirs, manifest-resolved (LIST fallback)."""
+        m = self.read_manifest(name) if manifest is _UNSET else manifest
+        if m is not None:
+            return [f"batch={n}" for n in sorted(int(x) for x in m["batches"])]
         return sorted(
             d for d in self._ls_names(self._partition_dir(name))
             if self._BATCH_DIR_RE.match(d)
@@ -189,12 +329,42 @@ class DocumentStore:
             try:
                 if self._fs.createNewFile(marker):
                     return batch
-            except Exception:
-                pass  # lost the race for this number — re-list, try next
+                # createNewFile returned false: marker exists — lost the
+                # race for this number; re-list and try the next.
+            except Py4JJavaError as e:
+                # Only an already-exists signal means "lost the race".
+                # Anything else (permissions, connectivity, unsupported
+                # op) is a REAL failure: retrying 64 times would bury
+                # the cause under a misleading 'writer storm' error.
+                jcls = e.java_exception.getClass().getName()
+                if not (
+                    "AlreadyExists" in jcls or "AlreadyBeingCreated" in jcls
+                ):
+                    raise
         raise RuntimeError(
             f"could not reserve a write batch for collection {name!r} "
             "after 64 attempts — writer storm or stuck reservation markers"
         )
+
+    def _gc_markers(self, name: str) -> None:
+        """Delete reservation markers numbered <= the max MATERIALIZED
+        batch. Safe: ``next_batch`` claims strictly past the max over
+        dirs AND markers, so once a higher batch dir exists a lower
+        number can never be re-issued — the marker's burn-the-number job
+        is done. Without this, failed-write markers accrete forever and
+        every ``next_batch`` LIST on a long-lived collection pays for
+        them."""
+        part = self._partition_dir(name)
+        names = self._ls_names(part)
+        maxb = 0
+        for d in names:
+            m = self._BATCH_DIR_RE.match(d)
+            if m:
+                maxb = max(maxb, int(m.group(1)))
+        for d in names:
+            m = self._RESERVE_RE.match(d)
+            if m and int(m.group(1)) <= maxb:
+                self._fs.delete(self._Path(f"{part}/{d}"), False)
 
     def collection_names(self) -> list[str]:
         return sorted(
@@ -228,6 +398,8 @@ class DocumentStore:
         # Write committed: the dir itself now claims the number; the
         # marker's remaining job (shielding an in-flight write) is done.
         self._fs.delete(self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False)
+        self._gc_markers(name)
+        self._publish_manifest(name)
         return batch
 
     def drop_collection(self, name: str) -> None:
@@ -236,37 +408,87 @@ class DocumentStore:
         self._delete_dir(self._doclen_dir(name))
 
     def compact(self, name: str, postings: bool = False) -> None:
-        """Fold all batches of a collection into a single new batch;
-        stale postings batches are dropped with their docs batches (the
-        OPTIMIZE moment where liveness-join dead weight is reclaimed)."""
+        """Fold the live batches of a collection into a single new batch
+        and publish a manifest that stops referencing the old ones —
+        Delta OPTIMIZE. Nothing is deleted here: a reader that planned
+        against the pre-compact manifest still finds its files until
+        :meth:`vacuum` reclaims them (the compact-vs-reader FileNotFound
+        race the reference avoids via DB transactions, core.py:446-455,
+        is closed by the manifest + deferred reclamation)."""
         old = self._batch_dirs(name)
         if len(old) <= 1:
             return
         current = self.read(name)
         # Materialize the deduped snapshot into a NEW batch dir (never
-        # overwrite inputs mid-read), then drop the superseded batches.
+        # overwrite inputs mid-read), then flip the manifest.
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
         current.select([f.name for f in DOC_SCHEMA.fields]).write.parquet(out)
         self._fs.delete(
             self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False
         )
-        for d in old:
-            self._delete_dir(f"{self._partition_dir(name)}/{d}")
-        for d in self._postings_batch_dirs(name):
-            if d != f"batch={batch}":
-                self._delete_dir(f"{self._postings_dir(name)}/{d}")
-        for d in self._doclen_batch_dirs(name):
-            if d != f"batch={batch}":
-                self._delete_dir(f"{self._doclen_dir(name)}/{d}")
+        old_nums = {int(d.split("=", 1)[1]) for d in old}
+        self._publish_manifest(name, superseded=old_nums)
+        self._gc_markers(name)
         if postings:
             self.maintain_postings(name)
 
+    def vacuum(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim batch dirs (docs + postings + doclens) no longer
+        referenced by the manifest — Delta VACUUM. ``min_age_seconds``
+        is the retention clock, measured from when compaction superseded
+        the batch (its ``superseded_at`` stamp; dir mtime as fallback):
+        size it above your longest-running query so an in-flight plan
+        never loses files from under itself. Returns the deleted paths.
+
+        Only batches numbered BELOW the max live batch are candidates,
+        so a concurrent appender's freshly materialized (not yet
+        published) dir is never touched. No-op on pre-manifest stores —
+        without a manifest there is no record of what is dead."""
+        m = self.read_manifest(name)
+        if m is None:
+            return []
+        live = {int(x) for x in m.get("batches", [])}
+        maxb = max(live, default=0)
+        sup_at = {int(k): float(v) for k, v in (m.get("superseded_at") or {}).items()}
+        cutoff = time.time() - min_age_seconds
+        deleted: list[str] = []
+        for base in (
+            self._partition_dir(name),
+            self._postings_dir(name),
+            self._doclen_dir(name),
+        ):
+            for d in self._ls_names(base):
+                mm = self._BATCH_DIR_RE.match(d)
+                if not mm:
+                    continue
+                n = int(mm.group(1))
+                if n in live or n >= maxb:
+                    continue
+                path = f"{base}/{d}"
+                stamp = sup_at.get(n)
+                if stamp is None:
+                    try:
+                        stamp = (
+                            self._fs.getFileStatus(self._Path(path))
+                            .getModificationTime() / 1000.0
+                        )
+                    except Exception:
+                        continue
+                if stamp > cutoff:
+                    continue
+                self._delete_dir(path)
+                deleted.append(path)
+        self._gc_markers(name)
+        if deleted:
+            self._publish_manifest(name)
+        return deleted
+
     # ---- read path ----
 
-    def read_raw(self, name: str) -> DataFrame:
+    def read_raw(self, name: str, manifest=_UNSET) -> DataFrame:
         """All batches of one collection, versions + tombstones included."""
-        dirs = self._batch_dirs(name)
+        dirs = self._batch_dirs(name, manifest)
         if not dirs:
             return self.spark.createDataFrame([], DOC_SCHEMA).withColumn(
                 "batch", F.lit(0).cast("long")
@@ -283,10 +505,10 @@ class DocumentStore:
         """Current snapshot: newest version per id, tombstones dropped."""
         return resolve_snapshot(self.read_raw(name))
 
-    def live_versions(self, name: str) -> DataFrame:
+    def live_versions(self, name: str, manifest=_UNSET) -> DataFrame:
         """(id, batch) of the winning non-deleted version per id — a
         column-pruned scan (parquet reads id/batch/deleted only)."""
-        raw = self.read_raw(name).select("id", "batch", "deleted")
+        raw = self.read_raw(name, manifest).select("id", "batch", "deleted")
         w = Window.partitionBy("id").orderBy(F.col("batch").desc())
         return (
             raw.withColumn("_rn", F.row_number().over(w))
@@ -311,7 +533,10 @@ class DocumentStore:
     def _postings_dir(self, name: str) -> str:
         return f"{self.root}/_postings/name={urllib.parse.quote(name, safe='')}"
 
-    def _postings_batch_dirs(self, name: str) -> list[str]:
+    def _postings_batch_dirs(self, name: str, manifest=_UNSET) -> list[str]:
+        m = self.read_manifest(name) if manifest is _UNSET else manifest
+        if m is not None and isinstance(m.get("postings"), list):
+            return [f"batch={n}" for n in sorted(int(x) for x in m["postings"])]
         return sorted(
             d for d in self._ls_names(self._postings_dir(name))
             if d.startswith("batch=")
@@ -331,7 +556,10 @@ class DocumentStore:
     def _doclen_dir(self, name: str) -> str:
         return f"{self.root}/_doclen/name={urllib.parse.quote(name, safe='')}"
 
-    def _doclen_batch_dirs(self, name: str) -> list[str]:
+    def _doclen_batch_dirs(self, name: str, manifest=_UNSET) -> list[str]:
+        m = self.read_manifest(name) if manifest is _UNSET else manifest
+        if m is not None and isinstance(m.get("doclens"), list):
+            return [f"batch={n}" for n in sorted(int(x) for x in m["doclens"])]
         return sorted(
             d for d in self._ls_names(self._doclen_dir(name))
             if d.startswith("batch=")
@@ -355,8 +583,9 @@ class DocumentStore:
         """Write postings (and doclen-sidecar) batches for every docs
         batch that lacks one (normally exactly the batch just appended).
         Idempotent; overwrite mode heals partial writes."""
-        have = set(self._postings_batch_dirs(name))
-        for d in self._batch_dirs(name):
+        mf = self.read_manifest(name)
+        have = set(self._postings_batch_dirs(name, mf))
+        for d in self._batch_dirs(name, mf):
             if d in have:
                 continue
             p = self._build_batch_postings(name, d)
@@ -371,13 +600,16 @@ class DocumentStore:
         # Doclens derive from the WRITTEN postings parquet (no second
         # tokenize pass); a doclen batch trails its postings batch only
         # across a crash, and heals here / lazily in read_doclens.
-        have_dl = set(self._doclen_batch_dirs(name))
-        for d in self._postings_batch_dirs(name):
+        # NOTE: re-LIST (not the pre-loop manifest) — the loop above may
+        # have just written postings batches the manifest doesn't list.
+        have_dl = set(self._doclen_batch_dirs(name, None))
+        for d in self._postings_batch_dirs(name, None):
             if d in have_dl:
                 continue
             self._batch_doclens_from_postings(name, d).write.mode(
                 "overwrite"
             ).parquet(f"{self._doclen_dir(name)}/{d}")
+        self._publish_manifest(name)
 
     def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:
         batch = int(batch_dir.split("=", 1)[1])
@@ -395,7 +627,8 @@ class DocumentStore:
         for any docs batch not yet indexed (crash healing / stores
         written with use_fts off), then joined with the live (id, batch)
         winners so stale versions and tombstoned docs drop out."""
-        docs_dirs = self._batch_dirs(name)
+        mf = self.read_manifest(name)
+        docs_dirs = self._batch_dirs(name, mf)
         POSTINGS_SCHEMA = T.StructType(
             [
                 T.StructField("term", T.StringType(), True),
@@ -406,7 +639,7 @@ class DocumentStore:
         )
         if not docs_dirs:
             return self.spark.createDataFrame([], POSTINGS_SCHEMA)
-        have = set(self._postings_batch_dirs(name))
+        have = set(self._postings_batch_dirs(name, mf))
         on_disk = [d for d in docs_dirs if d in have]
         missing = [d for d in docs_dirs if d not in have]
         parts: list[DataFrame] = []
@@ -422,7 +655,7 @@ class DocumentStore:
         p = parts[0]
         for more in parts[1:]:
             p = p.unionByName(more)
-        live = self.live_versions(name)
+        live = self.live_versions(name, mf)
         return p.join(live, ["id", "batch"]).select("term", "id", "dl", "tf")
 
     def read_doclens(self, name: str) -> DataFrame:
@@ -430,7 +663,8 @@ class DocumentStore:
         read path. Missing sidecar batches (crash, use_fts=False stores)
         fall back to the batch postings (on disk if present, else built
         from the docs batch), so the result is always exact."""
-        docs_dirs = self._batch_dirs(name)
+        mf = self.read_manifest(name)
+        docs_dirs = self._batch_dirs(name, mf)
         DL_SCHEMA = T.StructType(
             [
                 T.StructField("id", T.StringType(), True),
@@ -440,8 +674,8 @@ class DocumentStore:
         )
         if not docs_dirs:
             return self.spark.createDataFrame([], DL_SCHEMA)
-        have = set(self._doclen_batch_dirs(name))
-        have_postings = set(self._postings_batch_dirs(name))
+        have = set(self._doclen_batch_dirs(name, mf))
+        have_postings = set(self._postings_batch_dirs(name, mf))
         on_disk = [d for d in docs_dirs if d in have]
         parts: list[DataFrame] = []
         if on_disk:
@@ -465,7 +699,7 @@ class DocumentStore:
         p = parts[0]
         for more in parts[1:]:
             p = p.unionByName(more)
-        live = self.live_versions(name)
+        live = self.live_versions(name, mf)
         return p.join(live, ["id", "batch"]).select("id", "dl")
 
     def corpus_stats(self, name: str) -> tuple[int, float]:

@@ -345,14 +345,22 @@ def test_corpus_stats_sidecar_exact_and_cached(store_root, spark):
     assert calls == []  # served from the memo both times
 
 
-def test_corpus_stats_sees_external_writer(store_root, spark):
-    """The memo key is the freshly listed batch snapshot, so a SECOND
-    Collection handle writing to the same store invalidates it."""
+def test_corpus_stats_external_writer_needs_refresh(store_root, spark):
+    """The memo key is a LOCAL write-version counter (zero filesystem
+    metadata ops on the query path): a SECOND handle's write leaves the
+    cached stats scalars stale until refresh() — the documented
+    external-writer contract. The postings themselves are manifest-
+    resolved per query, so the new DOCUMENT is searchable either way;
+    only the two BM25 constants lag."""
     a = Collection(store_root, "shared", spark=spark)
     b = Collection(store_root, "shared", spark=spark)
     a.add(["one two"], ids=["1"])
     assert a._corpus_stats() == (1, 2.0)
     b.add(["three four five six"], ids=["2"])
+    assert a._corpus_stats() == (1, 2.0)   # memoized: stale by design
+    # b's doc is already VISIBLE to a's queries (manifest-resolved read)
+    assert a.query("three")["total"] == 1
+    a.refresh()
     assert a._corpus_stats() == (2, 3.0)
 
 

@@ -145,3 +145,157 @@ def test_failed_write_burns_the_reserved_number(store_root, spark):
     assert b.append_batch("c", df) == 2
     assert b._batch_dirs("c") == ["batch=2"]
     assert [r["id"] for r in b.read("c").collect()] == ["y"]
+
+
+# ---------------------------------------------------------------- manifest
+
+
+def test_manifest_published_and_resolved(store_root, spark):
+    """Every committed write publishes a `_manifest`; readers resolve
+    batch dirs through it (no LIST on the read path)."""
+    col = Collection(store_root, "m", spark=spark)
+    col.add(["one"], ids=["a"])
+    col.add(["two"], ids=["b"])
+    m = col.store.read_manifest("m")
+    assert m is not None and m["batches"] == [1, 2]
+    assert m["postings"] == [1, 2] and m["doclens"] == [1, 2]
+    assert m["version"] >= 2
+    # manifest is authoritative: _batch_dirs resolves through it
+    assert col.store._batch_dirs("m") == ["batch=1", "batch=2"]
+
+
+def test_compact_does_not_delete_until_vacuum(store_root, spark):
+    """OPTIMIZE/VACUUM split: a reader whose plan was built BEFORE
+    compact() still executes correctly AFTER it — the superseded batch
+    dirs survive until vacuum's retention clock expires (the
+    compact-vs-reader FileNotFound race, closed)."""
+    from sifts_spark.sources.store import DocumentStore
+
+    col = Collection(store_root, "r", spark=spark)
+    col.add(["alpha doc"], ids=["1"])
+    col.add(["beta doc"], ids=["2"])
+    col.delete(["1"])
+
+    deferred = col.store.read("r")          # plan against pre-compact manifest
+    col.store.compact("r", postings=True)   # flip manifest; no deletion
+
+    # deferred reader executes AFTER the compact: files still there
+    assert {r["id"] for r in deferred.collect()} == {"2"}
+
+    # a NEW reader sees only the folded batch
+    store2 = DocumentStore(spark, store_root)
+    m = store2.read_manifest("r")
+    assert len(m["batches"]) == 1
+    folded = m["batches"][0]
+    assert {r["id"] for r in store2.read("r").collect()} == {"2"}
+
+    # retention clock: vacuum with a long grace deletes nothing ...
+    assert col.store.vacuum("r", min_age_seconds=3600) == []
+    # ... with zero grace it reclaims the superseded docs+postings+doclens
+    deleted = col.store.vacuum("r", min_age_seconds=0)
+    assert deleted and all(f"batch={folded}" not in p for p in deleted)
+    assert {r["id"] for r in store2.read("r").collect()} == {"2"}
+    # superseded stamps pruned after reclamation
+    assert col.store.read_manifest("r")["superseded_at"] == {}
+
+
+def test_text_query_path_does_no_dir_list(store_root, spark):
+    """The hot search path (query -> postings + cached BM25 stats) must
+    not LIST directories: batch resolution goes through the manifest and
+    stats come from the local write-version memo."""
+    col = Collection(store_root, "q", spark=spark)
+    col.add(["data merge pipeline", "quarterly data report"], ids=["1", "2"])
+    col.query("data")  # warm the stats memo
+
+    calls = []
+    orig = type(col.store)._ls_names
+    try:
+        type(col.store)._ls_names = lambda self, p: (calls.append(p), orig(self, p))[1]
+        res = col.query("data")
+    finally:
+        type(col.store)._ls_names = orig
+    assert res["total"] == 2
+    assert calls == [], f"dir LISTs on the query path: {calls}"
+
+
+def test_manifest_fallback_to_list(store_root, spark):
+    """A store written without a manifest (pre-manifest layout / foreign
+    writer) still reads: batch discovery falls back to a LIST."""
+    from pyspark.sql import functions as F
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+    df = spark.createDataFrame([("x", "one")], "id string, content string")
+    out = f"{store._partition_dir('legacy')}/batch=1"
+    df.select(
+        "id", "content",
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(False).alias("deleted"),
+    ).write.parquet(out)
+    assert store.read_manifest("legacy") is None
+    assert store._batch_dirs("legacy") == ["batch=1"]
+    assert [r["id"] for r in store.read("legacy").collect()] == ["x"]
+    # vacuum is a no-op without a manifest (nothing is known-dead)
+    assert store.vacuum("legacy", min_age_seconds=0) == []
+
+
+def test_marker_gc_on_append(store_root, spark):
+    """A stale reservation marker (crashed writer) is garbage-collected
+    once a later batch materializes — listings stay bounded."""
+    from sifts_spark.sources.store import DocumentStore
+
+    a = DocumentStore(spark, store_root)
+    assert a.reserve_batch("c") == 1      # crash: marker left behind
+    b = DocumentStore(spark, store_root)
+    df = spark.createDataFrame([("y", "two")], "id string, content string")
+    assert b.append_batch("c", df) == 2
+    leftovers = [
+        n for n in b._ls_names(b._partition_dir("c")) if n.startswith(".reserve")
+    ]
+    assert leftovers == []
+
+
+class _FailingCreateFS:
+    """Wraps the real Hadoop FS handle; createNewFile raises a chosen
+    Java exception (the only way to exercise the claim loop's error
+    discrimination — as root, chmod can't produce a real FS denial)."""
+
+    def __init__(self, real, jexc):
+        from py4j.protocol import Py4JJavaError
+
+        self._real = real
+        self._exc = Py4JJavaError("createNewFile failed", jexc)
+
+    def createNewFile(self, p):
+        raise self._exc
+
+    def __getattr__(self, attr):
+        return getattr(self._real, attr)
+
+
+def test_reserve_batch_surfaces_real_fs_errors(store_root, spark):
+    """A genuine FS failure (here: an IOException from createNewFile)
+    must surface immediately, not be retried 64 times into a misleading
+    'writer storm' error; an already-exists signal is still treated as
+    a lost race and retried."""
+    from py4j.protocol import Py4JJavaError
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+    # real failure -> re-raised on the FIRST attempt
+    store._fs = _FailingCreateFS(
+        store._fs, spark._jvm.java.io.IOException("disk on fire")
+    )
+    with pytest.raises(Py4JJavaError, match="disk on fire"):
+        store.reserve_batch("ro")
+
+    # already-exists -> lost race -> retried until the attempt budget
+    # ends in the writer-storm RuntimeError (not the raw Java error)
+    store2 = DocumentStore(spark, store_root)
+    store2._fs = _FailingCreateFS(
+        store2._fs,
+        spark._jvm.org.apache.hadoop.fs.FileAlreadyExistsException("taken"),
+    )
+    with pytest.raises(RuntimeError, match="writer storm"):
+        store2.reserve_batch("ro2")

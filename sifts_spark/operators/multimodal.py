@@ -5,12 +5,15 @@ metadata; decode/feature-extraction runs as Arrow-batched pandas
 iterators (``mapInPandas``) so the heavy per-item Python work streams
 through executors batch-by-batch without materializing a partition.
 
-The actual codec calls are STUBBED in this environment (no PIL/ffmpeg
-in the container): ``FakeImageDecoder`` is a deterministic stand-in so
-the Spark-side plumbing — schema, batch iteration, partition sizing,
-UDF signatures — is real and fully tested; swap ``decoder=`` for a real
-implementation in production. ``RealImageDecoder`` documents the
-intended integration and raises ``NotImplementedError``.
+Codecs are OPTIONAL dependencies: ``RealImageDecoder`` decodes with
+Pillow when it is installed (import-guarded with a fail-fast message
+when not — this container ships without image codecs); audio/video
+decode (ffmpeg/soundfile) remain stubbed. ``FakeImageDecoder`` /
+``FakeAudioDecoder`` are deterministic stand-ins so the Spark-side
+plumbing — schema, batch iteration, partition sizing, UDF signatures —
+is real and fully tested in any environment, and doubles as the oracle
+twin for the correctness gate (a real codec's output is not
+SQL-replayable).
 """
 
 from __future__ import annotations
@@ -48,14 +51,42 @@ Decoder = Callable[[bytes], tuple[int, int, float]]
 
 
 class RealImageDecoder:
-    """Production integration point: decode bytes → (width, height,
-    mean_luma) with PIL/turbojpeg. Not available in this container."""
+    """Pillow-backed decoder: bytes → (width, height, mean_luma∈[0,1]).
+
+    Optional dependency: constructing fails fast DRIVER-SIDE with
+    install guidance when Pillow is absent, instead of erroring one
+    task at a time on executors. The module is imported inside
+    ``__call__`` (not stored on ``self``) so the decoder pickles
+    cleanly to executors, which re-import Pillow locally — the standard
+    shipping shape for a Python-dependency-bearing UDF."""
+
+    def __init__(self) -> None:
+        try:
+            import PIL.Image  # noqa: F401  (driver-side fail-fast probe)
+        except ImportError as e:
+            raise ImportError(
+                "RealImageDecoder requires Pillow (`pip install Pillow` "
+                "on driver AND executors); without image codecs use "
+                "FakeImageDecoder (deterministic plumbing twin) or "
+                "inject your own decoder callable"
+            ) from e
 
     def __call__(self, payload: bytes) -> tuple[int, int, float]:
-        raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "inject a real decoder (e.g. PIL.Image.open) in production"
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            # 8-bit grayscale histogram → mean luma, normalized to [0,1]
+            hist = img.convert("L").histogram()
+        total = sum(hist)
+        mean_luma = (
+            sum(i * c for i, c in enumerate(hist)) / (total * 255.0)
+            if total
+            else 0.0
         )
+        return width, height, round(mean_luma, 6)
 
 
 class FakeImageDecoder:

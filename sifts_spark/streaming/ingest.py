@@ -191,7 +191,9 @@ def stream_stream_enrich_join(
     return lw.join(rw, cond, "inner")
 
 
-def stream_collection_appends(collection: SparkCollection) -> DataFrame:
+def stream_collection_appends(
+    collection: SparkCollection, with_batch: bool = True
+) -> DataFrame:
     """Tail a collection as a streaming CHANGE FEED of appended rows.
 
     The store's append-only layout makes this free: every write lands as
@@ -203,24 +205,55 @@ def stream_collection_appends(collection: SparkCollection) -> DataFrame:
     builders, replicators, trainers) subscribe to a collection instead
     of polling snapshots.
 
-    Semantics: an APPEND feed, exactly the store's write log — upserts
-    arrive as new versions of an id, deletes as ``deleted=true``
-    tombstones; consumers needing snapshot semantics apply
-    newest-batch-wins downstream (``resolve_snapshot`` is the batch
-    helper) or subscribe pre-resolved aggregates. The ``batch`` column
-    is not exposed (Spark's file source sees files, not partition dirs,
-    under a recursive glob) — version order rides on arrival order, or
-    re-read the store in batch when total order matters.
+    Semantics: an APPEND feed of the store's PHYSICAL write log —
+    upserts arrive as new versions of an id, deletes as
+    ``deleted=true`` tombstones. With ``with_batch`` (default) each row
+    carries its ``batch`` number, parsed from the file path
+    (``_metadata.file_path``; the recursive glob disables partition
+    inference, but file metadata still knows the dir) — so consumers
+    can totally order versions of an id and reconstruct the snapshot
+    from the feed alone (``resolve_snapshot`` is the batch helper; the
+    streaming twin is a max-batch-wins stateful agg keyed by id).
+
+    **Compaction re-emission caveat**: ``compact()`` rewrites the live
+    corpus into a fresh (higher-numbered) batch, and the feed — being a
+    physical log — re-emits every surviving row under that new batch
+    number. Snapshot-reconstructing consumers are unaffected
+    (max-batch-wins is idempotent under re-emission: the folded rows
+    ARE the winners), but counting/summing consumers would double-count
+    after every compact. If the source collection auto-compacts
+    (``auto_compact_batches``), this happens routinely mid-stream — a
+    warning is emitted at subscribe time; either consume
+    max-batch-wins, or leave compaction to scheduled windows the
+    consumer knows about.
     """
     store = collection.store
+    if collection.auto_compact_batches:
+        import warnings
+
+        warnings.warn(
+            "change feed on an auto-compacting collection: every inline "
+            "compact() re-emits the surviving corpus under a new batch "
+            "number; consume with max-batch-wins (not row counting), or "
+            "disable auto_compact_batches on the feed's source",
+            stacklevel=2,
+        )
     part = store._partition_dir(collection.name)
     # The dir must exist before a stream can watch it.
     store._fs.mkdirs(store.spark._jvm.org.apache.hadoop.fs.Path(part))
     from sifts_spark.sources.store import DOC_SCHEMA
 
-    return (
+    feed = (
         store.spark.readStream.schema(DOC_SCHEMA)
         .option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", 1000)
         .parquet(part)
     )
+    if with_batch:
+        feed = feed.withColumn(
+            "batch",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/batch=(\d+)/", 1
+            ).cast("long"),
+        )
+    return feed

@@ -58,9 +58,6 @@ def test_image_features_partitioned(spark):
     assert one == many
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        RealImageDecoder()(b"bytes")
 
 
 def test_video_frame_sampling(spark):
@@ -93,3 +90,52 @@ def test_audio_features_deterministic(spark):
     assert (got["duration_s"], got["sample_rate"], got["rms_level"]) == (dur, sr, rms)
     assert 0.5 <= got["duration_s"] <= 300.0
     assert got["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+
+
+def test_real_image_decoder_e2e_with_pillow(spark):
+    """End-to-end Pillow decode through the SAME mapInPandas path the
+    fake exercises — runs only where Pillow is installed (it is an
+    optional dependency; this container may not have it)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from sifts_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        RealImageDecoder,
+        extract_image_features,
+    )
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        ("white", "image", "image/png", png(8, 4, (255, 255, 255)), None),
+        ("black", "image", "image/png", png(3, 5, (0, 0, 0)), None),
+        ("nopayload", "image", "image/png", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in extract_image_features(media, decoder=RealImageDecoder()).collect()
+    }
+    assert (got["white"]["width"], got["white"]["height"]) == (8, 4)
+    assert got["white"]["mean_luma"] == 1.0
+    assert (got["black"]["width"], got["black"]["height"]) == (3, 5)
+    assert got["black"]["mean_luma"] == 0.0
+    assert got["nopayload"]["width"] is None
+
+
+def test_real_image_decoder_fails_fast_without_pillow():
+    """Without Pillow the decoder must fail at CONSTRUCTION (driver-
+    side) with install guidance — not per-task on executors."""
+    try:
+        import PIL.Image  # noqa: F401
+        pytest.skip("Pillow installed here; the guidance path is for when it is not")
+    except ImportError:
+        pass
+    from sifts_spark.operators.multimodal import RealImageDecoder
+
+    with pytest.raises(ImportError, match="Pillow"):
+        RealImageDecoder()

@@ -232,7 +232,7 @@ def test_stream_collection_appends_is_a_change_feed(spark, tmp_path):
         col.add(["second doc"], ids=["2"])
         q.processAllAvailable()
         rows = spark.sql(
-            "SELECT id, content, deleted FROM feed_sink ORDER BY id, content"
+            "SELECT id, content, deleted, batch FROM feed_sink ORDER BY id, content"
         ).collect()
     finally:
         q.stop()
@@ -242,3 +242,25 @@ def test_stream_collection_appends_is_a_change_feed(spark, tmp_path):
     assert ("1", None, True) in got            # tombstone
     assert ("2", "second doc", False) in got
     assert len(got) == 4
+
+    # Version ORDER is reconstructible from the feed alone: the batch
+    # column (parsed from _metadata.file_path) feeds the same
+    # newest-batch-wins resolution the store's read path uses, yielding
+    # exactly the live snapshot — no arrival-order assumption.
+    from sifts_spark.sources.store import resolve_snapshot
+
+    feed_batches = {(r["id"], r["content"]): r["batch"] for r in rows}
+    assert feed_batches[("1", "first doc")] < feed_batches[("1", "first doc v2")]
+    replay = spark.createDataFrame(
+        [(r["id"], r["content"], r["deleted"], r["batch"]) for r in rows],
+        "id string, content string, deleted boolean, batch long",
+    )
+    rebuilt = {
+        (r["id"], r["content"])
+        for r in resolve_snapshot(replay).select("id", "content").collect()
+    }
+    truth = {
+        (r["id"], r["content"])
+        for r in col.store.read("feed").select("id", "content").collect()
+    }
+    assert rebuilt == truth == {("2", "second doc")}

@@ -134,6 +134,126 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int | None = None,
+    vec_col: str = "embedding",
+    sample_size: int = 65536,
+    iters: int = 10,
+    seed: int = 1,
+) -> list:
+    """PRODUCTION centroid training: sampled spherical k-means →
+    ``[(cell_id, [float, ...]), ...]`` ready for :func:`ivf_knn_join`.
+
+    :func:`deterministic_centroids` is a correctness device (replayable
+    by the SQL oracle), not a clustering-quality story; THIS is the path
+    a deployment uses. Recipe (the standard IVF training shape — faiss
+    trains its coarse quantizer on a sample too):
+
+    * one distributed count (skipped if ``n_cells`` is given) sizes
+      ``n_cells ~ sqrt(N)`` — per-query candidate work is
+      ``nprobe * N / n_cells``, so sqrt keeps both the probe fan-out
+      and the cell population sublinear as the corpus grows;
+    * one seeded distributed ``sample`` pulls ≤ ``sample_size`` vectors
+      to the driver (centroid-sized data, never the corpus);
+    * k-means++ init + Lloyd iterations run driver-side in numpy on
+      L2-normalized vectors with cosine assignment (spherical k-means)
+      — consistent with the cosine cell assignment the join uses;
+      empty cells reseed to the farthest vector.
+
+    Deterministic for a fixed (corpus, seed, sample_size): the sample
+    is seed-stable and numpy's RandomState replays. The returned list
+    is inlined by the callers' map-side assignment, so the corpus is
+    never shuffled to be assigned."""
+    import math
+
+    vec = vectors.select(F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    n = None
+    if n_cells is None:
+        n = vec.count()
+        n_cells = max(2, int(round(math.sqrt(max(n, 4)))))
+    if n is None:
+        n = vec.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))
+    rows = (
+        vec.sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) == 0:
+        raise ValueError("no non-null, non-zero vectors to train on")
+    k = min(n_cells, len(X))
+    rng = np.random.RandomState(seed)
+
+    # k-means++ seeding on the unit sphere: d² = 2 - 2·cos
+    centers = np.empty((k, X.shape[1]))
+    centers[0] = X[rng.randint(len(X))]
+    min_d2 = np.maximum(2.0 - 2.0 * (X @ centers[0]), 0.0)
+    for i in range(1, k):
+        total = float(min_d2.sum())
+        if total <= 0:
+            centers[i] = X[rng.randint(len(X))]
+        else:
+            centers[i] = X[np.searchsorted(np.cumsum(min_d2), rng.rand() * total)]
+        min_d2 = np.minimum(min_d2, np.maximum(2.0 - 2.0 * (X @ centers[i]), 0.0))
+
+    for _ in range(iters):
+        assign = np.argmax(X @ centers.T, axis=1)
+        sims = (X @ centers.T)[np.arange(len(X)), assign]
+        for c in range(k):
+            members = X[assign == c]
+            if len(members) == 0:
+                centers[c] = X[np.argmin(sims)]  # reseed: farthest vector
+                continue
+            m = members.mean(axis=0)
+            mn = np.sqrt((m * m).sum())
+            centers[c] = m / mn if mn > 0 else centers[c]
+    return [(i, centers[i].tolist()) for i in range(k)]
+
+
+def ivf_cell_counts(
+    vectors: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> dict:
+    """Cell-population audit for an IVF index → ``{"counts": {cell_id:
+    n}, "n_cells": k, "imbalance": max/mean}``. A healthy index keeps
+    ``imbalance`` low single-digit; a degenerate centroid set (one cell
+    swallowing the corpus) makes per-query candidate work linear again
+    — assert on this at index-build time, when re-training is cheap."""
+    from sifts_spark.functions.vector import cell_assign_arrow
+
+    rows = centroid_rows(centroids)
+    assign = (
+        cell_assign_arrow(F.col(vec_col), rows)
+        if impl == "arrow"
+        else cell_assign_expr(F.col(vec_col), rows)
+    )
+    counts = {
+        r["cell_id"]: r["n"]
+        for r in (
+            vectors.filter(F.col(vec_col).isNotNull())
+            .select(assign.alias("cell_id"))
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    vals = list(counts.values()) or [0]
+    mean = sum(vals) / len(rows)
+    return {
+        "counts": counts,
+        "n_cells": len(rows),
+        "imbalance": (max(vals) / mean) if mean else float("inf"),
+    }
+
+
 def centroid_rows(centroids) -> list:
     """Normalize a centroid table to driver rows [(cell_id, [floats])].
 

@@ -150,3 +150,80 @@ def test_vector_search_with_where_filter(store_root, spark):
     assert [x["id"] for x in r["results"]] == ["r1", "r2"]  # cos ranks
     # b1 is globally closest-but-one yet filtered out
     assert all(x["metadata"]["c"] == "red" for x in r["results"])
+
+
+def _recall_at_k(approx_df, exact_df) -> float:
+    exact: dict = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["id"])
+    approx: dict = {}
+    for r in approx_df.collect():
+        approx.setdefault(r["query_id"], set()).add(r["id"])
+    return sum(
+        len(approx.get(q, set()) & ids) / len(ids) for q, ids in exact.items()
+    ) / len(exact)
+
+
+def test_kmeans_centroids_production_path(spark):
+    """The production IVF posture: kmeans_centroids (sampled spherical
+    k-means, n_cells ~ sqrt(N)) must produce BALANCED cells and beat the
+    candidate fraction by a clear locality factor on the sf0.1 corpus.
+
+    Context for the floors (measured, tools/ann_recall.py): the
+    synthetic embeddings are noise-like (same-label cosine ~ diff-label
+    ~ 1e-5), so recall is data-bounded at ~3x the candidate fraction —
+    measured 0.554 at nprobe=8 with 45 cells (17.8%% of the corpus
+    probed). Real embedding corpora have cluster structure and recall
+    far higher at the same fraction; what we pin here is the machinery:
+    balance, determinism, and the locality gain."""
+    from sifts_spark.operators import vector_search as V
+    from sifts_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    km = V.kmeans_centroids(emb)
+    n = emb.count()
+    assert len(km) == max(2, round(n ** 0.5))  # ~sqrt(N) default
+
+    bal = V.ivf_cell_counts(emb, km)
+    assert bal["imbalance"] < 3.0, f"degenerate cells: {bal['imbalance']}"
+
+    # deterministic: same corpus + seed -> same centroids
+    km2 = V.kmeans_centroids(emb)
+    assert km == km2
+
+    k, nprobe = 10, 8
+    queries = emb.orderBy("vec_id").limit(25)
+    exact = V.knn_join(emb, queries, k=k)
+    approx = V.ivf_knn_join(emb, queries, km, k=k, nprobe=nprobe)
+    recall = _recall_at_k(approx, exact)
+    fraction = nprobe / len(km)
+    assert recall >= 0.45, f"recall@10 {recall} below floor"
+    assert recall >= 2.0 * fraction, (
+        f"no locality gain: recall {recall} vs candidate fraction {fraction}"
+    )
+
+
+def test_ann_recall_floor_at_10x_scale(spark):
+    """Recall floor at the 10x corpus (.scale/sf1, tools/make_scale.py;
+    skipped when not generated). n_cells scales to ~sqrt(20000)=141, so
+    the candidate fraction FALLS 10x (nprobe 2 probes 1.4%% of cells vs
+    25%% in the pinned-8-cell oracle config) while recall holds >= 0.9.
+    Honesty note: sf1 replicates embeddings verbatim (ids remapped), so
+    each query's exact top-k is dominated by its own duplicates — this
+    pins that the scale path keeps finding them at a 10x-smaller probe
+    fraction, not general-position neighbor recall (sf0.1 pins that)."""
+    import os
+
+    from sifts_spark.operators import vector_search as V
+    from sifts_spark.sources.tables import load_table
+
+    sf1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+    if not os.path.isdir(sf1):
+        pytest.skip("run tools/make_scale.py to generate .scale/sf1")
+    emb = load_table(spark, sf1, "embeddings")
+    km = V.kmeans_centroids(emb)
+    queries = emb.orderBy("vec_id").limit(25)
+    exact = V.knn_join(emb, queries, k=10)
+    approx = V.ivf_knn_join(emb, queries, km, k=10, nprobe=2)
+    recall = _recall_at_k(approx, exact)
+    assert recall >= 0.9, f"recall@10 {recall} at 10x scale below floor"

@@ -101,6 +101,23 @@ def main() -> None:
     PREBUILT["stats"] = S.corpus_stats(PREBUILT["postings"])
     setup["fts_stats_build"] = round(time.perf_counter() - t0, 3)
 
+    # MinHash pairs materialized ONCE (timed as setup): dedup_minhash
+    # times sketch+LSH+verify; dedup_clusters then times CLUSTERING on
+    # the persisted pairs — a real pipeline clusters stored pairs, not
+    # regenerated ones, and without this split the clusters entry just
+    # re-paid the minhash entry's whole cost as a hidden prefix.
+    from sifts_spark.operators import dedup as D
+
+    pairs_dir = tempfile.mkdtemp(prefix="sifts_bench_pairs_")
+    t0 = time.perf_counter()
+    D.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_size=3, jaccard_threshold=0.5
+    ).write.mode("overwrite").parquet(pairs_dir)
+    setup["minhash_pairs_build"] = round(time.perf_counter() - t0, 3)
+    release_all()
+    PREBUILT["minhash_pairs"] = spark.read.parquet(pairs_dir)
+    PREBUILT["minhash_pairs_sf"] = sf_dir
+
     # JIT warmup (JMH-style): run each headline query once at sf0.001 so
     # whole-stage-codegen compilation happens OUTSIDE the timed region —
     # the timed numbers are steady-state throughput, which is what a

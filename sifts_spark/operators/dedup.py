@@ -565,7 +565,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
-    centroids: DataFrame | None = None,
+    centroids=None,  # DataFrame | [(cell_id, [float]), ...] | None
     n_cells: int = 16,
     threshold: float = 0.95,
     impl: str = "arrow",
@@ -574,7 +574,9 @@ def embedding_dup_pairs(
     → (id_a, id_b, cos_sim).
 
     Default blocking is IVF cells: each vector is assigned map-side to
-    its nearest centroid (``centroids`` or a deterministic lowest-id
+    its nearest centroid (``centroids`` — in production pass
+    :func:`~sifts_spark.operators.vector_search.kmeans_centroids`
+    output; default is the oracle-replayable deterministic lowest-id
     seed, :func:`~sifts_spark.operators.vector_search.deterministic_centroids`),
     and the pairwise join runs only within a cell — the corpus is never
     self-joined whole, and cell population is bounded by corpus/k on

@@ -257,3 +257,37 @@ def stream_collection_appends(
             ).cast("long"),
         )
     return feed
+
+
+def streaming_snapshot_updates(feed: DataFrame) -> DataFrame:
+    """Continuously maintained LIVE SNAPSHOT from a change feed: the
+    streaming twin of ``resolve_snapshot`` (max-batch-wins per id),
+    consuming :func:`stream_collection_appends` output.
+
+    A declarative stateful aggregation — ``max_by`` keyed by ``batch``
+    keeps, per id, the newest version's columns; run the sink in
+    ``update`` output mode and each micro-batch emits exactly the ids
+    whose winning version changed (a CDC-style upsert stream for a
+    downstream materialized view). Tombstones are NOT filtered: the
+    ``deleted=true`` row is the delete signal the consumer needs to
+    drop the id from its view — filtering it here would silently
+    resurrect the previous version at the sink.
+
+    State is one entry per live id (the floor for any materialized
+    snapshot — this is a keyed agg, not a join buffer; no watermark
+    because ids never expire). Batch-mode twin: the SAME expression on
+    a batch read of the feed equals ``resolve_snapshot`` minus its
+    tombstone filter — pinned by the streaming test.
+    """
+    versioned = F.struct("content", "metadata", "embedding", "deleted")
+    return (
+        feed.groupBy("id")
+        .agg(
+            F.max_by(versioned, F.col("batch")).alias("_v"),
+            F.max("batch").alias("batch"),
+        )
+        .select(
+            "id", "_v.content", "_v.metadata", "_v.embedding", "_v.deleted",
+            "batch",
+        )
+    )

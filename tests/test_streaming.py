@@ -264,3 +264,45 @@ def test_stream_collection_appends_is_a_change_feed(spark, tmp_path):
         for r in col.store.read("feed").select("id", "content").collect()
     }
     assert rebuilt == truth == {("2", "second doc")}
+
+
+def test_streaming_snapshot_updates_maintains_live_view(spark, tmp_path):
+    """The stateful max-batch-wins agg over the change feed converges to
+    the store's snapshot: upserts replace, tombstones surface as
+    deleted=true delete signals (not silent resurrection)."""
+    from sifts_spark.collection import Collection
+    from sifts_spark.streaming.ingest import (
+        stream_collection_appends,
+        streaming_snapshot_updates,
+    )
+
+    col = Collection(str(tmp_path / "store"), "snap", spark=spark)
+    col.add(["first doc"], ids=["1"])
+
+    snap = streaming_snapshot_updates(stream_collection_appends(col))
+    q = (
+        snap.writeStream.format("memory")
+        .queryName("snap_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        col.add(["first doc v2"], ids=["1"])   # upsert
+        col.add(["second doc"], ids=["2"])
+        col.delete(["2"])                      # tombstone
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM snap_sink").collect()
+    finally:
+        q.stop()
+    # update-mode sink: LAST emission per id is the materialized state
+    state = {}
+    for r in rows:  # memory sink appends updates in emission order
+        prev = state.get(r["id"])
+        if prev is None or r["batch"] >= prev["batch"]:
+            state[r["id"]] = r
+    assert state["1"]["content"] == "first doc v2" and not state["1"]["deleted"]
+    assert state["2"]["deleted"]  # delete signal, not resurrection
+    live = {r["id"] for r in col.store.read("snap").collect()}
+    assert {i for i, r in state.items() if not r["deleted"]} == live == {"1"}

@@ -96,6 +96,9 @@ class SparkCollection:
         # two cached stats scalars need refresh() — documented contract.
         self._docs_version = 0
         self._stats_cache: dict[int, tuple[int, float]] = {}
+        # ANN index meta memo (centroids + cells-dir pointer): read once,
+        # invalidated by build_vector_index()/refresh().
+        self._vecindex_meta_cache: Any = _AUTO_METADATA  # sentinel: unread
 
     # ------------------------------------------------------------------
     # write path
@@ -248,10 +251,11 @@ class SparkCollection:
 
     def refresh(self) -> None:
         """Invalidate cached per-snapshot query constants (BM25 corpus
-        stats). Call after a DIFFERENT process/handle wrote to this
-        collection; your own writes through this facade invalidate
-        automatically."""
+        stats, ANN index meta). Call after a DIFFERENT process/handle
+        wrote to this collection; your own writes through this facade
+        invalidate automatically."""
         self._docs_version += 1
+        self._vecindex_meta_cache = _AUTO_METADATA
 
     def _maintain_index(self) -> None:
         """W3: derived-index maintenance on every write (reference
@@ -266,6 +270,81 @@ class SparkCollection:
             and len(self.store._batch_dirs(self.name)) >= self.auto_compact_batches
         ):
             self.compact()
+
+    # ------------------------------------------------------------------
+    # ANN index (IVF sidecar) — the scale path for vector_search
+    # ------------------------------------------------------------------
+
+    def build_vector_index(
+        self,
+        n_cells: int | None = None,
+        sample_size: int = 65536,
+        seed: int = 1,
+    ) -> dict:
+        """Train and persist an IVF index over the live snapshot's
+        embeddings: kmeans centroids (``n_cells ~ sqrt(N)`` default) +
+        an ``(id, cell)`` sidecar partitioned by cell, so approx queries
+        read only their probed cells (partition pruning) instead of
+        scoring the whole collection.
+
+        **Staleness contract** (rebuild on the same schedule you
+        compact): docs written AFTER the build have no cell row and are
+        invisible to ``approx=True`` queries until the next build —
+        a recall gap, never wrong values. Updates and deletes are safe
+        immediately: the index only selects candidate ids; scores come
+        from live embeddings and dead ids drop out of the snapshot
+        join."""
+        from sifts_spark.functions.vector import cell_assign_arrow
+        from sifts_spark.operators.vector_search import kmeans_centroids
+
+        emb = self.docs().filter(F.col("embedding").isNotNull())
+        km = kmeans_centroids(
+            emb, n_cells=n_cells, vec_col="embedding",
+            sample_size=sample_size, seed=seed,
+        )
+        assignments = emb.select(
+            "id",
+            F.coalesce(
+                cell_assign_arrow(F.col("embedding"), km), F.lit(-1)
+            ).alias("cell"),
+        )
+        meta = self.store.write_vector_index(
+            self.name, assignments, km, {"n_cells": len(km)}
+        )
+        self._vecindex_meta_cache = meta
+        return meta
+
+    def _vector_index_meta(self) -> dict | None:
+        if self._vecindex_meta_cache is _AUTO_METADATA:
+            self._vecindex_meta_cache = self.store.read_vector_index_meta(
+                self.name
+            )
+        return self._vecindex_meta_cache
+
+    def _vector_candidates(self, qvec: list[float], nprobe: int) -> DataFrame:
+        """ids in the query's ``nprobe`` nearest cells — the probe step.
+        One driver-side numpy pass over the (tiny) centroid table picks
+        the cells (same rounded-similarity/lowest-id tie-break as the
+        distributed assignment), then the sidecar read prunes to those
+        ``cell=`` partitions."""
+        import numpy as np
+
+        meta = self._vector_index_meta()
+        if meta is None:
+            raise ValueError(
+                "approx vector search requires build_vector_index() first"
+            )
+        cents = sorted(meta["centroids"], key=lambda cv: cv[0])
+        cids = np.array([c for c, _ in cents], dtype=np.int64)
+        mat = np.array([v for _, v in cents], dtype=np.float64)
+        q = np.asarray(qvec, dtype=np.float64)
+        denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, np.round(mat @ q / denom, 6), -np.inf)
+        order = np.argsort(-sims, kind="stable")[:nprobe]
+        return self.store.read_vector_cells(
+            self.name, [int(c) for c in cids[order]], meta
+        )
 
     # ------------------------------------------------------------------
     # read path
@@ -299,13 +378,15 @@ class SparkCollection:
         where: dict | None = None,
         order_by: str | list[str] | None = None,
         vector_search: bool = False,
+        approx: bool = False,
+        nprobe: int = 2,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
         pipeline composition (feed dedup/analysis operators without a
         driver round-trip)."""
         df, is_search = self._query_plan(
-            query_string, where, order_by, vector_search
+            query_string, where, order_by, vector_search, approx, nprobe
         )
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
@@ -319,6 +400,8 @@ class SparkCollection:
         where: dict | None = None,
         order_by: str | list[str] | None = None,
         vector_search: bool = False,
+        approx: bool = False,
+        nprobe: int = 2,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -326,9 +409,16 @@ class SparkCollection:
         metadata filter → total (separate distributed count — cheaper
         than the reference's count(*) OVER() single-partition window) →
         sort → offset/limit → project.
+
+        ``approx=True`` (extension; requires :meth:`build_vector_index`)
+        restricts a ``vector_search`` to the query's ``nprobe`` nearest
+        IVF cells before exact scoring — the scale path that replaces
+        the reference's full pgvector scan (core.py:558-564). ``total``
+        then counts the RANKED CANDIDATES, and recall follows the IVF
+        trade (see the index's staleness contract).
         """
         df, is_search = self._query_plan(
-            query_string, where, order_by, vector_search
+            query_string, where, order_by, vector_search, approx, nprobe
         )
         total = df.count()  # R8: pre-limit total, distributed count
         df = self._paginate(df, is_search, order_by, limit, offset)
@@ -354,6 +444,8 @@ class SparkCollection:
         where: dict | None,
         order_by: str | list[str] | None,
         vector_search: bool,
+        approx: bool = False,
+        nprobe: int = 2,
     ) -> tuple[DataFrame, bool]:
         """Validate + build the pre-pagination plan (match ∧ where, with
         rank column for searches)."""
@@ -362,6 +454,8 @@ class SparkCollection:
             raise ValueError("order_by cannot be combined with vector_search")
         if vector_search and self.embedding_function is None:
             raise ValueError("vector_search requires an embedding_function")
+        if approx and not vector_search:
+            raise ValueError("approx=True requires vector_search=True")
         has_text = bool(query_string.strip())
         if has_text and not vector_search and not self.use_fts:
             raise ValueError("Full-text search is not enabled for this collection")
@@ -370,6 +464,12 @@ class SparkCollection:
         is_search = False
         if vector_search:
             qvec = [float(x) for x in self.embedding_function([query_string])[0]]
+            if approx:
+                # Candidate ids from the probed cells only; the join
+                # back to the snapshot keeps scoring on LIVE embeddings
+                # (stale index rows for deleted/updated docs drop out
+                # or re-score — never stale values).
+                df = df.join(self._vector_candidates(qvec, nprobe), "id")
             qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
             df = df.filter(F.col("embedding").isNotNull()).withColumn(
                 "rank", cosine_similarity(F.col("embedding"), qlit)

@@ -195,10 +195,10 @@ class DocumentStore:
     def _manifest_path(self, name: str) -> str:
         return f"{self._partition_dir(name)}/_manifest"
 
-    def read_manifest(self, name: str) -> dict | None:
-        """The collection's manifest, or None (no manifest / unreadable
-        / mid-replace window) — callers fall back to a directory LIST."""
-        p = self._Path(self._manifest_path(name))
+    def _read_json_file(self, path: str) -> dict | None:
+        """Small-JSON read through the Hadoop FS (one open+read); None on
+        absent/unreadable/partial — callers have a fallback."""
+        p = self._Path(path)
         try:
             if not self._fs.exists(p):
                 return None
@@ -210,33 +210,39 @@ class DocumentStore:
             finally:
                 stream.close()
             m = json.loads(raw)
-            if not isinstance(m, dict) or not isinstance(m.get("batches"), list):
-                return None
-            return m
+            return m if isinstance(m, dict) else None
         except Exception:
             return None
 
-    def _write_manifest(self, name: str, manifest: dict) -> None:
+    def _write_json_atomic(self, path: str, obj: dict) -> None:
         """Write-to-temp + rename-into-place. Hadoop rename refuses to
-        clobber, so replacing an existing manifest is delete+rename —
-        the sub-millisecond no-manifest window in between degrades
-        readers to the (value-identical) LIST fallback, never to an
-        error."""
-        part = self._partition_dir(name)
-        tmp = self._Path(f"{part}/._manifest.tmp-{uuid.uuid4().hex}")
-        dst = self._Path(self._manifest_path(name))
+        clobber, so replacing an existing file is delete+rename — the
+        sub-millisecond absent-file window in between degrades readers
+        to their fallback, never to an error."""
+        parent, base = path.rsplit("/", 1)
+        tmp = self._Path(f"{parent}/.{base}.tmp-{uuid.uuid4().hex}")
+        dst = self._Path(path)
         out = self._fs.create(tmp, True)
         try:
-            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+            out.write(bytearray(json.dumps(obj).encode("utf-8")))
         finally:
             out.close()
         if not self._fs.rename(tmp, dst):
             self._fs.delete(dst, False)
             if not self._fs.rename(tmp, dst):
                 self._fs.delete(tmp, False)
-                raise IOError(
-                    f"could not publish manifest for collection {name!r}"
-                )
+                raise IOError(f"could not atomically publish {path}")
+
+    def read_manifest(self, name: str) -> dict | None:
+        """The collection's manifest, or None (no manifest / unreadable
+        / mid-replace window) — callers fall back to a directory LIST."""
+        m = self._read_json_file(self._manifest_path(name))
+        if m is None or not isinstance(m.get("batches"), list):
+            return None
+        return m
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        self._write_json_atomic(self._manifest_path(name), manifest)
 
     def _publish_manifest(
         self, name: str, superseded: set[int] | None = None
@@ -406,6 +412,7 @@ class DocumentStore:
         self._delete_dir(self._partition_dir(name))
         self._delete_dir(self._postings_dir(name))
         self._delete_dir(self._doclen_dir(name))
+        self._delete_dir(self._vecindex_dir(name))
 
     def compact(self, name: str, postings: bool = False) -> None:
         """Fold the live batches of a collection into a single new batch
@@ -701,6 +708,96 @@ class DocumentStore:
             p = p.unionByName(more)
         live = self.live_versions(name, mf)
         return p.join(live, ["id", "batch"]).select("id", "dl")
+
+    # ---- persisted IVF vector index (ANN sidecar) -----------------------
+    #
+    # A covering CANDIDATE SELECTOR, not a data copy: `(id, cell)`
+    # parquet partitioned by cell beside a `_meta` JSON holding the
+    # trained centroids. Queries read ONLY the probed `cell=` dirs
+    # (partition pruning by construction) and join the ids back to the
+    # live snapshot for scoring — so a stale index can only lose recall
+    # on docs written after the build (they have no cell row yet), never
+    # return stale values: scores always come from live embeddings and
+    # deletes drop out in the id join. Rebuilds write a fresh versioned
+    # cells dir and atomically flip the meta (same recipe as the
+    # manifest); vacuum_vector_index reclaims unreferenced dirs.
+
+    def _vecindex_dir(self, name: str) -> str:
+        return f"{self.root}/_vecindex/name={urllib.parse.quote(name, safe='')}"
+
+    def _vecindex_meta_path(self, name: str) -> str:
+        return f"{self._vecindex_dir(name)}/_meta"
+
+    def read_vector_index_meta(self, name: str) -> dict | None:
+        m = self._read_json_file(self._vecindex_meta_path(name))
+        if m is None or not isinstance(m.get("centroids"), list):
+            return None
+        return m
+
+    def write_vector_index(
+        self, name: str, assignments: DataFrame, centroids: list, extra: dict
+    ) -> dict:
+        """Persist ``assignments`` (id, cell) partitioned by cell under a
+        fresh versioned dir, then atomically flip ``_meta`` to reference
+        it — readers mid-query keep their old dir until
+        :meth:`vacuum_vector_index` reclaims it."""
+        base = self._vecindex_dir(name)
+        self._fs.mkdirs(self._Path(base))
+        prev = self.read_vector_index_meta(name)
+        version = (int(prev.get("version", 0)) + 1) if prev else 1
+        cells_dir = f"cells-v{version}"
+        assignments.select(
+            F.col("id").cast("string"), F.col("cell").cast("long")
+        ).write.partitionBy("cell").parquet(f"{base}/{cells_dir}")
+        meta = {
+            "version": version,
+            "cells_dir": cells_dir,
+            "centroids": [[int(c), [float(x) for x in v]] for c, v in centroids],
+            "built_at": time.time(),
+            **extra,
+        }
+        self._write_json_atomic(self._vecindex_meta_path(name), meta)
+        return meta
+
+    def read_vector_cells(
+        self, name: str, cells: list[int], meta: dict | None = None
+    ) -> DataFrame | None:
+        """ids of the probed cells — a partition-pruned read of only the
+        matching ``cell=`` dirs. None when no index exists."""
+        m = meta if meta is not None else self.read_vector_index_meta(name)
+        if m is None:
+            return None
+        base = f"{self._vecindex_dir(name)}/{m['cells_dir']}"
+        return (
+            self.spark.read.option("basePath", base)
+            .parquet(base)
+            .filter(F.col("cell").isin([int(c) for c in cells]))
+            .select("id")
+        )
+
+    def vacuum_vector_index(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim cells dirs no longer referenced by ``_meta`` (older
+        rebuilds), on the same retention clock as :meth:`vacuum`."""
+        m = self.read_vector_index_meta(name)
+        if m is None:
+            return []
+        cutoff = time.time() - min_age_seconds
+        deleted = []
+        for d in self._ls_names(self._vecindex_dir(name)):
+            if not d.startswith("cells-v") or d == m["cells_dir"]:
+                continue
+            path = f"{self._vecindex_dir(name)}/{d}"
+            try:
+                mtime = (
+                    self._fs.getFileStatus(self._Path(path)).getModificationTime()
+                    / 1000.0
+                )
+            except Exception:
+                continue
+            if mtime <= cutoff:
+                self._delete_dir(path)
+                deleted.append(path)
+        return deleted
 
     def corpus_stats(self, name: str) -> tuple[int, float]:
         """(N, avgdl) of the live snapshot from the doclen sidecar — a

@@ -227,3 +227,72 @@ def test_ann_recall_floor_at_10x_scale(spark):
     approx = V.ivf_knn_join(emb, queries, km, k=10, nprobe=2)
     recall = _recall_at_k(approx, exact)
     assert recall >= 0.9, f"recall@10 {recall} at 10x scale below floor"
+
+
+def _clustered_embed(texts):
+    """Deterministic clustered embeddings: direction by first word
+    (3 well-separated axes), tiny per-doc offset from the 2nd token."""
+    axes = {"alpha": [10.0, 0.0, 0.0], "beta": [0.0, 10.0, 0.0],
+            "gamma": [0.0, 0.0, 10.0]}
+    out = []
+    for t in texts:
+        w = t.split()
+        base = list(axes[w[0]])
+        jitter = (int(w[1]) if len(w) > 1 and w[1].isdigit() else 0) % 7
+        out.append([base[0] + jitter * 0.01, base[1] + 0.02, base[2] + 0.03])
+    return out
+
+
+def test_collection_approx_vector_search_with_index(store_root, spark):
+    """build_vector_index + query(approx=True): the persisted IVF
+    sidecar prunes to probed cells, results match the exact path on a
+    clustered corpus, and the staleness contract holds (new docs appear
+    after rebuild; deletes drop out immediately)."""
+    col = Collection(store_root, "vi", embedding_function=_clustered_embed,
+                     spark=spark, use_fts=False)
+    docs = [f"{fam} {i}" for fam in ("alpha", "beta", "gamma") for i in range(12)]
+    col.add(docs, ids=[f"{d.replace(' ', '-')}" for d in docs])
+
+    with pytest.raises(ValueError, match="build_vector_index"):
+        col.query("alpha 0", vector_search=True, approx=True)
+
+    meta = col.build_vector_index(n_cells=3)
+    assert meta["n_cells"] == 3 and meta["version"] == 1
+
+    exact = col.query("alpha 0", vector_search=True, limit=5)
+    approx = col.query("alpha 0", vector_search=True, approx=True,
+                       nprobe=1, limit=5)
+    # clustered corpus, query in-cluster: top-5 identical to exact
+    assert [r["id"] for r in approx["results"]] == [
+        r["id"] for r in exact["results"]
+    ]
+    # candidate restriction is real: total counts only the probed cell
+    assert approx["total"] == 12 < exact["total"] == 36
+
+    # approx composes with where (metadata filter after ranking)
+    col2 = Collection(store_root, "vi", embedding_function=_clustered_embed,
+                      spark=spark, use_fts=False)  # fresh handle reads meta
+    got = col2.query("beta 1", vector_search=True, approx=True, nprobe=1)
+    assert all(r["id"].startswith("beta") for r in got["results"])
+
+    # delete: immediately gone from approx results (live-snapshot join)
+    col.delete(["alpha-0"])
+    got = col.query("alpha 1", vector_search=True, approx=True, nprobe=1)
+    assert "alpha-0" not in [r["id"] for r in got["results"]]
+
+    # new doc: invisible until rebuild (documented recall gap), then found
+    col.add(["alpha 99"], ids=["alpha-99"])
+    got = col.query("alpha 99", vector_search=True, approx=True, nprobe=1)
+    assert "alpha-99" not in [r["id"] for r in got["results"]]
+    meta2 = col.build_vector_index(n_cells=3)
+    assert meta2["version"] == 2
+    got = col.query("alpha 99", vector_search=True, approx=True, nprobe=1)
+    assert "alpha-99" in [r["id"] for r in got["results"]]
+
+    # old cells dir survives until the retention clock, then reclaimed
+    assert col.store.vacuum_vector_index("vi", min_age_seconds=3600) == []
+    deleted = col.store.vacuum_vector_index("vi", min_age_seconds=0)
+    assert len(deleted) == 1 and "cells-v1" in deleted[0]
+    # index still serves after vacuum
+    got = col.query("gamma 3", vector_search=True, approx=True, nprobe=1)
+    assert got["results"][0]["id"].startswith("gamma")

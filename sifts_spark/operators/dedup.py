@@ -122,6 +122,63 @@ def minhash_signature(
     )
 
 
+def minhash_banded_sketches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    impl: str = "arrow",
+) -> DataFrame:
+    """``(id, sh, band, key)`` — one row per doc per band: the
+    PERSISTABLE half of MinHash-LSH dedup. All map-side (no shuffle).
+
+    This is the corpus's dedup INDEX: write it once (ideally bucketed by
+    ``(band, key)`` so later joins reuse the layout) and feed it to
+    :func:`minhash_lsh_pairs_incremental` to dedup each new increment
+    against the corpus without ever re-sketching the corpus — the
+    daily-ingest shape at 100 TB. ``sh`` (the distinct shingle set)
+    rides along so the exact Jaccard verify needs no second pass over
+    the text."""
+    rows_per_band = num_hashes // bands
+    if impl == "arrow":
+        # Fused tokenize+shingle+signature Arrow kernel — one batch per
+        # partition (spread first: one local file reads as one split).
+        sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size)
+        base = (
+            ensure_min_parallelism(
+                docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            )
+            .select("id", sk.alias("_sk"))
+            .select("id", F.col("_sk.sh").alias("sh"), F.col("_sk.sig").alias("sig"))
+        )
+    else:
+        toks = tokenize(F.col(text_col))
+        base = docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
+        ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    return base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -154,52 +211,16 @@ def minhash_lsh_pairs(
     a dropped bucket are simply not candidates, the standard recall
     trade every production LSH dedup makes. ``None`` disables the cap.
     """
-    rows_per_band = num_hashes // bands
-    # Stage 1 materialized: shingle arrays + signatures computed ONCE per
-    # doc (persist blocks project-collapsing from inlining the sketch
-    # into each self-join branch). min over distinct set == min over bag.
-    if impl == "arrow":
-        # Fused tokenize+shingle+signature Arrow kernel — one batch per
-        # partition (spread first: one local file reads as one split).
-        sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size)
-        base = track(
-            ensure_min_parallelism(
-                docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-            )
-            .select("id", sk.alias("_sk"))
-            .select("id", F.col("_sk.sh").alias("sh"), F.col("_sk.sig").alias("sig"))
+    # Materialize the banded sketches ONCE: without this, the whole md5
+    # signature subtree is re-evaluated for each side of the self-join
+    # and again per candidate row (Catalyst doesn't CSE across join
+    # branches) — measured 150s → ~5s at 500 docs. On a cluster this
+    # persists the (small) sketch table, never the corpus.
+    banded = track(
+        minhash_banded_sketches(
+            docs, id_col, text_col, num_hashes, bands, shingle_size, impl
         )
-    else:
-        toks = tokenize(F.col(text_col))
-        sh_base = track(docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
-        ))
-        base = sh_base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    banded = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        )
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Materialize signatures ONCE: without this, the whole md5 signature
-    # subtree is re-evaluated for each side of the self-join and again
-    # per candidate row (Catalyst doesn't CSE across join branches) —
-    # measured 150s → ~5s at 500 docs. On a cluster this persists the
-    # (small) sketch table, never the corpus.
-    banded = track(banded)
+    )
 
     banded = cap_buckets(banded, ["band", "key"], max_bucket_size, "minhash_lsh_pairs")
 
@@ -220,6 +241,13 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return _verify_jaccard(cand, jaccard_threshold)
+
+
+def _verify_jaccard(cand: DataFrame, jaccard_threshold: float) -> DataFrame:
+    """Exact Jaccard on (id_a, id_b, sh_a, sh_b) candidates → thresholded
+    (id_a, id_b, jaccard) — the verify step shared by the self-join and
+    incremental LSH paths."""
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
@@ -227,6 +255,84 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.5,
+    impl: str = "arrow",
+    max_bucket_size: int | None = 10_000,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an already-indexed corpus
+    → (id_a, id_b, jaccard) — every pair involves ≥1 new doc.
+
+    ``index`` is :func:`minhash_banded_sketches` output for the base
+    corpus (read back from wherever it was persisted; same
+    num_hashes/bands/shingle_size or the band keys won't align). The
+    100 TB shape — work proportional to the INCREMENT, not the corpus:
+
+    1. sketch the new batch map-side;
+    2. prune the index with a broadcast semi-join on the new batch's
+       (band, key) set — index buckets no new doc touches cannot
+       produce a pair involving a new doc, so the corpus-sized side
+       collapses to the touched buckets BEFORE any shuffle (persist
+       the index bucketed by ``(band, key)`` and even this read is
+       layout-aligned);
+    3. one candidate join over the combined touched buckets, keeping
+       only pairs with ≥1 new side (base∖base pairs were already found
+       when the base was deduped);
+    4. the usual exact-Jaccard verify.
+
+    Equivalence contract (pytest-pinned): ``pairs(base ∪ new) ==
+    pairs(base) ∪ incremental(new, index(base))`` under the same
+    parameters — pruning drops only base∖base candidates, and
+    ``cap_buckets`` sees full surviving-bucket sizes, so the cap
+    decision matches the full-corpus run on every emitted pair.
+    ``include_new_new=False`` restricts to cross pairs (new vs base)
+    when the increment is deduped separately."""
+    new_banded = track(
+        minhash_banded_sketches(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_size, impl
+        ).withColumn("_new", F.lit(True))
+    )
+    touched = new_banded.select("band", "key").distinct()
+    pruned_index = index.select("id", "sh", "band", "key").join(
+        F.broadcast(touched), ["band", "key"], "semi"
+    ).withColumn("_new", F.lit(False))
+    combined = track(new_banded.unionByName(pruned_index))
+    combined = cap_buckets(
+        combined, ["band", "key"], max_bucket_size, "minhash_lsh_pairs_incremental"
+    )
+    new_flag = (
+        (F.col("l._new") | F.col("r._new"))
+        if include_new_new
+        else (F.col("l._new") != F.col("r._new"))
+    )
+    cand = (
+        combined.alias("l")
+        .join(
+            combined.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id"))
+            & new_flag,
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_jaccard(cand, jaccard_threshold)
 
 
 # ------------------------------------------------------- n-gram Jaccard

@@ -136,3 +136,64 @@ def test_skew_guard_on_simhash_and_ngram_degenerate_corpus(spark, caplog):
         == 20 * 19 // 2
     )
     release_all()
+
+
+def test_minhash_incremental_equals_full_corpus_run(spark, tmp_path):
+    """The incremental path's contract: pairs(base ∪ new) ==
+    pairs(base) ∪ incremental(new, index(base)) under the same params,
+    with the persisted sketch index surviving a parquet round-trip —
+    so a daily increment never re-sketches the corpus."""
+    import os
+
+    from sifts_spark.sources.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    # the index persists (the real deployment shape) and reads back
+    idx_dir = str(tmp_path / "mh_index")
+    D.minhash_banded_sketches(base).write.parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+    full = pairset(D.minhash_lsh_pairs(docs))
+    base_pairs = pairset(D.minhash_lsh_pairs(base))
+    inc = pairset(D.minhash_lsh_pairs_incremental(new, index))
+
+    assert inc, "increment produced no pairs — test data too clean?"
+    assert base_pairs.isdisjoint(inc)     # every inc pair involves a new doc
+    assert base_pairs | inc == full       # exact reconstruction
+
+    # cross-only: subset of inc with exactly one side in the new batch
+    cross = pairset(
+        D.minhash_lsh_pairs_incremental(new, index, include_new_new=False)
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert cross <= inc
+    assert all((a in new_ids) != (b in new_ids) for a, b, _ in cross)
+    assert all((a in new_ids) or (b in new_ids) for a, b, _ in inc)
+
+
+def test_minhash_incremental_prunes_index_to_touched_buckets(spark):
+    """Scale shape: the candidate join's index side must be semi-join
+    pruned to the buckets the new batch touches BEFORE the shuffle —
+    the plan reads the index but joins only touched (band, key)s."""
+    import os
+
+    from sifts_spark.sources.tables import load_table
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0).limit(3)
+    index = D.minhash_banded_sketches(base)
+    plan = (
+        D.minhash_lsh_pairs_incremental(new, index)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, "index pruning semi-join missing from the plan"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -237,6 +237,17 @@ class SparkCollection:
         self.store.append_batch(self.name, df)
         self._maintain_index()
 
+    def delete_dataframe(self, ids_df: DataFrame, id_col: str = "id") -> None:
+        """Distributed delete: tombstone every id in ``ids_df`` without a
+        driver round-trip — the bulk twin of :meth:`delete` (a 100 TB
+        kill list never fits in a Python list). One appended batch."""
+        tomb = ids_df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.lit(True).alias("deleted"),
+        ).dropDuplicates(["id"])
+        self.store.append_batch(self.name, tomb)
+        self._maintain_index()
+
     def delete_all(self) -> None:
         """Drop the collection partition (core.py:386-400)."""
         self.store.drop_collection(self.name)
@@ -270,6 +281,79 @@ class SparkCollection:
             and len(self.store._batch_dirs(self.name)) >= self.auto_compact_batches
         ):
             self.compact()
+
+    # ------------------------------------------------------------------
+    # dedup — the operator suite wired to the facade
+    # ------------------------------------------------------------------
+
+    def find_duplicates(self, method: str = "minhash", **kwargs) -> DataFrame:
+        """Near/exact-duplicate PAIRS in the live snapshot
+        → (id_a, id_b, score) — the facade door into operators/dedup.
+
+        methods: ``exact`` (normalized-text digest; score 1.0),
+        ``minhash`` (LSH + exact-Jaccard verify; kwargs like
+        ``jaccard_threshold``/``bands`` pass through),
+        ``simhash`` (hamming ≤ ``max_hamming``; score = 1 - h/64),
+        ``embedding`` (cosine within IVF cells; requires stored
+        embeddings; kwargs like ``threshold``/``centroids``)."""
+        from sifts_spark.operators import dedup as _D
+
+        docs = self.docs()
+        if method == "exact":
+            dup = _D.exact_duplicates(docs, id_col="id", text_col="content")
+            return (
+                dup.filter(F.col("id") != F.col("canonical_id"))
+                .select(
+                    F.col("canonical_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.lit(1.0).alias("score"),
+                )
+            )
+        if method == "minhash":
+            return _D.minhash_lsh_pairs(
+                docs, id_col="id", text_col="content", **kwargs
+            ).withColumnRenamed("jaccard", "score")
+        if method == "simhash":
+            return _D.simhash_pairs(
+                docs, id_col="id", text_col="content", **kwargs
+            ).select(
+                "id_a", "id_b",
+                (F.lit(1.0) - F.col("hamming") / F.lit(64.0)).alias("score"),
+            )
+        if method == "embedding":
+            return _D.embedding_dup_pairs(
+                docs.filter(F.col("embedding").isNotNull()),
+                id_col="id", vec_col="embedding", **kwargs
+            ).withColumnRenamed("cos_sim", "score")
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    def dedup(self, method: str = "minhash", dry_run: bool = False, **kwargs) -> int:
+        """Deduplicate the collection IN PLACE: find duplicate pairs,
+        resolve transitive clusters (connected components), tombstone
+        every non-canonical member (canonical = min id per cluster).
+        Returns the number of docs removed (0 on a second run —
+        idempotent). ``dry_run=True`` counts without deleting.
+
+        Fully distributed: pairs → cluster labels → a tombstone BATCH
+        via :meth:`delete_dataframe` — no kill list ever reaches the
+        driver."""
+        from sifts_spark.operators.dedup import duplicate_clusters
+
+        pairs = self.find_duplicates(method, **kwargs)
+        verts = self.docs().select("id")
+        victims = (
+            duplicate_clusters(verts, pairs, id_col="id")
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select("id")
+            .persist()  # one compute serves both the count and the write
+        )
+        try:
+            n = victims.count()
+            if n and not dry_run:
+                self.delete_dataframe(victims)
+        finally:
+            victims.unpersist()
+        return n
 
     # ------------------------------------------------------------------
     # ANN index (IVF sidecar) — the scale path for vector_search

@@ -381,3 +381,42 @@ def test_auto_compaction_bounds_batches(store_root, spark):
     assert got == {"1": "alpha doc v2 zzz", "3": "gamma doc"}
     q = col.query("zzz")
     assert q["total"] == 1 and q["results"][0]["id"] == "1"
+
+
+def test_collection_dedup_in_place(store_root, spark):
+    """dedup(): facade-level in-place dedup — transitive clusters
+    resolved, non-canonical members tombstoned via a distributed batch,
+    canonical (min-id) survivors keep serving queries. Idempotent."""
+    col = Collection(store_root, "dd", spark=spark)
+    col.add(
+        [
+            "the quick brown fox jumps over the lazy dog",   # exact dup of b
+            "the quick brown fox jumps over the lazy dog",
+            "THE QUICK   brown fox jumps over the lazy dog", # normalized dup
+            "completely different content about spark engines",
+        ],
+        ids=["a", "b", "c", "d"],
+    )
+    pairs = col.find_duplicates("exact").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b"), ("a", "c")}
+
+    assert col.dedup("exact", dry_run=True) == 2
+    assert col.count() == 4                     # dry run deletes nothing
+    assert col.dedup("exact") == 2
+    ids = {r["id"] for r in col.docs().collect()}
+    assert ids == {"a", "d"}                    # min-id canonical kept
+    assert col.dedup("exact") == 0              # idempotent
+    # survivors still searchable through the normal path
+    assert col.query("spark")["results"][0]["id"] == "d"
+
+
+def test_collection_dedup_minhash_near_dups(store_root, spark):
+    base = "word" + " word".join(str(i) for i in range(30))
+    col = Collection(store_root, "ddm", spark=spark)
+    col.add(
+        [base, base + " tail", "totally unrelated short doc here"],
+        ids=["1", "2", "3"],
+    )
+    n = col.dedup("minhash", jaccard_threshold=0.5)
+    assert n == 1
+    assert {r["id"] for r in col.docs().collect()} == {"1", "3"}

@@ -299,3 +299,82 @@ def test_reserve_batch_surfaces_real_fs_errors(store_root, spark):
     )
     with pytest.raises(RuntimeError, match="writer storm"):
         store2.reserve_batch("ro2")
+
+
+def test_manifest_self_heals_after_unpublished_write(store_root, spark):
+    """Crash window: a batch dir materialized but never published (crash
+    between parquet commit and manifest publish) is picked up by the
+    NEXT writer's LIST-derived publish — no data loss, no manual
+    repair."""
+    from pyspark.sql import functions as F
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+    df = spark.createDataFrame([("x", "one")], "id string, content string")
+    store.append_batch("h", df)                      # published: [1]
+    # simulate the crashed writer: dir only, no marker cleanup/publish
+    crashed = spark.createDataFrame([("y", "two")], "id string, content string")
+    crashed.select(
+        "id", "content",
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(False).alias("deleted"),
+    ).write.parquet(f"{store._partition_dir('h')}/batch=2")
+    assert store.read_manifest("h")["batches"] == [1]     # stale, pre-heal
+    # next committed write re-derives from the LIST: batch 2 resurfaces
+    store.append_batch("h", spark.createDataFrame(
+        [("z", "three")], "id string, content string"
+    ))
+    assert store.read_manifest("h")["batches"] == [1, 2, 3]
+    assert {r["id"] for r in store.read("h").collect()} == {"x", "y", "z"}
+
+
+def test_concurrent_appends_converge_in_manifest(store_root, spark):
+    """Four threads appending through separate handles: every batch
+    lands under a distinct number and the final manifest references all
+    of them (LIST-derived publish loses no update)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sifts_spark.sources.store import DocumentStore
+
+    def write(i):
+        s = DocumentStore(spark, store_root)
+        df = spark.createDataFrame([(f"id{i}", f"doc {i}")],
+                                   "id string, content string")
+        return s.append_batch("cc", df)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        batches = sorted(ex.map(write, range(4)))
+    assert batches == [1, 2, 3, 4]                    # distinct, gapless
+    store = DocumentStore(spark, store_root)
+    assert store.read_manifest("cc")["batches"] == [1, 2, 3, 4]
+    assert {r["id"] for r in store.read("cc").collect()} == {
+        "id0", "id1", "id2", "id3"
+    }
+
+
+def test_vacuum_never_touches_unpublished_future_batches(store_root, spark):
+    """Safety rail: vacuum only reclaims batches BELOW the max live
+    batch, so a concurrent appender's materialized-but-unpublished dir
+    (numbered above every published batch) survives even vacuum(0)."""
+    from pyspark.sql import functions as F
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+    df = lambda i, c: spark.createDataFrame([(i, c)], "id string, content string")
+    store.append_batch("vf", df("x", "one"))
+    store.append_batch("vf", df("x", "two"))
+    store.compact("vf")                                # live: [3]; sup: 1,2
+    # in-flight writer: dir 4 exists, manifest not yet updated
+    df("y", "late").select(
+        "id", "content",
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(False).alias("deleted"),
+    ).write.parquet(f"{store._partition_dir('vf')}/batch=4")
+    deleted = store.vacuum("vf", min_age_seconds=0)
+    assert deleted and all("batch=4" not in p for p in deleted)
+    assert store._exists(f"{store._partition_dir('vf')}/batch=4")
+    # the next publish folds the late batch in; nothing was lost
+    store.append_batch("vf", df("z", "five"))
+    assert {r["id"] for r in store.read("vf").collect()} == {"x", "y", "z"}

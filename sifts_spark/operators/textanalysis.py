@@ -7,6 +7,7 @@ shuffle-free — and each has an exact DuckDB-SQL twin for the oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -264,4 +265,81 @@ def boilerplate_score(
                 6,
             ).alias("boiler_ratio"),
         )
+    )
+
+
+REPETITION_SCHEMA = (
+    "dup_line_frac double, dup_word_frac double, "
+    "top_bigram_frac double, dup_trigram_frac double"
+)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc REPETITION signals → (id, dup_line_frac, dup_word_frac,
+    top_bigram_frac, dup_trigram_frac), the standard curation filters
+    for degenerate/templated/looping text (the Gopher rules family:
+    Rae et al. 2021 appendix A; RefinedWeb, Penedo et al. 2023):
+
+    * ``dup_line_frac``   — 1 − distinct(non-empty stripped lines)/lines
+      (boilerplate, navigation chrome, copy-paste);
+    * ``dup_word_frac``   — 1 − distinct(words)/words;
+    * ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram / total bigrams (stuck-phrase loops);
+    * ``dup_trigram_frac``— 1 − distinct(word trigrams)/trigrams
+      (longer-range looping).
+
+    Empty/degenerate inputs yield 0.0 (one word → no bigrams → 0).
+    An Arrow kernel by this module's measured crossover rule (counting
+    n-gram multiplicities needs a hash map per doc — a JVM HOF twin
+    would be an interpreted O(n²) mode computation); one pass per doc,
+    map-side, no shuffle. Rounded to 6 dp. Words = ``[a-z0-9]+`` on the
+    lowercased text (the tokenizer family used across this module)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(REPETITION_SCHEMA)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        rows = []
+        word_re = re.compile(r"[a-z0-9]+")
+        for t in texts:
+            if t is None:
+                rows.append((0.0, 0.0, 0.0, 0.0))
+                continue
+            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+            dl = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+            words = word_re.findall(t.lower())
+            dw = 1.0 - len(set(words)) / len(words) if words else 0.0
+            bigrams = list(zip(words, words[1:]))
+            tb = (
+                max(Counter(bigrams).values()) / len(bigrams)
+                if bigrams
+                else 0.0
+            )
+            trigrams = list(zip(words, words[1:], words[2:]))
+            dt = (
+                1.0 - len(set(trigrams)) / len(trigrams) if trigrams else 0.0
+            )
+            rows.append(
+                (round(dl, 6), round(dw, 6), round(tb, 6), round(dt, 6))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "dup_line_frac", "dup_word_frac",
+                "top_bigram_frac", "dup_trigram_frac",
+            ],
+        )
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
+    out = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    return out.select("id", _rep(F.col("_t")).alias("_r")).select(
+        "id", "_r.dup_line_frac", "_r.dup_word_frac",
+        "_r.top_bigram_frac", "_r.dup_trigram_frac",
     )

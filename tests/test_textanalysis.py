@@ -9,7 +9,12 @@ by several marker sets, and marker words embedded inside longer tokens.
 
 from __future__ import annotations
 
+import os
+
 from sifts_spark.operators.textanalysis import language_id
+from sifts_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", "/root/testdata/sf0.001")
 
 
 def test_langid_arrow_matches_hof_on_edge_rows(spark):
@@ -62,3 +67,51 @@ def test_quality_arrow_matches_hof(spark):
     h = {r["id"]: (r["punct_ratio"], r["stopword_ratio"], r["quality"])
          for r in quality_score(docs, impl="hof").collect()}
     assert a == h
+
+
+def test_repetition_stats_against_python_reference(spark):
+    """Arrow kernel pinned against an independent driver-side Python
+    computation on real corpus docs plus hand-built degenerate cases."""
+    import re
+    from collections import Counter
+
+    from sifts_spark.operators.textanalysis import repetition_stats
+
+    hand = [
+        (9001, "loop loop loop loop"),                       # one word repeated
+        (9002, "a\nb\na\n\n  a  \nc"),                       # dup lines
+        (9003, "unique words only here today"),              # clean
+        (9004, ""),                                          # empty
+        (9005, None),                                        # null
+        (9006, "x"),                                         # no bigrams
+    ]
+    docs = load_table(spark, SF_DIR, "documents").limit(50).select(
+        "doc_id", "text"
+    ).unionByName(spark.createDataFrame(hand, "doc_id long, text string"))
+
+    got = {r["id"]: r for r in repetition_stats(docs).collect()}
+
+    word_re = re.compile(r"[a-z0-9]+")
+    for row in docs.collect():
+        t = row["text"]
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()] if t else []
+        words = word_re.findall(t.lower()) if t else []
+        bigrams = list(zip(words, words[1:]))
+        trigrams = list(zip(words, words[1:], words[2:]))
+        exp = (
+            round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0,
+            round(1 - len(set(words)) / len(words), 6) if words else 0.0,
+            round(max(Counter(bigrams).values()) / len(bigrams), 6) if bigrams else 0.0,
+            round(1 - len(set(trigrams)) / len(trigrams), 6) if trigrams else 0.0,
+        )
+        g = got[row["doc_id"]]
+        assert (
+            g["dup_line_frac"], g["dup_word_frac"],
+            g["top_bigram_frac"], g["dup_trigram_frac"],
+        ) == exp, f"doc {row['doc_id']}"
+
+    # spot semantics: the degenerate loop doc maxes out
+    g = got[9001]
+    assert g["dup_word_frac"] == 0.75 and g["top_bigram_frac"] == 1.0
+    assert got[9002]["dup_line_frac"] == round(1 - 3 / 5, 6)
+    assert got[9004]["dup_line_frac"] == 0.0 == got[9005]["top_bigram_frac"]

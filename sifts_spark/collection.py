@@ -434,8 +434,15 @@ class SparkCollection:
     # read path
     # ------------------------------------------------------------------
 
-    def docs(self) -> DataFrame:
-        """Current snapshot as a DataFrame (power-user escape hatch)."""
+    def docs(self, as_of: int | None = None) -> DataFrame:
+        """Current snapshot as a DataFrame (power-user escape hatch).
+
+        ``as_of``: a manifest version (``store.manifest_versions``) for
+        snapshot time travel — what the collection looked like when that
+        version was published. History is bounded by vacuum retention
+        (Delta semantics)."""
+        if as_of is not None:
+            return self.store.snapshot_at(self.name, as_of)
         return self.store.read(self.name)
 
     def count(self) -> int:

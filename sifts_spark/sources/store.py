@@ -243,6 +243,39 @@ class DocumentStore:
 
     def _write_manifest(self, name: str, manifest: dict) -> None:
         self._write_json_atomic(self._manifest_path(name), manifest)
+        # Retained history entry => snapshot time travel (Delta-style
+        # VERSION AS OF). Each is a few hundred bytes; vacuum prunes
+        # entries whose batches it reclaims.
+        self._write_json_atomic(
+            f"{self._partition_dir(name)}/_manifest_log/v{manifest['version']}",
+            manifest,
+        )
+
+    def manifest_versions(self, name: str) -> list[int]:
+        """Published manifest versions still readable for time travel
+        (oldest may reference vacuumed batches no longer on disk)."""
+        return sorted(
+            int(d[1:])
+            for d in self._ls_names(f"{self._partition_dir(name)}/_manifest_log")
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def snapshot_at(self, name: str, version: int) -> DataFrame:
+        """The collection snapshot as of manifest ``version`` — LSM
+        resolution over exactly the batches that manifest referenced.
+        Time travel is bounded by :meth:`vacuum`'s retention clock
+        (identical to Delta: VACUUM erases history); a version whose
+        log entry was pruned raises ValueError."""
+        m = self._read_json_file(
+            f"{self._partition_dir(name)}/_manifest_log/v{int(version)}"
+        )
+        if m is None or not isinstance(m.get("batches"), list):
+            raise ValueError(
+                f"no readable manifest version {version} for {name!r} "
+                f"(available: {self.manifest_versions(name)}) — history is "
+                "bounded by vacuum retention"
+            )
+        return resolve_snapshot(self.read_raw(name, m))
 
     def _publish_manifest(
         self, name: str, superseded: set[int] | None = None
@@ -488,6 +521,23 @@ class DocumentStore:
                 deleted.append(path)
         self._gc_markers(name)
         if deleted:
+            # Prune time-travel log entries that reference a reclaimed
+            # batch — their snapshots are no longer materializable
+            # (Delta parity: VACUUM erases history past retention).
+            existing = {
+                int(m2.group(1))
+                for d in self._ls_names(self._partition_dir(name))
+                if (m2 := self._BATCH_DIR_RE.match(d))
+            }
+            log_dir = f"{self._partition_dir(name)}/_manifest_log"
+            for d in self._ls_names(log_dir):
+                if not (d.startswith("v") and d[1:].isdigit()):
+                    continue
+                entry = self._read_json_file(f"{log_dir}/{d}")
+                if entry is None or not set(
+                    int(b) for b in entry.get("batches", [])
+                ) <= existing:
+                    self._fs.delete(self._Path(f"{log_dir}/{d}"), False)
             self._publish_manifest(name)
         return deleted
 

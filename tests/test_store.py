@@ -378,3 +378,33 @@ def test_vacuum_never_touches_unpublished_future_batches(store_root, spark):
     # the next publish folds the late batch in; nothing was lost
     store.append_batch("vf", df("z", "five"))
     assert {r["id"] for r in store.read("vf").collect()} == {"x", "y", "z"}
+
+
+def test_snapshot_time_travel(store_root, spark):
+    """Every manifest publish leaves a readable history entry: docs(
+    as_of=version) replays the snapshot of that moment — upserts and
+    deletes included — until vacuum reclaims the referenced batches."""
+    col = Collection(store_root, "tt", spark=spark)
+    col.add(["original doc"], ids=["1"])
+    v1 = col.store.read_manifest("tt")["version"]
+    col.add(["original doc v2"], ids=["1"])
+    col.add(["second doc"], ids=["2"])
+    v2 = col.store.read_manifest("tt")["version"]
+    col.delete(["2"])
+
+    assert {r["id"] for r in col.docs().collect()} == {"1"}
+    past1 = {r["id"]: r["content"] for r in col.docs(as_of=v1).collect()}
+    assert past1 == {"1": "original doc"}
+    past2 = {r["id"]: r["content"] for r in col.docs(as_of=v2).collect()}
+    assert past2 == {"1": "original doc v2", "2": "second doc"}
+
+    # vacuum erases history whose batches it reclaims (Delta parity)
+    col.store.compact("tt", postings=True)
+    col.store.vacuum("tt", min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuum retention"):
+        col.docs(as_of=v1).collect()
+    # current snapshot unaffected
+    assert {r["id"] for r in col.docs().collect()} == {"1"}
+    # post-compact versions remain time-travelable
+    vs = col.store.manifest_versions("tt")
+    assert vs and {r["id"] for r in col.docs(as_of=vs[-1]).collect()} == {"1"}

@@ -35,7 +35,7 @@ import uuid
 from collections.abc import Callable, Sequence
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sifts_spark.functions.metadata import compile_order_by, compile_where
@@ -585,6 +585,97 @@ class SparkCollection:
         if where:
             df = df.filter(compile_where(F.col("metadata"), where))
         return df, is_search
+
+    def hybrid_query(
+        self,
+        query_string: str,
+        k: int = 10,
+        where: dict | None = None,
+        rrf_k: int = 60,
+        pool: int | None = None,
+        weights: tuple[float, float] = (1.0, 1.0),
+        approx: bool = False,
+        nprobe: int = 2,
+    ) -> dict:
+        """Hybrid text+vector search fused by Reciprocal Rank Fusion
+        (extension — the reference exposes FTS and vector search only
+        separately, core.py:190-364; RRF is the standard score-free
+        fusion: Cormack/Clarke/Buettcher, SIGIR 2009).
+
+        Both retrievers rank the same live snapshot: BM25 over the
+        postings index and cosine over the embedding column (the
+        ``approx``/``nprobe`` IVF path applies to the vector leg).
+        Each leg keeps its top-``pool`` (default ``max(4*k, 50)``);
+        fused score = ``w_t/(rrf_k + pos_text) + w_v/(rrf_k +
+        pos_vec)``, a leg contributing 0 for ids it did not retrieve.
+        Returns ``{"total": fused_candidates, "results": [{id,
+        content, metadata, rank}]}`` with ``rank`` = the RRF score.
+
+        Scale shape: each leg is a TakeOrderedAndProject to ``pool``
+        rows (per-partition heaps, no global sort); the global
+        row_number windows and the full-outer fuse run on pool-sized
+        frames; only the final ``k`` winners join back to the snapshot
+        for their payload.
+        """
+        if not self.use_fts:
+            raise ValueError("hybrid_query requires use_fts=True")
+        if self.embedding_function is None:
+            raise ValueError("hybrid_query requires an embedding_function")
+        if not query_string.strip():
+            raise ValueError("hybrid_query requires a non-empty query")
+        pool = pool or max(4 * k, 50)
+        w_t, w_v = (float(weights[0]), float(weights[1]))
+
+        text_leg, _ = self._query_plan(
+            query_string, where, None, vector_search=False
+        )
+        vec_leg, _ = self._query_plan(
+            query_string, where, None, vector_search=True,
+            approx=approx, nprobe=nprobe,
+        )
+        legs = []
+        for leg, name in ((text_leg, "pos_t"), (vec_leg, "pos_v")):
+            top = (
+                leg.select("id", "rank")
+                .orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
+                .limit(pool)
+            )
+            w = Window.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
+            legs.append(
+                top.withColumn(name, F.row_number().over(w)).select("id", name)
+            )
+        fused = (
+            legs[0]
+            .join(legs[1], "id", "full_outer")
+            .select(
+                "id",
+                (
+                    F.coalesce(
+                        F.lit(w_t) / (F.lit(rrf_k) + F.col("pos_t")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(w_v) / (F.lit(rrf_k) + F.col("pos_v")), F.lit(0.0)
+                    )
+                ).alias("rrf"),
+            )
+        )
+        total = fused.count()
+        winners = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(k)
+        rows = (
+            winners.join(self.docs().select("id", "content", "metadata"), "id")
+            .orderBy(F.col("rrf").desc(), F.col("id"))
+            .collect()
+        )
+        results = [
+            {
+                "id": r["id"],
+                "content": r["content"],
+                "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
+                "rank": r["rrf"],
+            }
+            for r in rows
+        ]
+        return {"total": total if results else 0, "results": results}
 
     def _corpus_stats(self) -> tuple[int, float]:
         """Memoized (N, avgdl) for BM25 — recomputed when THIS facade

@@ -1,0 +1,97 @@
+"""Hybrid BM25+vector search with RRF fusion (facade extension).
+
+Value-level oracle: the test recomputes RRF in plain Python from the
+two single-leg query() results (which are themselves oracle-pinned
+elsewhere) and demands identical ordering and scores.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sifts_spark.collection import Collection
+
+# text leg and vector leg deliberately DISAGREE: "baked fruit dessert"
+# never matches the text query but is the closest vector; "apple apple
+# pie apple" dominates BM25 but is vector-far.
+_LOOKUP = {
+    "apple pie recipe": [0.9, 0.1, 0.0],
+    "apple apple pie apple": [0.0, 1.0, 0.0],
+    "baked fruit dessert": [1.0, 0.0, 0.05],
+    "orchard visit notes": [0.0, 0.0, 1.0],
+    "apple": [1.0, 0.0, 0.0],  # the query string itself
+}
+
+
+def embed(texts):
+    return [_LOOKUP[t] for t in texts]
+
+
+@pytest.fixture()
+def col(store_root, spark):
+    c = Collection(store_root, "hyb", embedding_function=embed, spark=spark)
+    c.add(list(k for k in _LOOKUP if k != "apple"),
+          ids=["pie", "spam", "dessert", "orchard"],
+          metadatas=[{"lang": "en"}, {"lang": "en"}, {"lang": "fr"}, {"lang": "en"}])
+    return c
+
+
+def _python_rrf(col, query, rrf_k=60, where=None):
+    t = col.query(query, where=where)["results"]
+    v = col.query(query, vector_search=True, where=where)["results"]
+    scores: dict[str, float] = {}
+    for leg in (t, v):
+        for pos, r in enumerate(leg, start=1):
+            scores[r["id"]] = scores.get(r["id"], 0.0) + 1.0 / (rrf_k + pos)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_hybrid_matches_python_rrf(col):
+    got = col.hybrid_query("apple", k=10)
+    want = _python_rrf(col, "apple")
+    assert [r["id"] for r in got["results"]] == [i for i, _ in want]
+    for r, (_, s) in zip(got["results"], want):
+        assert r["rank"] == pytest.approx(s)
+    assert got["total"] == len(want)
+    # fusion is visible: the vector-only doc is present even though the
+    # text leg never retrieves it, and neither leg's own order wins
+    ids = [r["id"] for r in got["results"]]
+    assert "dessert" in ids
+    text_order = [r["id"] for r in col.query("apple")["results"]]
+    vec_order = [r["id"] for r in col.query("apple", vector_search=True)["results"]]
+    assert ids != text_order and ids != vec_order
+
+
+def test_hybrid_where_filters_both_legs(col):
+    got = col.hybrid_query("apple", where={"lang": "en"})
+    assert [r["id"] for r in got["results"]] == [
+        i for i, _ in _python_rrf(col, "apple", where={"lang": "en"})
+    ]
+    assert all(r["metadata"]["lang"] == "en" for r in got["results"])
+
+
+def test_hybrid_k_and_weights(col):
+    top1 = col.hybrid_query("apple", k=1)
+    assert len(top1["results"]) == 1
+    full = _python_rrf(col, "apple")
+    assert top1["results"][0]["id"] == full[0][0]
+    # all-weight-on-vector degenerates to the vector leg's order
+    vec_only = col.hybrid_query("apple", weights=(0.0, 1.0))
+    vec_order = [r["id"] for r in col.query("apple", vector_search=True)["results"]]
+    assert [r["id"] for r in vec_only["results"]][: len(vec_order)] == vec_order
+
+
+def test_hybrid_validations(store_root, spark):
+    plain = Collection(store_root, "nofts", use_fts=False,
+                       embedding_function=embed, spark=spark)
+    plain.add(["apple pie recipe"], ids=["x"])
+    with pytest.raises(ValueError, match="use_fts"):
+        plain.hybrid_query("apple")
+    noemb = Collection(store_root, "noemb", spark=spark)
+    noemb.add(["apple pie recipe"], ids=["x"])
+    with pytest.raises(ValueError, match="embedding_function"):
+        noemb.hybrid_query("apple")
+    c = Collection(store_root, "ok", embedding_function=embed, spark=spark)
+    c.add(["apple pie recipe"], ids=["x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        c.hybrid_query("   ")

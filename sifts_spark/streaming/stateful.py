@@ -76,6 +76,74 @@ def running_user_stats(
     )
 
 
+def stream_first_seen(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str = "id",
+) -> DataFrame:
+    """Streaming dedup gate: emit each key's FIRST-seen row, once, for
+    the lifetime of the stream — every later row with the same key is
+    dropped. The in-flight half of a training-data dedup pipeline
+    (batch half: operators/dedup; key with ``F.md5(content)`` for exact
+    dedup, a winnow fingerprint or SimHash for near-dup gating).
+
+    Semantics: within one micro-batch, the min-``order_col`` row wins
+    (deterministic under replay — micro-batch composition may differ
+    across restarts); across batches, first batch wins. State per key
+    is ONE BOOLEAN — the state store holds |distinct keys| bits, not
+    rows, and is RocksDB-spillable and key-range-sharded on a cluster.
+
+    Output rows: ``key_cols + [order_col]`` — the gate passes
+    identities, not payloads (append-mode friendly, and the winner row
+    can be joined back by key downstream). Batch twin:
+    :func:`batch_first_seen`."""
+    import pandas as pd
+
+    def gate(
+        key: Tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf[order_col].idxmin()]
+            if best is None or cand[order_col] < best[order_col]:
+                best = cand
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame([{**{c: key[i] for i, c in enumerate(key_cols)},
+                             order_col: best[order_col]}])
+
+    fields = df.select(*key_cols, order_col).schema
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        gate,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_first_seen(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str = "id",
+) -> DataFrame:
+    """Batch twin of :func:`stream_first_seen`: min-``order_col`` row
+    per key — one shuffle, map-side-combined min_by."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(*key_cols).agg(
+        F.min(F.col(order_col)).alias(order_col)
+    )
+
+
 def batch_user_stats(
     events: DataFrame,
     key_col: str = "user_id",

@@ -306,3 +306,65 @@ def test_streaming_snapshot_updates_maintains_live_view(spark, tmp_path):
     assert state["2"]["deleted"]  # delete signal, not resurrection
     live = {r["id"] for r in col.store.read("snap").collect()}
     assert {i for i, r in state.items() if not r["deleted"]} == live == {"1"}
+
+
+def test_stream_first_seen_dedup_gate(spark, tmp_path):
+    """Exact-dedup gate: key = md5(text). Duplicated docs across TWO
+    micro-batches must pass the gate exactly once, min-id winner, and
+    the surviving set must equal the batch twin's."""
+    from sifts_spark.streaming.stateful import batch_first_seen, stream_first_seen
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(60)
+        .select("doc_id", "text", F.md5("text").alias("digest"))
+    )
+    # batch 1: originals; batch 2: the same texts under shifted ids
+    # (every batch-2 row is a duplicate) plus 5 genuinely new texts
+    dupes = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "digest"
+    )
+    fresh = (
+        load_table(spark, SF_DIR, "documents")
+        .filter("doc_id >= 60 and doc_id < 65")
+        .select((F.col("doc_id") + 20_000).alias("doc_id"), "text",
+                F.md5("text").alias("digest"))
+    )
+    src = str(tmp_path / "dd_src")
+    docs.write.parquet(src)
+    dupes.union(fresh).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_first_seen(stream, ["digest"], order_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["digest"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM first_seen").collect()
+    }
+    everything = spark.read.schema(docs.schema).parquet(src)
+    want = {
+        (r["digest"], r["doc_id"])
+        for r in batch_first_seen(everything, ["digest"], order_col="doc_id").collect()
+    }
+    assert got == want
+    # each key emitted exactly once even though its duplicates arrived
+    # in a later micro-batch; every batch-2 duplicate was swallowed
+    assert len(got) == len({d for d, _ in got})
+    assert all(i < 10_000 or i >= 20_000 for _, i in got)
+    # the 5 fresh batch-2 texts DID pass (if their text is genuinely new)
+    fresh_digests = {r["digest"] for r in fresh.collect()} - {
+        r["digest"] for r in docs.collect()
+    }
+    assert fresh_digests <= {d for d, _ in got}

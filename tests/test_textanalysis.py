@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from sifts_spark.operators.textanalysis import language_id
 from sifts_spark.sources.tables import load_table
 
@@ -115,3 +117,66 @@ def test_repetition_stats_against_python_reference(spark):
     assert g["dup_word_frac"] == 0.75 and g["top_bigram_frac"] == 1.0
     assert got[9002]["dup_line_frac"] == round(1 - 3 / 5, 6)
     assert got[9004]["dup_line_frac"] == 0.0 == got[9005]["top_bigram_frac"]
+
+
+def test_unigram_lm_perplexity_matches_python_reference(spark):
+    """train_unigram_lm + perplexity_score vs an independent pure-
+    Python recomputation (Counter over the same regex tokens)."""
+    import math
+    import re
+    from collections import Counter
+
+    from sifts_spark.operators.textanalysis import (
+        perplexity_score,
+        train_unigram_lm,
+    )
+    from sifts_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    model = train_unigram_lm(docs, vocab_size=50)
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    word_re = re.compile(r"[a-z0-9]+")
+    counts: Counter = Counter()
+    for t in rows.values():
+        counts.update(word_re.findall(t.lower()))
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    ref_lp = {w: math.log(n / total) for w, n in top}
+    tail = max(total - sum(n for _, n in top), 1)
+    ref_oov = math.log(tail / total)
+    assert model["total_tokens"] == total
+    assert model["oov_logprob"] == pytest.approx(ref_oov)
+    assert model["logprob"] == pytest.approx(ref_lp)
+
+    got = {r["id"]: r for r in perplexity_score(docs, model).collect()}
+    assert set(got) == set(rows)
+    for did, text in list(rows.items())[:30]:
+        words = word_re.findall(text.lower())
+        mean = sum(ref_lp.get(w, ref_oov) for w in words) / len(words)
+        assert got[did]["n_tokens"] == len(words)
+        assert got[did]["logprob_mean"] == pytest.approx(round(mean, 6))
+        assert got[did]["perplexity"] == pytest.approx(
+            round(math.exp(-mean), 6)
+        )
+
+
+def test_unigram_lm_edges(spark):
+    from sifts_spark.operators.textanalysis import (
+        perplexity_score,
+        train_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, None), (4, "zz unseen words")],
+        "doc_id long, text string",
+    )
+    model = train_unigram_lm(docs.filter("doc_id = 1"), vocab_size=10)
+    got = {r["id"]: r for r in perplexity_score(docs, model).collect()}
+    # empty/null docs: no tokens, NULL perplexity (never inf/NaN)
+    for did in (2, 3):
+        assert got[did]["n_tokens"] == 0 and got[did]["perplexity"] is None
+    # fully-OOV doc scores strictly worse (higher ppl) than in-vocab
+    assert got[4]["perplexity"] > got[1]["perplexity"]
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_unigram_lm(docs.filter("doc_id = 2"))

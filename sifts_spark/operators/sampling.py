@@ -56,3 +56,159 @@ def topk_per_group(
     return df.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    target_weights: dict,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    allow_upsampling: bool = True,
+) -> DataFrame:
+    """Deterministic domain re-mixing to target proportions — the
+    "data mixture" step of LLM corpus assembly (the Pile's per-source
+    epochs, Gao et al. 2021; DoReMi's domain weights, Xie et al. 2023).
+
+    For each group ``g`` with weight ``w_g`` (normalized here), select
+    documents in md5-hash order until ``w_g * total_tokens`` tokens are
+    taken. Groups smaller than their budget are UPSAMPLED by whole
+    deterministic epochs (the same hash-order pass repeated; ``epoch``
+    column says which copy a row is) unless ``allow_upsampling=False``,
+    which caps a group at one epoch. A row is kept iff it STARTS before
+    the group budget ends, so each group overshoots by at most one
+    document — exact-budget truncation would split a document.
+
+    Shuffle shape: one sum per group (map-side combined), one
+    window-cumsum keyed by group (same single-reducer-per-group caveat
+    as :func:`stratified_sample` — domains are few and medium, the
+    training-data case), epochs via a row-count-preserving
+    ``posexplode`` of a repeat array.
+    """
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, w / wsum) for g, w in target_weights.items()],
+        f"{group_col} string, _w double",
+    )
+    df = df.join(F.broadcast(wdf), group_col)  # drops unlisted groups
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_gtot")
+    )
+    df = df.join(F.broadcast(totals), group_col).withColumn(
+        "_budget", F.col("_w") * F.lit(float(total_tokens))
+    )
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    cum = (
+        F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col)
+    )  # tokens BEFORE this row in hash order
+    df = df.withColumn("_cum", cum)
+    if allow_upsampling:
+        n_epochs = F.greatest(
+            F.lit(1), F.ceil(F.col("_budget") / F.greatest(F.col("_gtot"), F.lit(1)))
+        ).cast("int")
+    else:
+        n_epochs = F.lit(1)
+    out = (
+        df.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), n_epochs - F.lit(1)))
+        )
+        .filter(
+            F.col("_cum") + F.col("epoch") * F.col("_gtot") < F.col("_budget")
+        )
+        .drop("_w", "_gtot", "_budget", "_cum")
+    )
+    return out
+
+
+PACK_SCHEMA = (
+    "seq_id string, doc_ids array<string>, n_docs int, "
+    "total_tokens long, fill double"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_tokens: int = 2048,
+    max_open_bins: int = 256,
+) -> DataFrame:
+    """Pack documents into training sequences of ≤ ``max_tokens``
+    → (seq_id, doc_ids, n_docs, total_tokens, fill) — the sequence-
+    packing step that turns a curated corpus into fixed-length LM
+    examples without cross-document padding waste.
+
+    Bounded FIRST-FIT per partition: docs stream through in
+    deterministic order (hash repartition + sortWithinPartitions on
+    the id hash), each placed into the first open bin it fits, else a
+    new bin; when ``max_open_bins`` bins are open the fullest is
+    emitted (bounds executor memory — packing state never exceeds
+    ``max_open_bins * max_tokens`` tokens of bookkeeping regardless of
+    partition size). Documents longer than ``max_tokens`` get a
+    single-doc oversize bin (fill > 1) — flag or split upstream.
+    seq_ids are ``{partition}-{counter}``: globally unique, stable for
+    a fixed partitioning. Packing is per-partition, so quality is
+    local-first-fit (fill ~0.9+ for docs ≪ max_tokens); no shuffle
+    beyond the deterministic repartition."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    def pack(batches):
+        pid = TaskContext.get().partitionId()
+        counter = 0
+        open_bins: list[list] = []  # [tokens_used, [ids]]
+
+        def emit(b):
+            nonlocal counter
+            sid = f"{pid}-{counter}"
+            counter += 1
+            return (sid, b[1], len(b[1]), b[0], round(b[0] / max_tokens, 6))
+
+        out = []
+        for pdf in batches:
+            for did, nt in zip(pdf["_id"], pdf["_nt"]):
+                nt = int(nt)
+                if nt >= max_tokens:
+                    out.append(emit((nt, [did])))
+                    continue
+                for b in open_bins:
+                    if b[0] + nt <= max_tokens:
+                        b[0] += nt
+                        b[1].append(did)
+                        break
+                else:
+                    open_bins.append([nt, [did]])
+                    if len(open_bins) > max_open_bins:
+                        fullest = max(range(len(open_bins)),
+                                      key=lambda i: open_bins[i][0])
+                        out.append(emit(open_bins.pop(fullest)))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["seq_id", "doc_ids", "n_docs",
+                                  "total_tokens", "fill"],
+                )
+                out = []
+        for b in open_bins:
+            out.append(emit(b))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["seq_id", "doc_ids", "n_docs",
+                              "total_tokens", "fill"],
+            )
+
+    h = F.md5(F.col(id_col).cast("string"))
+    prepped = (
+        docs.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(token_col).cast("long").alias("_nt"),
+            h.alias("_h"),
+        )
+        .repartition(F.col("_h"))
+        .sortWithinPartitions("_h", "_id")
+    )
+    return prepped.mapInPandas(pack, PACK_SCHEMA)

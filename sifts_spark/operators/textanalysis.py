@@ -438,3 +438,65 @@ def perplexity_score(
     return out.select("id", _ppl(F.col("_t")).alias("_p")).select(
         "id", "_p.n_tokens", "_p.logprob_mean", "_p.perplexity"
     )
+
+
+def find_contaminated(
+    docs: DataFrame,
+    eval_texts: list[str] | DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ANY word
+    ``n``-gram with an eval set → (id, n_hits, sample_ngram).
+
+    The n-gram-overlap test is the published method (GPT-3, Brown et
+    al. 2020 appendix C uses 13-grams; PaLM, Chowdhery et al. 2022
+    §7). Eval items SHORTER than ``n`` tokens are matched by their
+    full token string (a contained QA answer still flags its host
+    doc): the eval set is collected driver-side — benchmark-sized by
+    definition — its grams computed per-item at ``min(n,
+    item_len)``, and the corpus emits grams for each distinct length
+    in ONE scan (a flattened array of per-length shingle arrays).
+    The hit test is a broadcast semi-join on the gram, so the plan is
+    one corpus scan + broadcast hash join — no corpus-sized shuffle.
+    Tokenization is this module's ``[a-z0-9]+`` lowercase family on
+    BOTH sides (contamination checks must share one normalization or
+    they silently under-detect).
+
+    Returns one row per contaminated doc; docs with zero overlap are
+    absent (decontaminate with a left_anti on the result)."""
+    import re as _re
+
+    if isinstance(eval_texts, DataFrame):
+        eval_texts = [r[eval_text_col] for r in eval_texts.collect()]
+    word_re = _re.compile(r"[a-z0-9]+")
+    by_len: dict[int, set[str]] = {}
+    for t in eval_texts:
+        toks = word_re.findall((t or "").lower())
+        if not toks:
+            continue
+        m = min(n, len(toks))
+        grams = by_len.setdefault(m, set())
+        for i in range(len(toks) - m + 1):
+            grams.add(" ".join(toks[i : i + m]))
+    if not by_len:
+        raise ValueError("eval set has no tokens")
+
+    toks = tokenize(F.col(text_col))
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.flatten(F.array(*[shingles(toks, m) for m in sorted(by_len)]))
+        ).alias("gram"),
+    )
+    spark = docs.sparkSession
+    ev = spark.createDataFrame(
+        [(g,) for grams in by_len.values() for g in grams], "gram string"
+    )
+    hits = doc_grams.join(F.broadcast(ev), "gram")
+    return hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("gram").alias("sample_ngram"),
+    )

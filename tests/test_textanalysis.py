@@ -180,3 +180,58 @@ def test_unigram_lm_edges(spark):
     assert got[4]["perplexity"] > got[1]["perplexity"]
     with pytest.raises(ValueError, match="empty corpus"):
         train_unigram_lm(docs.filter("doc_id = 2"))
+
+
+def test_find_contaminated_ngram_overlap(spark):
+    """Planted contamination: docs embedding an eval 13-gram are
+    flagged; clean docs are not; short eval items match verbatim."""
+    from sifts_spark.operators.textanalysis import find_contaminated
+
+    eval_q = (
+        "what is the capital of the country that borders both "
+        "france and spain on the iberian peninsula today"
+    )
+    docs = spark.createDataFrame(
+        [
+            # 1: embeds the eval question verbatim mid-document
+            (1, "intro text here " + eval_q + " and some trailing words"),
+            # 2: clean — shares words but never 13 consecutive
+            (2, "the capital of france is paris and spain borders it"),
+            # 3: embeds a short eval answer (whole-string shingle)
+            (3, "students wrote andorra la vella on their sheets"),
+            (4, "completely unrelated text about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in find_contaminated(
+            docs, [eval_q, "andorra la vella"], n=13
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_hits"] >= 1
+    assert "andorra" in out[3]["sample_ngram"]
+    # decontaminate: anti-join leaves only the clean docs
+    flagged = find_contaminated(docs, [eval_q, "andorra la vella"], n=13)
+    clean = docs.join(
+        flagged.withColumnRenamed("id", "doc_id").select("doc_id"),
+        "doc_id", "left_anti",
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
+
+
+def test_find_contaminated_eval_dataframe_and_real_corpus(spark):
+    from sifts_spark.operators.textanalysis import find_contaminated
+    from sifts_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # eval set = verbatim copies of 5 real docs -> exactly those flagged
+    # (plus any other doc sharing a full n-gram; use a large n to avoid)
+    ev = docs.filter("doc_id < 5").select("text")
+    out = find_contaminated(docs, ev, n=10)
+    flagged = {r["id"] for r in out.collect()}
+    assert {0, 1, 2, 3, 4} <= flagged
+    # every flagged doc really shares a 10-gram with an eval doc: spot
+    # check that unflagged docs dominate (synthetic corpus is diverse)
+    assert len(flagged) < docs.count() / 2

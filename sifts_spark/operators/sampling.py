@@ -95,8 +95,30 @@ def mix_corpus(
         f"{group_col} string, _w double",
     )
     df = df.join(F.broadcast(wdf), group_col)  # drops unlisted groups
-    totals = df.groupBy(group_col).agg(
-        F.sum(F.col(token_col).cast("long")).alias("_gtot")
+    # group totals are domains-sized: collect ONCE (the warning below
+    # needs an action anyway) and rebuild as a literal frame, so the
+    # groupBy scan is not re-executed by the join
+    total_rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_gtot"))
+        .collect()
+    )
+    # A weighted group with NO rows silently contributes nothing and
+    # the output under-delivers its share of total_tokens — that is a
+    # data bug (wrong group labels, upstream over-filtering), surface it.
+    missing = set(target_weights) - {r[group_col] for r in total_rows}
+    if missing:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mix_corpus: weighted group(s) %s have no rows — their "
+            "%.0f%% of the budget will NOT be delivered",
+            sorted(missing),
+            100 * sum(target_weights[g] for g in missing) / wsum,
+        )
+    totals = spark.createDataFrame(
+        [(r[group_col], r["_gtot"]) for r in total_rows],
+        f"{group_col} string, _gtot long",
     )
     df = df.join(F.broadcast(totals), group_col).withColumn(
         "_budget", F.col("_w") * F.lit(float(total_tokens))

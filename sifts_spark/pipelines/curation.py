@@ -97,3 +97,112 @@ def curate_corpus(
         "n_tokens",
     )
     return curated, report
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    eval_texts=None,
+    contamination_n: int = 13,
+    ppl_band: tuple[float, float] | None = (0.02, 0.98),
+    mix_weights: dict | None = None,
+    total_tokens: int | None = None,
+    max_seq_tokens: int = 2048,
+    target_file_mb: float = 256.0,
+    scrub: bool = True,
+) -> dict:
+    """Raw docs → training shards, end-to-end → manifest dict.
+
+    The full recipe a pretraining-data job runs, composed from this
+    repo's operators in their published order (CCNet → Gopher →
+    GPT-3 decontamination → Pile/DoReMi mixing → packing):
+
+    1. :func:`curate_corpus` — langid + quality gates, near-dup
+       canonical keep, PII scrub (one-pass tag semantics);
+    2. decontamination — drop docs overlapping ``eval_texts`` by
+       ``contamination_n``-grams (skipped when no eval set given);
+    3. perplexity band — train a unigram LM on the survivors, keep
+       docs inside the ``ppl_band`` quantile band (CCNet keeps the
+       low/middle band; both tails are suspect — skipped when None);
+    4. mixing — :func:`~sifts_spark.operators.sampling.mix_corpus`
+       to ``mix_weights`` over predicted language at ``total_tokens``
+       (skipped unless both given);
+    5. packing — :func:`~sifts_spark.operators.sampling
+       .pack_sequences` into ``max_seq_tokens`` bins;
+    6. export — docs to ``{out_path}/docs`` and the packing manifest
+       to ``{out_path}/sequences`` via the calibrated-shard sink.
+
+    Driver actions: one count per stage boundary (5 small aggs over a
+    persisted frame — attrition numbers are the POINT of the manifest;
+    a silent pipeline at 100 TB is undebuggable) plus the LM/quantile
+    training the stages own. Stage frames persist/unpersist around
+    their reuse.
+    """
+    from sifts_spark.operators.sampling import mix_corpus, pack_sequences
+    from sifts_spark.operators.textanalysis import (
+        find_contaminated,
+        perplexity_score,
+        train_unigram_lm,
+    )
+    from sifts_spark.pipelines.export import export_corpus
+
+    manifest: dict = {"stages": {}}
+    curated, report = curate_corpus(
+        docs, id_col=id_col, text_col=text_col,
+        allowed_langs=allowed_langs, min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold, scrub=scrub,
+    )
+    curated = curated.persist()
+    manifest["stages"]["input"] = docs.count()
+    manifest["stages"]["curated"] = curated.count()
+    manifest["attrition"] = [r.asDict() for r in report.collect()]
+
+    stage = curated
+    if eval_texts is not None:
+        flagged = find_contaminated(
+            stage, eval_texts, n=contamination_n, id_col="id", text_col="text"
+        ).select("id")
+        stage = stage.join(flagged, "id", "left_anti").persist()
+        manifest["stages"]["decontaminated"] = stage.count()
+
+    if ppl_band is not None:
+        lm = train_unigram_lm(stage, text_col="text")
+        ppl = perplexity_score(stage, lm, id_col="id", text_col="text")
+        lo, hi = ppl.filter(F.col("perplexity").isNotNull()).approxQuantile(
+            "perplexity", list(ppl_band), 0.001
+        )
+        keep = ppl.filter(
+            F.col("perplexity").between(lo, hi)
+        ).select("id")
+        stage = stage.join(keep, "id").persist()
+        manifest["stages"]["ppl_band"] = stage.count()
+        manifest["ppl_cutoffs"] = {"low": lo, "high": hi}
+
+    if mix_weights and total_tokens:
+        stage = mix_corpus(
+            stage, "pred_lang", "n_tokens", mix_weights, total_tokens,
+            id_col="id",
+        ).persist()
+        manifest["stages"]["mixed"] = stage.count()
+    else:
+        stage = stage.withColumn("epoch", F.lit(0))
+
+    # packing needs a unique row key once upsampling introduced epochs
+    packable = stage.select(
+        F.concat_ws("#", F.col("id").cast("string"), F.col("epoch").cast("string")).alias("row_id"),
+        "n_tokens",
+    )
+    seqs = pack_sequences(packable, "row_id", "n_tokens", max_seq_tokens)
+    manifest["export_docs"] = export_corpus(
+        stage, f"{out_path.rstrip('/')}/docs", target_file_mb=target_file_mb
+    )
+    manifest["export_sequences"] = export_corpus(
+        seqs, f"{out_path.rstrip('/')}/sequences", target_file_mb=target_file_mb
+    )
+    curated.unpersist()
+    return manifest

@@ -1,0 +1,110 @@
+"""End-to-end prepare_training_data composite + artifact persistence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.pipelines.curation import prepare_training_data
+from sifts_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_doc = docs.filter("doc_id = 1").collect()[0]["text"]
+    out = str(tmp_path / "train")
+    m = prepare_training_data(
+        docs,
+        out,
+        allowed_langs=("en", "de", "fr", "es", "zh"),  # langid gate open
+        min_quality=0.0,
+        eval_texts=[eval_doc],
+        contamination_n=8,
+        ppl_band=(0.02, 0.98),
+        mix_weights={"en": 0.5, "de": 0.5},
+        total_tokens=3000,
+        max_seq_tokens=256,
+        target_file_mb=0.01,
+    )
+    s = m["stages"]
+    # monotone attrition through the gates
+    assert s["input"] >= s["curated"] >= s["decontaminated"] >= s["ppl_band"]
+    assert s["decontaminated"] < s["curated"]  # the planted eval doc fell
+    assert m["ppl_cutoffs"]["low"] <= m["ppl_cutoffs"]["high"]
+    assert "mixed" in s
+    # both exports landed and roundtrip
+    d = spark.read.parquet(out + "/docs")
+    q = spark.read.parquet(out + "/sequences")
+    assert d.count() == s["mixed"] == m["export_docs"]["rows"]
+    assert q.count() == m["export_sequences"]["rows"] > 0
+    # every mixed (id, epoch) row appears in exactly one sequence
+    packed_ids = [x for r in q.collect() for x in r["doc_ids"]]
+    assert len(packed_ids) == len(set(packed_ids)) == s["mixed"]
+    # attrition matrix covers the full input
+    assert sum(r["n"] for r in m["attrition"]) == s["input"]
+
+
+def test_prepare_training_data_minimal_path(spark, tmp_path):
+    """No eval set, no ppl band, no mixing — still exports."""
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    m = prepare_training_data(
+        docs, str(tmp_path / "mini"),
+        allowed_langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0, ppl_band=None,
+        target_file_mb=0.01,
+    )
+    assert "decontaminated" not in m["stages"] and "mixed" not in m["stages"]
+    assert m["export_docs"]["rows"] == m["stages"]["curated"]
+
+
+def test_artifact_roundtrip_bloom_pq_lm(spark, tmp_path):
+    from sifts_spark.functions.artifacts import load_artifact, save_artifact
+    from sifts_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from sifts_spark.operators.quantization import pq_encode, pq_train
+    from sifts_spark.operators.textanalysis import train_unigram_lm
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    # bloom (has a binary field)
+    bf = build_bloom(docs.select("text"), "text")
+    p1 = str(tmp_path / "bloom.json")
+    save_artifact(spark, p1, bf)
+    bf2 = load_artifact(spark, p1)
+    assert bf2["bits"] == bf["bits"] and bf2["k"] == bf["k"]
+    a = docs.filter(bloom_might_contain(F.col("text"), bf)).count()
+    b = docs.filter(bloom_might_contain(F.col("text"), bf2)).count()
+    assert a == b == 50
+
+    # PQ codebooks: identical codes after reload
+    books = pq_train(emb, dim=64, m=8, nbits=4, iters=4)
+    p2 = str(tmp_path / "pq.json")
+    save_artifact(spark, p2, {"codebooks": books})
+    books2 = load_artifact(spark, p2)["codebooks"]
+    c1 = {r["id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    c2 = {r["id"]: r["codes"] for r in pq_encode(emb, books2).collect()}
+    assert c1 == c2
+
+    # unigram LM roundtrips exactly
+    lm = train_unigram_lm(docs, vocab_size=30)
+    p3 = str(tmp_path / "lm.json")
+    save_artifact(spark, p3, lm)
+    assert load_artifact(spark, p3) == lm
+
+
+def test_artifact_overwrite_and_atomicity(spark, tmp_path):
+    from sifts_spark.functions.artifacts import load_artifact, save_artifact
+
+    p = str(tmp_path / "a.json")
+    save_artifact(spark, p, {"v": 1})
+    save_artifact(spark, p, {"v": 2})  # clobber-rename path
+    assert load_artifact(spark, p) == {"v": 2}
+    # no temp litter
+    assert [f for f in os.listdir(tmp_path) if f.startswith(".a.json.tmp")] == []

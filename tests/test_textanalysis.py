@@ -235,3 +235,23 @@ def test_find_contaminated_eval_dataframe_and_real_corpus(spark):
     # every flagged doc really shares a 10-gram with an eval doc: spot
     # check that unflagged docs dominate (synthetic corpus is diverse)
     assert len(flagged) < docs.count() / 2
+
+
+def test_find_contaminated_impl_twins(spark):
+    """arrow (hash grams) and hof (string grams) agree on (id,
+    n_hits) exactly; sample_ngram is a valid eval gram in both."""
+    from sifts_spark.operators.textanalysis import find_contaminated
+    from sifts_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = docs.filter("doc_id < 5").select("text")
+    a = find_contaminated(docs, ev, n=10, impl="arrow")
+    h = find_contaminated(docs, ev, n=10, impl="hof")
+    assert (
+        {(r["id"], r["n_hits"]) for r in a.collect()}
+        == {(r["id"], r["n_hits"]) for r in h.collect()}
+    )
+    # arrow's sample gram really occurs in some eval text
+    evs = [r["text"].lower() for r in ev.collect()]
+    for r in a.limit(5).collect():
+        assert any(r["sample_ngram"] in t for t in evs)

@@ -75,3 +75,27 @@ def test_bloom_empty_blocklist(spark):
     empty = docs.filter("doc_id < 0").select("text")
     got = bloom_anti_join(docs, empty, on="text")
     assert got.count() == docs.count()
+
+
+def test_bloom_never_false_negative_property(spark):
+    """Property: for ANY set of member strings (unicode, empties,
+    collision-bait), every member probes positive. Uses hypothesis
+    examples driven through one Spark job per case batch."""
+    from hypothesis import given, settings, strategies as st
+
+    from sifts_spark.functions.bloom import bloom_might_contain, build_bloom
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=40), min_size=1, max_size=30, unique=True
+        )
+    )
+    def check(members):
+        df = spark.createDataFrame([(m,) for m in members], "key string")
+        bf = build_bloom(df, "key", fpp=0.05)
+        assert df.filter(bloom_might_contain(F.col("key"), bf)).count() == len(
+            members
+        )
+
+    check()

@@ -94,6 +94,24 @@ def main() -> None:
             k,
         )
 
+    from sifts_spark.operators import quantization as Q
+
+    books = Q.pq_train(emb, dim=dim, m=8, nbits=8)
+    codes = Q.pq_encode(emb, books)
+    results["pq_adc_only"] = _recall(
+        _topk_sets(Q.pq_knn_join(codes, queries, books, k=k)), exact, k
+    )
+    results["pq_refine4"] = _recall(
+        _topk_sets(Q.pq_knn_join(codes, queries, books, k=k, refine=4, vectors=emb)),
+        exact, k,
+    )
+    results["ivfpq_kmeans_nprobe4_refine4"] = _recall(
+        _topk_sets(
+            Q.ivfpq_knn_join(emb, queries, km, books, k=k, nprobe=4, refine=4)
+        ),
+        exact, k,
+    )
+
     print(
         json.dumps(
             {

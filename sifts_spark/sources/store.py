@@ -78,10 +78,17 @@ import time
 import urllib.parse
 import uuid
 
+import threading
+
 from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Serializes reserve_batch across threads of ONE process (a Spark
+# driver hosting several Collection handles). Cross-process atomicity
+# comes from the marker create itself (_atomic_create_marker).
+_RESERVE_LOCK = threading.Lock()
 
 # Sentinel distinguishing "no manifest passed" from "there is no manifest
 # (use a directory LIST)" in the read-path helpers.
@@ -306,7 +313,15 @@ class DocumentStore:
                     out.add(int(m.group(1)))
             return out
 
-        mat = _nums(self._ls_names(self._partition_dir(name)))
+        # Exclude IN-FLIGHT batches: a peer's parquet job creates the
+        # batch dir (with only _temporary inside) well before commit,
+        # and its reservation marker lives exactly until commit — a
+        # dir with a live marker is someone's write in progress, not a
+        # materialized batch. Listing it would let readers (and the
+        # postings sweep) observe a zero-row batch.
+        part_names = self._ls_names(self._partition_dir(name))
+        inflight = self._reserved_numbers(part_names)
+        mat = _nums(part_names) - inflight
         post = _nums(self._ls_names(self._postings_dir(name)))
         dl = _nums(self._ls_names(self._doclen_dir(name)))
         sup = {int(k) for k in sup_at}
@@ -322,14 +337,30 @@ class DocumentStore:
         self._write_manifest(name, m)
         return m
 
+    def _reserved_numbers(self, part_names: list[str]) -> set[int]:
+        """Batch numbers with a LIVE reservation marker = writes in
+        flight (the marker is deleted exactly when the write commits)."""
+        out = set()
+        for d in part_names:
+            m = self._RESERVE_RE.match(d)
+            if m:
+                out.add(int(m.group(1)))
+        return out
+
     def _batch_dirs(self, name: str, manifest=_UNSET) -> list[str]:
-        """Live docs batch dirs, manifest-resolved (LIST fallback)."""
+        """Live docs batch dirs, manifest-resolved (LIST fallback).
+        Both paths exclude in-flight batches (live reservation marker):
+        a peer's parquet job creates its batch dir before committing
+        any files into it."""
         m = self.read_manifest(name) if manifest is _UNSET else manifest
         if m is not None:
             return [f"batch={n}" for n in sorted(int(x) for x in m["batches"])]
+        names = self._ls_names(self._partition_dir(name))
+        inflight = self._reserved_numbers(names)
         return sorted(
-            d for d in self._ls_names(self._partition_dir(name))
+            d for d in names
             if self._BATCH_DIR_RE.match(d)
+            and int(self._BATCH_DIR_RE.match(d).group(1)) not in inflight
         )
 
     def next_batch(self, name: str) -> int:
@@ -359,42 +390,81 @@ class DocumentStore:
         burned, so a half-written ``batch=N`` dir can never be claimed
         by a later writer; readers never see N because ``_batch_dirs``
         lists only materialized dirs and ``append_batch`` removes the
-        marker only after its write commits."""
+        marker only after its write commits.
+
+        Same-process writers additionally serialize on a process-wide
+        lock: Hadoop's LOCAL ``createNewFile`` is exists()-then-create
+        with no O_EXCL, so two threads in the same driver racing within
+        the check window can BOTH "win" a number (observed: four
+        threadpool writers all claiming batch 1). For the local scheme
+        the marker create also goes through ``java.nio Files.createFile``
+        (true O_EXCL), which closes the cross-PROCESS race the Hadoop
+        call leaves open."""
         part = self._partition_dir(name)
         self._fs.mkdirs(self._Path(part))
-        for _ in range(64):
-            batch = self.next_batch(name)
-            marker = self._Path(f"{part}/.reserve-batch-{batch}")
-            try:
-                if self._fs.createNewFile(marker):
+        with _RESERVE_LOCK:
+            for _ in range(64):
+                batch = self.next_batch(name)
+                if self._atomic_create_marker(f"{part}/.reserve-batch-{batch}"):
                     return batch
-                # createNewFile returned false: marker exists — lost the
-                # race for this number; re-list and try the next.
-            except Py4JJavaError as e:
-                # Only an already-exists signal means "lost the race".
-                # Anything else (permissions, connectivity, unsupported
-                # op) is a REAL failure: retrying 64 times would bury
-                # the cause under a misleading 'writer storm' error.
-                jcls = e.java_exception.getClass().getName()
-                if not (
-                    "AlreadyExists" in jcls or "AlreadyBeingCreated" in jcls
-                ):
-                    raise
+                # marker exists — lost the race for this number;
+                # re-list and try the next.
         raise RuntimeError(
             f"could not reserve a write batch for collection {name!r} "
             "after 64 attempts — writer storm or stuck reservation markers"
         )
 
+    def _atomic_create_marker(self, path: str) -> bool:
+        """Create-if-absent with the strongest primitive the scheme
+        offers: java.nio O_EXCL for ``file:``, namenode-atomic
+        ``createNewFile`` for HDFS-likes. False = already exists (lost
+        the race); anything else (permissions, connectivity,
+        unsupported op) raises — retrying would bury the real cause
+        under a misleading 'writer storm' error."""
+        jvm = self.spark._jvm
+        p = self._Path(path)
+        try:
+            if self._fs.getScheme() == "file":
+                local = p.toUri().getPath()
+                # py4j needs the varargs array passed explicitly
+                attrs = jvm.java.lang.reflect.Array.newInstance(
+                    jvm.java.lang.Class.forName(
+                        "java.nio.file.attribute.FileAttribute"
+                    ),
+                    0,
+                )
+                jvm.java.nio.file.Files.createFile(
+                    jvm.java.io.File(local).toPath(), attrs
+                )
+                return True
+            return bool(self._fs.createNewFile(p))
+        except Py4JJavaError as e:
+            jcls = e.java_exception.getClass().getName()
+            if "AlreadyExists" in jcls or "AlreadyBeingCreated" in jcls:
+                return False
+            raise
+
     def _gc_markers(self, name: str) -> None:
-        """Delete reservation markers numbered <= the max MATERIALIZED
-        batch. Safe: ``next_batch`` claims strictly past the max over
-        dirs AND markers, so once a higher batch dir exists a lower
-        number can never be re-issued — the marker's burn-the-number job
-        is done. Without this, failed-write markers accrete forever and
-        every ``next_batch`` LIST on a long-lived collection pays for
-        them."""
+        """Garbage-collect reservation markers that no longer do a job.
+        A marker numbered <= the max materialized batch can never be
+        re-issued (``next_batch`` claims past the max over dirs AND
+        markers), but it may still be a LIVE writer's in-flight shield
+        — a slower lower-numbered write racing faster peers. Deleting
+        that shield exposes the partial dir to manifests and the
+        postings sweep (observed: a peer indexed a zero-row in-flight
+        batch into an empty postings corpse). So a marker is reclaimed
+        only when:
+
+        * its ``batch=N`` dir is ABSENT — a failed write; the number
+          stays safely burned by the higher materialized batches; or
+        * its dir contains ``_SUCCESS`` — the write committed but the
+          owner crashed before removing its own marker.
+
+        A marker over a PARTIAL dir (no _SUCCESS) is kept forever:
+        that is the shield doing exactly its documented job of hiding
+        a half-written batch."""
         part = self._partition_dir(name)
-        names = self._ls_names(part)
+        names = set(self._ls_names(part))
         maxb = 0
         for d in names:
             m = self._BATCH_DIR_RE.match(d)
@@ -402,8 +472,14 @@ class DocumentStore:
                 maxb = max(maxb, int(m.group(1)))
         for d in names:
             m = self._RESERVE_RE.match(d)
-            if m and int(m.group(1)) <= maxb:
-                self._fs.delete(self._Path(f"{part}/{d}"), False)
+            if not m or int(m.group(1)) > maxb:
+                continue
+            n = int(m.group(1))
+            if f"batch={n}" in names and not self._exists(
+                f"{part}/batch={n}/_SUCCESS"
+            ):
+                continue  # live or crashed-partial write: keep the shield
+            self._fs.delete(self._Path(f"{part}/{d}"), False)
 
     def collection_names(self) -> list[str]:
         return sorted(
@@ -636,37 +712,80 @@ class DocumentStore:
             "batch", F.lit(batch).cast("long")
         )
 
-    def maintain_postings(self, name: str) -> None:
+    def maintain_postings(self, name: str, claim_ttl: float = 900.0) -> None:
         """Write postings (and doclen-sidecar) batches for every docs
         batch that lacks one (normally exactly the batch just appended).
-        Idempotent; overwrite mode heals partial writes."""
+        Idempotent; overwrite mode heals partial writes.
+
+        **Concurrent-writer safety**: each sidecar batch is built under
+        an atomically-created ``.claim-N`` marker. Without it, two
+        handles appending at once would both sweep the OTHER's fresh
+        batch as "missing" and race two Spark jobs onto one output dir
+        — they share the committer's ``_temporary/`` workspace, and the
+        first job's commit deletes it under the second (observed:
+        FileNotFoundException under a 6-writer pool; the docs-batch
+        reservation alone does not cover the sidecars). A batch claimed
+        by a LIVE peer is skipped — the claimer writes it, and until
+        then the read path builds missing postings lazily, so queries
+        never miss data. Claims older than ``claim_ttl`` seconds are
+        treated as crashed writers and broken."""
         mf = self.read_manifest(name)
         have = set(self._postings_batch_dirs(name, mf))
+        have_dl = set(self._doclen_batch_dirs(name, mf))
         for d in self._batch_dirs(name, mf):
-            if d in have:
+            if d in have and d in have_dl:
                 continue
-            p = self._build_batch_postings(name, d)
-            # term-sorted within files => parquet min/max row-group
-            # skipping turns a term lookup into an index probe; the term
-            # bloom filter additionally drops groups on rare-term misses
-            p.sortWithinPartitions("term", "id").write.mode(
-                "overwrite"
-            ).option("parquet.bloom.filter.enabled#term", "true").parquet(
-                f"{self._postings_dir(name)}/{d}"
-            )
-        # Doclens derive from the WRITTEN postings parquet (no second
-        # tokenize pass); a doclen batch trails its postings batch only
-        # across a crash, and heals here / lazily in read_doclens.
-        # NOTE: re-LIST (not the pre-loop manifest) — the loop above may
-        # have just written postings batches the manifest doesn't list.
-        have_dl = set(self._doclen_batch_dirs(name, None))
-        for d in self._postings_batch_dirs(name, None):
-            if d in have_dl:
-                continue
-            self._batch_doclens_from_postings(name, d).write.mode(
-                "overwrite"
-            ).parquet(f"{self._doclen_dir(name)}/{d}")
+            if not self._claim_sidecar(name, d, claim_ttl):
+                continue  # a live peer owns this batch's sidecar build
+            try:
+                if d not in have:
+                    p = self._build_batch_postings(name, d)
+                    # term-sorted within files => parquet min/max
+                    # row-group skipping turns a term lookup into an
+                    # index probe; the term bloom filter additionally
+                    # drops groups on rare-term misses
+                    p.sortWithinPartitions("term", "id").write.mode(
+                        "overwrite"
+                    ).option("parquet.bloom.filter.enabled#term", "true").parquet(
+                        f"{self._postings_dir(name)}/{d}"
+                    )
+                if d not in have_dl:
+                    # Doclens derive from the WRITTEN postings parquet
+                    # (no second tokenize pass); a doclen batch trails
+                    # its postings batch only across a crash, healed
+                    # here / lazily in read_doclens.
+                    self._batch_doclens_from_postings(name, d).write.mode(
+                        "overwrite"
+                    ).parquet(f"{self._doclen_dir(name)}/{d}")
+            finally:
+                self._fs.delete(
+                    self._Path(f"{self._postings_dir(name)}/.claim-{d}"), False
+                )
         self._publish_manifest(name)
+
+    def _claim_sidecar(self, name: str, batch_dir: str, ttl: float) -> bool:
+        """Claim one sidecar build via atomic marker create. False =
+        a live peer holds it. A marker older than ``ttl`` is a crashed
+        writer: break it and take over (the overwrite-mode build heals
+        whatever the corpse left)."""
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        marker = f"{pdir}/.claim-{batch_dir}"
+        if self._atomic_create_marker(marker):
+            return True
+        try:
+            age = time.time() - (
+                self._fs.getFileStatus(self._Path(marker)).getModificationTime()
+                / 1000.0
+            )
+        except Py4JJavaError:
+            # marker vanished between create and stat: owner just
+            # finished — nothing left to build under this claim
+            return False
+        if age <= ttl:
+            return False
+        self._fs.delete(self._Path(marker), False)
+        return self._atomic_create_marker(marker)
 
     def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:
         batch = int(batch_dir.split("=", 1)[1])

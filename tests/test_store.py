@@ -102,13 +102,20 @@ def test_concurrent_writers_reserve_distinct_batches(store_root, spark):
     out1 = f"{a._partition_dir('c')}/batch={n1}"
     out2 = f"{b._partition_dir('c')}/batch={n2}"
     from pyspark.sql import functions as F
-    for df, out in ((df1, out1), (df2, out2)):
+    for store, df, out, n in ((a, df1, out1, n1), (b, df2, out2, n2)):
         df.select(
             "id", "content",
             F.lit(None).cast("string").alias("metadata"),
             F.lit(None).cast("array<float>").alias("embedding"),
             F.lit(False).alias("deleted"),
         ).write.parquet(out)
+        # commit = marker release (the step append_batch performs); a
+        # batch whose marker is still live is IN-FLIGHT and correctly
+        # invisible to readers
+        store._fs.delete(
+            store._Path(f"{store._partition_dir('c')}/.reserve-batch-{n}"),
+            False,
+        )
     assert {r["id"] for r in a.read("c").collect()} == {"x", "y"}
 
 
@@ -259,7 +266,10 @@ def test_marker_gc_on_append(store_root, spark):
 class _FailingCreateFS:
     """Wraps the real Hadoop FS handle; createNewFile raises a chosen
     Java exception (the only way to exercise the claim loop's error
-    discrimination — as root, chmod can't produce a real FS denial)."""
+    discrimination — as root, chmod can't produce a real FS denial).
+    Reports a non-local scheme so _atomic_create_marker takes the
+    Hadoop createNewFile branch (the local branch uses java.nio
+    O_EXCL and never calls this stub)."""
 
     def __init__(self, real, jexc):
         from py4j.protocol import Py4JJavaError
@@ -269,6 +279,9 @@ class _FailingCreateFS:
 
     def createNewFile(self, p):
         raise self._exc
+
+    def getScheme(self):
+        return "mockfs"
 
     def __getattr__(self, attr):
         return getattr(self._real, attr)
@@ -408,3 +421,36 @@ def test_snapshot_time_travel(store_root, spark):
     # post-compact versions remain time-travelable
     vs = col.store.manifest_versions("tt")
     assert vs and {r["id"] for r in col.docs(as_of=vs[-1]).collect()} == {"1"}
+
+
+def test_concurrent_adds_all_fts_searchable(store_root, spark):
+    """The full concurrent-writer story, end to end: six threads
+    adding through separate Collection handles must leave every doc
+    BOTH in the snapshot AND in the postings index. Pins three races
+    found under a thread pool (any one of them loses a doc from FTS):
+
+    * two sweeps racing one postings output dir (shared _temporary) —
+      fixed by per-batch sidecar claims;
+    * a peer indexing an IN-FLIGHT docs batch (dir exists, no files
+      committed) into an empty postings corpse — fixed by treating a
+      live reservation marker as "batch not materialized" in the
+      sweep and the manifest publisher;
+    * marker GC deleting a slower writer's in-flight shield because a
+      faster peer already materialized a higher batch — fixed by
+      reclaiming only markers whose dir is absent or _SUCCESS-committed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sifts_spark.collection import Collection
+
+    def write(i):
+        c = Collection(store_root, "cf", spark=spark)
+        c.add([f"document number {i} unique text"], ids=[f"d{i}"])
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(write, range(6)))
+
+    c = Collection(store_root, "cf", spark=spark)
+    assert c.count() == 6
+    hits = {r["id"] for r in c.query("unique")["results"]}
+    assert hits == {f"d{i}" for i in range(6)}, f"FTS lost {set('d%d' % i for i in range(6)) - hits}"

@@ -454,3 +454,43 @@ def test_concurrent_adds_all_fts_searchable(store_root, spark):
     assert c.count() == 6
     hits = {r["id"] for r in c.query("unique")["results"]}
     assert hits == {f"d{i}" for i in range(6)}, f"FTS lost {set('d%d' % i for i in range(6)) - hits}"
+
+
+def test_stale_sidecar_claim_is_broken_and_healed(store_root, spark, tmp_path):
+    """A claim marker left by a crashed writer must not block postings
+    maintenance forever: after claim_ttl it is broken and the batch's
+    sidecars are built by whoever sweeps next."""
+    import os
+
+    from sifts_spark.collection import Collection
+    from sifts_spark.sources.store import DocumentStore
+
+    col = Collection(store_root, "st", spark=spark)
+    col.add(["first doc text"], ids=["a"])
+
+    store = DocumentStore(spark, store_root)
+    # simulate a crash: docs batch 2 committed, sidecars never built,
+    # claim marker left behind with an old mtime
+    df = spark.createDataFrame([("b", "second doc text")],
+                               "id string, content string")
+    store.append_batch("st", df)
+    pdir = store._postings_dir("st")
+    # wipe batch 2's sidecars as if the builder died mid-flight
+    store._delete_dir(f"{pdir}/batch=2")
+    store._delete_dir(f"{store._doclen_dir('st')}/batch=2")
+    marker_local = f"{pdir}/.claim-batch=2".replace("file:", "")
+    open(marker_local, "w").close()
+    os.utime(marker_local, (1, 1))  # ancient mtime -> expired claim
+    store._publish_manifest("st")
+
+    # live claim (fresh mtime) blocks the sweep...
+    os.utime(marker_local, None)
+    store.maintain_postings("st", claim_ttl=900.0)
+    assert "batch=2" not in store._postings_batch_dirs("st", None)
+    # ...an expired one is broken and the batch heals
+    os.utime(marker_local, (1, 1))
+    store.maintain_postings("st", claim_ttl=900.0)
+    assert "batch=2" in store._postings_batch_dirs("st", None)
+    # and the doc is searchable again through the facade
+    col2 = Collection(store_root, "st", spark=spark)
+    assert {r["id"] for r in col2.query("second")["results"]} == {"b"}

@@ -617,13 +617,65 @@ class SparkCollection:
         frames; only the final ``k`` winners join back to the snapshot
         for their payload.
         """
+        fused = self._hybrid_fused(
+            query_string, where, rrf_k, pool or max(4 * k, 50),
+            weights, approx, nprobe,
+        )
+        total = fused.count()
+        rows = self._hybrid_winners(fused, k).collect()
+        results = [
+            {
+                "id": r["id"],
+                "content": r["content"],
+                "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
+                "rank": r["rrf"],
+            }
+            for r in rows
+        ]
+        return {"total": total if results else 0, "results": results}
+
+    def hybrid_query_df(
+        self,
+        query_string: str,
+        k: int = 10,
+        where: dict | None = None,
+        rrf_k: int = 60,
+        pool: int | None = None,
+        weights: tuple[float, float] = (1.0, 1.0),
+        approx: bool = False,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
+        winners as a lazy ``(id, content, metadata, rank)`` frame
+        (``rank`` = RRF score), for pipeline composition; same
+        semantics, no driver round-trip, no pre-limit total count."""
+        winners = self._hybrid_winners(
+            self._hybrid_fused(
+                query_string, where, rrf_k, pool or max(4 * k, 50),
+                weights, approx, nprobe,
+            ),
+            k,
+        )
+        return winners.select("id", "content", "metadata",
+                              F.col("rrf").alias("rank"))
+
+    def _hybrid_fused(
+        self,
+        query_string: str,
+        where: dict | None,
+        rrf_k: int,
+        pool: int,
+        weights: tuple[float, float],
+        approx: bool,
+        nprobe: int,
+    ) -> DataFrame:
+        """(id, rrf) for every candidate either leg retrieved."""
         if not self.use_fts:
             raise ValueError("hybrid_query requires use_fts=True")
         if self.embedding_function is None:
             raise ValueError("hybrid_query requires an embedding_function")
         if not query_string.strip():
             raise ValueError("hybrid_query requires a non-empty query")
-        pool = pool or max(4 * k, 50)
         w_t, w_v = (float(weights[0]), float(weights[1]))
 
         text_leg, _ = self._query_plan(
@@ -644,7 +696,7 @@ class SparkCollection:
             legs.append(
                 top.withColumn(name, F.row_number().over(w)).select("id", name)
             )
-        fused = (
+        return (
             legs[0]
             .join(legs[1], "id", "full_outer")
             .select(
@@ -659,23 +711,14 @@ class SparkCollection:
                 ).alias("rrf"),
             )
         )
-        total = fused.count()
+
+    def _hybrid_winners(self, fused: DataFrame, k: int) -> DataFrame:
+        """Top-k fused rows joined with their snapshot payload."""
         winners = fused.orderBy(F.col("rrf").desc(), F.col("id")).limit(k)
-        rows = (
+        return (
             winners.join(self.docs().select("id", "content", "metadata"), "id")
             .orderBy(F.col("rrf").desc(), F.col("id"))
-            .collect()
         )
-        results = [
-            {
-                "id": r["id"],
-                "content": r["content"],
-                "metadata": json.loads(r["metadata"]) if r["metadata"] else None,
-                "rank": r["rrf"],
-            }
-            for r in rows
-        ]
-        return {"total": total if results else 0, "results": results}
 
     def _corpus_stats(self) -> tuple[int, float]:
         """Memoized (N, avgdl) for BM25 — recomputed when THIS facade

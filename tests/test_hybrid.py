@@ -95,3 +95,15 @@ def test_hybrid_validations(store_root, spark):
     c.add(["apple pie recipe"], ids=["x"])
     with pytest.raises(ValueError, match="non-empty"):
         c.hybrid_query("   ")
+
+
+def test_hybrid_query_df_matches_dict_variant(col):
+    df = col.hybrid_query_df("apple", k=10)
+    assert df.columns == ["id", "content", "metadata", "rank"]
+    got = [(r["id"], r["rank"]) for r in df.collect()]
+    want = [
+        (r["id"], r["rank"]) for r in col.hybrid_query("apple", k=10)["results"]
+    ]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b)

@@ -620,9 +620,13 @@ class SparkCollection:
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,
-        )
-        total = fused.count()
-        rows = self._hybrid_winners(fused, k).collect()
+        ).persist()  # pool-sized; without it the count + collect each
+        # re-run BOTH retrieval legs over the corpus
+        try:
+            total = fused.count()
+            rows = self._hybrid_winners(fused, k).collect()
+        finally:
+            fused.unpersist()
         results = [
             {
                 "id": r["id"],

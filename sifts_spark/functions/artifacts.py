@@ -50,11 +50,29 @@ def save_artifact(spark, path: str, obj: dict) -> None:
         out.write(payload)
     finally:
         out.close()
-    # clobber-rename: delete target first (rename-over fails on some FS)
-    fs.delete(p, False)
+    # Rename-over first (atomic where the FS supports it). Where it
+    # refuses because the target exists, move the OLD artifact aside,
+    # rename the new one in, then drop the aside copy — the previous
+    # good artifact is never deleted before its replacement is in
+    # place, so a crash at any point leaves either the old or the new
+    # version readable (restoring the aside copy on failure).
+    if fs.rename(tmp, p):
+        return
+    aside = None
+    if fs.exists(p):
+        aside = jvm.org.apache.hadoop.fs.Path(
+            str(parent), f".{p.getName()}.old-{uuid.uuid4().hex[:8]}"
+        )
+        if not fs.rename(p, aside):
+            fs.delete(tmp, False)
+            raise IOError(f"could not move old artifact aside for {path}")
     if not fs.rename(tmp, p):
+        if aside is not None:
+            fs.rename(aside, p)  # restore the previous good artifact
         fs.delete(tmp, False)
         raise IOError(f"rename into place failed for {path}")
+    if aside is not None:
+        fs.delete(aside, False)
 
 
 def load_artifact(spark, path: str) -> dict:

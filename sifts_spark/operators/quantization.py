@@ -281,6 +281,9 @@ def pq_knn_join(
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).filter(
+        F.col("qv").isNotNull()  # a null query scores NaN, and Spark
+        # ranks NaN ABOVE every real double — it would "win" k rows
     )
     c = codes.select(F.col(id_col).alias("id"), F.col(codes_col).alias("codes")).filter(
         F.col("codes").isNotNull()  # null embedding → no codes → NaN
@@ -362,7 +365,9 @@ def ivfpq_knn_join(
         pq_encode_arrow(F.col(vec_col), codebooks).alias("codes"),
     )
     query_side = F.broadcast(
-        queries.select(
+        queries.filter(F.col(query_vec_col).isNotNull())  # null query →
+        # NaN ADC score, which Spark ranks above every real double
+        .select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("qv"),
             F.explode(

@@ -116,29 +116,39 @@ def mix_corpus(
             sorted(missing),
             100 * sum(target_weights[g] for g in missing) / wsum,
         )
-    totals = spark.createDataFrame(
-        [(r[group_col], r["_gtot"]) for r in total_rows],
-        f"{group_col} string, _gtot long",
+    # Epoch replication rides a BROADCAST (group, epoch) frame built
+    # driver-side — the per-group epoch counts are already computable
+    # from the collected totals. The earlier per-row
+    # F.sequence(0, n_epochs-1) + explode materialized an
+    # epochs-length array on EVERY row, which for a tiny domain under
+    # a huge budget (50k tokens at a 1B budget → 20k epochs) built
+    # 20k-element arrays per row; here the same fan-out is
+    # sum(n_epochs) driver rows joined in.
+    import math
+
+    epoch_rows = []
+    for r in total_rows:
+        g, gtot = r[group_col], r["_gtot"]
+        budget = (target_weights[g] / wsum) * total_tokens
+        n_ep = (
+            max(1, math.ceil(budget / max(gtot, 1)))
+            if allow_upsampling
+            else 1
+        )
+        epoch_rows.extend((g, gtot, e) for e in range(n_ep))
+    epochs = spark.createDataFrame(
+        epoch_rows, f"{group_col} string, _gtot long, epoch int"
     )
-    df = df.join(F.broadcast(totals), group_col).withColumn(
+    df = df.join(F.broadcast(epochs), group_col).withColumn(
         "_budget", F.col("_w") * F.lit(float(total_tokens))
     )
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    w = Window.partitionBy(group_col, "epoch").orderBy(h, F.col(id_col))
     cum = (
         F.sum(F.col(token_col).cast("long")).over(w) - F.col(token_col)
-    )  # tokens BEFORE this row in hash order
-    df = df.withColumn("_cum", cum)
-    if allow_upsampling:
-        n_epochs = F.greatest(
-            F.lit(1), F.ceil(F.col("_budget") / F.greatest(F.col("_gtot"), F.lit(1)))
-        ).cast("int")
-    else:
-        n_epochs = F.lit(1)
+    )  # tokens BEFORE this row in hash order (per epoch copy)
     out = (
-        df.withColumn(
-            "epoch", F.explode(F.sequence(F.lit(0), n_epochs - F.lit(1)))
-        )
+        df.withColumn("_cum", cum)
         .filter(
             F.col("_cum") + F.col("epoch") * F.col("_gtot") < F.col("_budget")
         )

@@ -373,9 +373,20 @@ def train_unigram_lm(
     toks = docs.select(
         F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    top = counts.orderBy(F.col("n").desc(), F.col("tok")).limit(vocab_size).collect()
-    total = toks.count()
+    # one corpus scan: the token count persists distinct-token-sized,
+    # serving both the vocab cut and the total (a separate
+    # toks.count() would tokenize + explode the whole corpus again)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        top = (
+            counts.orderBy(F.col("n").desc(), F.col("tok"))
+            .limit(vocab_size)
+            .collect()
+        )
+        total_row = counts.agg(F.sum("n").alias("t")).collect()[0]
+    finally:
+        counts.unpersist()
+    total = total_row["t"] or 0
     if total == 0:
         raise ValueError("cannot train a LM on an empty corpus")
     in_vocab = sum(r["n"] for r in top)

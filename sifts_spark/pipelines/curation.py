@@ -162,13 +162,27 @@ def prepare_training_data(
     manifest["stages"]["curated"] = curated.count()
     manifest["attrition"] = [r.asDict() for r in report.collect()]
 
+    # each superseded stage unpersists once its successor materializes
+    # (a leaked persist per stage would pin 3 copies of the corpus in
+    # executor storage through packing and both exports)
     stage = curated
+
+    def _advance(new_stage):
+        nonlocal stage
+        new_stage = new_stage.persist()
+        n = new_stage.count()  # materialize BEFORE dropping the parent
+        if stage is not curated:
+            stage.unpersist()
+        stage = new_stage
+        return n
+
     if eval_texts is not None:
         flagged = find_contaminated(
             stage, eval_texts, n=contamination_n, id_col="id", text_col="text"
         ).select("id")
-        stage = stage.join(flagged, "id", "left_anti").persist()
-        manifest["stages"]["decontaminated"] = stage.count()
+        manifest["stages"]["decontaminated"] = _advance(
+            stage.join(flagged, "id", "left_anti")
+        )
 
     if ppl_band is not None:
         lm = train_unigram_lm(stage, text_col="text")
@@ -179,16 +193,16 @@ def prepare_training_data(
         keep = ppl.filter(
             F.col("perplexity").between(lo, hi)
         ).select("id")
-        stage = stage.join(keep, "id").persist()
-        manifest["stages"]["ppl_band"] = stage.count()
+        manifest["stages"]["ppl_band"] = _advance(stage.join(keep, "id"))
         manifest["ppl_cutoffs"] = {"low": lo, "high": hi}
 
     if mix_weights and total_tokens:
-        stage = mix_corpus(
-            stage, "pred_lang", "n_tokens", mix_weights, total_tokens,
-            id_col="id",
-        ).persist()
-        manifest["stages"]["mixed"] = stage.count()
+        manifest["stages"]["mixed"] = _advance(
+            mix_corpus(
+                stage, "pred_lang", "n_tokens", mix_weights, total_tokens,
+                id_col="id",
+            )
+        )
     else:
         stage = stage.withColumn("epoch", F.lit(0))
 
@@ -204,5 +218,7 @@ def prepare_training_data(
     manifest["export_sequences"] = export_corpus(
         seqs, f"{out_path.rstrip('/')}/sequences", target_file_mb=target_file_mb
     )
+    if stage is not curated:
+        stage.unpersist()
     curated.unpersist()
     return manifest

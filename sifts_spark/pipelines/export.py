@@ -122,7 +122,14 @@ def export_corpus(
     rows_per_file = max(int(target_file_mb * _MB / bytes_per_row), 1)
     n_parts = max(math.ceil(n_rows / rows_per_file), 1)
 
-    key = key_col if key_col in (df.columns or []) else None
+    # Determinism default: hash-partition on the first id-like column
+    # when the caller names none — bare repartition(n) is round-robin,
+    # whose file composition depends on input split order (breaking
+    # the rerun-identical contract this module documents).
+    key = key_col if key_col in df.columns else next(
+        (c for c in ("id", "doc_id", "seq_id", "vec_id") if c in df.columns),
+        None,
+    )
     out = df.repartition(n_parts, F.col(key)) if key else df.repartition(n_parts)
     if sort_within:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_within])

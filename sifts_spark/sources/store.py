@@ -322,8 +322,19 @@ class DocumentStore:
         part_names = self._ls_names(self._partition_dir(name))
         inflight = self._reserved_numbers(part_names)
         mat = _nums(part_names) - inflight
-        post = _nums(self._ls_names(self._postings_dir(name)))
-        dl = _nums(self._ls_names(self._doclen_dir(name)))
+        # Same in-flight rule for the sidecars: a postings/doclen batch
+        # under a live `.claim-N` marker is some sweeper's Spark job in
+        # progress (dir exists, zero committed files). Listing it would
+        # make read_postings trust an empty dir over its lazy build —
+        # the same silent-vanish race as in-flight docs batches.
+        post_names = self._ls_names(self._postings_dir(name))
+        claimed = {
+            int(d.split("=", 1)[1])
+            for d in post_names
+            if d.startswith(".claim-batch=")
+        }
+        post = _nums(post_names) - claimed
+        dl = _nums(self._ls_names(self._doclen_dir(name))) - claimed
         sup = {int(k) for k in sup_at}
         # prune stamps whose dirs are fully reclaimed (post-vacuum)
         sup_at = {k: v for k, v in sup_at.items() if int(k) in (mat | post | dl)}
@@ -666,13 +677,23 @@ class DocumentStore:
     def _postings_dir(self, name: str) -> str:
         return f"{self.root}/_postings/name={urllib.parse.quote(name, safe='')}"
 
+    def _sidecar_claimed(self, name: str, post_names=None) -> set[str]:
+        """batch dirs under a live sidecar-build claim (in-flight)."""
+        names = (
+            self._ls_names(self._postings_dir(name))
+            if post_names is None
+            else post_names
+        )
+        return {d[len(".claim-"):] for d in names if d.startswith(".claim-batch=")}
+
     def _postings_batch_dirs(self, name: str, manifest=_UNSET) -> list[str]:
         m = self.read_manifest(name) if manifest is _UNSET else manifest
         if m is not None and isinstance(m.get("postings"), list):
             return [f"batch={n}" for n in sorted(int(x) for x in m["postings"])]
+        names = self._ls_names(self._postings_dir(name))
+        claimed = self._sidecar_claimed(name, names)
         return sorted(
-            d for d in self._ls_names(self._postings_dir(name))
-            if d.startswith("batch=")
+            d for d in names if d.startswith("batch=") and d not in claimed
         )
 
     # ---- doclen sidecar (corpus stats without touching the index) ------
@@ -693,9 +714,10 @@ class DocumentStore:
         m = self.read_manifest(name) if manifest is _UNSET else manifest
         if m is not None and isinstance(m.get("doclens"), list):
             return [f"batch={n}" for n in sorted(int(x) for x in m["doclens"])]
+        claimed = self._sidecar_claimed(name)
         return sorted(
             d for d in self._ls_names(self._doclen_dir(name))
-            if d.startswith("batch=")
+            if d.startswith("batch=") and d not in claimed
         )
 
     def _read_batch_docs(self, name: str, batch_dir: str) -> DataFrame:
@@ -767,7 +789,15 @@ class DocumentStore:
         """Claim one sidecar build via atomic marker create. False =
         a live peer holds it. A marker older than ``ttl`` is a crashed
         writer: break it and take over (the overwrite-mode build heals
-        whatever the corpse left)."""
+        whatever the corpse left).
+
+        The break is an atomic RENAME of the stale marker to a
+        breaker-unique tombstone name — of two sweepers racing to break
+        the same corpse, exactly one rename succeeds (delete-then-
+        recreate would let the loser's delete kill the winner's FRESH
+        claim and put two Spark jobs on one output dir again). The
+        winner still goes through the normal atomic create, so a third
+        writer claiming normally in the same window also stays safe."""
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
         marker = f"{pdir}/.claim-{batch_dir}"
@@ -784,7 +814,14 @@ class DocumentStore:
             return False
         if age <= ttl:
             return False
-        self._fs.delete(self._Path(marker), False)
+        tomb = self._Path(f"{pdir}/.claim-broken-{uuid.uuid4().hex[:8]}")
+        try:
+            won = self._fs.rename(self._Path(marker), tomb)
+        except Py4JJavaError:
+            won = False
+        if not won:
+            return False  # another breaker got there first
+        self._fs.delete(tomb, False)
         return self._atomic_create_marker(marker)
 
     def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:

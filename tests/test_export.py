@@ -92,3 +92,19 @@ def test_export_rejects_unknown_format(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError, match="unsupported export format"):
         export_corpus(docs, str(tmp_path / "x"), fmt="avro")
+
+
+def test_export_default_key_is_deterministic(spark, tmp_path):
+    """Without key_col the exporter hash-partitions on the first
+    id-like column (doc_id here) — reruns must compose identical
+    shards, not round-robin ones."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a, b = str(tmp_path / "da"), str(tmp_path / "db")
+    export_corpus(docs, a, target_file_mb=0.01, compression="snappy")
+    export_corpus(docs, b, target_file_mb=0.01, compression="snappy")
+    fa, fb = sorted(_data_files(a)), sorted(_data_files(b))
+    assert len(fa) == len(fb) > 1
+    for x, y in zip(fa, fb):
+        ha = spark.read.parquet(x).select(F.sum(F.hash("doc_id"))).collect()[0][0]
+        hb = spark.read.parquet(y).select(F.sum(F.hash("doc_id"))).collect()[0][0]
+        assert ha == hb

@@ -114,3 +114,17 @@ def test_pack_oversize_doc_isolated(spark):
     rows = pack_sequences(df, "doc_id", "n_tokens", 100).collect()
     big = [r for r in rows if "b" in r["doc_ids"]]
     assert len(big) == 1 and big[0]["doc_ids"] == ["b"] and big[0]["fill"] > 1
+
+
+def test_mix_extreme_upsampling_no_per_row_arrays(spark, docs):
+    """A tiny domain under a huge budget (hundreds of epochs) must
+    work — the epoch fan-out is a broadcast (group, epoch) frame, not
+    a per-row sequence array."""
+    tiny = docs.filter(F.col("lang") == "de").limit(3)
+    total = tiny.agg(F.sum("n_tokens")).collect()[0][0]
+    out = mix_corpus(tiny, "lang", "n_tokens", {"de": 1.0}, int(total * 300))
+    eps = out.agg(F.max("epoch"), F.count("*")).collect()[0]
+    assert eps[0] >= 299
+    assert eps[1] >= 3 * 299
+    # per-(doc, epoch) uniqueness still holds
+    assert out.select("doc_id", "epoch").distinct().count() == eps[1]

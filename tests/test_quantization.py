@@ -138,3 +138,20 @@ def test_pq_compression_ratio():
 def test_pq_train_rejects_indivisible_dim(emb):
     with pytest.raises(ValueError, match="not divisible"):
         Q.pq_train(emb, dim=DIM, m=7)
+
+
+def test_pq_null_query_vector_excluded(spark, emb, books):
+    """A null query embedding must not 'win' k arbitrary rows via
+    NaN-sorts-first; it simply returns no rows."""
+    codes = Q.pq_encode(emb, books)
+    queries = spark.createDataFrame(
+        [(9001, None), (9002, [0.5] * DIM)],
+        "vec_id long, embedding array<double>",
+    )
+    out = Q.pq_knn_join(codes, queries, books, k=3, exclude_self=False)
+    got = {r["query_id"] for r in out.collect()}
+    assert got == {9002}
+    km = V.kmeans_centroids(emb, n_cells=4)
+    out2 = Q.ivfpq_knn_join(emb, queries, km, books, k=3, nprobe=2,
+                            exclude_self=False)
+    assert {r["query_id"] for r in out2.collect()} == {9002}

@@ -190,7 +190,12 @@ def pq_adc_score_arrow(codes_col, qv_col, codebooks, qid_col=None) -> "F.Column"
     scalar id at C speed. Without it, queries dedupe by hashing each
     row's vector bytes — a per-row Python loop that dominated the
     join (11.9s → 3.8s at the 10× corpus when the joins switched to
-    qid grouping)."""
+    qid grouping).
+
+    Null codes or a null query vector score SQL NULL (not NaN): Spark
+    orders NaN ABOVE every real double in a descending sort, so a NaN
+    would let null-input rows "win" a top-k for direct callers of this
+    public kernel; NULL sorts last under ``desc`` ordering."""
     from pyspark.sql.functions import pandas_udf
 
     B = _codebook_array(codebooks)
@@ -222,7 +227,8 @@ def pq_adc_score_arrow(codes_col, qv_col, codebooks, qid_col=None) -> "F.Column"
                     np.asarray(list(qv.iloc[idx[sel[0]]]), dtype=np.float64)
                 )
                 out[idx[sel]] = lut[rows[None, :], C[sel]].sum(axis=1)
-        return pd.Series(np.round(out, 6))
+        s = pd.Series(np.round(out, 6))
+        return s.where(pd.notna(s), None)  # NaN (null input) -> SQL NULL
 
     @pandas_udf("double")
     def _score(codes: pd.Series, qv: pd.Series) -> pd.Series:
@@ -243,7 +249,8 @@ def pq_adc_score_arrow(codes_col, qv_col, codebooks, qid_col=None) -> "F.Column"
             for key, poss in groups.items():
                 sel = np.asarray(poss)
                 out[idx[sel]] = luts[key][rows[None, :], C[sel]].sum(axis=1)
-        return pd.Series(np.round(out, 6))
+        s = pd.Series(np.round(out, 6))
+        return s.where(pd.notna(s), None)  # NaN (null input) -> SQL NULL
 
     if qid_col is not None:
         return _score_by_qid(codes_col, qv_col, qid_col)
@@ -282,12 +289,12 @@ def pq_knn_join(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     ).filter(
-        F.col("qv").isNotNull()  # a null query scores NaN, and Spark
-        # ranks NaN ABOVE every real double — it would "win" k rows
+        F.col("qv").isNotNull()  # null query -> NULL score; drop before
+        # the cross join rather than carrying dead rows through it
     )
     c = codes.select(F.col(id_col).alias("id"), F.col(codes_col).alias("codes")).filter(
-        F.col("codes").isNotNull()  # null embedding → no codes → NaN
-        # score, and Spark sorts NaN ABOVE every real double: drop here
+        F.col("codes").isNotNull()  # null embedding -> no codes -> NULL
+        # score; drop here so they never enter the candidate join
     )
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -366,7 +373,7 @@ def ivfpq_knn_join(
     )
     query_side = F.broadcast(
         queries.filter(F.col(query_vec_col).isNotNull())  # null query →
-        # NaN ADC score, which Spark ranks above every real double
+        # NULL ADC score; drop before the candidate join
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("qv"),

@@ -103,10 +103,13 @@ def mix_corpus(
         .agg(F.sum(F.col(token_col).cast("long")).alias("_gtot"))
         .collect()
     )
-    # A weighted group with NO rows silently contributes nothing and
-    # the output under-delivers its share of total_tokens — that is a
-    # data bug (wrong group labels, upstream over-filtering), surface it.
-    missing = set(target_weights) - {r[group_col] for r in total_rows}
+    # A weighted group with NO rows — or rows whose token column is all
+    # NULL (sum comes back None) — silently contributes nothing and the
+    # output under-delivers its share of total_tokens — that is a data
+    # bug (wrong group labels, upstream over-filtering), surface it.
+    missing = set(target_weights) - {
+        r[group_col] for r in total_rows if (r["_gtot"] or 0) > 0
+    }
     if missing:
         import logging
 
@@ -128,7 +131,9 @@ def mix_corpus(
 
     epoch_rows = []
     for r in total_rows:
-        g, gtot = r[group_col], r["_gtot"]
+        g, gtot = r[group_col], r["_gtot"] or 0
+        if gtot <= 0:
+            continue  # all-NULL token group: warned above, undeliverable
         budget = (target_weights[g] / wsum) * total_tokens
         n_ep = (
             max(1, math.ceil(budget / max(gtot, 1)))

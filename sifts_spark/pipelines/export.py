@@ -107,13 +107,22 @@ def export_corpus(
 
     # --- calibrate bytes/row through the real encoder -----------------
     frac = min(1.0, (sample_rows * 1.3) / n_rows)
-    sample = df.sample(withReplacement=False, fraction=frac, seed=seed).limit(
-        sample_rows
+    # Persist the sample so the trial write and the row count read the
+    # SAME materialization: with non-deterministic upstream partitioning
+    # two executions of the sample plan can select different rows,
+    # skewing bytes_per_row and thus every shard-size decision.
+    sample = (
+        df.sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_rows)
+        .persist()
     )
     trial = f"{path.rstrip('/')}__calib_{uuid.uuid4().hex[:8]}"
-    _write(sample.coalesce(1), trial, fmt, compression, None, None)
-    tbytes, _ = _dir_bytes(spark, trial)
-    tn = sample.count()
+    try:
+        _write(sample.coalesce(1), trial, fmt, compression, None, None)
+        tbytes, _ = _dir_bytes(spark, trial)
+        tn = sample.count()
+    finally:
+        sample.unpersist()
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(trial)
     p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(p, True)

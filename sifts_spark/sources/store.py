@@ -240,6 +240,31 @@ class DocumentStore:
                 self._fs.delete(tmp, False)
                 raise IOError(f"could not atomically publish {path}")
 
+    def _read_small_text(self, path: str) -> str | None:
+        """Small text read through the Hadoop FS; None on absent or
+        unreadable (callers treat that as "not mine")."""
+        p = self._Path(path)
+        try:
+            if not self._fs.exists(p):
+                return None
+            stream = self._fs.open(p)
+            try:
+                return self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+        except Exception:
+            return None
+
+    def _write_small_text(self, path: str, text: str) -> None:
+        """Overwrite a small file we own (claim-marker token stamping)."""
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
     def read_manifest(self, name: str) -> dict | None:
         """The collection's manifest, or None (no manifest / unreadable
         / mid-replace window) — callers fall back to a directory LIST."""
@@ -757,7 +782,8 @@ class DocumentStore:
         for d in self._batch_dirs(name, mf):
             if d in have and d in have_dl:
                 continue
-            if not self._claim_sidecar(name, d, claim_ttl):
+            token = self._claim_sidecar(name, d, claim_ttl)
+            if token is None:
                 continue  # a live peer owns this batch's sidecar build
             try:
                 if d not in have:
@@ -780,16 +806,31 @@ class DocumentStore:
                         "overwrite"
                     ).parquet(f"{self._doclen_dir(name)}/{d}")
             finally:
-                self._fs.delete(
-                    self._Path(f"{self._postings_dir(name)}/.claim-{d}"), False
-                )
+                self._release_sidecar_claim(name, d, token)
         self._publish_manifest(name)
 
-    def _claim_sidecar(self, name: str, batch_dir: str, ttl: float) -> bool:
-        """Claim one sidecar build via atomic marker create. False =
-        a live peer holds it. A marker older than ``ttl`` is a crashed
-        writer: break it and take over (the overwrite-mode build heals
-        whatever the corpse left).
+    def _claim_sidecar(self, name: str, batch_dir: str, ttl: float) -> str | None:
+        """Claim one sidecar build via atomic marker create → an OWNER
+        TOKEN (uuid, stamped into the marker file), or None when a live
+        peer holds it. A marker older than ``ttl`` is a crashed writer:
+        break it and take over (the overwrite-mode build heals whatever
+        the corpse left).
+
+        The token is what :meth:`_release_sidecar_claim` matches before
+        deleting: a build that outlives ``ttl`` gets its claim broken by
+        a peer, and without the ownership check the still-alive
+        original's ``finally`` would delete the PEER's fresh marker —
+        re-opening the two-Spark-jobs-one-output-dir race the claim
+        exists to prevent. With the token, the original sees a foreign
+        (or empty mid-stamp) marker and leaves it in place.
+
+        Staleness is judged by marker mtime against LOCAL ``time.time()``
+        — on a shared filesystem size ``ttl`` above the worst-case build
+        time PLUS cross-host clock skew, or a live writer's claim can be
+        broken early / a crashed one broken late. (The token check above
+        turns an early break into duplicate work, never a corrupted
+        output dir: the broken original declines to touch the new
+        owner's marker.)
 
         The break is an atomic RENAME of the stale marker to a
         breaker-unique tombstone name — of two sweepers racing to break
@@ -801,8 +842,10 @@ class DocumentStore:
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
         marker = f"{pdir}/.claim-{batch_dir}"
+        token = uuid.uuid4().hex
         if self._atomic_create_marker(marker):
-            return True
+            self._write_small_text(marker, token)
+            return token
         try:
             age = time.time() - (
                 self._fs.getFileStatus(self._Path(marker)).getModificationTime()
@@ -811,18 +854,43 @@ class DocumentStore:
         except Py4JJavaError:
             # marker vanished between create and stat: owner just
             # finished — nothing left to build under this claim
-            return False
+            return None
         if age <= ttl:
-            return False
+            return None
         tomb = self._Path(f"{pdir}/.claim-broken-{uuid.uuid4().hex[:8]}")
         try:
             won = self._fs.rename(self._Path(marker), tomb)
         except Py4JJavaError:
             won = False
         if not won:
-            return False  # another breaker got there first
+            return None  # another breaker got there first
         self._fs.delete(tomb, False)
-        return self._atomic_create_marker(marker)
+        if not self._atomic_create_marker(marker):
+            return None
+        self._write_small_text(marker, token)
+        return token
+
+    def _release_sidecar_claim(self, name: str, batch_dir: str, token: str) -> None:
+        """Delete the claim marker ONLY if we still own it (its content
+        matches our token). A foreign token means a peer broke our claim
+        past ``claim_ttl`` and now owns the batch — deleting its live
+        marker would let a third writer double-claim, so log and leave
+        it."""
+        marker = f"{self._postings_dir(name)}/.claim-{batch_dir}"
+        content = self._read_small_text(marker)
+        if content is None:
+            return  # already gone — nothing to release
+        if content == token:
+            self._fs.delete(self._Path(marker), False)
+            return
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "sidecar claim for %s/%s was broken by a peer while this "
+            "build ran (its token differs); leaving the peer's marker "
+            "in place — size claim_ttl above your worst-case build time",
+            name, batch_dir,
+        )
 
     def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:
         batch = int(batch_dir.split("=", 1)[1])

@@ -255,8 +255,20 @@ class SparkCollection:
 
     def compact(self, vacuum: bool = True) -> None:
         """OPTIMIZE + (optionally) VACUUM: fold live batches, then
-        reclaim superseded dirs older than ``vacuum_grace_seconds``."""
-        self.store.compact(self.name, postings=self.use_fts)
+        reclaim superseded dirs older than ``vacuum_grace_seconds``.
+
+        ANN-index interplay: the index is brought up to date FIRST
+        (every pending batch assigned), so after the fold every live id
+        is already covered — the folded batch is then recorded as
+        covered with an empty index layer instead of being redundantly
+        re-assigned by the next maintenance sweep (a corpus-sized
+        map job for zero new information)."""
+        meta = self._vector_index_meta()
+        if meta is not None and "built_through" in meta:
+            self.maintain_vector_index()
+        folded = self.store.compact(self.name, postings=self.use_fts)
+        if folded is not None and meta is not None and "built_through" in meta:
+            self.store.mark_vector_index_batch_covered(self.name, folded, meta)
         if vacuum:
             self.store.vacuum(self.name, self.vacuum_grace_seconds)
 
@@ -276,6 +288,9 @@ class SparkCollection:
         self._docs_version += 1
         if self.use_fts:
             self.store.maintain_postings(self.name)
+        # ANN index twin of the postings sweep: assign the new batch
+        # into the existing centroid set (no-op without an index).
+        self.maintain_vector_index()
         if (
             self.auto_compact_batches
             and len(self.store._batch_dirs(self.name)) >= self.auto_compact_batches
@@ -364,39 +379,130 @@ class SparkCollection:
         n_cells: int | None = None,
         sample_size: int = 65536,
         seed: int = 1,
+        kind: str = "ivf",
+        m: int = 8,
+        nbits: int = 8,
     ) -> dict:
-        """Train and persist an IVF index over the live snapshot's
-        embeddings: kmeans centroids (``n_cells ~ sqrt(N)`` default) +
-        an ``(id, cell)`` sidecar partitioned by cell, so approx queries
-        read only their probed cells (partition pruning) instead of
-        scoring the whole collection.
+        """Train and persist an ANN index over the live snapshot's
+        embeddings, behind ``query(approx=True)``.
 
-        **Staleness contract** (rebuild on the same schedule you
-        compact): docs written AFTER the build have no cell row and are
-        invisible to ``approx=True`` queries until the next build —
-        a recall gap, never wrong values. Updates and deletes are safe
-        immediately: the index only selects candidate ids; scores come
-        from live embeddings and dead ids drop out of the snapshot
-        join."""
-        from sifts_spark.functions.vector import cell_assign_arrow
+        ``kind="ivf"`` (default): kmeans centroids (``n_cells ~
+        sqrt(N)``) + an ``(id, cell)`` sidecar partitioned by cell, so
+        approx queries read only their probed cells (partition pruning)
+        instead of scoring the whole collection.
+
+        ``kind="ivfpq"``: the faiss-IVFADC composition — the same cell
+        sidecar additionally carries each vector's ``m``-byte PQ code
+        (trained sub-codebooks live in the index ``_meta``); approx
+        queries then ADC-score the probed candidates FROM THE CODES
+        (the scan payload is 32× smaller than float vectors at the
+        default 64-dim/m=8/nbits=8 shape) and exact-refine only the
+        ADC top pool against live embeddings. This replaces the
+        reference's full pgvector float scan
+        (/root/reference/src/sifts/core.py:558-564) with a code-sized
+        scan at 100 TB.
+
+        **Staleness contract**: writes through THIS facade after the
+        build are assigned into the existing centroid set incrementally
+        (:meth:`maintain_vector_index`, automatic on every write) — new
+        docs are retrievable with ``approx=True`` without a rebuild.
+        A rebuild is still what re-TRAINS centroids/codebooks (drifted
+        data slowly degrades cell balance, not correctness). External
+        writers' batches are picked up by the next maintenance sweep
+        from any facade. Updates and deletes are safe immediately: the
+        index only selects candidate ids; final scores come from live
+        embeddings and dead ids drop out of the snapshot join."""
         from sifts_spark.operators.vector_search import kmeans_centroids
 
+        if kind not in ("ivf", "ivfpq"):
+            raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq)")
         emb = self.docs().filter(F.col("embedding").isNotNull())
         km = kmeans_centroids(
             emb, n_cells=n_cells, vec_col="embedding",
             sample_size=sample_size, seed=seed,
         )
-        assignments = emb.select(
-            "id",
-            F.coalesce(
-                cell_assign_arrow(F.col("embedding"), km), F.lit(-1)
-            ).alias("cell"),
-        )
-        meta = self.store.write_vector_index(
-            self.name, assignments, km, {"n_cells": len(km)}
-        )
+        extra: dict = {
+            "n_cells": len(km),
+            "kind": kind,
+            "built_through": self._max_live_batch(),
+        }
+        codebooks = None
+        if kind == "ivfpq":
+            from sifts_spark.operators.quantization import pq_train
+
+            first = emb.select("embedding").first()
+            dim = len(first["embedding"]) if first else 0
+            if dim == 0 or dim % m:
+                raise ValueError(
+                    f"ivfpq requires embedding dim divisible by m={m} "
+                    f"(got dim={dim})"
+                )
+            codebooks = pq_train(
+                emb, dim=dim, m=m, nbits=nbits, vec_col="embedding",
+                sample_size=sample_size, seed=seed,
+            )
+            extra.update({"m": m, "nbits": nbits, "dim": dim,
+                          "codebooks": codebooks})
+        assignments = self._assign_batch(emb, km, codebooks)
+        meta = self.store.write_vector_index(self.name, assignments, km, extra)
         self._vecindex_meta_cache = meta
         return meta
+
+    def _max_live_batch(self) -> int:
+        dirs = self.store._batch_dirs(self.name)
+        return max((int(d.split("=", 1)[1]) for d in dirs), default=0)
+
+    @staticmethod
+    def _assign_batch(emb: DataFrame, centroids, codebooks) -> DataFrame:
+        """(id, cell[, codes]) for one frame of embedding rows — the
+        map-side projection shared by full builds and incremental
+        appends (inlined centroids, Arrow kernels, no shuffle)."""
+        from sifts_spark.functions.vector import cell_assign_arrow
+
+        cols = [
+            F.col("id"),
+            F.coalesce(
+                cell_assign_arrow(F.col("embedding"), centroids), F.lit(-1)
+            ).alias("cell"),
+        ]
+        if codebooks is not None:
+            from sifts_spark.operators.quantization import pq_encode_arrow
+
+            cols.append(
+                pq_encode_arrow(F.col("embedding"), codebooks).alias("codes")
+            )
+        return emb.select(*cols)
+
+    def maintain_vector_index(self) -> int:
+        """Assign docs batches written after the index build into the
+        existing centroid set (no re-train, no corpus rewrite) — the
+        vector twin of the postings sweep. Runs automatically after
+        every write through this facade; call it directly to pick up
+        external writers' batches. Returns the number of batches
+        assigned. No-op when no index exists (or a pre-incremental
+        index without ``built_through``, which stays rebuild-only)."""
+        meta = self._vector_index_meta()
+        if meta is None or "built_through" not in meta:
+            return 0
+        from sifts_spark.operators.vector_search import centroid_rows
+
+        km = centroid_rows(meta["centroids"])
+        codebooks = meta.get("codebooks") if meta.get("kind") == "ivfpq" else None
+        have = self.store.vector_index_batches(self.name, meta)
+        done = 0
+        for d in self.store._batch_dirs(self.name):
+            n = int(d.split("=", 1)[1])
+            if n <= int(meta["built_through"]) or n in have:
+                continue
+            batch_docs = (
+                self.store._read_batch_docs(self.name, d)
+                .filter(~F.col("deleted") & F.col("embedding").isNotNull())
+            )
+            if self.store.append_vector_index_batch(
+                self.name, n, self._assign_batch(batch_docs, km, codebooks), meta
+            ):
+                done += 1
+        return done
 
     def _vector_index_meta(self) -> dict | None:
         if self._vecindex_meta_cache is _AUTO_METADATA:
@@ -405,12 +511,16 @@ class SparkCollection:
             )
         return self._vecindex_meta_cache
 
-    def _vector_candidates(self, qvec: list[float], nprobe: int) -> DataFrame:
-        """ids in the query's ``nprobe`` nearest cells — the probe step.
-        One driver-side numpy pass over the (tiny) centroid table picks
-        the cells (same rounded-similarity/lowest-id tie-break as the
-        distributed assignment), then the sidecar read prunes to those
-        ``cell=`` partitions."""
+    def _vector_candidates(
+        self, qvec: list[float], nprobe: int, with_codes: bool = False
+    ) -> DataFrame:
+        """Rows in the query's ``nprobe`` nearest cells — the probe
+        step. One driver-side numpy pass over the (tiny) centroid table
+        picks the cells (same rounded-similarity/lowest-id tie-break as
+        the distributed assignment), then the sidecar read prunes to
+        those ``cell=`` partitions. Ids assigned by several index
+        layers (doc updated after the build) dedupe newest-batch-wins,
+        so ``with_codes`` returns the freshest code per id."""
         import numpy as np
 
         meta = self._vector_index_meta()
@@ -426,9 +536,55 @@ class SparkCollection:
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(denom > 0, np.round(mat @ q / denom, 6), -np.inf)
         order = np.argsort(-sims, kind="stable")[:nprobe]
-        return self.store.read_vector_cells(
-            self.name, [int(c) for c in cids[order]], meta
+        cand = self.store.read_vector_cells(
+            self.name, [int(c) for c in cids[order]], meta,
+            with_codes=with_codes,
         )
+        if "batch" in cand.columns:
+            w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+            cand = (
+                cand.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "batch")
+            )
+        else:
+            cand = cand.dropDuplicates(["id"])
+        return cand
+
+    def _approx_candidates(
+        self,
+        qvec: list[float],
+        nprobe: int,
+        adc_limit: int | None,
+        refine: int,
+    ) -> DataFrame:
+        """Candidate id frame for an approx search. Float-IVF index:
+        the probed cells' ids. IVFPQ index: the probed candidates
+        ADC-scored from their m-byte PQ codes and — when the caller's
+        page size is known — pruned to the top ``adc_limit * refine``
+        ids, so the expensive exact-cosine stage downstream touches a
+        pool-sized frame instead of every probed candidate (whose float
+        embeddings never enter this stage at all: the scan payload is
+        the code column)."""
+        meta = self._vector_index_meta()
+        is_pq = meta is not None and meta.get("kind") == "ivfpq"
+        cand = self._vector_candidates(qvec, nprobe, with_codes=is_pq)
+        if not is_pq or "codes" not in cand.columns:
+            return cand.select("id")
+        from sifts_spark.operators.quantization import pq_adc_score_arrow
+
+        qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
+        scored = cand.select(
+            "id",
+            pq_adc_score_arrow(
+                F.col("codes"), qlit, meta["codebooks"], qid_col=F.lit(0)
+            ).alias("_adc"),
+        )
+        if adc_limit:
+            scored = scored.orderBy(
+                F.col("_adc").desc_nulls_last(), F.col("id")
+            ).limit(max(int(adc_limit) * max(int(refine), 1), int(adc_limit)))
+        return scored.select("id")
 
     # ------------------------------------------------------------------
     # read path
@@ -471,13 +627,15 @@ class SparkCollection:
         vector_search: bool = False,
         approx: bool = False,
         nprobe: int = 2,
+        refine: int = 4,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
         pipeline composition (feed dedup/analysis operators without a
         driver round-trip)."""
         df, is_search = self._query_plan(
-            query_string, where, order_by, vector_search, approx, nprobe
+            query_string, where, order_by, vector_search, approx, nprobe,
+            adc_limit=limit, refine=refine,
         )
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
@@ -493,6 +651,7 @@ class SparkCollection:
         vector_search: bool = False,
         approx: bool = False,
         nprobe: int = 2,
+        refine: int = 4,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -506,10 +665,16 @@ class SparkCollection:
         IVF cells before exact scoring — the scale path that replaces
         the reference's full pgvector scan (core.py:558-564). ``total``
         then counts the RANKED CANDIDATES, and recall follows the IVF
-        trade (see the index's staleness contract).
+        trade (see the index's staleness contract). Over an IVFPQ index
+        with a ``limit``, candidates are additionally ADC-pruned to the
+        top ``limit * refine`` before exact scoring (``total`` counts
+        that pool); reported ranks are ALWAYS exact live-embedding
+        cosines — quantization affects which candidates are scored,
+        never the scores.
         """
         df, is_search = self._query_plan(
-            query_string, where, order_by, vector_search, approx, nprobe
+            query_string, where, order_by, vector_search, approx, nprobe,
+            adc_limit=limit, refine=refine,
         )
         total = df.count()  # R8: pre-limit total, distributed count
         df = self._paginate(df, is_search, order_by, limit, offset)
@@ -537,9 +702,19 @@ class SparkCollection:
         vector_search: bool,
         approx: bool = False,
         nprobe: int = 2,
+        adc_limit: int | None = None,
+        refine: int = 4,
     ) -> tuple[DataFrame, bool]:
         """Validate + build the pre-pagination plan (match ∧ where, with
-        rank column for searches)."""
+        rank column for searches).
+
+        ``adc_limit``/``refine`` apply only to an ``approx`` search over
+        an IVFPQ index: the probed candidates are ADC-scored from their
+        PQ codes and pruned to the top ``adc_limit * refine`` before
+        exact cosine scoring — the faiss IVFADC-with-refinement plan.
+        ``adc_limit=None`` (no page limit known) skips the prune: all
+        probed candidates are scored exactly, same recall as float
+        IVF."""
         # R1 validations (core.py:200-205)
         if vector_search and order_by:
             raise ValueError("order_by cannot be combined with vector_search")
@@ -560,7 +735,10 @@ class SparkCollection:
                 # back to the snapshot keeps scoring on LIVE embeddings
                 # (stale index rows for deleted/updated docs drop out
                 # or re-score — never stale values).
-                df = df.join(self._vector_candidates(qvec, nprobe), "id")
+                df = df.join(
+                    self._approx_candidates(qvec, nprobe, adc_limit, refine),
+                    "id",
+                )
             qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
             df = df.filter(F.col("embedding").isNotNull()).withColumn(
                 "rank", cosine_similarity(F.col("embedding"), qlit)
@@ -687,7 +865,7 @@ class SparkCollection:
         )
         vec_leg, _ = self._query_plan(
             query_string, where, None, vector_search=True,
-            approx=approx, nprobe=nprobe,
+            approx=approx, nprobe=nprobe, adc_limit=pool,
         )
         legs = []
         for leg, name in ((text_leg, "pos_t"), (vec_leg, "pos_v")):

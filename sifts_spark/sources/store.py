@@ -559,17 +559,18 @@ class DocumentStore:
         self._delete_dir(self._doclen_dir(name))
         self._delete_dir(self._vecindex_dir(name))
 
-    def compact(self, name: str, postings: bool = False) -> None:
+    def compact(self, name: str, postings: bool = False) -> int | None:
         """Fold the live batches of a collection into a single new batch
         and publish a manifest that stops referencing the old ones —
         Delta OPTIMIZE. Nothing is deleted here: a reader that planned
         against the pre-compact manifest still finds its files until
         :meth:`vacuum` reclaims them (the compact-vs-reader FileNotFound
         race the reference avoids via DB transactions, core.py:446-455,
-        is closed by the manifest + deferred reclamation)."""
+        is closed by the manifest + deferred reclamation). Returns the
+        folded batch's number (None when nothing to fold)."""
         old = self._batch_dirs(name)
         if len(old) <= 1:
-            return
+            return None
         current = self.read(name)
         # Materialize the deduped snapshot into a NEW batch dir (never
         # overwrite inputs mid-read), then flip the manifest.
@@ -584,6 +585,7 @@ class DocumentStore:
         self._gc_markers(name)
         if postings:
             self.maintain_postings(name)
+        return batch
 
     def vacuum(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
         """Reclaim batch dirs (docs + postings + doclens) no longer
@@ -841,7 +843,13 @@ class DocumentStore:
         writer claiming normally in the same window also stays safe."""
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
-        marker = f"{pdir}/.claim-{batch_dir}"
+        return self._claim_marker_with_ttl(f"{pdir}/.claim-{batch_dir}", ttl)
+
+    def _claim_marker_with_ttl(self, marker: str, ttl: float) -> str | None:
+        """Generic claim: atomic marker create stamped with an owner
+        token; breaks markers older than ``ttl`` via the atomic-rename
+        tombstone dance documented on :meth:`_claim_sidecar`. Returns
+        the token (pass to :meth:`_release_marker`) or None."""
         token = uuid.uuid4().hex
         if self._atomic_create_marker(marker):
             self._write_small_text(marker, token)
@@ -857,7 +865,8 @@ class DocumentStore:
             return None
         if age <= ttl:
             return None
-        tomb = self._Path(f"{pdir}/.claim-broken-{uuid.uuid4().hex[:8]}")
+        parent = marker.rsplit("/", 1)[0]
+        tomb = self._Path(f"{parent}/.claim-broken-{uuid.uuid4().hex[:8]}")
         try:
             won = self._fs.rename(self._Path(marker), tomb)
         except Py4JJavaError:
@@ -870,13 +879,11 @@ class DocumentStore:
         self._write_small_text(marker, token)
         return token
 
-    def _release_sidecar_claim(self, name: str, batch_dir: str, token: str) -> None:
-        """Delete the claim marker ONLY if we still own it (its content
+    def _release_marker(self, marker: str, token: str, what: str) -> None:
+        """Delete a claim marker ONLY if we still own it (its content
         matches our token). A foreign token means a peer broke our claim
-        past ``claim_ttl`` and now owns the batch — deleting its live
-        marker would let a third writer double-claim, so log and leave
-        it."""
-        marker = f"{self._postings_dir(name)}/.claim-{batch_dir}"
+        past the TTL and now owns the work — deleting its live marker
+        would let a third writer double-claim, so log and leave it."""
         content = self._read_small_text(marker)
         if content is None:
             return  # already gone — nothing to release
@@ -886,10 +893,16 @@ class DocumentStore:
         import logging
 
         logging.getLogger(__name__).warning(
-            "sidecar claim for %s/%s was broken by a peer while this "
-            "build ran (its token differs); leaving the peer's marker "
-            "in place — size claim_ttl above your worst-case build time",
-            name, batch_dir,
+            "claim for %s was broken by a peer while this build ran "
+            "(its token differs); leaving the peer's marker in place — "
+            "size the claim TTL above your worst-case build time",
+            what,
+        )
+
+    def _release_sidecar_claim(self, name: str, batch_dir: str, token: str) -> None:
+        self._release_marker(
+            f"{self._postings_dir(name)}/.claim-{batch_dir}", token,
+            f"{name}/{batch_dir}",
         )
 
     def _batch_doclens_from_postings(self, name: str, batch_dir: str) -> DataFrame:
@@ -983,18 +996,27 @@ class DocumentStore:
         live = self.live_versions(name, mf)
         return p.join(live, ["id", "batch"]).select("id", "dl")
 
-    # ---- persisted IVF vector index (ANN sidecar) -----------------------
+    # ---- persisted IVF/IVFPQ vector index (ANN sidecar) -----------------
     #
-    # A covering CANDIDATE SELECTOR, not a data copy: `(id, cell)`
-    # parquet partitioned by cell beside a `_meta` JSON holding the
-    # trained centroids. Queries read ONLY the probed `cell=` dirs
-    # (partition pruning by construction) and join the ids back to the
-    # live snapshot for scoring — so a stale index can only lose recall
-    # on docs written after the build (they have no cell row yet), never
-    # return stale values: scores always come from live embeddings and
-    # deletes drop out in the id join. Rebuilds write a fresh versioned
-    # cells dir and atomically flip the meta (same recipe as the
-    # manifest); vacuum_vector_index reclaims unreferenced dirs.
+    # A covering CANDIDATE SELECTOR, not a data copy: `(id[, codes])`
+    # parquet laid out ``cells-v{V}/batch={n}/cell={c}/`` beside a
+    # `_meta` JSON holding the trained centroids (and, for an IVFPQ
+    # index, the PQ codebooks). Queries read ONLY the probed `cell=`
+    # dirs (partition pruning by construction — `cell` is the inner
+    # partition column, so a cell filter prunes directories under every
+    # batch) and join the ids back to the live snapshot for scoring —
+    # so a stale index can only lose recall on docs not yet assigned,
+    # never return stale values: final scores always come from live
+    # embeddings and deletes drop out in the id join.
+    #
+    # The ``batch={n}`` layer is what makes the index INCREMENTALLY
+    # maintainable (mirroring the postings sidecar): a full build
+    # writes one ``batch={built_through}`` dir covering the snapshot;
+    # each docs batch appended after that gets its own assignment dir
+    # via :meth:`append_vector_index_batch` — new-batch-sized work, no
+    # centroid re-train, no corpus rewrite. Rebuilds write a fresh
+    # versioned cells dir and atomically flip the meta (same recipe as
+    # the manifest); vacuum_vector_index reclaims unreferenced dirs.
 
     def _vecindex_dir(self, name: str) -> str:
         return f"{self.root}/_vecindex/name={urllib.parse.quote(name, safe='')}"
@@ -1008,21 +1030,31 @@ class DocumentStore:
             return None
         return m
 
+    @staticmethod
+    def _assignment_cols(assignments: DataFrame) -> list:
+        cols = [F.col("id").cast("string"), F.col("cell").cast("long")]
+        if "codes" in assignments.columns:  # IVFPQ: m-byte PQ codes
+            cols.append(F.col("codes").cast("array<int>"))
+        return cols
+
     def write_vector_index(
         self, name: str, assignments: DataFrame, centroids: list, extra: dict
     ) -> dict:
-        """Persist ``assignments`` (id, cell) partitioned by cell under a
-        fresh versioned dir, then atomically flip ``_meta`` to reference
-        it — readers mid-query keep their old dir until
-        :meth:`vacuum_vector_index` reclaims it."""
+        """Persist ``assignments`` (id, cell[, codes]) under a fresh
+        versioned cells dir (as its initial ``batch=`` layer), then
+        atomically flip ``_meta`` to reference it — readers mid-query
+        keep their old dir until :meth:`vacuum_vector_index` reclaims
+        it. ``extra['built_through']`` names the newest docs batch the
+        build covered; later batches are appended incrementally."""
         base = self._vecindex_dir(name)
         self._fs.mkdirs(self._Path(base))
         prev = self.read_vector_index_meta(name)
         version = (int(prev.get("version", 0)) + 1) if prev else 1
         cells_dir = f"cells-v{version}"
-        assignments.select(
-            F.col("id").cast("string"), F.col("cell").cast("long")
-        ).write.partitionBy("cell").parquet(f"{base}/{cells_dir}")
+        bt = int(extra.get("built_through", 0))
+        assignments.select(*self._assignment_cols(assignments)).write.partitionBy(
+            "cell"
+        ).parquet(f"{base}/{cells_dir}/batch={bt}")
         meta = {
             "version": version,
             "cells_dir": cells_dir,
@@ -1033,21 +1065,97 @@ class DocumentStore:
         self._write_json_atomic(self._vecindex_meta_path(name), meta)
         return meta
 
+    def vector_index_batches(self, name: str, meta: dict) -> set[int]:
+        """Docs-batch numbers already assigned into the index's current
+        cells dir (the build layer + every incremental append)."""
+        base = f"{self._vecindex_dir(name)}/{meta['cells_dir']}"
+        return {
+            int(m.group(1))
+            for d in self._ls_names(base)
+            if (m := self._BATCH_DIR_RE.match(d))
+            # a dir without _SUCCESS is a crashed append: not indexed,
+            # healed by the next overwrite-mode append under a claim
+            and self._exists(f"{base}/{d}/_SUCCESS")
+        }
+
+    def append_vector_index_batch(
+        self,
+        name: str,
+        batch: int,
+        assignments: DataFrame,
+        meta: dict,
+        claim_ttl: float = 900.0,
+    ) -> bool:
+        """Incrementally assign one docs batch into the CURRENT cells
+        dir (postings-sidecar mirror: new-batch-sized work, claimed
+        under a TTL'd owner-token marker so two facades appending at
+        once never race two Spark jobs onto one output dir). Returns
+        True when this call wrote the batch; False when it already
+        exists or a live peer owns the build."""
+        base = f"{self._vecindex_dir(name)}/{meta['cells_dir']}"
+        out = f"{base}/batch={int(batch)}"
+        if self._exists(f"{out}/_SUCCESS"):
+            return False
+        token = self._claim_marker_with_ttl(
+            f"{base}/.vclaim-batch={int(batch)}", claim_ttl
+        )
+        if token is None:
+            return False
+        try:
+            # STATIC overwrite (the session default is dynamic, which
+            # neither truncates a crashed partial dir nor writes the
+            # _SUCCESS marker this layer's bookkeeping keys on)
+            assignments.select(*self._assignment_cols(assignments)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "static").partitionBy(
+                "cell"
+            ).parquet(out)
+        finally:
+            self._release_marker(
+                f"{base}/.vclaim-batch={int(batch)}", token,
+                f"{name}/vecindex/batch={batch}",
+            )
+        return True
+
+    def mark_vector_index_batch_covered(
+        self, name: str, batch: int, meta: dict
+    ) -> None:
+        """Record a docs batch as covered by the index WITHOUT any
+        assignment rows — an empty committed layer (dir + _SUCCESS).
+        Used after compaction: the fold's content was already assigned
+        under the batches it folded, so re-assigning it would be a
+        corpus-sized map job for zero new information."""
+        out = f"{self._vecindex_dir(name)}/{meta['cells_dir']}/batch={int(batch)}"
+        self._fs.mkdirs(self._Path(out))
+        self._atomic_create_marker(f"{out}/_SUCCESS")
+
     def read_vector_cells(
-        self, name: str, cells: list[int], meta: dict | None = None
+        self,
+        name: str,
+        cells: list[int],
+        meta: dict | None = None,
+        with_codes: bool = False,
     ) -> DataFrame | None:
-        """ids of the probed cells — a partition-pruned read of only the
-        matching ``cell=`` dirs. None when no index exists."""
+        """Rows of the probed cells — a partition-pruned read of only
+        the matching ``cell=`` dirs (under every ``batch=`` layer).
+        Returns (id[, codes, batch]) — an id can appear once per layer
+        that assigned it (update after build); callers dedupe newest-
+        batch-wins. None when no index exists."""
         m = meta if meta is not None else self.read_vector_index_meta(name)
         if m is None:
             return None
         base = f"{self._vecindex_dir(name)}/{m['cells_dir']}"
-        return (
+        df = (
             self.spark.read.option("basePath", base)
             .parquet(base)
             .filter(F.col("cell").isin([int(c) for c in cells]))
-            .select("id")
         )
+        cols = ["id"]
+        if with_codes and "codes" in df.columns:
+            cols.append("codes")
+        if "batch" in df.columns:
+            cols.append("batch")
+        return df.select(*cols)
 
     def vacuum_vector_index(self, name: str, min_age_seconds: float = 3600.0) -> list[str]:
         """Reclaim cells dirs no longer referenced by ``_meta`` (older

@@ -280,10 +280,13 @@ def test_collection_approx_vector_search_with_index(store_root, spark):
     got = col.query("alpha 1", vector_search=True, approx=True, nprobe=1)
     assert "alpha-0" not in [r["id"] for r in got["results"]]
 
-    # new doc: invisible until rebuild (documented recall gap), then found
+    # new doc: the write path assigns it into the existing centroid set
+    # incrementally — retrievable with approx=True, NO rebuild
     col.add(["alpha 99"], ids=["alpha-99"])
+    assert col._vector_index_meta()["version"] == 1  # same index
     got = col.query("alpha 99", vector_search=True, approx=True, nprobe=1)
-    assert "alpha-99" not in [r["id"] for r in got["results"]]
+    assert "alpha-99" in [r["id"] for r in got["results"]]
+    # a rebuild still re-trains and bumps the version
     meta2 = col.build_vector_index(n_cells=3)
     assert meta2["version"] == 2
     got = col.query("alpha 99", vector_search=True, approx=True, nprobe=1)
@@ -296,3 +299,97 @@ def test_collection_approx_vector_search_with_index(store_root, spark):
     # index still serves after vacuum
     got = col.query("gamma 3", vector_search=True, approx=True, nprobe=1)
     assert got["results"][0]["id"].startswith("gamma")
+
+
+def _clustered_embed8(texts):
+    """8-dim clustered embeddings (dim divisible by m=4/2 for PQ):
+    direction by first word, tiny per-doc jitter from the 2nd token."""
+    axes = {"alpha": 0, "beta": 2, "gamma": 4, "delta": 6}
+    out = []
+    for t in texts:
+        w = t.split()
+        v = [0.0] * 8
+        v[axes[w[0]]] = 10.0
+        jitter = (int(w[1]) if len(w) > 1 and w[1].isdigit() else 0) % 7
+        v[axes[w[0]] + 1] = 0.05 + jitter * 0.01
+        out.append(v)
+    return out
+
+
+def test_collection_ivfpq_index_end_to_end(store_root, spark):
+    """build_vector_index(kind='ivfpq') + query(approx=True): the
+    persisted cell sidecar carries PQ codes, the query path ADC-prunes
+    candidates from the codes and exact-refines against live
+    embeddings, and results on a clustered corpus match the exact
+    path (reported ranks are true cosines, never ADC estimates)."""
+    col = Collection(store_root, "pq", embedding_function=_clustered_embed8,
+                     spark=spark, use_fts=False)
+    docs = [f"{fam} {i}" for fam in ("alpha", "beta", "gamma", "delta")
+            for i in range(10)]
+    col.add(docs, ids=[d.replace(" ", "-") for d in docs])
+
+    meta = col.build_vector_index(n_cells=4, kind="ivfpq", m=4, nbits=4)
+    assert meta["kind"] == "ivfpq" and meta["m"] == 4
+    assert len(meta["codebooks"]) == 4  # m sub-codebooks persisted
+
+    exact = col.query("alpha 3", vector_search=True, limit=5)
+    approx = col.query("alpha 3", vector_search=True, approx=True,
+                       nprobe=1, limit=5)
+    assert [r["id"] for r in approx["results"]] == [
+        r["id"] for r in exact["results"]
+    ]
+    # ranks are exact live-embedding cosines, not ADC estimates
+    ex = {r["id"]: r["rank"] for r in exact["results"]}
+    for r in approx["results"]:
+        assert r["rank"] == pytest.approx(ex[r["id"]], abs=1e-6)
+    # ADC prune is real: total counts the refine pool (limit*refine=20
+    # capped by the probed cell's 10 candidates), not the whole corpus
+    assert approx["total"] <= 10 < exact["total"] == 40
+
+    # incremental maintenance: a new doc gets codes + cell assignment
+    # on write and is approx-retrievable without any rebuild
+    col.add(["beta 77"], ids=["beta-77"])
+    got = col.query("beta 77", vector_search=True, approx=True, nprobe=1)
+    assert "beta-77" in [r["id"] for r in got["results"]]
+    assert col._vector_index_meta()["version"] == 1
+
+    # a fresh handle reads the same index from _meta (codebooks persist)
+    col2 = Collection(store_root, "pq", embedding_function=_clustered_embed8,
+                      spark=spark, use_fts=False)
+    got = col2.query("gamma 2", vector_search=True, approx=True, nprobe=1,
+                     limit=3)
+    assert all(r["id"].startswith("gamma") for r in got["results"])
+
+    # update after build: the doc moves cluster; newest-batch-wins code
+    # dedup + live-embedding scoring keep results right immediately
+    col.add(["delta 1"], ids=["alpha-1"])  # alpha-1 becomes a delta doc
+    got = col.query("delta 1", vector_search=True, approx=True, nprobe=1)
+    assert "alpha-1" in [r["id"] for r in got["results"]]
+    # in its OLD cell it may linger as a candidate (stale assignment),
+    # but live-embedding scoring ranks it below every real alpha doc
+    got = col.query("alpha 1", vector_search=True, approx=True, nprobe=1,
+                    limit=9)
+    assert "alpha-1" not in [r["id"] for r in got["results"]]
+
+
+def test_ivfpq_index_compact_marks_covered(store_root, spark):
+    """compact() on an indexed collection records the folded batch as
+    an empty covered layer: no corpus-sized reassignment sweeps later,
+    and approx queries keep finding everything."""
+    col = Collection(store_root, "pqc", embedding_function=_clustered_embed8,
+                     spark=spark, use_fts=False, vacuum_grace_seconds=0.0)
+    col.add([f"alpha {i}" for i in range(6)],
+            ids=[f"alpha-{i}" for i in range(6)])
+    col.build_vector_index(n_cells=2, kind="ivfpq", m=4, nbits=4)
+    col.add(["beta 1", "beta 2"], ids=["beta-1", "beta-2"])  # incremental
+    col.compact()
+    meta = col._vector_index_meta()
+    folded = col._max_live_batch()
+    # the folded batch is covered (listed) but its layer holds no rows
+    assert folded in col.store.vector_index_batches("pqc", meta)
+    # nothing pending: a maintenance sweep has no work to do
+    assert col.maintain_vector_index() == 0
+    got = col.query("beta 1", vector_search=True, approx=True, nprobe=1)
+    assert "beta-1" in [r["id"] for r in got["results"]]
+    got = col.query("alpha 3", vector_search=True, approx=True, nprobe=1)
+    assert "alpha-3" in [r["id"] for r in got["results"]]

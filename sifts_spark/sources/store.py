@@ -25,15 +25,19 @@ layout that gives Spark-native upsert/delete WITHOUT requiring Delta:
   ``_manifest`` that stops referencing the superseded batches, and
   ``vacuum()`` reclaims them later — the Delta OPTIMIZE/VACUUM split.
 
-**The `_manifest` (transactional metadata).** Each collection carries a
-tiny JSON file ``name=X/_manifest`` — the live batch list plus the
-postings/doclen sidecar batch lists — written to a temp name and
-**renamed into place** (atomic on local/HDFS; on S3A rename is
-copy+delete, hence the single-writer contract below). Readers resolve
-batch dirs through the manifest (one small read, no LIST) and fall back
-to a directory LIST when it is absent or unreadable — pre-manifest
-stores keep working. This is what the reference gets from DB
-transactions (core.py:446-455, :592-601), reconstructed Delta-log-style:
+**The `_manifest` (transactional metadata).** Each collection carries
+its live batch list plus the postings/doclen sidecar batch lists as
+versioned JSON. The COMMIT POINT is a conditional put: every publish
+writes an immutable ``name=X/_manifest_log/v{n}`` via temp-write +
+no-clobber rename — of two publishers racing a version number exactly
+one wins, the loser re-derives against the newer state and claims the
+next number (Delta-log commit protocol, no coordinator). The
+``name=X/_manifest`` pointer file is a read-RTT cache refreshed after
+each commit; readers resolve pointer-first, then highest committed log
+version (so a pointer mid-replace or lagging a concurrent publisher
+still serves the current manifest), then — pre-manifest stores only —
+a directory LIST. This is what the reference gets from DB transactions
+(core.py:446-455, :592-601), reconstructed Delta-log-style:
 
 * **compact-vs-reader race closed**: a reader that planned against the
   old manifest still has its files on disk until ``vacuum(min_age)``
@@ -265,23 +269,71 @@ class DocumentStore:
         finally:
             out.close()
 
-    def read_manifest(self, name: str) -> dict | None:
-        """The collection's manifest, or None (no manifest / unreadable
-        / mid-replace window) — callers fall back to a directory LIST."""
-        m = self._read_json_file(self._manifest_path(name))
-        if m is None or not isinstance(m.get("batches"), list):
-            return None
-        return m
+    @staticmethod
+    def _valid_manifest(m: dict | None) -> bool:
+        return m is not None and isinstance(m.get("batches"), list)
 
-    def _write_manifest(self, name: str, manifest: dict) -> None:
+    def read_manifest(self, name: str) -> dict | None:
+        """The collection's manifest, or None (no manifest at all) —
+        callers then fall back to a directory LIST.
+
+        Resolution order: the ``_manifest`` pointer file (one read, the
+        object-store RTT saver), then — when the pointer is absent,
+        unreadable, or mid-replace — the HIGHEST committed version in
+        ``_manifest_log`` (the conditional-put authority: every publish
+        lands there first, immutably). The log fallback is what closes
+        the replace window: a reader arriving between the pointer's
+        delete and rename resolves the exact same manifest from the
+        log instead of degrading to a raw batch-dir LIST."""
+        m = self._read_json_file(self._manifest_path(name))
+        if self._valid_manifest(m):
+            return m
+        log_dir = f"{self._partition_dir(name)}/_manifest_log"
+        for v in sorted(self.manifest_versions(name), reverse=True):
+            m = self._read_json_file(f"{log_dir}/v{v}")
+            if self._valid_manifest(m):
+                return m
+        return None
+
+    def _publish_log_version(self, name: str, manifest: dict) -> bool:
+        """CONDITIONAL PUT of one immutable manifest version: write the
+        content to a temp file, then atomically rename it to
+        ``_manifest_log/v{n}``. Hadoop rename refuses to clobber an
+        existing destination (verified for ``file:``; HDFS per the
+        FileSystem contract), so of two publishers racing the same
+        version number exactly one wins — the loser re-derives against
+        the newer state and claims the next number. False = lost the
+        race. This extends safe concurrent publish to any store whose
+        rename is atomic-per-file; the log entry doubles as the
+        time-travel record (Delta-style VERSION AS OF)."""
+        log_dir = f"{self._partition_dir(name)}/_manifest_log"
+        self._fs.mkdirs(self._Path(log_dir))
+        tmp = self._Path(f"{log_dir}/.v{manifest['version']}.tmp-{uuid.uuid4().hex}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._Path(f"{log_dir}/v{manifest['version']}")
+        try:
+            won = bool(self._fs.rename(tmp, dst))
+        except Py4JJavaError:
+            won = False
+        if not won:
+            self._fs.delete(tmp, False)
+        return won
+
+    def _write_manifest(self, name: str, manifest: dict) -> bool:
+        """Publish: claim the immutable log version (the commit point),
+        then refresh the ``_manifest`` pointer cache. The pointer is a
+        replace (delete+rename where rename refuses to clobber); a
+        reader in that window — or one racing a concurrent publisher
+        whose pointer write lost the last-writer race — resolves
+        through the log, which is always current."""
+        if not self._publish_log_version(name, manifest):
+            return False
         self._write_json_atomic(self._manifest_path(name), manifest)
-        # Retained history entry => snapshot time travel (Delta-style
-        # VERSION AS OF). Each is a few hundred bytes; vacuum prunes
-        # entries whose batches it reclaims.
-        self._write_json_atomic(
-            f"{self._partition_dir(name)}/_manifest_log/v{manifest['version']}",
-            manifest,
-        )
+        return True
 
     def manifest_versions(self, name: str) -> list[int]:
         """Published manifest versions still readable for time travel
@@ -319,7 +371,26 @@ class DocumentStore:
         previous batch list — so two interleaved appenders converge on
         the union of their batches instead of losing an update. Newly
         superseded batches (compact) are stamped with the current time;
-        ``vacuum`` honors that stamp as the retention clock."""
+        ``vacuum`` honors that stamp as the retention clock.
+
+        The publish itself is a CONDITIONAL PUT of the next immutable
+        ``_manifest_log/v{n}`` (:meth:`_publish_log_version`): a loser
+        of the version race re-derives against the now-newer state and
+        claims the next number, so concurrent publishers serialize
+        without a coordinator and every committed version reflects all
+        batches materialized at its derivation."""
+        for _ in range(64):
+            m = self._derive_manifest(name, superseded)
+            if self._write_manifest(name, m):
+                return m
+        raise RuntimeError(
+            f"could not publish a manifest version for {name!r} after 64 "
+            "attempts — publisher storm"
+        )
+
+    def _derive_manifest(
+        self, name: str, superseded: set[int] | None = None
+    ) -> dict:
         prev = self.read_manifest(name) or {}
         sup_at = {
             str(k): float(v)
@@ -363,15 +434,17 @@ class DocumentStore:
         sup = {int(k) for k in sup_at}
         # prune stamps whose dirs are fully reclaimed (post-vacuum)
         sup_at = {k: v for k, v in sup_at.items() if int(k) in (mat | post | dl)}
-        m = {
-            "version": int(prev.get("version", 0)) + 1,
+        # Version: one past BOTH the pointer's version and the highest
+        # committed log entry — a stale pointer (lost last-writer race)
+        # must not make us re-claim an already-taken number 64 times.
+        vs = self.manifest_versions(name)
+        return {
+            "version": max(int(prev.get("version", 0)), max(vs, default=0)) + 1,
             "batches": sorted(mat - sup),
             "postings": sorted(post - sup),
             "doclens": sorted(dl - sup),
             "superseded_at": sup_at,
         }
-        self._write_manifest(name, m)
-        return m
 
     def _reserved_numbers(self, part_names: list[str]) -> set[int]:
         """Batch numbers with a LIVE reservation marker = writes in

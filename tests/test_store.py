@@ -494,3 +494,57 @@ def test_stale_sidecar_claim_is_broken_and_healed(store_root, spark, tmp_path):
     # and the doc is searchable again through the facade
     col2 = Collection(store_root, "st", spark=spark)
     assert {r["id"] for r in col2.query("second")["results"]} == {"b"}
+
+
+def test_manifest_conditional_put_publish(store_root, spark):
+    """The manifest commit point is a conditional put of an immutable
+    _manifest_log/v{n}: racing publishers serialize onto distinct
+    versions (both readable), a pre-claimed version number is skipped
+    rather than clobbered, and a reader that arrives while the
+    _manifest pointer is mid-replace (absent) resolves the identical
+    manifest through the log — never the raw-LIST fallback."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+
+    def appender(tag):
+        df = spark.createDataFrame(
+            [(f"{tag}-{i}", f"text {tag} {i}") for i in range(3)],
+            "id string, content string",
+        )
+        # each append publishes a manifest version on commit
+        return store.append_batch("mc", df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        batches = list(pool.map(appender, ["a", "b"]))
+    assert sorted(batches) == [1, 2]
+
+    m = store.read_manifest("mc")
+    assert sorted(m["batches"]) == [1, 2]
+    versions = store.manifest_versions("mc")
+    assert len(versions) == len(set(versions)) >= 2  # distinct, immutable
+    # every committed version is readable (time travel intact)
+    for v in versions:
+        store.snapshot_at("mc", v).count()
+
+    # a pre-claimed version number is skipped, not clobbered
+    taken = max(versions) + 1
+    log_dir = f"{store._partition_dir('mc')}/_manifest_log"
+    foreign = {"version": taken, "batches": [1, 2], "postings": [],
+               "doclens": [], "superseded_at": {}, "foreign": True}
+    store._write_json_atomic(f"{log_dir}/v{taken}", foreign)
+    published = store._publish_manifest("mc")
+    assert published["version"] == taken + 1
+    assert store._read_json_file(f"{log_dir}/v{taken}")["foreign"] is True
+
+    # mid-replace window: pointer gone -> the log serves the SAME manifest
+    latest = store.read_manifest("mc")
+    store._fs.delete(store._Path(store._manifest_path("mc")), False)
+    via_log = store.read_manifest("mc")
+    assert via_log == latest  # no raw-LIST degradation, no None
+    # and the next publish heals the pointer cache
+    store._publish_manifest("mc")
+    assert store._read_json_file(store._manifest_path("mc")) is not None

@@ -38,6 +38,49 @@ from sifts_spark.functions.text import tokenize, shingles
 logger = logging.getLogger(__name__)
 
 
+# Pending skew-guard inspections: (op_name, cap, hot-summary frame).
+# cap_buckets registers its hot-bucket aggregate here; callers inspect
+# drops after their action with report_dropped_buckets().
+_CAP_INSPECTIONS: list = []
+_MAX_PENDING_INSPECTIONS = 64
+
+
+def report_dropped_buckets() -> list[dict]:
+    """Post-action inspection of the lazy skew guard: for every
+    cap_buckets call since the last report, run its (tiny) hot-bucket
+    summary — normally against the caller's still-cached banded frame —
+    log a warning for any that dropped buckets, and return the reports.
+
+    This is the one place the guard spends a Spark job, and only when
+    asked: candidate-generation plan construction itself never
+    schedules one."""
+    done: list[dict] = []
+    for op_name, cap, summary in _CAP_INSPECTIONS[-_MAX_PENDING_INSPECTIONS:]:
+        try:
+            row = summary.first()
+        except Exception:
+            continue  # session gone / input released — discard
+        n_hot = row["n_hot"] or 0
+        report = {
+            "op": op_name,
+            "max_bucket_size": cap,
+            "hot_buckets": int(n_hot),
+            "dropped_rows": int(row["dropped_rows"] or 0),
+            "largest_bucket": int(row["largest_bucket"] or 0),
+        }
+        if n_hot:
+            logger.warning(
+                "%s: dropped %d bucket(s) (%d rows) over "
+                "max_bucket_size=%d (largest=%d rows) — pairs within "
+                "them are not candidates",
+                op_name, report["hot_buckets"], report["dropped_rows"],
+                cap, report["largest_bucket"],
+            )
+        done.append(report)
+    del _CAP_INSPECTIONS[:]
+    return done
+
+
 def cap_buckets(
     df: DataFrame,
     key_cols: list[str],
@@ -51,25 +94,35 @@ def cap_buckets(
     makes the self-join O(bucket²) in that one key — AQE skew-split
     cannot save a join that is itself quadratic in a single key's rows.
     Buckets above ``max_bucket_size`` are dropped from candidate
-    generation and LOGGED (never silently): pairs inside a dropped
-    bucket are simply not candidates — the standard recall trade every
-    production LSH/near-dup pipeline makes (a 10k-doc identical-text
-    bucket is better served by exact_duplicates anyway).
-    ``None`` disables the cap."""
+    generation: pairs inside a dropped bucket are simply not candidates
+    — the standard recall trade every production LSH/near-dup pipeline
+    makes (a 10k-doc identical-text bucket is better served by
+    exact_duplicates anyway). ``None`` disables the cap.
+
+    FULLY LAZY: building this plan schedules no Spark job. The hot-set
+    aggregation and the broadcast anti-join run inside the caller's
+    eventual action (one extra pass over the — typically cached —
+    banded frame, replacing the eager probe job earlier revisions paid
+    per call even when nothing was hot). Drops are surfaced by
+    :func:`report_dropped_buckets` — post-action inspection that runs
+    the registered hot-bucket summary and logs what was excluded; an
+    ``observe`` metric can't carry it because these capped frames are
+    SELF-joined downstream, which duplicates the CollectMetrics node
+    and voids its row."""
     if max_bucket_size is None:
         return df
-    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
-    hot = sizes.filter(F.col("_bn") > max_bucket_size)
-    dropped = hot.limit(21).collect()  # small eager probe; input cached
-    if not dropped:
-        return df
-    more = "+" if len(dropped) > 20 else ""
-    logger.warning(
-        "%s: dropping %d%s bucket(s) over max_bucket_size=%d "
-        "(largest=%d rows) — pairs within them are not candidates",
-        op_name, min(len(dropped), 20), more, max_bucket_size,
-        max(r["_bn"] for r in dropped),
+    hot = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_cap_bn"))
+        .filter(F.col("_cap_bn") > max_bucket_size)
     )
+    summary = hot.agg(
+        F.count(F.lit(1)).alias("n_hot"),
+        F.sum("_cap_bn").alias("dropped_rows"),
+        F.max("_cap_bn").alias("largest_bucket"),
+    )
+    _CAP_INSPECTIONS.append((op_name, max_bucket_size, summary))
+    del _CAP_INSPECTIONS[:-_MAX_PENDING_INSPECTIONS]
     return df.join(
         F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
     )

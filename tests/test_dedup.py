@@ -98,7 +98,9 @@ def test_lsh_skew_guard_drops_degenerate_bucket(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="sifts_spark.operators.dedup"):
         out = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=10)
         assert out.count() == 0
-    assert any("dropping" in r.message for r in caplog.records)
+        reports = D.report_dropped_buckets()  # post-action inspection
+    assert any("dropped" in r.message for r in caplog.records)
+    assert any(r["dropped_rows"] > 0 for r in reports)
     # without the cap the same corpus yields all 30*29/2 pairs
     out2 = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket_size=None)
     assert out2.count() == 30 * 29 // 2
@@ -117,13 +119,15 @@ def test_skew_guard_on_simhash_and_ngram_degenerate_corpus(spark, caplog):
 
     with caplog.at_level(logging.WARNING, logger="sifts_spark.operators.dedup"):
         assert D.simhash_pairs(docs, max_bucket_size=50).count() == 0
+        D.report_dropped_buckets()
         assert any(
-            "simhash_pairs: dropping" in r.message for r in caplog.records
+            "simhash_pairs: dropped" in r.message for r in caplog.records
         )
         caplog.clear()
         assert D.ngram_jaccard_pairs(docs, max_bucket_size=50).count() == 0
+        D.report_dropped_buckets()
         assert any(
-            "ngram_jaccard_pairs: dropping" in r.message for r in caplog.records
+            "ngram_jaccard_pairs: dropped" in r.message for r in caplog.records
         )
     release_all()
 
@@ -197,3 +201,31 @@ def test_minhash_incremental_prunes_index_to_touched_buckets(spark):
     )
     assert "LeftSemi" in plan, "index pruning semi-join missing from the plan"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cap_buckets_schedules_no_job_at_plan_time(spark):
+    """The skew guard is fully lazy: building a capped candidate plan
+    schedules ZERO Spark jobs (the hot-bucket aggregation runs inside
+    the caller's action), and a cap that nothing exceeds yields pairs
+    identical to the uncapped plan."""
+    rows = [(i, f"document number {i} about topic {i % 3} with words") for i in range(24)]
+    rows += [(100 + i, "the same tiny document text repeated") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.count()  # materialize input first so later job counts are pure
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    capped = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                 max_bucket_size=10_000)
+    sim = D.simhash_pairs(docs, max_bucket_size=10_000)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "candidate-plan construction ran Spark jobs"
+
+    uncapped = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                                   max_bucket_size=None)
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, capped.collect())) == sorted(
+        map(key, uncapped.collect())
+    )
+    sim.count()  # the lazy guard executes fine on the simhash path too
+    release_all()

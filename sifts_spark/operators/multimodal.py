@@ -7,13 +7,14 @@ through executors batch-by-batch without materializing a partition.
 
 Codecs are OPTIONAL dependencies: ``RealImageDecoder`` decodes with
 Pillow when it is installed (import-guarded with a fail-fast message
-when not — this container ships without image codecs); audio/video
-decode (ffmpeg/soundfile) remain stubbed. ``FakeImageDecoder`` /
-``FakeAudioDecoder`` are deterministic stand-ins so the Spark-side
-plumbing — schema, batch iteration, partition sizing, UDF signatures —
-is real and fully tested in any environment, and doubles as the oracle
-twin for the correctness gate (a real codec's output is not
-SQL-replayable).
+when not); ``RealAudioDecoder`` decodes with soundfile when installed
+and falls back to the stdlib ``wave`` module (real PCM-WAV decode with
+zero extra dependencies); video frame extraction (ffmpeg) remains
+stubbed. ``FakeImageDecoder`` / ``FakeAudioDecoder`` are deterministic
+stand-ins so the Spark-side plumbing — schema, batch iteration,
+partition sizing, UDF signatures — is real and fully tested in any
+environment, and doubles as the oracle twin for the correctness gate
+(a real codec's output is not SQL-replayable).
 """
 
 from __future__ import annotations
@@ -168,11 +169,83 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+class RealAudioDecoder:
+    """Real audio decoding: bytes → (duration_s, sample_rate,
+    rms_level∈[0,1]).
+
+    Backend selection, probed DRIVER-side at construction (fail fast
+    with install guidance, not one executor task at a time — same
+    posture as :class:`RealImageDecoder`):
+
+    * ``soundfile`` when importable — wav/flac/ogg and whatever the
+      local libsndfile handles;
+    * otherwise the stdlib ``wave`` module — PCM WAV only, zero extra
+      dependencies (so this decoder is REAL even in minimal containers).
+
+    Modules are imported inside ``__call__`` (only the backend NAME is
+    stored on ``self``) so the decoder pickles cleanly to executors,
+    which re-import locally — the standard shipping shape for a
+    dependency-bearing UDF. RMS is computed on normalized [-1, 1]
+    samples; multi-channel audio is averaged across channels first."""
+
+    def __init__(self) -> None:
+        try:
+            import soundfile  # noqa: F401  (driver-side probe)
+
+            self.backend = "soundfile"
+        except ImportError:
+            import wave  # noqa: F401  — stdlib, always present
+
+            self.backend = "wave"
+
+    def __call__(self, payload: bytes) -> tuple[float, int, float]:
+        import io
+
+        if self.backend == "soundfile":
+            import numpy as np
+            import soundfile as sf
+
+            data, sr = sf.read(io.BytesIO(payload), dtype="float64",
+                               always_2d=True)
+            mono = data.mean(axis=1)
+            dur = len(mono) / sr if sr else 0.0
+            rms = float(np.sqrt((mono * mono).mean())) if len(mono) else 0.0
+            return round(dur, 6), int(sr), round(min(rms, 1.0), 6)
+
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            n_ch = w.getnchannels()
+            raw = w.readframes(n_frames)
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, dtype="u1").astype(np.float64) - 128.0) / 128.0
+        elif width == 4:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(
+                f"unsupported PCM sample width {width} bytes (wave "
+                "backend); install soundfile for non-PCM formats"
+            )
+        if n_ch > 1:
+            x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+        dur = n_frames / sr if sr else 0.0
+        rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+        return round(dur, 6), int(sr), round(min(rms, 1.0), 6)
+
+
 class FakeAudioDecoder:
-    """Deterministic stand-in for an audio codec (ffmpeg/soundfile absent
-    in this container): duration/sample-rate/RMS derived from the
-    payload's sha256 — stable across runs/engines. Swap for a real
-    decoder in production; the Spark-side plumbing is identical."""
+    """Deterministic stand-in for an audio codec: duration/sample-rate/
+    RMS derived from the payload's sha256 — stable across runs/engines
+    (useful for plumbing tests with non-audio payloads). Production
+    uses :class:`RealAudioDecoder`; the Spark-side plumbing is
+    identical."""
 
     def __call__(self, payload: bytes) -> tuple[float, int, float]:
         h = hashlib.sha256(payload).digest()

@@ -68,6 +68,7 @@ class SparkCollection:
         spark: SparkSession | None = None,
         auto_compact_batches: int | None = None,
         vacuum_grace_seconds: float = 300.0,
+        auto_compact_fold_bytes: int | None = None,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
@@ -81,6 +82,11 @@ class SparkCollection:
         # OPTIMIZE posture; leave None to schedule compaction yourself
         # (the Delta-OPTIMIZE-on-a-cron posture, right for bulk loads).
         self.auto_compact_batches = auto_compact_batches
+        # Size-tiered auto-compaction: when set, the inline compaction
+        # folds only the suffix of batches each under this many bytes —
+        # frequent small adds stop rewriting the whole collection every
+        # N writes (bytes rewritten are tier-sized). None = full fold.
+        self.auto_compact_fold_bytes = auto_compact_fold_bytes
         # Retention clock handed to store.vacuum() after facade-driven
         # compactions: superseded batches stay on disk this long so any
         # in-flight reader planned pre-compact keeps its files (Delta's
@@ -253,9 +259,14 @@ class SparkCollection:
         self.store.drop_collection(self.name)
         self._docs_version += 1
 
-    def compact(self, vacuum: bool = True) -> None:
+    def compact(
+        self, vacuum: bool = True, max_fold_bytes: int | None = None
+    ) -> None:
         """OPTIMIZE + (optionally) VACUUM: fold live batches, then
         reclaim superseded dirs older than ``vacuum_grace_seconds``.
+        ``max_fold_bytes`` folds only the small-batch suffix (size-
+        tiered; see ``DocumentStore.compact`` for the two safety
+        invariants); None folds everything.
 
         ANN-index interplay: the index is brought up to date FIRST
         (every pending batch assigned), so after the fold every live id
@@ -266,7 +277,9 @@ class SparkCollection:
         meta = self._vector_index_meta()
         if meta is not None and "built_through" in meta:
             self.maintain_vector_index()
-        folded = self.store.compact(self.name, postings=self.use_fts)
+        folded = self.store.compact(
+            self.name, postings=self.use_fts, max_fold_bytes=max_fold_bytes
+        )
         if folded is not None and meta is not None and "built_through" in meta:
             self.store.mark_vector_index_batch_covered(self.name, folded, meta)
         if vacuum:
@@ -295,7 +308,7 @@ class SparkCollection:
             self.auto_compact_batches
             and len(self.store._batch_dirs(self.name)) >= self.auto_compact_batches
         ):
-            self.compact()
+            self.compact(max_fold_bytes=self.auto_compact_fold_bytes)
 
     # ------------------------------------------------------------------
     # dedup — the operator suite wired to the facade
@@ -948,6 +961,7 @@ def Collection(
     spark: SparkSession | None = None,
     auto_compact_batches: int | None = None,
     vacuum_grace_seconds: float = 300.0,
+    auto_compact_fold_bytes: int | None = None,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -986,4 +1000,5 @@ def Collection(
         spark=spark,
         auto_compact_batches=auto_compact_batches,
         vacuum_grace_seconds=vacuum_grace_seconds,
+        auto_compact_fold_bytes=auto_compact_fold_bytes,
     )

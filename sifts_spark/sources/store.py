@@ -632,20 +632,73 @@ class DocumentStore:
         self._delete_dir(self._doclen_dir(name))
         self._delete_dir(self._vecindex_dir(name))
 
-    def compact(self, name: str, postings: bool = False) -> int | None:
-        """Fold the live batches of a collection into a single new batch
-        and publish a manifest that stops referencing the old ones —
-        Delta OPTIMIZE. Nothing is deleted here: a reader that planned
+    def _batch_bytes(self, name: str, batch_dir: str) -> int:
+        try:
+            return int(
+                self._fs.getContentSummary(
+                    self._Path(f"{self._partition_dir(name)}/{batch_dir}")
+                ).getLength()
+            )
+        except Py4JJavaError:
+            return 0
+
+    def compact(
+        self,
+        name: str,
+        postings: bool = False,
+        max_fold_bytes: int | None = None,
+    ) -> int | None:
+        """Fold live batches of a collection into a single new batch and
+        publish a manifest that stops referencing the old ones — Delta
+        OPTIMIZE. Nothing is deleted here: a reader that planned
         against the pre-compact manifest still finds its files until
         :meth:`vacuum` reclaims them (the compact-vs-reader FileNotFound
         race the reference avoids via DB transactions, core.py:446-455,
         is closed by the manifest + deferred reclamation). Returns the
-        folded batch's number (None when nothing to fold)."""
+        folded batch's number (None when nothing to fold).
+
+        ``max_fold_bytes=None`` (default) folds EVERYTHING — the full
+        OPTIMIZE, which also drops tombstones (nothing older remains to
+        shadow). Set it to fold only the SMALL TIER: the maximal
+        suffix of the live batch list whose members are each under the
+        threshold — the size-tiered posture for append-heavy
+        collections, where frequent small adds would otherwise rewrite
+        the whole collection on every auto-compaction. Bytes rewritten
+        are tier-sized, not collection-sized. Two invariants make the
+        suffix fold safe:
+
+        * only a SUFFIX folds — the folded batch outranks exactly the
+          batches it folded, so newest-batch-wins resolution against
+          the untouched older batches is unchanged (folding an interior
+          subset would lift its rows above newer unfolded versions);
+        * TOMBSTONES ARE KEPT in the folded output — a delete recorded
+          in the suffix may shadow a live row in an older unfolded
+          batch; dropping it would resurrect that row. Tombstones
+          retire at the next full compaction."""
         old = self._batch_dirs(name)
+        if max_fold_bytes is not None:
+            suffix: list[str] = []
+            for d in reversed(old):
+                if self._batch_bytes(name, d) >= max_fold_bytes:
+                    break
+                suffix.append(d)
+            old = list(reversed(suffix))
         if len(old) <= 1:
             return None
-        current = self.read(name)
-        # Materialize the deduped snapshot into a NEW batch dir (never
+        if max_fold_bytes is None:
+            current = self.read(name)
+        else:
+            # newest version per id WITHIN the suffix, tombstones kept
+            raw = self.spark.read.schema(DOC_SCHEMA).option(
+                "basePath", self._partition_dir(name)
+            ).parquet(*[f"{self._partition_dir(name)}/{d}" for d in old])
+            w = Window.partitionBy("id").orderBy(F.col("batch").desc())
+            current = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "batch")
+            )
+        # Materialize the folded rows into a NEW batch dir (never
         # overwrite inputs mid-read), then flip the manifest.
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
@@ -1257,7 +1310,18 @@ class DocumentStore:
     def corpus_stats(self, name: str) -> tuple[int, float]:
         """(N, avgdl) of the live snapshot from the doclen sidecar — a
         tiny two-column scan, NOT a postings-index aggregation. Callers
-        (Collection) memoize per store snapshot."""
+        (Collection) memoize per store snapshot.
+
+        **Definition (decided, pinned by test):** ``N`` counts live
+        docs with ≥1 token — the doclen sidecar has one row per doc
+        that produced postings, so empty/whitespace-only docs are
+        outside both ``N`` and ``avgdl``. FTS5 counts every table row
+        instead; we prefer the tokenized-docs definition because a doc
+        that can never match any term should not dilute the IDF of the
+        docs that can, and because it keeps the engine value-identical
+        to its DuckDB oracle twin (which derives stats from the same
+        postings). The difference only nudges BM25 magnitudes on
+        corpora with empty docs; ranking ORDER is unaffected."""
         row = self.read_doclens(name).agg(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         ).first()

@@ -548,3 +548,70 @@ def test_manifest_conditional_put_publish(store_root, spark):
     # and the next publish heals the pointer cache
     store._publish_manifest("mc")
     assert store._read_json_file(store._manifest_path("mc")) is not None
+
+
+def test_size_tiered_partial_compaction(store_root, spark):
+    """compact(max_fold_bytes=N) folds ONLY the small-batch suffix:
+    bytes rewritten are tier-sized (the big base batch is untouched),
+    the snapshot is value-identical, and a tombstone inside the folded
+    tier keeps shadowing its victim in the unfolded base batch."""
+    from sifts_spark.collection import Collection
+    from sifts_spark.sources.store import DocumentStore
+
+    col = Collection(store_root, "tc", spark=spark, use_fts=False,
+                     vacuum_grace_seconds=0.0)
+    # batch 1: the big base (padded content so its bytes dwarf the tier)
+    base_ids = [f"base-{i}" for i in range(40)]
+    col.add([f"base doc {i} " + "pad " * 200 for i in range(40)], ids=base_ids)
+    store = DocumentStore(spark, store_root)
+    base_bytes = store._batch_bytes("tc", "batch=1")
+
+    # small tail: two tiny adds + a delete of a BASE doc (tombstone in
+    # the tier whose victim lives in the unfolded base batch)
+    col.add(["tiny one"], ids=["t1"])
+    col.add(["tiny two"], ids=["t2"])
+    col.delete(["base-0"])
+    before = {r["id"]: r["content"] for r in col.docs().collect()}
+    assert "base-0" not in before and len(before) == 41
+
+    threshold = max(base_bytes // 2, 4096)
+    col.compact(max_fold_bytes=threshold)
+
+    live = store._batch_dirs("tc")
+    assert "batch=1" in live and len(live) == 2  # base + one folded batch
+    folded = [d for d in live if d != "batch=1"][0]
+    folded_bytes = store._batch_bytes("tc", folded)
+    assert folded_bytes < threshold <= base_bytes  # tier-sized rewrite
+
+    after = {r["id"]: r["content"] for r in col.docs().collect()}
+    assert after == before  # snapshot unchanged
+    # the tombstone survived the fold: base-0 stays dead even though
+    # its victim's batch was never rewritten
+    raw = store.read_raw("tc")
+    from pyspark.sql import functions as F
+    assert raw.filter(F.col("deleted") & (F.col("id") == "base-0")).count() == 1
+
+    # a FULL compaction retires the tombstone and folds everything
+    col.compact()
+    assert len(store._batch_dirs("tc")) == 1
+    assert store.read_raw("tc").filter("deleted").count() == 0
+    assert {r["id"] for r in col.docs().collect()} == set(after)
+
+
+def test_bm25_corpus_stats_count_tokenized_docs_only(store_root, spark):
+    """Pins the documented N definition: corpus_stats counts live docs
+    with >=1 token; empty/whitespace docs are outside N and avgdl
+    (FTS5 would count every row — deliberate, documented deviation)."""
+    from sifts_spark.collection import Collection
+    from sifts_spark.sources.store import DocumentStore
+
+    col = Collection(store_root, "bs", spark=spark)
+    col.add(["alpha beta", "gamma delta epsilon", "", "   ", "zeta"],
+            ids=list("abcde"))
+    n, avgdl = DocumentStore(spark, store_root).corpus_stats("bs")
+    assert n == 3                      # '', '   ' excluded
+    assert avgdl == pytest.approx((2 + 3 + 1) / 3)
+    # deleting a tokenized doc shrinks N; empty docs never counted
+    col.delete(["a"])
+    n2, avgdl2 = DocumentStore(spark, store_root).corpus_stats("bs")
+    assert n2 == 2 and avgdl2 == pytest.approx(2.0)

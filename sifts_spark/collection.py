@@ -199,12 +199,14 @@ class SparkCollection:
             F.col(content_col).cast("string").alias("content"),
             meta_expr.alias("metadata"),
         ]
-        out = df.select(*cols)
         if embedding_col and embedding_col in df.columns:
-            out = out.withColumn(
-                "embedding", df[embedding_col].cast("array<float>")
-            )
+            # project in the SAME select: referencing df[embedding_col]
+            # on the already-projected frame is unresolvable when the
+            # projection dropped that column
+            cols.append(F.col(embedding_col).cast("array<float>").alias("embedding"))
+            out = df.select(*cols)
         elif self.embedding_function is not None:
+            out = df.select(*cols)
             fn = self.embedding_function
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
@@ -216,7 +218,9 @@ class SparkCollection:
 
             out = out.withColumn("embedding", _embed(F.col("content")))
         else:
-            out = out.withColumn("embedding", F.lit(None).cast("array<float>"))
+            out = df.select(*cols).withColumn(
+                "embedding", F.lit(None).cast("array<float>")
+            )
         out = out.withColumn("deleted", F.lit(False))
         self.store.append_batch(self.name, out)
         self._maintain_index()

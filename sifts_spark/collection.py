@@ -385,6 +385,9 @@ class SparkCollection:
                 self.delete_dataframe(victims)
         finally:
             victims.unpersist()
+        from sifts_spark.operators.dedup import report_dropped_buckets
+
+        report_dropped_buckets()  # log any skew-guard exclusions loudly
         return n
 
     # ------------------------------------------------------------------

@@ -99,11 +99,16 @@ def cap_buckets(
     makes (a 10k-doc identical-text bucket is better served by
     exact_duplicates anyway). ``None`` disables the cap.
 
-    FULLY LAZY: building this plan schedules no Spark job. The hot-set
-    aggregation and the broadcast anti-join run inside the caller's
-    eventual action (one extra pass over the — typically cached —
-    banded frame, replacing the eager probe job earlier revisions paid
-    per call even when nothing was hot). Drops are surfaced by
+    FULLY LAZY: building this plan schedules no Spark job — the
+    hot-set aggregation and broadcast anti-join run inside the
+    caller's eventual action, replacing the eager driver-synchronous
+    probe job earlier revisions paid per call even when nothing was
+    hot. Callers that fan the capped frame into several plan branches
+    (the self-join generators) cache it so the guard computes once per
+    action, not once per branch. (A window-count-over-the-join-key
+    variant was measured WORSE here: the local self-joins broadcast,
+    so the window's exchange+sort of the wide sketch columns is a new
+    cost, not a shared one.) Drops are surfaced by
     :func:`report_dropped_buckets` — post-action inspection that runs
     the registered hot-bucket summary and logs what was excluded; an
     ``observe`` metric can't carry it because these capped frames are
@@ -275,7 +280,14 @@ def minhash_lsh_pairs(
         )
     )
 
-    banded = cap_buckets(banded, ["band", "key"], max_bucket_size, "minhash_lsh_pairs")
+    if max_bucket_size is not None:
+        # cache the CAPPED frame too: both self-join sides and the
+        # verify stage read it, and without the cache each branch
+        # re-runs the guard's aggregation + anti-join per action
+        banded = track(
+            cap_buckets(banded, ["band", "key"], max_bucket_size,
+                        "minhash_lsh_pairs")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -360,9 +372,13 @@ def minhash_lsh_pairs_incremental(
         F.broadcast(touched), ["band", "key"], "semi"
     ).withColumn("_new", F.lit(False))
     combined = track(new_banded.unionByName(pruned_index))
-    combined = cap_buckets(
-        combined, ["band", "key"], max_bucket_size, "minhash_lsh_pairs_incremental"
-    )
+    if max_bucket_size is not None:
+        combined = track(
+            cap_buckets(
+                combined, ["band", "key"], max_bucket_size,
+                "minhash_lsh_pairs_incremental",
+            )
+        )  # guard computes once, not per self-join branch
     new_flag = (
         (F.col("l._new") | F.col("r._new"))
         if include_new_new
@@ -442,6 +458,8 @@ def ngram_jaccard_pairs(
         max_bucket_size,
         "ngram_jaccard_pairs",
     )
+    if max_bucket_size is not None:
+        base = track(base)  # guard computes once, not per join side
     join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
     if block_col:
         join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
@@ -577,6 +595,8 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("id", "simhash_hi", "simhash_lo", "ck.c", "ck.v")
     chunks = cap_buckets(chunks, ["c", "v"], max_bucket_size, "simhash_pairs")
+    if max_bucket_size is not None:
+        chunks = track(chunks)  # guard computes once, not per join side
     l, r = chunks.alias("l"), chunks.alias("r")
     hamming = F.bit_count(
         F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))

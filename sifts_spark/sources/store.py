@@ -379,8 +379,20 @@ class DocumentStore:
         claims the next number, so concurrent publishers serialize
         without a coordinator and every committed version reflects all
         batches materialized at its derivation."""
+        _STATE_KEYS = ("batches", "postings", "doclens", "superseded_at")
         for _ in range(64):
             m = self._derive_manifest(name, superseded)
+            prev = self.read_manifest(name)
+            if prev is not None and all(
+                prev.get(k) == m.get(k) for k in _STATE_KEYS
+            ):
+                # no state change — don't burn a log version; but do
+                # heal a missing/lagging pointer cache (prev may have
+                # been resolved via the log fallback)
+                ptr = self._read_json_file(self._manifest_path(name))
+                if ptr is None or ptr.get("version") != prev.get("version"):
+                    self._write_json_atomic(self._manifest_path(name), prev)
+                return prev
             if self._write_manifest(name, m):
                 return m
         raise RuntimeError(

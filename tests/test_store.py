@@ -530,14 +530,21 @@ def test_manifest_conditional_put_publish(store_root, spark):
     for v in versions:
         store.snapshot_at("mc", v).count()
 
-    # a pre-claimed version number is skipped, not clobbered
+    # an unchanged-state publish burns no version (no-op skip)
+    assert store._publish_manifest("mc")["version"] == max(versions)
+
+    # a pre-claimed version number is skipped, not clobbered: plant a
+    # foreign log entry at the next number, then change state (append)
     taken = max(versions) + 1
     log_dir = f"{store._partition_dir('mc')}/_manifest_log"
     foreign = {"version": taken, "batches": [1, 2], "postings": [],
                "doclens": [], "superseded_at": {}, "foreign": True}
     store._write_json_atomic(f"{log_dir}/v{taken}", foreign)
-    published = store._publish_manifest("mc")
-    assert published["version"] == taken + 1
+    store.append_batch(
+        "mc", spark.createDataFrame([("c-0", "text c")], "id string, content string")
+    )
+    m3 = store.read_manifest("mc")
+    assert m3["version"] == taken + 1 and 3 in m3["batches"]
     assert store._read_json_file(f"{log_dir}/v{taken}")["foreign"] is True
 
     # mid-replace window: pointer gone -> the log serves the SAME manifest

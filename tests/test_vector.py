@@ -451,3 +451,41 @@ def test_ivfpq_facade_recall_floor_at_10x_scale(store_root, spark):
         with open(art) as f:
             floor = json.load(f)["recall_at_k"]["ivf_kmeans_sqrtN_nprobe4"] - 0.03
     assert recall >= floor, f"facade IVFADC recall {recall} under floor {floor}"
+
+
+def test_concurrent_adds_all_approx_searchable(store_root, spark):
+    """Incremental ANN maintenance under a writer pool: six threads
+    adding through separate Collection handles (index already built)
+    must leave every doc retrievable via query(approx=True) with NO
+    rebuild — the per-batch vecindex claims keep two sweeps off one
+    output dir, and unswept batches are picked up by peers' sweeps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    col = Collection(store_root, "cv", embedding_function=_clustered_embed8,
+                     spark=spark, use_fts=False)
+    col.add([f"alpha {i}" for i in range(4)],
+            ids=[f"alpha-{i}" for i in range(4)])
+    col.build_vector_index(n_cells=2, kind="ivfpq", m=4, nbits=4)
+
+    fams = ["alpha", "beta", "gamma", "delta"]
+
+    def write(i):
+        c = Collection(store_root, "cv", embedding_function=_clustered_embed8,
+                       spark=spark, use_fts=False)
+        c.add([f"{fams[i % 4]} {10 + i}"], ids=[f"w{i}"])
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(write, range(6)))
+
+    c = Collection(store_root, "cv", embedding_function=_clustered_embed8,
+                   spark=spark, use_fts=False)
+    # a final sweep from a fresh handle covers any batch whose writer
+    # lost the claim race mid-flight
+    c.maintain_vector_index()
+    assert c.count() == 10
+    found = set()
+    for i in range(6):
+        got = c.query(f"{fams[i % 4]} {10 + i}", vector_search=True,
+                      approx=True, nprobe=2)
+        found |= {r["id"] for r in got["results"] if r["id"].startswith("w")}
+    assert found == {f"w{i}" for i in range(6)}, f"ANN lost {set('w%d' % i for i in range(6)) - found}"

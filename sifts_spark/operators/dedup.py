@@ -863,3 +863,112 @@ def _block_pairs_arrow(base: DataFrame, threshold: float) -> DataFrame:
         .groupBy("blk")
         .applyInPandas(_pairs, schema=out_schema)
     )
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+    split_re: str = r"\n+",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph/line-level exact deduplication → one row
+    per input doc: ``(id, text, n_paras, n_kept, n_dropped)`` where
+    ``text`` keeps only each paragraph's FIRST occurrence across the
+    whole corpus (winner = lowest ``(id, position)``).
+
+    This is CCNet's per-paragraph dedup stage (Wenzek et al. 2020 §3.1:
+    hash of the normalized paragraph, drop repeats corpus-wide — it
+    removes boilerplate like cookie banners and nav bars that
+    doc-level dedup never catches). Extension beyond the reference
+    surface (SURVEY.md §2.6); complements :func:`exact_duplicates`
+    (whole-doc) and the MinHash family (near-dup).
+
+    Semantics pinned here:
+    * paragraph = non-empty segment after splitting on ``split_re``;
+      reassembly normalizes separators to ``join_sep`` (documented
+      lossy — like CCNet, the surviving text is a cleaned rendering,
+      not a byte-identical substring).
+    * matching is on whitespace-collapsed lowercase (same normalization
+      as :func:`exact_duplicates`), via md5 so an oracle can replay it.
+    * paragraphs shorter than ``min_chars`` are EXEMPT: always kept,
+      never block another doc's paragraph (short strings — "Yes.",
+      bullet glyphs — are not boilerplate evidence).
+    * a doc whose every paragraph loses still yields a row (empty
+      ``text``, ``n_kept`` 0) so curation attrition stays measurable.
+
+    Scale shape: posexplode (map-side) → ONE digest-keyed window
+    shuffle to pick winners (32-hex md5 keys, uniform and skew-free —
+    a digest's partition holds only that paragraph's occurrences;
+    exempt rows are salted to singleton keys) → one id-keyed groupBy
+    to reassemble. One corpus scan, two shuffles, no driver state."""
+    paras = (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
+        .select(
+            "id",
+            F.posexplode_outer(
+                F.filter(
+                    F.split(F.coalesce(F.col("_t"), F.lit("")), split_re),
+                    lambda s: F.trim(s) != F.lit(""),
+                )
+            ).alias("pos", "para"),
+        )
+    )
+    # posexplode_outer keeps paragraph-less docs as a (pos NULL) row so
+    # they survive to the output; real paragraphs have pos >= 0.
+    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    hashed = paras.withColumn(
+        "_short",
+        F.col("pos").isNotNull() & (F.length(F.col("para")) < F.lit(min_chars)),
+    ).withColumn(
+        "_h",
+        F.when(F.col("pos").isNotNull() & ~F.col("_short"), F.md5(norm)),
+    )
+    # winner per digest: the lexicographically-least (id, pos) struct,
+    # via ONE digest-keyed window (one corpus scan + one shuffle — the
+    # groupBy+join alternative scans the exploded corpus twice and
+    # shuffles it twice, since the winner set is distinct-paragraph-
+    # sized and never broadcastable at scale). Exempt rows (_h NULL:
+    # short or paragraph-less) are salted to singleton partitions so
+    # they never pile into one NULL-key reducer.
+    pkey = F.coalesce(
+        F.col("_h"),
+        F.concat_ws("\x1f", F.lit("_exempt"), F.col("id"),
+                    F.col("pos").cast("string")),
+    )
+    w = Window.partitionBy(pkey)
+    kept = hashed.withColumn(
+        "_win", F.min(F.struct("id", "pos")).over(w)
+    ).withColumn(
+        "_keep",
+        F.col("pos").isNull()
+        | F.col("_short")
+        | ((F.col("id") == F.col("_win.id")) & (F.col("pos") == F.col("_win.pos"))),
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                join_sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep") & F.col("pos").isNotNull(),
+                                   F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text"),
+            F.count(F.col("pos")).alias("n_paras"),
+            F.count(F.when(F.col("_keep"), F.col("pos"))).alias("n_kept"),
+        )
+        .withColumn("n_dropped", (F.col("n_paras") - F.col("n_kept")).cast("long"))
+        .select("id", "text", "n_paras", "n_kept", "n_dropped")
+    )

@@ -110,6 +110,10 @@ def prepare_training_data(
     eval_texts=None,
     contamination_n: int = 13,
     ppl_band: tuple[float, float] | None = (0.02, 0.98),
+    paragraph_dedup: bool = False,
+    quality_model: dict | None = None,
+    classifier_min_prob: float = 0.5,
+    classifier_pareto: bool = False,
     mix_weights: dict | None = None,
     total_tokens: int | None = None,
     max_seq_tokens: int = 2048,
@@ -124,6 +128,15 @@ def prepare_training_data(
 
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
+    1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
+       ``paragraph_dedup=True``) — boilerplate paragraphs keep only
+       their first occurrence; texts are rewritten and token counts
+       recomputed; docs left empty drop out;
+    1c. optional model-based quality filter (GPT-3's classifier stage,
+       ``quality_model`` from :func:`~sifts_spark.operators.classifier
+       .train_quality_classifier`) — hard threshold
+       ``classifier_min_prob``, or the stochastic Pareto keep rule
+       when ``classifier_pareto=True``;
     2. decontamination — drop docs overlapping ``eval_texts`` by
        ``contamination_n``-grams (skipped when no eval set given);
     3. perplexity band — train a unigram LM on the survivors, keep
@@ -175,6 +188,27 @@ def prepare_training_data(
             stage.unpersist()
         stage = new_stage
         return n
+
+    if paragraph_dedup:
+        from sifts_spark.operators.dedup import dedup_paragraphs
+
+        rewritten = dedup_paragraphs(stage, id_col="id", text_col="text")
+        manifest["stages"]["paragraph_deduped"] = _advance(
+            stage.drop("text", "n_tokens")
+            .join(rewritten.filter(F.col("n_kept") > 0).select("id", "text"), "id")
+            .withColumn("n_tokens", bpe_ish_token_count(F.col("text")))
+        )
+
+    if quality_model is not None:
+        from sifts_spark.operators.classifier import classifier_score, pareto_keep
+
+        scored = classifier_score(stage, quality_model, id_col="id", text_col="text")
+        keep_ids = (
+            scored.filter(pareto_keep("quality_prob", "id"))
+            if classifier_pareto
+            else scored.filter(F.col("quality_prob") >= F.lit(classifier_min_prob))
+        ).select("id")
+        manifest["stages"]["classifier_filtered"] = _advance(stage.join(keep_ids, "id"))
 
     if eval_texts is not None:
         flagged = find_contaminated(

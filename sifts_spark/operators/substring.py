@@ -1,0 +1,268 @@
+"""Exact-substring (duplicated-span) deduplication.
+
+Extension beyond the reference surface (SURVEY.md §2.6): the
+ExactSubstr family of Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better") — find runs of >= ~50 tokens that occur
+verbatim in more than one document and cut every copy but the first
+out of the text. Doc-level dedup (operators/dedup.py) misses these:
+two distinct articles quoting the same license header, terms-of-service
+block, or wire-story paragraph are NOT near-duplicate documents, yet a
+model trained on the corpus sees the shared run thousands of times.
+
+Lee et al. build a monolithic suffix array — inherently single-machine
+(their 100 GB+ RAM posture). The distributed re-expression here is
+WINNOWING (Schleimer, Wilkerson & Aiken 2003, the MOSS fingerprinter):
+
+* per doc, map-side: hash every k-token gram (rolling polynomial over
+  per-token md5 hashes), then slide a w-gram window and select each
+  window's minimal hash (rightmost on ties). Schleimer's guarantee:
+  any shared run of >= t = w + k - 1 tokens contains a full window of
+  w k-grams on identical content, whose minimum is selected in BOTH
+  copies — so every sufficiently long duplicated span shares at least
+  one fingerprint, with only ~n/w fingerprints emitted per doc.
+* one fingerprint-keyed shuffle marks duplicated fingerprints
+  (min(id) != max(id) over the fp partition — constant-size state, no
+  collect_set blowup on boilerplate fingerprints shared by millions of
+  docs) and picks the corpus-wide first occurrence (min struct(id,
+  start)) that keep-first mode preserves.
+* one id-keyed groupBy merges the surviving spans per doc (sorted
+  interval union via F.aggregate — JVM-side, no second Python pass).
+
+Scale shape at 100 TB: one corpus scan through an Arrow kernel, one
+uniform 64-bit-keyed shuffle, one id-keyed groupBy. Nothing is
+pairwise: a fingerprint shared by a million docs costs a million-row
+partition aggregated with constant-size state, never a million² join.
+
+Determinism: token hashes are md5-derived and the rolling hash uses a
+fixed base, so reruns are bit-stable. Offsets index the ORIGINAL text:
+tokens are ASCII-alphanumeric runs located with ``re.finditer`` on the
+raw string (the Python twin of functions/text.tokenize lowercases
+after splitting, which for ASCII yields identical tokens; exotic
+case-folding characters that change length under lower() are treated
+as delimiters either way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sifts_spark.functions.hashing import ensure_min_parallelism
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+# Rolling-hash base: odd 64-bit constant (first 16 hex digits of the
+# md5 of "sifts-spark-winnow"); arithmetic wraps mod 2^64 via uint64.
+_ROLL_BASE = np.uint64(int(hashlib.md5(b"sifts-spark-winnow").hexdigest()[:16], 16) | 1)
+
+
+def _token_hash(tok: str, cache: dict) -> np.uint64:
+    h = cache.get(tok)
+    if h is None:
+        h = np.uint64(
+            int.from_bytes(hashlib.md5(tok.lower().encode()).digest()[:8], "big")
+        )
+        cache[tok] = h
+    return h
+
+
+def winnow_fingerprints_arrow(text_col: Column, k: int = 50, w: int = 10) -> Column:
+    """text -> ARRAY<STRUCT<fp BIGINT, start INT, end INT>>: the
+    winnowed fingerprint set of the doc's k-token grams, each carrying
+    the char span [start, end) of its k tokens in the original text.
+
+    A doc with fewer than ``k`` tokens emits an empty array (it cannot
+    contain a k-token duplicate); a doc with fewer than ``k + w - 1``
+    grams emits the single global-minimum gram (degenerate one-window
+    winnowing). Rightmost-minimum tie-breaking per Schleimer §4 —
+    selection depends only on window content, which is what makes the
+    same fingerprint fire in both copies of a shared run.
+    """
+
+    @pandas_udf("array<struct<fp: bigint, start: int, end: int>>")
+    def _fps(texts: pd.Series) -> pd.Series:
+        out = []
+        cache: dict = {}
+        # weights[j] = base^(k-1-j) mod 2^64 — the k-gram hash is then
+        # one vectorized windowed dot product (wrap-mod-2^64 by uint64
+        # arithmetic), no per-gram Python loop.
+        weights = np.empty(k, dtype=np.uint64)
+        acc, b = 1, int(_ROLL_BASE)  # python-int pow loop: wrap without
+        for j in range(k - 1, -1, -1):  # numpy's scalar-overflow warning
+            weights[j] = np.uint64(acc)
+            acc = (acc * b) & 0xFFFFFFFFFFFFFFFF
+        for text in texts:
+            if not text:
+                out.append([])
+                continue
+            starts, ends, hashes = [], [], []
+            for m in _TOKEN_RE.finditer(text):
+                starts.append(m.start())
+                ends.append(m.end())
+                hashes.append(_token_hash(m.group(), cache))
+            n = len(hashes)
+            if n < k:
+                out.append([])
+                continue
+            t = np.array(hashes, dtype=np.uint64)
+            ng = n - k + 1
+            win_t = np.lib.stride_tricks.sliding_window_view(t, k)
+            g = (win_t * weights).sum(axis=1, dtype=np.uint64)
+            if ng <= w:
+                sel = np.array([ng - 1 - int(np.argmin(g[::-1]))])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(g, w)
+                # rightmost min per window: argmin over the reversed
+                # window, mapped back
+                rev = win[:, ::-1]
+                idx = (w - 1 - rev.argmin(axis=1)) + np.arange(ng - w + 1)
+                sel = np.unique(idx)
+            out.append(
+                [
+                    {
+                        "fp": int(np.int64(g[i])),
+                        "start": starts[i],
+                        "end": ends[i + k - 1],
+                    }
+                    for i in sel
+                ]
+            )
+        return pd.Series(out)
+
+    return _fps(text_col)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    w: int = 10,
+    keep_first: bool = True,
+    within_doc: bool = False,
+) -> DataFrame:
+    """Merged duplicated char spans per doc: ``(id, spans
+    ARRAY<STRUCT<start, end>>, n_spans, dup_chars)`` — only docs with
+    >= 1 removable span appear.
+
+    Detection guarantee (winnowing): every verbatim run of at least
+    ``w + k - 1`` tokens shared across docs (or repeated within one
+    doc, with ``within_doc=True``) is caught; runs between ``k`` and
+    ``w + k - 1`` tokens are caught best-effort (whenever a selected
+    fingerprint lands inside them). ``keep_first=True`` exempts the
+    corpus-wide first occurrence (lowest ``(id, start)``) of each
+    fingerprint, Lee et al.'s keep-one policy; ``False`` marks every
+    copy (their strict ExactSubstr cut-all mode).
+    """
+    fps = (
+        ensure_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
+        .select("id", F.explode(winnow_fingerprints_arrow(F.col("_t"), k, w)).alias("s"))
+        .select("id", F.col("s.fp").alias("fp"), F.col("s.start").alias("start"),
+                F.col("s.end").alias("end"))
+    )
+    wfp = Window.partitionBy("fp")
+    # duplicated-fp predicate with constant-size window state
+    dup = (
+        (F.min("id").over(wfp) != F.max("id").over(wfp))
+        if not within_doc
+        else (F.count(F.lit(1)).over(wfp) > 1)
+    )
+    marked = fps.withColumn("_dup", dup).withColumn(
+        "_win", F.min(F.struct("id", "start")).over(wfp)
+    )
+    removable = marked.filter(
+        F.col("_dup")
+        & (
+            F.lit(not keep_first)
+            | (F.col("id") != F.col("_win.id"))
+            | (F.col("start") != F.col("_win.start"))
+        )
+    ).select("id", "start", "end")
+    # per-doc interval union: sort spans, fold-merge overlaps (JVM HOF)
+    merged = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("start", "end"))),
+        F.array().cast("array<struct<start: int, end: int>>"),
+        lambda acc, x: F.when(
+            (F.size(acc) == 0)
+            | (x["start"] > F.element_at(acc, -1)["end"]),
+            F.concat(acc, F.array(x)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["start"].alias("start"),
+                        F.greatest(
+                            F.element_at(acc, -1)["end"], x["end"]
+                        ).alias("end"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        removable.groupBy("id")
+        .agg(merged.alias("spans"))
+        .select(
+            "id",
+            "spans",
+            F.size("spans").cast("int").alias("n_spans"),
+            F.aggregate(
+                "spans", F.lit(0), lambda a, s: a + (s["end"] - s["start"])
+            ).cast("long").alias("dup_chars"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    w: int = 10,
+    keep_first: bool = True,
+    within_doc: bool = False,
+) -> DataFrame:
+    """Cut every duplicated span (per :func:`duplicate_spans`) out of
+    the text → one row per INPUT doc: ``(id, text, removed_chars,
+    n_spans_removed)``. Docs without duplicated spans pass through
+    verbatim. The cut is char-exact on the original string (token-
+    aligned span boundaries), stitched with one JVM fold — no second
+    Python pass over the corpus.
+    """
+    spans = duplicate_spans(
+        docs, id_col, text_col, k=k, w=w, keep_first=keep_first,
+        within_doc=within_doc,
+    )
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    joined = base.join(spans, "id", "left")
+    txt = F.coalesce(F.col("_t"), F.lit(""))
+    stitched = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(0).alias("cur"), F.lit("").alias("out")),
+        lambda acc, s: F.struct(
+            s["end"].alias("cur"),
+            F.concat(
+                acc["out"], txt.substr(acc["cur"] + 1, s["start"] - acc["cur"])
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], txt.substr(acc["cur"] + 1, F.length(txt) - acc["cur"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.when(F.col("spans").isNull(), F.col("_t"))
+        .otherwise(stitched)
+        .alias("text"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("removed_chars"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("int").alias("n_spans_removed"),
+    )

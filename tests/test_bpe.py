@@ -1,0 +1,134 @@
+"""BPE tokenizer — operators/bpe.py.
+
+Checked against the algorithm's own invariants plus a brute-force
+pair-count reference for the first merges (the naive recount the
+incremental bookkeeping must agree with).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sifts_spark.functions.artifacts import load_artifact, save_artifact
+from sifts_spark.functions.hashing import _py_tokenize
+from sifts_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_segment,
+    bpe_token_count,
+    train_bpe,
+    _py_bpe_encode,
+)
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new new",
+    "wider wide wide new low",
+    "the lowest newest widest",
+] * 3
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def _naive_top_pair(freqs):
+    counts = {}
+    for w, f in freqs.items():
+        syms = list(w) + [EOW]
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + f
+    return min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+
+def test_first_merge_matches_naive_reference(spark):
+    model = train_bpe(_docs(spark), num_merges=1)
+    freqs = {}
+    for t in CORPUS:
+        for tok in _py_tokenize(t):
+            freqs[tok] = freqs.get(tok, 0) + 1
+    assert tuple(model["merges"][0]) == _naive_top_pair(freqs)
+
+
+def test_training_deterministic(spark):
+    a = train_bpe(_docs(spark), num_merges=50)
+    b = train_bpe(_docs(spark), num_merges=50)
+    assert a["merges"] == b["merges"]
+
+
+def test_encode_roundtrip_characters(spark):
+    docs = _docs(spark)
+    model = train_bpe(docs, num_merges=60)
+    rows = docs.select(
+        "text", bpe_encode(F.col("text"), model, spark).alias("toks")
+    ).collect()
+    for r in rows:
+        joined = "".join(r["toks"]).replace(EOW, "")
+        assert joined == "".join(_py_tokenize(r["text"]))
+        # every word ends with an EOW-terminated symbol
+        assert r["toks"][-1].endswith(EOW)
+
+
+def test_frequent_word_becomes_single_token(spark):
+    model = train_bpe(_docs(spark), num_merges=200)
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    assert _py_bpe_encode("low", ranks, EOW) == ["low" + EOW]
+    assert _py_bpe_encode("new", ranks, EOW) == ["new" + EOW]
+
+
+def test_open_vocabulary_unknown_chars(spark):
+    model = train_bpe(_docs(spark), num_merges=40)
+    ranks = {tuple(p): i for i, p in enumerate(model["merges"])}
+    seg = _py_bpe_encode("zq9", ranks, EOW)
+    assert "".join(seg).replace(EOW, "") == "zq9"
+
+
+def test_token_count_and_segment(spark):
+    docs = _docs(spark)
+    model = train_bpe(docs, num_merges=60)
+    seg = bpe_segment(docs, model)
+    rows = {r["id"]: r for r in seg.collect()}
+    assert set(rows) == set(range(len(CORPUS)))
+    cnt = docs.select(
+        "doc_id", bpe_token_count(F.col("text"), model, spark).alias("n")
+    ).collect()
+    for r in cnt:
+        assert r["n"] == rows[r["doc_id"]]["n_tokens"] == len(rows[r["doc_id"]]["tokens"])
+        assert 0 < r["n"]
+    # more merges => tokenization never gets longer
+    model2 = train_bpe(docs, num_merges=5)
+    cnt2 = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_token_count(F.col("text"), model2, spark).alias("n")
+        ).collect()
+    }
+    for r in cnt:
+        assert r["n"] <= cnt2[r["doc_id"]]
+
+
+def test_artifact_roundtrip(spark, tmp_path):
+    model = train_bpe(_docs(spark), num_merges=30)
+    save_artifact(spark, str(tmp_path / "bpe.json"), model)
+    loaded = load_artifact(spark, str(tmp_path / "bpe.json"))
+    assert loaded["merges"] == model["merges"]
+    ranks = {tuple(p): i for i, p in enumerate(loaded["merges"])}
+    assert _py_bpe_encode("lowest", ranks, loaded["eow"]) == _py_bpe_encode(
+        "lowest", {tuple(p): i for i, p in enumerate(model["merges"])}, EOW
+    )
+
+
+def test_min_pair_freq_stops_early(spark):
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    model = train_bpe(docs, num_merges=100, min_pair_freq=2)
+    # every pair is hapax -> no merges at all
+    assert model["merges"] == []
+
+
+def test_empty_corpus_raises(spark):
+    docs = spark.createDataFrame([(1, None), (2, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        train_bpe(docs, num_merges=10)

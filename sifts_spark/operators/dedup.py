@@ -972,3 +972,132 @@ def dedup_paragraphs(
         .withColumn("n_dropped", (F.col("n_paras") - F.col("n_kept")).cast("long"))
         .select("id", "text", "n_paras", "n_kept", "n_dropped")
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,  # DataFrame | [(cell_id, [float]), ...] | None
+    n_cells: int = 16,
+    eps: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") → one row per vector:
+    ``(id, cell, component, centroid_sim, keep)``.
+
+    The paper's recipe, re-expressed on the repo's IVF machinery:
+    k-means-cluster the embeddings (pass
+    :func:`~sifts_spark.operators.vector_search.kmeans_centroids`
+    output in production; the default is the oracle-replayable
+    deterministic seed), then WITHIN each cluster group vectors whose
+    pairwise cosine exceeds ``eps`` (connected components of the
+    eps-graph) and keep exactly one per group — the member with the
+    LOWEST similarity to its cluster centroid (the paper's choice:
+    among semantic duplicates, prefer the least prototypical example,
+    which preserves the most diversity). Singletons keep trivially;
+    ``component`` labels each group by its smallest member id so the
+    grouping itself is testable.
+
+    Differences from :func:`embedding_dup_pairs` + clustering: this is
+    a DECISION operator (keep/drop per row, the thing a curation
+    pipeline filters on) and needs no pair materialization — the
+    eps-graph is built and condensed inside one per-cell Arrow task,
+    so a cell with a thousand mutual duplicates emits a thousand
+    decision rows, never half a million pair rows.
+
+    Scale shape: map-side cell assignment against inlined centroid
+    literals, ONE cell-keyed shuffle into ``applyInPandas``, chunked
+    numpy matmul + union-find per cell. Cell population is bounded by
+    corpus/k on average (size ``n_cells`` ~ N/5k as the paper does);
+    the known IVF trade applies — a duplicate pair straddling a cell
+    boundary is missed, which the paper accepts for the same reason.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cell_assign_arrow
+    from sifts_spark.operators.vector_search import (
+        centroid_rows,
+        deterministic_centroids,
+    )
+
+    if centroids is None:
+        centroids = deterministic_centroids(vectors, n_cells, id_col, vec_col)
+    rows = centroid_rows(centroids)
+    cent = {int(c): np.asarray(v, dtype=np.float64) for c, v in rows}
+
+    base = track(
+        ensure_min_parallelism(vectors)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("blk", cell_assign_arrow(F.col("v"), rows))
+    )
+
+    id_type = base.schema["id"].dataType.simpleString()
+    out_schema = (
+        f"id {id_type}, cell long, component {id_type}, "
+        "centroid_sim double, keep boolean"
+    )
+
+    def _decide(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(key[0])
+        n = len(pdf)
+        # deterministic member order: by id
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        v = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt((v * v).sum(axis=1))
+        c = cent.get(cell)
+        cn = np.sqrt((c * c).sum()) if c is not None else 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            csim = (v @ c) / (norms * cn) if c is not None else np.zeros(n)
+        csim = np.round(np.nan_to_num(csim, nan=0.0), 6)
+        # union-find over the eps-graph, edges from chunked matmul
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        chunk = 1024
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (v[lo:hi] @ v.T) / np.outer(norms[lo:hi], norms)
+            s = np.round(np.nan_to_num(s, nan=-1.0), 6)
+            ii, jj = np.nonzero(s >= eps)
+            for i, j in zip((ii + lo).tolist(), jj.tolist()):
+                if i < j:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        keep = np.zeros(n, dtype=bool)
+        comp_label = np.empty(n, dtype=object)
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            comp_label[members] = ids[members.min()]
+            # keep the least prototypical member; ties break on id
+            # (members are id-sorted, argmin returns the first)
+            keep[members[int(np.argmin(csim[members]))]] = True
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": cell,
+                "component": comp_label,
+                "centroid_sim": csim,
+                "keep": keep,
+            }
+        )
+
+    return (
+        base.filter(F.col("blk").isNotNull())
+        .groupBy("blk")
+        .applyInPandas(_decide, schema=out_schema)
+    )

@@ -229,3 +229,74 @@ def test_cap_buckets_schedules_no_job_at_plan_time(spark):
     )
     sim.count()  # the lazy guard executes fine on the simhash path too
     release_all()
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+class TestSemDeDup:
+    def _vectors(self, spark):
+        # two tight groups + two singletons, in well-separated regions
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),     # dup of 1
+            (3, [0.998, 0.02, 0.001]),   # dup of 1/2
+            (10, [0.0, 1.0, 0.0]),
+            (11, [0.0, 0.999, 0.02]),    # dup of 10
+            (20, [0.0, 0.0, 1.0]),       # singleton
+            (21, [0.5, 0.5, 0.0]),       # singleton (below eps to all)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_groups_and_keep_policy(self, spark):
+        from sifts_spark.operators.dedup import semdedup
+
+        cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+        out = semdedup(
+            self._vectors(spark), centroids=cents, eps=0.99
+        ).collect()
+        rows = {r["id"]: r for r in out}
+        assert set(rows) == {1, 2, 3, 10, 11, 20, 21}
+        # one component for {1,2,3}, labeled by min id
+        assert rows[1]["component"] == rows[2]["component"] == rows[3]["component"] == 1
+        assert rows[10]["component"] == rows[11]["component"] == 10
+        # exactly one kept per component
+        assert sum(rows[i]["keep"] for i in (1, 2, 3)) == 1
+        assert sum(rows[i]["keep"] for i in (10, 11)) == 1
+        # singletons always keep
+        assert rows[20]["keep"] and rows[21]["keep"]
+        # the kept member is the one FARTHEST from its centroid
+        grp = [rows[i] for i in (1, 2, 3)]
+        kept = next(r for r in grp if r["keep"])
+        assert kept["centroid_sim"] == min(r["centroid_sim"] for r in grp)
+
+    def test_keep_rate_and_determinism(self, spark):
+        from sifts_spark.operators.dedup import semdedup
+
+        vecs = self._vectors(spark)
+        a = sorted(map(tuple, semdedup(vecs, n_cells=3, eps=0.99).collect()))
+        b = sorted(map(tuple, semdedup(vecs, n_cells=3, eps=0.99).collect()))
+        assert a == b
+        # eps=2.0: nothing can pair -> everything keeps
+        all_keep = semdedup(vecs, n_cells=3, eps=2.0).collect()
+        assert all(r["keep"] for r in all_keep)
+
+    def test_agrees_with_pair_operator_on_grouping(self, spark):
+        from sifts_spark.operators.dedup import embedding_dup_pairs, semdedup
+
+        vecs = self._vectors(spark)
+        cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+        pairs = embedding_dup_pairs(
+            vecs, centroids=cents, threshold=0.99
+        ).collect()
+        dec = semdedup(vecs, centroids=cents, eps=0.99).collect()
+        # every pair's two members share a component; drop count matches
+        comp = {r["id"]: r["component"] for r in dec}
+        for p in pairs:
+            assert comp[p["id_a"]] == comp[p["id_b"]]
+        n_dropped = sum(not r["keep"] for r in dec)
+        n_in_groups = len({x for p in pairs for x in (p["id_a"], p["id_b"])})
+        n_groups = len({comp[p["id_a"]] for p in pairs})
+        assert n_dropped == n_in_groups - n_groups

@@ -20,6 +20,10 @@ WINNOWING (Schleimer, Wilkerson & Aiken 2003, the MOSS fingerprinter):
   w k-grams on identical content, whose minimum is selected in BOTH
   copies — so every sufficiently long duplicated span shares at least
   one fingerprint, with only ~n/w fingerprints emitted per doc.
+  (That is the cheap DETECTION mode; span CUTTING uses mode="exact" —
+  every gram, one per token — so merged intervals cover duplicated
+  runs end-to-end at ExactSubstr resolution. See duplicate_spans /
+  remove_duplicate_spans docstrings for the trade.)
 * one fingerprint-keyed shuffle marks duplicated fingerprints
   (min(id) != max(id) over the fp partition — constant-size state, no
   collect_set blowup on boilerplate fingerprints shared by millions of
@@ -72,18 +76,32 @@ def _token_hash(tok: str, cache: dict) -> np.uint64:
     return h
 
 
-def winnow_fingerprints_arrow(text_col: Column, k: int = 50, w: int = 10) -> Column:
-    """text -> ARRAY<STRUCT<fp BIGINT, start INT, end INT>>: the
-    winnowed fingerprint set of the doc's k-token grams, each carrying
-    the char span [start, end) of its k tokens in the original text.
+def winnow_fingerprints_arrow(
+    text_col: Column, k: int = 50, w: int = 10, mode: str = "winnow"
+) -> Column:
+    """text -> ARRAY<STRUCT<fp BIGINT, start INT, end INT>>: k-token
+    gram fingerprints, each carrying the char span [start, end) of its
+    k tokens in the original text.
+
+    ``mode="winnow"`` selects each w-window's minimal hash (~n/w
+    fingerprints per doc — the cheap DETECTION mode); ``mode="exact"``
+    emits EVERY gram (one per token — the SURGICAL mode: inside a
+    shared run every window is duplicated, so the merged interval
+    covers the run end-to-end, which is what a span CUT needs; winnowed
+    anchors leave up to w+k-2 tokens of duplicated margin around each
+    selected window).
 
     A doc with fewer than ``k`` tokens emits an empty array (it cannot
-    contain a k-token duplicate); a doc with fewer than ``k + w - 1``
-    grams emits the single global-minimum gram (degenerate one-window
-    winnowing). Rightmost-minimum tie-breaking per Schleimer §4 —
-    selection depends only on window content, which is what makes the
-    same fingerprint fire in both copies of a shared run.
+    contain a k-token duplicate); in winnow mode a doc with fewer than
+    ``k + w - 1`` grams emits the single global-minimum gram
+    (degenerate one-window winnowing). Rightmost-minimum tie-breaking
+    per Schleimer §4 — selection depends only on window content, which
+    is what makes the same fingerprint fire in both copies of a shared
+    run.
     """
+    if mode not in ("winnow", "exact"):
+        raise ValueError(f"mode must be 'winnow' or 'exact', got {mode!r}")
+    exact = mode == "exact"
 
     @pandas_udf("array<struct<fp: bigint, start: int, end: int>>")
     def _fps(texts: pd.Series) -> pd.Series:
@@ -114,7 +132,9 @@ def winnow_fingerprints_arrow(text_col: Column, k: int = 50, w: int = 10) -> Col
             ng = n - k + 1
             win_t = np.lib.stride_tricks.sliding_window_view(t, k)
             g = (win_t * weights).sum(axis=1, dtype=np.uint64)
-            if ng <= w:
+            if exact:
+                sel = np.arange(ng)
+            elif ng <= w:
                 sel = np.array([ng - 1 - int(np.argmin(g[::-1]))])
             else:
                 win = np.lib.stride_tricks.sliding_window_view(g, w)
@@ -146,25 +166,30 @@ def duplicate_spans(
     w: int = 10,
     keep_first: bool = True,
     within_doc: bool = False,
+    mode: str = "winnow",
 ) -> DataFrame:
     """Merged duplicated char spans per doc: ``(id, spans
     ARRAY<STRUCT<start, end>>, n_spans, dup_chars)`` — only docs with
     >= 1 removable span appear.
 
-    Detection guarantee (winnowing): every verbatim run of at least
-    ``w + k - 1`` tokens shared across docs (or repeated within one
-    doc, with ``within_doc=True``) is caught; runs between ``k`` and
-    ``w + k - 1`` tokens are caught best-effort (whenever a selected
-    fingerprint lands inside them). ``keep_first=True`` exempts the
+    Detection guarantee: in ``mode="winnow"`` (default — the cheap
+    reporting mode, ~n/w fingerprints per doc) every verbatim run of
+    at least ``w + k - 1`` tokens shared across docs (or repeated
+    within one doc, with ``within_doc=True``) is caught, but the
+    reported span covers only the selected windows — up to w+k-2
+    tokens of duplicated margin around them go unreported. In
+    ``mode="exact"`` (one fingerprint per token — ExactSubstr
+    resolution) every run of at least ``k`` tokens is caught AND the
+    span covers it end-to-end. ``keep_first=True`` exempts the
     corpus-wide first occurrence (lowest ``(id, start)``) of each
     fingerprint, Lee et al.'s keep-one policy; ``False`` marks every
-    copy (their strict ExactSubstr cut-all mode).
+    copy (their strict cut-all mode).
     """
     fps = (
         ensure_min_parallelism(
             docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         )
-        .select("id", F.explode(winnow_fingerprints_arrow(F.col("_t"), k, w)).alias("s"))
+        .select("id", F.explode(winnow_fingerprints_arrow(F.col("_t"), k, w, mode)).alias("s"))
         .select("id", F.col("s.fp").alias("fp"), F.col("s.start").alias("start"),
                 F.col("s.end").alias("end"))
     )
@@ -230,6 +255,7 @@ def remove_duplicate_spans(
     w: int = 10,
     keep_first: bool = True,
     within_doc: bool = False,
+    mode: str = "exact",
 ) -> DataFrame:
     """Cut every duplicated span (per :func:`duplicate_spans`) out of
     the text → one row per INPUT doc: ``(id, text, removed_chars,
@@ -237,10 +263,18 @@ def remove_duplicate_spans(
     verbatim. The cut is char-exact on the original string (token-
     aligned span boundaries), stitched with one JVM fold — no second
     Python pass over the corpus.
+
+    Default ``mode="exact"`` (unlike :func:`duplicate_spans`): a CUT
+    needs full-run coverage — winnowed anchors would leave duplicated
+    margins in the surviving text. The exact mode emits one
+    fingerprint per token; at the 100 TB scale that is a token-count-
+    sized shuffle, the inherent cost of ExactSubstr (Lee et al.'s
+    suffix array is likewise O(corpus tokens)) — run it as the batch
+    compaction stage it is, and use winnow mode for cheap reporting.
     """
     spans = duplicate_spans(
         docs, id_col, text_col, k=k, w=w, keep_first=keep_first,
-        within_doc=within_doc,
+        within_doc=within_doc, mode=mode,
     )
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     joined = base.join(spans, "id", "left")

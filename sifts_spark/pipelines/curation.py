@@ -111,6 +111,10 @@ def prepare_training_data(
     contamination_n: int = 13,
     ppl_band: tuple[float, float] | None = (0.02, 0.98),
     paragraph_dedup: bool = False,
+    substring_dedup: bool = False,
+    substring_k: int = 50,
+    substring_w: int = 10,
+    bpe_model: dict | None = None,
     quality_model: dict | None = None,
     classifier_min_prob: float = 0.5,
     classifier_pareto: bool = False,
@@ -132,6 +136,11 @@ def prepare_training_data(
        ``paragraph_dedup=True``) — boilerplate paragraphs keep only
        their first occurrence; texts are rewritten and token counts
        recomputed; docs left empty drop out;
+    1b2. optional exact-substring dedup (Lee et al. 2021's ExactSubstr
+       stage, ``substring_dedup=True``) — duplicated runs of
+       >= ``substring_w + substring_k - 1`` tokens keep only their
+       corpus-wide first copy
+       (:func:`~sifts_spark.operators.substring.remove_duplicate_spans`);
     1c. optional model-based quality filter (GPT-3's classifier stage,
        ``quality_model`` from :func:`~sifts_spark.operators.classifier
        .train_quality_classifier`) — hard threshold
@@ -144,7 +153,11 @@ def prepare_training_data(
        low/middle band; both tails are suspect — skipped when None);
     4. mixing — :func:`~sifts_spark.operators.sampling.mix_corpus`
        to ``mix_weights`` over predicted language at ``total_tokens``
-       (skipped unless both given);
+       (skipped unless both given); when a trained ``bpe_model``
+       (:func:`~sifts_spark.operators.bpe.train_bpe`) is supplied,
+       mixing and packing budget in TRUE BPE tokens — ``n_tokens`` is
+       recomputed through the broadcast merge table instead of the
+       regex proxy (``manifest["token_counter"]`` records which);
     5. packing — :func:`~sifts_spark.operators.sampling
        .pack_sequences` into ``max_seq_tokens`` bins;
     6. export — docs to ``{out_path}/docs`` and the packing manifest
@@ -199,6 +212,23 @@ def prepare_training_data(
             .withColumn("n_tokens", bpe_ish_token_count(F.col("text")))
         )
 
+    if substring_dedup:
+        from sifts_spark.operators.substring import remove_duplicate_spans
+
+        cut = remove_duplicate_spans(
+            stage, id_col="id", text_col="text",
+            k=substring_k, w=substring_w,
+        )
+        manifest["stages"]["substring_deduped"] = _advance(
+            stage.drop("text", "n_tokens")
+            .join(
+                cut.filter(F.length(F.trim(F.col("text"))) > 0)
+                .select("id", "text"),
+                "id",
+            )
+            .withColumn("n_tokens", bpe_ish_token_count(F.col("text")))
+        )
+
     if quality_model is not None:
         from sifts_spark.operators.classifier import classifier_score, pareto_keep
 
@@ -229,6 +259,17 @@ def prepare_training_data(
         ).select("id")
         manifest["stages"]["ppl_band"] = _advance(stage.join(keep, "id"))
         manifest["ppl_cutoffs"] = {"low": lo, "high": hi}
+
+    if bpe_model is not None:
+        from sifts_spark.operators.bpe import bpe_token_count
+
+        stage = stage.withColumn(
+            "n_tokens",
+            bpe_token_count(F.col("text"), bpe_model, stage.sparkSession),
+        )
+        manifest["token_counter"] = "bpe"
+    else:
+        manifest["token_counter"] = "regex"
 
     if mix_weights and total_tokens:
         manifest["stages"]["mixed"] = _advance(

@@ -142,3 +142,33 @@ def test_case_and_punct_insensitive_matching(spark):
     docs = _docs(spark, [(1, f"{run} only one"), (2, f"zz {noisy}")])
     out = duplicate_spans(docs, k=10, w=5, keep_first=False).collect()
     assert {r["id"] for r in out} == {1, 2}
+
+
+def test_exact_mode_covers_full_run(spark):
+    # exact mode: the merged span covers the ENTIRE shared run, so the
+    # cut text retains no fragment of it
+    docs = _corpus(spark)
+    out = remove_duplicate_spans(docs, k=10, w=5, mode="exact")
+    rows = {r["id"]: r for r in out.collect()}
+    # doc 1 (first occurrence) keeps the run verbatim
+    assert SHARED in rows[1]["text"]
+    # doc 2 loses every token of it
+    for i in range(30):
+        assert WORDS[i] not in rows[2]["text"].split()
+    # the non-duplicated frame of doc 2 survives intact
+    assert rows[2]["text"].startswith("intro two")
+    assert "b0" in rows[2]["text"] and "b39" in rows[2]["text"]
+    # detection floor drops to k tokens in exact mode
+    short_run = " ".join(WORDS[100:112])  # 12 tokens, < w+k-1=14
+    docs2 = _docs(
+        spark,
+        [(1, f"one {short_run} xx"), (2, f"zz {short_run} yy qq")],
+    )
+    exact = duplicate_spans(docs2, k=10, w=5, mode="exact", keep_first=False)
+    assert {r["id"] for r in exact.collect()} == {1, 2}
+
+
+def test_mode_validation(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, mode="bogus").collect()

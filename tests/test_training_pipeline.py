@@ -108,3 +108,42 @@ def test_artifact_overwrite_and_atomicity(spark, tmp_path):
     assert load_artifact(spark, p) == {"v": 2}
     # no temp litter
     assert [f for f in os.listdir(tmp_path) if f.startswith(".a.json.tmp")] == []
+
+
+def test_prepare_training_data_substring_and_bpe_stages(spark, tmp_path):
+    """ExactSubstr cut + true-BPE token budgeting inside the recipe."""
+    from sifts_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    # plant a long shared run in three docs so the substring stage
+    # has verifiable work
+    shared = " ".join(f"boiler{i}" for i in range(40))
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0,
+               F.concat(F.col("text"), F.lit(" " + shared)))
+        .otherwise(F.col("text")),
+    )
+    bpe = train_bpe(docs, num_merges=200, sample_docs=60)
+    m = prepare_training_data(
+        docs, str(tmp_path / "sub"),
+        allowed_langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0, ppl_band=None,
+        substring_dedup=True, substring_k=12, substring_w=6,
+        bpe_model=bpe,
+        target_file_mb=0.01,
+    )
+    s = m["stages"]
+    assert "substring_deduped" in s and s["substring_deduped"] <= s["curated"]
+    assert m["token_counter"] == "bpe"
+    out = spark.read.parquet(str(tmp_path / "sub") + "/docs")
+    # the shared run survives at most once corpus-wide
+    n_with_run = out.filter(F.col("text").contains("boiler0 boiler1")).count()
+    assert n_with_run <= 1
+    # n_tokens matches a recount through the same model
+    from sifts_spark.operators.bpe import bpe_token_count
+
+    bad = out.withColumn(
+        "_n2", bpe_token_count(F.col("text"), bpe, spark)
+    ).filter(F.col("_n2") != F.col("n_tokens"))
+    assert bad.count() == 0

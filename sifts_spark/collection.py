@@ -368,17 +368,36 @@ class SparkCollection:
 
         Fully distributed: pairs → cluster labels → a tombstone BATCH
         via :meth:`delete_dataframe` — no kill list ever reaches the
-        driver."""
-        from sifts_spark.operators.dedup import duplicate_clusters
+        driver.
 
-        pairs = self.find_duplicates(method, **kwargs)
-        verts = self.docs().select("id")
-        victims = (
-            duplicate_clusters(verts, pairs, id_col="id")
-            .filter(F.col("id") != F.col("cluster_id"))
-            .select("id")
-            .persist()  # one compute serves both the count and the write
-        )
+        ``method="semantic"`` routes through SemDeDup
+        (:func:`~sifts_spark.operators.dedup.semdedup`, Abbas et al.
+        2023) instead of the pair/cluster path: per IVF cell, eps-graph
+        components over stored embeddings, keeping the least-
+        prototypical member of each — the decision rows ARE the kill
+        list, no pair materialization (kwargs like ``eps``/
+        ``centroids``/``n_cells`` pass through)."""
+        from sifts_spark.operators.dedup import duplicate_clusters, semdedup
+
+        if method == "semantic":
+            victims = (
+                semdedup(
+                    self.docs().filter(F.col("embedding").isNotNull()),
+                    id_col="id", vec_col="embedding", **kwargs,
+                )
+                .filter(~F.col("keep"))
+                .select("id")
+                .persist()
+            )
+        else:
+            pairs = self.find_duplicates(method, **kwargs)
+            verts = self.docs().select("id")
+            victims = (
+                duplicate_clusters(verts, pairs, id_col="id")
+                .filter(F.col("id") != F.col("cluster_id"))
+                .select("id")
+                .persist()  # one compute serves both the count and the write
+            )
         try:
             n = victims.count()
             if n and not dry_run:
@@ -389,6 +408,69 @@ class SparkCollection:
 
         report_dropped_buckets()  # log any skew-guard exclusions loudly
         return n
+
+    def dedup_substrings(
+        self,
+        k: int = 50,
+        w: int = 10,
+        within_doc: bool = False,
+        dry_run: bool = False,
+    ) -> dict:
+        """Cut duplicated runs of >= ``k`` tokens out of stored
+        contents (Lee et al. 2021 ExactSubstr, via
+        :func:`~sifts_spark.operators.substring.remove_duplicate_spans`
+        in exact mode) — the in-place REWRITE counterpart of
+        :meth:`dedup`, which removes whole documents. The corpus-wide
+        first copy of each run survives; every other copy is cut and
+        the doc re-upserted (newest-batch-wins), docs left empty are
+        tombstoned. Returns ``{"rewritten", "removed", "chars_cut"}``;
+        idempotent (a second run finds no cross-doc runs to cut).
+
+        Embeddings of rewritten docs are RECOMPUTED through the
+        configured ``embedding_function`` (the content changed, so the
+        stored vector is stale by definition) or set NULL when none is
+        configured — never silently kept.
+
+        Scale shape: one token-count-sized fingerprint shuffle (the
+        operator's inherent ExactSubstr cost), then one upsert batch +
+        one tombstone batch — touched-docs-sized, not corpus-sized."""
+        from sifts_spark.operators.substring import remove_duplicate_spans
+
+        docs = self.docs()
+        changed = (
+            remove_duplicate_spans(
+                docs, id_col="id", text_col="content",
+                k=k, w=w, within_doc=within_doc,
+            )
+            .filter(F.col("n_spans_removed") > 0)
+            .persist()
+        )
+        try:
+            emptied = changed.filter(F.trim(F.col("text")) == "")
+            rewritten = changed.filter(F.trim(F.col("text")) != "")
+            stats = changed.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("removed_chars").alias("chars"),
+                F.count(F.when(F.trim(F.col("text")) == "", 1)).alias("gone"),
+            ).first()
+            out = {
+                "rewritten": int(stats["n"] or 0) - int(stats["gone"] or 0),
+                "removed": int(stats["gone"] or 0),
+                "chars_cut": int(stats["chars"] or 0),
+            }
+            if dry_run or not stats["n"]:
+                return out
+            if out["rewritten"]:
+                self.add_dataframe(
+                    rewritten.join(docs.select("id", "metadata"), "id"),
+                    id_col="id", content_col="text",
+                    metadata_col="metadata",
+                )
+            if out["removed"]:
+                self.delete_dataframe(emptied.select("id"))
+            return out
+        finally:
+            changed.unpersist()
 
     # ------------------------------------------------------------------
     # ANN index (IVF sidecar) — the scale path for vector_search

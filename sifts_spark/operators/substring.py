@@ -131,7 +131,13 @@ def winnow_fingerprints_arrow(
             t = np.array(hashes, dtype=np.uint64)
             ng = n - k + 1
             win_t = np.lib.stride_tricks.sliding_window_view(t, k)
-            g = (win_t * weights).sum(axis=1, dtype=np.uint64)
+            # the view is free but (view * weights) materializes a
+            # block×k temp — chunk it so a million-token doc costs
+            # ~25 MB transient instead of ~n*k*8 bytes at once
+            g = np.empty(ng, dtype=np.uint64)
+            for lo in range(0, ng, 65536):
+                hi = min(lo + 65536, ng)
+                g[lo:hi] = (win_t[lo:hi] * weights).sum(axis=1, dtype=np.uint64)
             if exact:
                 sel = np.arange(ng)
             elif ng <= w:

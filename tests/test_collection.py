@@ -420,3 +420,68 @@ def test_collection_dedup_minhash_near_dups(store_root, spark):
     n = col.dedup("minhash", jaccard_threshold=0.5)
     assert n == 1
     assert {r["id"] for r in col.docs().collect()} == {"1", "3"}
+
+
+def test_collection_dedup_semantic(store_root, spark):
+    """dedup('semantic'): SemDeDup decisions drive the tombstones —
+    one survivor per eps-component, embeddings required."""
+    col = Collection(store_root, "sem", spark=spark)
+    df = spark.createDataFrame(
+        [
+            ("a1", "alpha doc", [1.0, 0.0, 0.0]),
+            ("a2", "alpha doc near-twin", [0.999, 0.02, 0.0]),
+            ("b", "beta doc", [0.0, 1.0, 0.0]),
+            ("c", "gamma doc", [0.0, 0.0, 1.0]),
+        ],
+        "id string, content string, embedding array<float>",
+    )
+    col.add_dataframe(df, embedding_col="embedding")
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+    assert col.dedup("semantic", dry_run=True, centroids=cents, eps=0.99) == 1
+    assert col.count() == 4
+    assert col.dedup("semantic", centroids=cents, eps=0.99) == 1
+    ids = {r["id"] for r in col.docs().collect()}
+    assert "b" in ids and "c" in ids and len(ids) == 3
+    assert len({"a1", "a2"} & ids) == 1          # one twin survived
+    assert col.dedup("semantic", centroids=cents, eps=0.99) == 0  # idempotent
+
+
+def test_collection_dedup_substrings(store_root, spark):
+    """dedup_substrings(): duplicated runs cut in place, docs
+    re-upserted, emptied docs tombstoned, idempotent."""
+    shared = " ".join(f"license{i}" for i in range(30))
+    col = Collection(store_root, "sub", spark=spark)
+    col.add(
+        [
+            f"first unique body alpha beta gamma {shared}",
+            f"{shared} second unique body delta epsilon zeta",
+            shared,                                   # nothing but the run
+            "untouched totally different document here",
+        ],
+        ids=["a", "b", "c", "d"],
+        metadatas=[{"k": 1}, {"k": 2}, {"k": 3}, {"k": 4}],
+    )
+    out = col.dedup_substrings(k=10, w=5)
+    # doc a (lowest id) keeps the run; b rewritten; c emptied
+    assert out["rewritten"] == 1 and out["removed"] == 1
+    assert out["chars_cut"] > 0
+    rows = {r["id"]: r for r in col.docs().collect()}
+    assert set(rows) == {"a", "b", "d"}
+    assert "license0" in rows["a"]["content"]
+    assert "license0" not in rows["b"]["content"]
+    assert "second unique body" in rows["b"]["content"]
+    # metadata preserved through the rewrite
+    import json as _json
+
+    assert _json.loads(rows["b"]["metadata"])["k"] == 2
+    # second run: nothing left to cut
+    out2 = col.dedup_substrings(k=10, w=5)
+    assert out2 == {"rewritten": 0, "removed": 0, "chars_cut": 0}
+    # dry_run leaves data alone
+    col2 = Collection(store_root, "sub2", spark=spark)
+    col2.add([f"x {shared}", f"y {shared} z"], ids=["p", "q"])
+    pre = col2.dedup_substrings(k=10, w=5, dry_run=True)
+    assert pre["rewritten"] + pre["removed"] >= 1
+    assert {r["id"]: r["content"] for r in col2.docs().collect()} == {
+        "p": f"x {shared}", "q": f"y {shared} z"
+    }

@@ -46,3 +46,32 @@ def test_no_allpairs_join_shapes(spark, name):
         if bad == "BroadcastNestedLoopJoin" and name in _BNLJ_ALLOWED:
             continue
         assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+def test_new_extension_ops_no_allpairs_shapes(spark):
+    """Same guard for the round-6 extension family (not in the
+    catalog): substring dedup, SemDeDup, BPE — none may plan a
+    cartesian or nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.operators.bpe import bpe_segment, train_bpe
+    from sifts_spark.operators.dedup import semdedup
+    from sifts_spark.operators.substring import remove_duplicate_spans
+    from sifts_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    bpe = train_bpe(docs, num_merges=20, sample_docs=50)
+    frames = {
+        "remove_duplicate_spans": remove_duplicate_spans(docs, k=10),
+        "semdedup": semdedup(emb, n_cells=4),
+        "bpe_segment": bpe_segment(docs, bpe),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        for bad in _FORBIDDEN:
+            assert bad not in plan, f"{name}: {bad} in physical plan"

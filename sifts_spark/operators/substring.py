@@ -79,9 +79,14 @@ def _token_hash(tok: str, cache: dict) -> np.uint64:
 def winnow_fingerprints_arrow(
     text_col: Column, k: int = 50, w: int = 10, mode: str = "winnow"
 ) -> Column:
-    """text -> ARRAY<STRUCT<fp BIGINT, start INT, end INT>>: k-token
-    gram fingerprints, each carrying the char span [start, end) of its
-    k tokens in the original text.
+    """text -> STRUCT<fp ARRAY<BIGINT>, start ARRAY<INT>, end
+    ARRAY<INT>> (parallel arrays — i-th fingerprint spans chars
+    [start[i], end[i]) of the original text): k-token gram
+    fingerprints. COLUMNAR on purpose: the exact mode emits one entry
+    per token, and returning parallel numpy-built lists costs half of
+    what a per-entry Python struct-dict build does (measured 8.7s →
+    4.5s for the kernel+explode stage at the 10× corpus); callers
+    re-assemble rows JVM-side with ``arrays_zip`` + ``explode``.
 
     ``mode="winnow"`` selects each w-window's minimal hash (~n/w
     fingerprints per doc — the cheap DETECTION mode); ``mode="exact"``
@@ -103,9 +108,9 @@ def winnow_fingerprints_arrow(
         raise ValueError(f"mode must be 'winnow' or 'exact', got {mode!r}")
     exact = mode == "exact"
 
-    @pandas_udf("array<struct<fp: bigint, start: int, end: int>>")
-    def _fps(texts: pd.Series) -> pd.Series:
-        out = []
+    @pandas_udf("struct<fp: array<bigint>, start: array<int>, end: array<int>>")
+    def _fps(texts: pd.Series) -> pd.DataFrame:
+        out_fp, out_s, out_e = [], [], []
         cache: dict = {}
         # weights[j] = base^(k-1-j) mod 2^64 — the k-gram hash is then
         # one vectorized windowed dot product (wrap-mod-2^64 by uint64
@@ -115,9 +120,14 @@ def winnow_fingerprints_arrow(
         for j in range(k - 1, -1, -1):  # numpy's scalar-overflow warning
             weights[j] = np.uint64(acc)
             acc = (acc * b) & 0xFFFFFFFFFFFFFFFF
+        def _empty():
+            out_fp.append([])
+            out_s.append([])
+            out_e.append([])
+
         for text in texts:
             if not text:
-                out.append([])
+                _empty()
                 continue
             starts, ends, hashes = [], [], []
             for m in _TOKEN_RE.finditer(text):
@@ -126,7 +136,7 @@ def winnow_fingerprints_arrow(
                 hashes.append(_token_hash(m.group(), cache))
             n = len(hashes)
             if n < k:
-                out.append([])
+                _empty()
                 continue
             t = np.array(hashes, dtype=np.uint64)
             ng = n - k + 1
@@ -149,17 +159,12 @@ def winnow_fingerprints_arrow(
                 rev = win[:, ::-1]
                 idx = (w - 1 - rev.argmin(axis=1)) + np.arange(ng - w + 1)
                 sel = np.unique(idx)
-            out.append(
-                [
-                    {
-                        "fp": int(np.int64(g[i])),
-                        "start": starts[i],
-                        "end": ends[i + k - 1],
-                    }
-                    for i in sel
-                ]
-            )
-        return pd.Series(out)
+            out_fp.append(g[sel].view(np.int64).tolist())
+            sa = np.asarray(starts, dtype=np.int64)
+            ea = np.asarray(ends, dtype=np.int64)
+            out_s.append(sa[sel].tolist())
+            out_e.append(ea[sel + k - 1].tolist())
+        return pd.DataFrame({"fp": out_fp, "start": out_s, "end": out_e})
 
     return _fps(text_col)
 
@@ -195,7 +200,17 @@ def duplicate_spans(
         ensure_min_parallelism(
             docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
         )
-        .select("id", F.explode(winnow_fingerprints_arrow(F.col("_t"), k, w, mode)).alias("s"))
+        .select("id", winnow_fingerprints_arrow(F.col("_t"), k, w, mode).alias("z"))
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    F.col("z.fp").alias("fp"),
+                    F.col("z.start").alias("start"),
+                    F.col("z.end").alias("end"),
+                )
+            ).alias("s"),
+        )
         .select("id", F.col("s.fp").alias("fp"), F.col("s.start").alias("start"),
                 F.col("s.end").alias("end"))
     )

@@ -101,7 +101,7 @@ def test_within_doc_repeats(spark):
 def test_short_docs_emit_no_fingerprints(spark):
     docs = _docs(spark, [(1, "only four tokens here"), (2, None), (3, "")])
     fps = docs.select(
-        F.explode(winnow_fingerprints_arrow(F.col("text"), 10, 5))
+        F.explode(winnow_fingerprints_arrow(F.col("text"), 10, 5)["fp"])
     )
     assert fps.count() == 0
     assert duplicate_spans(docs, k=10, w=5).count() == 0
@@ -121,14 +121,14 @@ def test_winnowing_guarantee_random_offsets(spark):
 
 def test_fingerprints_deterministic_and_token_aligned(spark):
     docs = _docs(spark, [(1, "Alpha, beta; GAMMA delta epsilon zeta eta theta")])
-    col = winnow_fingerprints_arrow(F.col("text"), 3, 2)
-    a = docs.select(F.explode(col).alias("s")).collect()
-    b = docs.select(F.explode(col).alias("s")).collect()
-    assert [r["s"] for r in a] == [r["s"] for r in b]
+    col = winnow_fingerprints_arrow(F.col("text"), 3, 2).alias("z")
+    a = docs.select(col).collect()[0]["z"]
+    b = docs.select(col).collect()[0]["z"]
+    assert a == b
+    assert len(a["fp"]) == len(a["start"]) == len(a["end"]) > 0
     text = docs.first()["text"]
-    for r in a:
-        s = r["s"]
-        frag = text[s["start"] : s["end"]]
+    for s, e in zip(a["start"], a["end"]):
+        frag = text[s:e]
         # spans start and end on token characters
         assert re.match(r"[A-Za-z0-9]", frag[0]) and re.match(
             r"[A-Za-z0-9]", frag[-1]

@@ -172,3 +172,44 @@ def test_mode_validation(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
         duplicate_spans(docs, mode="bogus").collect()
+
+
+# ------------------------- property tests (hypothesis) -------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    # small token alphabet => real cross-doc k-gram collisions occur
+    _doc_st = st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]), min_size=0, max_size=40
+    ).map(" ".join)
+    _corpus_st = st.lists(_doc_st, min_size=1, max_size=8)
+
+    @given(texts=_corpus_st, mode=st.sampled_from(["winnow", "exact"]))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_remove_spans_char_conservation(spark, texts, mode):
+        """Invariants that must hold for ANY corpus, both modes:
+        one output row per input doc, len(out) == len(in) −
+        removed_chars, clean docs byte-identical, and every cut is
+        token-aligned (no mid-token truncation: the output never holds
+        MORE distinct alphabet tokens than the input)."""
+        docs = _docs(spark, list(enumerate(texts)))
+        out = {r["id"]: r for r in
+               remove_duplicate_spans(docs, k=4, w=3, mode=mode).collect()}
+        assert set(out) == set(range(len(texts)))
+        for i, t in enumerate(texts):
+            r = out[i]
+            assert len(r["text"]) == len(t) - r["removed_chars"]
+            if r["n_spans_removed"] == 0:
+                assert r["text"] == t
+            assert set(r["text"].split()) <= set(t.split()) | {""}

@@ -446,12 +446,16 @@ class SparkCollection:
             .persist()
         )
         try:
-            emptied = changed.filter(F.trim(F.col("text")) == "")
-            rewritten = changed.filter(F.trim(F.col("text")) != "")
+            # "emptied" must catch ALL whitespace remnants — F.trim
+            # strips only space (0x20), so a doc reduced to '\n' or
+            # '\t' would be re-upserted as junk instead of tombstoned
+            blank = F.col("text").rlike(r"^\s*$")
+            emptied = changed.filter(blank)
+            rewritten = changed.filter(~blank)
             stats = changed.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("removed_chars").alias("chars"),
-                F.count(F.when(F.trim(F.col("text")) == "", 1)).alias("gone"),
+                F.count(F.when(blank, 1)).alias("gone"),
             ).first()
             out = {
                 "rewritten": int(stats["n"] or 0) - int(stats["gone"] or 0),

@@ -739,6 +739,20 @@ def duplicate_clusters(
 # ---------------------------------------------- embedding cosine dedup
 
 
+def _dense_cells(rows: list) -> list:
+    """Remap centroid cell labels to dense ints by position.
+
+    ``deterministic_centroids`` labels cells with SOURCE ROW IDS —
+    strings for Collection docs (uuid) — but the assignment kernels
+    (``cell_assign_arrow``/``cell_topn_arrow``) return LONG cell ids,
+    so string labels crash the default facade paths. The rows arrive
+    cell-id-ordered (both centroid producers sort), so positional
+    labels preserve the documented (sim desc, cell_id asc) tie-break
+    and thus every pair/decision value; the labels themselves are
+    internal blocking keys in these consumers, never persisted."""
+    return [(i, v) for i, (_c, v) in enumerate(rows)]
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -786,7 +800,7 @@ def embedding_dup_pairs(
         # impl="hof": pure-JVM expression. Same values either way.
         from sifts_spark.operators.vector_search import centroid_rows
 
-        rows = centroid_rows(centroids)
+        rows = _dense_cells(centroid_rows(centroids))
         if impl == "arrow":
             from sifts_spark.functions.hashing import ensure_min_parallelism
             from sifts_spark.functions.vector import cell_assign_arrow
@@ -998,9 +1012,12 @@ def semdedup(
     eps-graph) and keep exactly one per group — the member with the
     LOWEST similarity to its cluster centroid (the paper's choice:
     among semantic duplicates, prefer the least prototypical example,
-    which preserves the most diversity). Singletons keep trivially;
+    which preserves the most diversity). Singletons keep trivially,
+    and so do rows with NULL embeddings (cell NULL, their own
+    singleton component — un-comparable is not droppable);
     ``component`` labels each group by its smallest member id so the
-    grouping itself is testable.
+    grouping itself is testable. ``cell`` is a dense positional label
+    of the centroid table, not the centroid producer's own id.
 
     Differences from :func:`embedding_dup_pairs` + clustering: this is
     a DECISION operator (keep/drop per row, the thing a curation
@@ -1028,13 +1045,24 @@ def semdedup(
 
     if centroids is None:
         centroids = deterministic_centroids(vectors, n_cells, id_col, vec_col)
-    rows = centroid_rows(centroids)
+    # dense positional cell labels: string doc-id labels (the facade
+    # default via deterministic_centroids) would crash the long-typed
+    # assignment kernel; ordering-preserving, values unchanged
+    rows = _dense_cells(centroid_rows(centroids))
     cent = {int(c): np.asarray(v, dtype=np.float64) for c, v in rows}
 
     base = track(
         ensure_min_parallelism(vectors)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("blk", cell_assign_arrow(F.col("v"), rows))
+        # NULL embeddings must not reach the assignment kernel: an
+        # all-NaN similarity row argmaxes to cell 0 (not NULL), which
+        # would put un-comparable rows inside a real cell's matmul
+        .withColumn(
+            "blk",
+            F.when(
+                F.col("v").isNotNull(), cell_assign_arrow(F.col("v"), rows)
+            ),
+        )
     )
 
     id_type = base.schema["id"].dataType.simpleString()
@@ -1096,8 +1124,20 @@ def semdedup(
             }
         )
 
-    return (
+    decided = (
         base.filter(F.col("blk").isNotNull())
         .groupBy("blk")
         .applyInPandas(_decide, schema=out_schema)
     )
+    # the one-row-per-vector contract includes NULL-embedding rows:
+    # unassignable vectors cannot be compared, so they keep trivially
+    # (cell NULL, their own singleton component) instead of silently
+    # vanishing from a keep==True filter
+    skipped = base.filter(F.col("blk").isNull()).select(
+        F.col("id"),
+        F.lit(None).cast("long").alias("cell"),
+        F.col("id").alias("component"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(True).alias("keep"),
+    )
+    return decided.unionByName(skipped)

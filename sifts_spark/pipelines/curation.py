@@ -113,7 +113,6 @@ def prepare_training_data(
     paragraph_dedup: bool = False,
     substring_dedup: bool = False,
     substring_k: int = 50,
-    substring_w: int = 10,
     bpe_model: dict | None = None,
     quality_model: dict | None = None,
     classifier_min_prob: float = 0.5,
@@ -138,9 +137,10 @@ def prepare_training_data(
        recomputed; docs left empty drop out;
     1b2. optional exact-substring dedup (Lee et al. 2021's ExactSubstr
        stage, ``substring_dedup=True``) — duplicated runs of
-       >= ``substring_w + substring_k - 1`` tokens keep only their
-       corpus-wide first copy
-       (:func:`~sifts_spark.operators.substring.remove_duplicate_spans`);
+       >= ``substring_k`` tokens keep only their corpus-wide first
+       copy (:func:`~sifts_spark.operators.substring
+       .remove_duplicate_spans` in exact mode — one fingerprint per
+       token, full-run span coverage);
     1c. optional model-based quality filter (GPT-3's classifier stage,
        ``quality_model`` from :func:`~sifts_spark.operators.classifier
        .train_quality_classifier`) — hard threshold
@@ -216,13 +216,14 @@ def prepare_training_data(
         from sifts_spark.operators.substring import remove_duplicate_spans
 
         cut = remove_duplicate_spans(
-            stage, id_col="id", text_col="text",
-            k=substring_k, w=substring_w,
+            stage, id_col="id", text_col="text", k=substring_k,
         )
         manifest["stages"]["substring_deduped"] = _advance(
             stage.drop("text", "n_tokens")
             .join(
-                cut.filter(F.length(F.trim(F.col("text"))) > 0)
+                # rlike, not trim: docs reduced to '\n'/'\t' remnants
+                # must drop out, and trim strips only space (0x20)
+                cut.filter(~F.col("text").rlike(r"^\s*$"))
                 .select("id", "text"),
                 "id",
             )
@@ -263,9 +264,17 @@ def prepare_training_data(
     if bpe_model is not None:
         from sifts_spark.operators.bpe import bpe_token_count
 
-        stage = stage.withColumn(
-            "n_tokens",
-            bpe_token_count(F.col("text"), bpe_model, stage.sparkSession),
+        # through _advance, NOT a bare rebind: the derived frame must
+        # be persisted (or packing + export each re-run the BPE kernel
+        # over the whole corpus) and the PARENT stage frame must be the
+        # one unpersisted (uncache matches exact plans only — dropping
+        # the handle to a persisted parent leaks it in executor
+        # storage through both exports)
+        manifest["stages"]["bpe_counted"] = _advance(
+            stage.withColumn(
+                "n_tokens",
+                bpe_token_count(F.col("text"), bpe_model, stage.sparkSession),
+            )
         )
         manifest["token_counter"] = "bpe"
     else:

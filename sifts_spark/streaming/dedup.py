@@ -92,16 +92,13 @@ def make_dedup_sink(
         report_dropped_buckets,
     )
 
+    from sifts_spark.streaming.ingest import durable_commit_markers
+
     spark = collection.store.spark
-    jvm = spark._jvm
-    HPath = jvm.org.apache.hadoop.fs.Path
-    commits = f"{checkpoint_dir.rstrip('/')}/_sifts_commits"
-    fs = HPath(commits).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.mkdirs(HPath(commits))
+    seen, mark = durable_commit_markers(spark, checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = HPath(f"{commits}/{batch_id}")
-        if fs.exists(marker):
+        if seen(batch_id):
             return
         if id_col not in batch_df.columns:
             raise ValueError(
@@ -110,10 +107,11 @@ def make_dedup_sink(
             )
         batch = batch_df.withColumn(id_col, F.col(id_col).cast("string"))
         if batch.isEmpty():
-            fs.createNewFile(marker)
+            mark(batch_id)
             return
         batch = batch.persist()
-        try:
+        cached = [batch]  # released in finally — a failed batch gets
+        try:              # retried; stranding caches would leak per attempt
             index = _read_sketch_index(spark, index_dir)
             pairs = minhash_lsh_pairs_incremental(
                 batch, index, id_col=id_col, text_col=content_col,
@@ -135,6 +133,7 @@ def make_dedup_sink(
                 .withColumn("_bn", F.coalesce("_bn", F.lit(False)))
                 .persist()
             )
+            cached.append(flagged)
             # vs-accepted pairs: the new side always loses (the index
             # holds only docs already committed — first wins)
             cross_victims = (
@@ -165,9 +164,11 @@ def make_dedup_sink(
                 .select("id")
             )
             victims = cross_victims.unionByName(batch_victims).persist()
+            cached.append(victims)
             survivors = batch.join(
                 victims.withColumnRenamed("id", id_col), id_col, "left_anti"
             ).persist()
+            cached.append(survivors)
             n_in, n_victims = batch.count(), victims.count()
             if n_victims:
                 logger.info(
@@ -189,12 +190,10 @@ def make_dedup_sink(
                     f"{index_dir.rstrip('/')}/batch={batch_id}"
                 )
             report_dropped_buckets()
-            flagged.unpersist()
-            victims.unpersist()
-            survivors.unpersist()
         finally:
-            batch.unpersist()
-        fs.createNewFile(marker)
+            for df in cached:
+                df.unpersist()
+        mark(batch_id)
 
     return sink
 

@@ -53,16 +53,10 @@ def make_idempotent_sink(
     agree), NULL-filled when absent; ANY explicitly passed absent
     column — including "metadata" itself — raises in add_dataframe.
     """
-    spark = collection.store.spark
-    jvm = spark._jvm
-    HPath = jvm.org.apache.hadoop.fs.Path
-    commits = f"{checkpoint_dir.rstrip('/')}/_sifts_commits"
-    fs = HPath(commits).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.mkdirs(HPath(commits))
+    seen, mark = durable_commit_markers(collection.store.spark, checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = HPath(f"{commits}/{batch_id}")
-        if fs.exists(marker):
+        if seen(batch_id):
             return
         if not batch_df.isEmpty():
             collection.add_dataframe(
@@ -71,9 +65,32 @@ def make_idempotent_sink(
                 content_col=content_col,
                 metadata_col=metadata_col,
             )
-        fs.createNewFile(marker)
+        mark(batch_id)
 
     return sink
+
+
+def durable_commit_markers(spark, checkpoint_dir: str):
+    """The durable per-batch commit-marker protocol shared by every
+    foreachBatch sink in this package → ``(seen, mark)`` closures over
+    ``<checkpoint>/_sifts_commits/<batch_id>`` zero-byte files on the
+    checkpoint's Hadoop FileSystem (object-store safe). One
+    implementation on purpose: a future change to the marker protocol
+    (e.g. conditional-put hardening) must not be able to diverge
+    between sinks."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    commits = f"{checkpoint_dir.rstrip('/')}/_sifts_commits"
+    fs = HPath(commits).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(HPath(commits))
+
+    def seen(batch_id: int) -> bool:
+        return bool(fs.exists(HPath(f"{commits}/{batch_id}")))
+
+    def mark(batch_id: int) -> None:
+        fs.createNewFile(HPath(f"{commits}/{batch_id}"))
+
+    return seen, mark
 
 
 def stream_collection_ingest(

@@ -485,3 +485,47 @@ def test_collection_dedup_substrings(store_root, spark):
     assert {r["id"]: r["content"] for r in col2.docs().collect()} == {
         "p": f"x {shared}", "q": f"y {shared} z"
     }
+
+
+def test_collection_semantic_and_embedding_defaults_with_string_ids(
+    store_root, spark
+):
+    """Facade default paths (no centroids kwarg): deterministic
+    centroids carry STRING doc ids as cell labels, which the long-typed
+    assignment kernel can't return — the dense positional remap must
+    make both dedup('semantic') and find_duplicates('embedding') work
+    out of the box."""
+    col = Collection(store_root, "semdef", spark=spark)
+    df = spark.createDataFrame(
+        [
+            ("u-a", "alpha doc", [1.0, 0.0]),
+            ("u-b", "alpha twin", [0.999, 0.01]),
+            ("u-c", "beta doc", [0.0, 1.0]),
+        ],
+        "id string, content string, embedding array<float>",
+    )
+    col.add_dataframe(df, embedding_col="embedding")
+    # n_cells=1: the near-dup vectors would BE the two seed centroids
+    # at n_cells=2 and split across cells (the documented IVF boundary
+    # trade); one cell keeps the test about the string-id remap
+    pairs = col.find_duplicates("embedding", threshold=0.99, n_cells=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("u-a", "u-b")}
+    assert col.dedup("semantic", eps=0.99, n_cells=1) == 1
+    assert col.count() == 2
+
+
+def test_dedup_substrings_whitespace_remnant_tombstoned(store_root, spark):
+    """A doc reduced to newline/tab remnants counts as emptied (trim
+    strips only space — the rlike predicate must catch all of \\s)."""
+    shared = " ".join(f"hdr{i}" for i in range(25))
+    col = Collection(store_root, "subws", spark=spark)
+    col.add(
+        [
+            f"keeper body {shared}",
+            shared + "\n\t\n",     # nothing but the run + newline/tabs
+        ],
+        ids=["a", "b"],
+    )
+    out = col.dedup_substrings(k=10, w=5)
+    assert out["removed"] == 1 and out["rewritten"] == 0
+    assert {r["id"] for r in col.docs().collect()} == {"a"}

@@ -300,3 +300,19 @@ class TestSemDeDup:
         n_in_groups = len({x for p in pairs for x in (p["id_a"], p["id_b"])})
         n_groups = len({comp[p["id_a"]] for p in pairs})
         assert n_dropped == n_in_groups - n_groups
+
+
+def test_semdedup_null_embeddings_keep_trivially(spark):
+    from sifts_spark.operators.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, None),           # un-comparable -> must still get a row
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in
+           semdedup(vecs, centroids=[(0, [1.0, 0.0])], eps=0.99).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["keep"] and out[3]["cell"] is None and out[3]["component"] == 3
+    assert sum(out[i]["keep"] for i in (1, 2)) == 1

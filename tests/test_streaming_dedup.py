@@ -63,12 +63,19 @@ def test_cross_batch_rejection_via_index(col, spark, tmp_path):
     sink(_df(spark, [("e", BASE + " coda"), ("f", "another fresh doc body")]), 1)
     ids = {r["id"] for r in col.docs().collect()}
     assert ids == {"a", "d", "f"}
-    # ...and rejected docs never enter the index: a near-dup of a
-    # REJECT (but not of any accepted doc) is admitted
-    far = BASE + " coda plus per-doc unique continuation stream"
-    # construct g ~ e but also ~ a (transitively the same base) — stays out
     sink(_df(spark, [("g", BASE + " coda extra")]), 2)
     assert "g" not in {r["id"] for r in col.docs().collect()}
+    # rejected docs never enter the index: it holds exactly the
+    # accepted ids (at Jaccard, any strong neighbor of a reject is
+    # necessarily a neighbor of the kept canonical — checking index
+    # membership pins the non-pollution contract directly)
+    idx_ids = {
+        r["id"]
+        for r in spark.read.parquet(
+            str(tmp_path / "index") + "/batch=*"
+        ).select("id").distinct().collect()
+    }
+    assert idx_ids == {"a", "d", "f"}
 
 
 def test_replay_is_idempotent(col, spark, tmp_path):

@@ -129,7 +129,7 @@ def test_prepare_training_data_substring_and_bpe_stages(spark, tmp_path):
         docs, str(tmp_path / "sub"),
         allowed_langs=("en", "de", "fr", "es", "zh"),
         min_quality=0.0, ppl_band=None,
-        substring_dedup=True, substring_k=12, substring_w=6,
+        substring_dedup=True, substring_k=12,
         bpe_model=bpe,
         target_file_mb=0.01,
     )

@@ -199,12 +199,59 @@ def importance_weights(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-doc DSIR log importance weight → ``(id, n_tokens,
-    log_weight)`` with ``log_weight = Σ_tok [log p_target(tok) −
-    log p_source(tok)]`` (Xie et al. 2023 eq. 2, unigram features —
-    their hashed-bigram model is the drop-in stronger variant; both
-    LMs come from ``train_unigram_lm``). Empty docs weigh 0. Map-side
-    Arrow kernel; both LMs ride ONE broadcast."""
+    log_weight)`` with ``log_weight = Σ_feat [log p_target(feat) −
+    log p_source(feat)]`` (Xie et al. 2023 eq. 2). Feature space
+    follows the models: two ``train_unigram_lm`` dicts → word
+    features (the stand-in); two
+    :func:`~sifts_spark.operators.textanalysis.train_hashed_ngram_lm`
+    dicts → hashed n-gram features (the paper's §2.2 space —
+    hashed BIGRAMS with the default n=2 — where ``n_tokens`` counts
+    n-grams). Mixing kinds raises: a log-ratio across different
+    feature spaces is meaningless. Empty docs weigh 0. Map-side Arrow
+    kernel; both LMs ride ONE broadcast."""
     from pyspark.sql.functions import pandas_udf
+
+    t_hashed = target_lm.get("kind") == "hashed_ngram_lm"
+    s_hashed = source_lm.get("kind") == "hashed_ngram_lm"
+    if t_hashed != s_hashed:
+        raise ValueError(
+            "target_lm and source_lm must share a feature space "
+            "(both unigram dicts or both hashed_ngram_lm models)"
+        )
+    if t_hashed:
+        if (target_lm["n"], target_lm["num_buckets"]) != (
+            source_lm["n"], source_lm["num_buckets"]
+        ):
+            raise ValueError(
+                "hashed LMs must share (n, num_buckets) or their "
+                "buckets don't align"
+            )
+        import numpy as np
+
+        from sifts_spark.operators.textanalysis import _py_gram_buckets
+
+        n, nb = int(target_lm["n"]), int(target_lm["num_buckets"])
+        bc_h = docs.sparkSession.sparkContext.broadcast(
+            np.frombuffer(target_lm["logprob"], dtype="<f4").astype("<f8")
+            - np.frombuffer(source_lm["logprob"], dtype="<f4").astype("<f8")
+        )
+
+        @pandas_udf("n_tokens long, log_weight double")
+        def _w(texts: pd.Series) -> pd.DataFrame:
+            diff = bc_h.value
+            rows = []
+            for t in texts:
+                bs = _py_gram_buckets(t, n, nb)
+                lw = float(diff[np.asarray(bs, dtype=np.int64)].sum()) if bs else 0.0
+                rows.append((len(bs), round(lw, 6)))
+            return pd.DataFrame(rows, columns=["n_tokens", "log_weight"])
+
+        base = ensure_min_parallelism(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        )
+        return base.select("id", _w(F.col("_t")).alias("_o")).select(
+            "id", "_o.n_tokens", "_o.log_weight"
+        )
 
     bc = docs.sparkSession.sparkContext.broadcast(
         {

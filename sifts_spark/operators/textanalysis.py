@@ -613,3 +613,124 @@ def find_contaminated(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("gram").alias("sample_ngram"),
     )
+
+
+def train_hashed_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    num_buckets: int = 1 << 20,
+    alpha: float = 1.0,
+) -> dict:
+    """Hashed n-gram language model → ``{"kind": "hashed_ngram_lm",
+    "n", "num_buckets", "logprob" (num_buckets float32 bytes),
+    "total_ngrams"}`` — DSIR's ACTUAL feature space (Xie et al. 2023
+    §2.2 use hashed bigrams; :func:`train_unigram_lm` is the weaker
+    word-level stand-in). The hashing trick caps the model at
+    ``num_buckets`` floats regardless of corpus vocabulary, which is
+    what makes it broadcastable: the default 2^20 buckets is a 4 MiB
+    float32 array, shipped once per executor.
+
+    Probabilities are add-``alpha`` smoothed over buckets:
+    ``p(b) = (count_b + alpha) / (total + alpha·num_buckets)`` — every
+    bucket (hence every possible n-gram) has nonzero mass, so the
+    importance log-ratio is always finite. Buckets are md5-derived
+    (engine-independent, replayable).
+
+    Distributed shape: ONE explode+groupBy whose cardinality is
+    bounded by ``num_buckets`` (map-side combine does the heavy
+    lifting — the shuffle carries at most num_buckets rows per
+    partition), then a bounded driver collect. The corpus is never
+    collected; training cost is one scan regardless of scale."""
+    import numpy as np
+
+    toks = tokenize(F.col(text_col))
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )).otherwise(F.array())
+    # md5-derived bucket: first 8 hex digits mod num_buckets (32 bits
+    # is plenty for 2^20 buckets; conv returns BIGINT)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % num_buckets
+    )
+    counts = (
+        docs.select(F.explode(grams).alias("g"))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    arr = np.zeros(num_buckets, dtype=np.int64)
+    for r in counts:
+        arr[r["b"]] = r["c"]
+    total = int(arr.sum())
+    if total == 0:
+        raise ValueError(f"corpus has no {n}-grams to train on")
+    lp = np.log((arr + alpha) / (total + alpha * num_buckets)).astype("<f4")
+    return {
+        "kind": "hashed_ngram_lm",
+        "n": n,
+        "num_buckets": num_buckets,
+        "logprob": lp.tobytes(),
+        "total_ngrams": total,
+    }
+
+
+def _py_gram_buckets(text: str, n: int, num_buckets: int) -> "list[int]":
+    """Python twin of the training bucket expression: md5 first-8-hex
+    of the space-joined token n-gram, mod num_buckets."""
+    import hashlib
+    import re
+
+    toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+    if len(toks) < n:
+        return []
+    return [
+        int(hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()[:8], 16)
+        % num_buckets
+        for i in range(len(toks) - n + 1)
+    ]
+
+
+def hashed_lm_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean log-likelihood under a hashed n-gram LM →
+    ``(id, n_ngrams, logprob_mean)`` (docs shorter than n tokens score
+    NULL). The model array rides a broadcast; scoring is one Arrow
+    scan, numpy fancy-indexing per batch — no shuffle, no join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n, nb = int(model["n"]), int(model["num_buckets"])
+    bc = docs.sparkSession.sparkContext.broadcast(
+        np.frombuffer(model["logprob"], dtype="<f4")
+    )
+
+    @pandas_udf("n_ngrams long, logprob_mean double")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        lp = bc.value
+        rows = []
+        for t in texts:
+            bs = _py_gram_buckets(t, n, nb)
+            if not bs:
+                rows.append((0, None))
+                continue
+            m = float(lp[np.asarray(bs, dtype=np.int64)].sum()) / len(bs)
+            rows.append((len(bs), round(m, 6)))
+        return pd.DataFrame(rows, columns=["n_ngrams", "logprob_mean"])
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    return base.select("id", _score(F.col("_t")).alias("_o")).select(
+        "id", "_o.n_ngrams", "_o.logprob_mean"
+    )

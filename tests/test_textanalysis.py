@@ -255,3 +255,109 @@ def test_find_contaminated_impl_twins(spark):
     evs = [r["text"].lower() for r in ev.collect()]
     for r in a.limit(5).collect():
         assert any(r["sample_ngram"] in t for t in evs)
+
+
+# ----------------------------- hashed n-gram LM (DSIR feature space)
+
+
+class TestHashedNgramLM:
+    CORPUS_A = ["new york city is big", "new york has new parks"] * 3
+    CORPUS_B = ["york new is strange order", "york new again york new"] * 3
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_train_counts_match_python_reference(self, spark):
+        from sifts_spark.operators.textanalysis import (
+            _py_gram_buckets,
+            train_hashed_ngram_lm,
+        )
+        import numpy as np
+
+        nb = 4096
+        m = train_hashed_ngram_lm(
+            self._docs(spark, self.CORPUS_A), n=2, num_buckets=nb
+        )
+        # rebuild the count vector in plain python
+        ref = np.zeros(nb, dtype=np.int64)
+        for t in self.CORPUS_A:
+            for b in _py_gram_buckets(t, 2, nb):
+                ref[b] += 1
+        lp = np.frombuffer(m["logprob"], dtype="<f4")
+        want = np.log((ref + 1.0) / (ref.sum() + nb)).astype("<f4")
+        assert m["total_ngrams"] == int(ref.sum())
+        assert np.allclose(lp, want)
+
+    def test_bigram_ratio_separates_word_order(self, spark):
+        """The point of bigram features: corpora with identical word
+        sets but different orderings are indistinguishable to a
+        unigram LM yet separable by hashed bigrams."""
+        from sifts_spark.operators.classifier import importance_weights
+        from sifts_spark.operators.textanalysis import train_hashed_ngram_lm
+
+        nb = 1 << 14
+        t_lm = train_hashed_ngram_lm(
+            self._docs(spark, self.CORPUS_A), n=2, num_buckets=nb
+        )
+        s_lm = train_hashed_ngram_lm(
+            self._docs(spark, self.CORPUS_B), n=2, num_buckets=nb
+        )
+        probe = self._docs(
+            spark, ["new york city is big and new", "york new strange order here"]
+        )
+        w = {r["id"]: r["log_weight"]
+             for r in importance_weights(probe, t_lm, s_lm).collect()}
+        assert w[0] > 0 > w[1]   # A-like doc up-weighted, B-like down
+
+    def test_scoring_and_short_docs(self, spark):
+        from sifts_spark.operators.textanalysis import (
+            hashed_lm_score,
+            train_hashed_ngram_lm,
+        )
+
+        m = train_hashed_ngram_lm(
+            self._docs(spark, self.CORPUS_A), n=2, num_buckets=2048
+        )
+        out = {r["id"]: r for r in hashed_lm_score(
+            self._docs(spark, ["new york", "word", "", None]), m
+        ).collect()}
+        assert out[0]["n_ngrams"] == 1 and out[0]["logprob_mean"] < 0
+        for i in (1, 2, 3):   # < n tokens -> NULL score
+            assert out[i]["n_ngrams"] == 0 and out[i]["logprob_mean"] is None
+        # in-distribution text scores higher than junk
+        probe = self._docs(spark, ["new york city is big", "zq xv qq jj kk"])
+        s = {r["id"]: r["logprob_mean"]
+             for r in hashed_lm_score(probe, m).collect()}
+        assert s[0] > s[1]
+
+    def test_kind_mismatch_raises(self, spark):
+        from sifts_spark.operators.classifier import importance_weights
+        from sifts_spark.operators.textanalysis import (
+            train_hashed_ngram_lm,
+            train_unigram_lm,
+        )
+
+        docs = self._docs(spark, self.CORPUS_A)
+        uni = train_unigram_lm(docs)
+        big = train_hashed_ngram_lm(docs, n=2, num_buckets=1024)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="feature space"):
+            importance_weights(docs, uni, big)
+        with _pt.raises(ValueError, match="buckets"):
+            importance_weights(
+                docs, big, train_hashed_ngram_lm(docs, n=2, num_buckets=2048)
+            )
+
+    def test_artifact_roundtrip(self, spark, tmp_path):
+        from sifts_spark.functions.artifacts import load_artifact, save_artifact
+        from sifts_spark.operators.textanalysis import train_hashed_ngram_lm
+
+        m = train_hashed_ngram_lm(
+            self._docs(spark, self.CORPUS_A), n=2, num_buckets=1024
+        )
+        save_artifact(spark, str(tmp_path / "lm.json"), m)
+        m2 = load_artifact(spark, str(tmp_path / "lm.json"))
+        assert m2["logprob"] == m["logprob"] and m2["num_buckets"] == 1024

@@ -581,6 +581,32 @@ def simhash_pairs(
     # Persisted: both self-join branches read the (narrow) fingerprint
     # table instead of re-running the sketch per side.
     fp = track(simhash_fingerprints(docs, id_col, text_col))
+    return hamming_pairs(
+        fp, max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        op_name="simhash_pairs",
+    )
+
+
+def hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "id",
+    hi_col: str = "simhash_hi",
+    lo_col: str = "simhash_lo",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
+    op_name: str = "hamming_pairs",
+) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED 64-bit fingerprints (two int32
+    halves) — the pairing engine behind :func:`simhash_pairs`, shared
+    with any other 64-bit locality hash (e.g. image pHash,
+    :func:`sifts_spark.operators.multimodal.image_phash_pairs`).
+    16-bit-chunk pigeonhole candidates + exact ``bit_count(xor)``
+    hamming, one bucket-keyed self-join, same skew cap."""
+    fp = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("simhash_hi"),
+        F.col(lo_col).alias("simhash_lo"),
+    )
     chunks = fp.select(
         "id",
         "simhash_hi",
@@ -594,7 +620,7 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash_hi", "simhash_lo", "ck.c", "ck.v")
-    chunks = cap_buckets(chunks, ["c", "v"], max_bucket_size, "simhash_pairs")
+    chunks = cap_buckets(chunks, ["c", "v"], max_bucket_size, op_name)
     if max_bucket_size is not None:
         chunks = track(chunks)  # guard computes once, not per join side
     l, r = chunks.alias("l"), chunks.alias("r")

@@ -351,3 +351,139 @@ def sample_video_frames(
     return media.select("media_id", "payload", "meta").mapInPandas(
         process, out_schema
     )
+
+
+# ----------------------------------------- perceptual image hashing (pHash)
+
+
+class RealImagePHasher:
+    """Pillow-backed perceptual hash: bytes → 64-bit DCT pHash (the
+    classic recipe, Zauner 2010 / pHash.org): grayscale → 32×32
+    resize → 2-D orthonormal DCT-II (one 32×32 matrix sandwich in
+    numpy, no scipy) → top-left 8×8 low-frequency block → bit i = 1
+    iff coefficient > median of the 63 AC coefficients (DC excluded —
+    it encodes brightness, not structure). Robust to re-encoding,
+    resizing, and small edits; hamming distance ≈ perceptual distance.
+
+    Same optional-dependency posture as :class:`RealImageDecoder`:
+    fail fast driver-side, import Pillow per call on executors."""
+
+    def __init__(self) -> None:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "RealImagePHasher requires Pillow; without image codecs "
+                "use FakeImagePHasher (deterministic plumbing twin) or "
+                "inject your own hasher callable"
+            ) from e
+
+    def __call__(self, payload: bytes) -> int:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            a = np.asarray(
+                img.convert("L").resize((32, 32), Image.BILINEAR),
+                dtype=np.float64,
+            )
+        n = 32
+        k = np.arange(n)
+        d = np.sqrt(2.0 / n) * np.cos(
+            np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
+        )
+        d[0, :] = np.sqrt(1.0 / n)
+        f = d @ a @ d.T
+        block = f[:8, :8].flatten()
+        med = np.median(block[1:])  # exclude DC
+        bits = (block > med).astype(np.uint64)
+        h = np.uint64(0)
+        for b in bits:
+            h = (h << np.uint64(1)) | b
+        return int(h)
+
+
+class FakeImagePHasher:
+    """Deterministic stand-in: 64 bits from the payload's sha256 —
+    identical payloads collide (hamming 0), unrelated payloads land at
+    ~32 hamming, exercising the full pairing path codec-free."""
+
+    def __call__(self, payload: bytes) -> int:
+        return int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("phash_hi", T.IntegerType(), True),
+        T.StructField("phash_lo", T.IntegerType(), True),
+    ]
+)
+
+
+def image_phash(
+    media: DataFrame,
+    hasher=None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media rows → ``(id, phash_hi, phash_lo)`` 64-bit perceptual
+    hashes as two signed int32 halves (the JVM-bit-op-friendly layout
+    :func:`~sifts_spark.operators.dedup.hamming_pairs` shares with
+    SimHash). NULL payloads hash NULL. Narrow map, no shuffle."""
+    hsh = hasher or FakeImagePHasher()
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    rows.append((media_id, None, None))
+                    continue
+                h = hsh(bytes(payload)) & 0xFFFFFFFFFFFFFFFF
+                hi = (h >> 32) & 0xFFFFFFFF
+                lo = h & 0xFFFFFFFF
+                # two's-complement into signed int32
+                rows.append((
+                    media_id,
+                    hi - (1 << 32) if hi >= (1 << 31) else hi,
+                    lo - (1 << 32) if lo >= (1 << 31) else lo,
+                ))
+            yield pd.DataFrame(rows, columns=["id", "phash_hi", "phash_lo"])
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(process, PHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    hasher=None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by pHash hamming ≤ ``max_hamming`` →
+    ``(id_a, id_b, hamming)`` — the multimodal twin of text SimHash
+    dedup, sharing its pairing engine (16-bit-chunk pigeonhole
+    buckets, exact bit_count(xor), skew cap). Feed the output to
+    :func:`~sifts_spark.operators.dedup.duplicate_clusters` for
+    keep-one-per-group image dedup."""
+    from sifts_spark.caching import track
+    from sifts_spark.operators.dedup import hamming_pairs
+
+    fps = track(
+        image_phash(media, hasher, id_col, payload_col).filter(
+            F.col("phash_hi").isNotNull()
+        )
+    )
+    return hamming_pairs(
+        fps, id_col="id", hi_col="phash_hi", lo_col="phash_lo",
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        op_name="image_phash_pairs",
+    )

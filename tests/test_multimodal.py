@@ -214,3 +214,94 @@ def test_real_audio_decoder_soundfile_backend(spark):
     dur, sr, rms = dec(_wav_bytes(440.0, 1.0))
     assert (dur, sr) == (1.0, 16000)
     assert rms == pytest.approx(0.5 / 2**0.5, abs=0.01)
+
+
+# ------------------------------------------- perceptual hashing (pHash)
+
+
+class TestImagePHash:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id string, payload binary")
+
+    def test_fake_hasher_pairs_exact_copies(self, spark):
+        from sifts_spark.operators.multimodal import image_phash_pairs
+
+        blob = b"\x89PNGfake-bytes" * 20
+        media = self._media(
+            spark,
+            [("a", blob), ("b", blob), ("c", b"other-payload" * 30), ("d", None)],
+        )
+        pairs = image_phash_pairs(media, max_hamming=0).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
+        assert pairs[0]["hamming"] == 0
+
+    def test_phash_deterministic_and_null_payload(self, spark):
+        from sifts_spark.operators.multimodal import image_phash
+
+        media = self._media(spark, [("x", b"abc" * 50), ("y", None)])
+        a = sorted(map(tuple, image_phash(media).collect()))
+        b = sorted(map(tuple, image_phash(media).collect()))
+        assert a == b
+        rows = {r["id"]: r for r in image_phash(media).collect()}
+        assert rows["y"]["phash_hi"] is None and rows["y"]["phash_lo"] is None
+        assert rows["x"]["phash_hi"] is not None
+
+    def test_real_phasher_similar_images_close(self, spark):
+        PIL = pytest.importorskip("PIL")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from sifts_spark.operators.multimodal import (
+            RealImagePHasher,
+            image_phash_pairs,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+
+        def png(arr):
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            return buf.getvalue()
+
+        tweaked = base.copy()
+        tweaked[:4, :4] = 0  # small local edit
+        noise = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        media = self._media(
+            spark, [("orig", png(base)), ("tweak", png(tweaked)), ("noise", png(noise))]
+        )
+        pairs = image_phash_pairs(
+            media, hasher=RealImagePHasher(), max_hamming=10
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert ("orig", "tweak") in found        # small edit -> near-dup
+        assert ("noise", "orig") not in found and ("noise", "tweak") not in found
+
+    def test_real_phasher_survives_reencode_resize(self, spark):
+        PIL = pytest.importorskip("PIL")
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from sifts_spark.operators.multimodal import RealImagePHasher
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+
+        def enc(im, fmt, **kw):
+            buf = io.BytesIO()
+            im.save(buf, format=fmt, **kw)
+            return buf.getvalue()
+
+        h = RealImagePHasher()
+        a = h(enc(img, "PNG"))
+        b = h(enc(img, "JPEG", quality=90))
+        c = h(enc(img.resize((120, 120), Image.BILINEAR), "PNG"))
+        def ham(x, y):
+            return bin(x ^ y).count("1")
+        assert ham(a, b) <= 10    # lossy re-encode: structure preserved
+        assert ham(a, c) <= 10    # resize: structure preserved

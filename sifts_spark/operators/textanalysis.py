@@ -637,27 +637,27 @@ def train_hashed_ngram_lm(
     importance log-ratio is always finite. Buckets are md5-derived
     (engine-independent, replayable).
 
-    Distributed shape: ONE explode+groupBy whose cardinality is
-    bounded by ``num_buckets`` (map-side combine does the heavy
-    lifting — the shuffle carries at most num_buckets rows per
-    partition), then a bounded driver collect. The corpus is never
-    collected; training cost is one scan regardless of scale."""
+    Distributed shape: ONE Arrow gram-bucket kernel (the
+    find_contaminated lesson — per-gram md5 through interpreted JVM
+    transform/conv expressions measured 8× slower at the 10× corpus)
+    → explode → groupBy whose cardinality is bounded by
+    ``num_buckets`` (map-side combine does the heavy lifting — the
+    shuffle carries at most num_buckets rows per partition), then a
+    bounded driver collect. The corpus is never collected; training
+    cost is one scan regardless of scale."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    toks = tokenize(F.col(text_col))
-    grams = F.when(F.size(toks) >= n, F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )).otherwise(F.array())
-    # md5-derived bucket: first 8 hex digits mod num_buckets (32 bits
-    # is plenty for 2^20 buckets; conv returns BIGINT)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
-        % num_buckets
-    )
+    @pandas_udf("array<long>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        return pd.Series([_py_gram_buckets(t, n, num_buckets) for t in texts])
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
     counts = (
-        docs.select(F.explode(grams).alias("g"))
-        .select(bucket.alias("b"))
+        ensure_min_parallelism(docs.select(F.col(text_col).alias("_t")))
+        .select(F.explode(_buckets(F.col("_t"))).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()

@@ -75,3 +75,32 @@ def test_new_extension_ops_no_allpairs_shapes(spark):
         )
         for bad in _FORBIDDEN:
             assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+def test_phash_and_hashed_lm_no_allpairs_shapes(spark):
+    from pyspark.sql import functions as F
+
+    from sifts_spark.operators.classifier import importance_weights
+    from sifts_spark.operators.multimodal import image_phash_pairs
+    from sifts_spark.operators.textanalysis import train_hashed_ngram_lm
+    from sifts_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    t = train_hashed_ngram_lm(docs, n=2, num_buckets=4096)
+    s = train_hashed_ngram_lm(docs.limit(25), n=2, num_buckets=4096)
+    frames = {
+        "image_phash_pairs": image_phash_pairs(media, max_hamming=0),
+        "dsir_weights_bigram": importance_weights(docs, t, s),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        for bad in _FORBIDDEN:
+            assert bad not in plan, f"{name}: {bad} in physical plan"

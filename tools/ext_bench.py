@@ -104,6 +104,24 @@ def main() -> None:
         lambda: train_bpe(docs, num_merges=2000, sample_docs=5000),
     )
     cents = timed_setup("kmeans_centroids", lambda: kmeans_centroids(emb))
+    from sifts_spark.operators.textanalysis import train_hashed_ngram_lm
+
+    big_t = timed_setup(
+        "bigram_lm_target_train",
+        lambda: train_hashed_ngram_lm(half, n=2, num_buckets=1 << 18),
+    )
+    big_s = timed_setup(
+        "bigram_lm_source_train",
+        lambda: train_hashed_ngram_lm(other, n=2, num_buckets=1 << 18),
+    )
+    # image payloads synthesized from doc text bytes: the pHash bench
+    # measures the hashing + pairing engine, not a codec
+    from sifts_spark.operators.multimodal import image_phash_pairs
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
 
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
@@ -118,6 +136,8 @@ def main() -> None:
             "doc_id", bpe_token_count(F.col("text"), bpe, spark).alias("n")
         ),
         "semdedup": lambda: semdedup(emb, centroids=cents, eps=0.95),
+        "dsir_weights_bigram": lambda: importance_weights(docs, big_t, big_s),
+        "image_phash_pairs": lambda: image_phash_pairs(media, max_hamming=0),
     }
 
     times: dict[str, float] = {}

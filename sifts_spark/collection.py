@@ -782,10 +782,25 @@ class SparkCollection:
             query_string, where, order_by, vector_search, approx, nprobe,
             adc_limit=limit, refine=refine,
         )
-        total = df.count()  # R8: pre-limit total, distributed count
-        df = self._paginate(df, is_search, order_by, limit, offset)
-        proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
-        rows = df.select(*proj).collect()
+        # One compute serves both the total and the page (the same
+        # persist posture as hybrid_query's pool): without it the
+        # count() and the paginated collect() each re-run the whole
+        # match/join subtree — 2x the single most-used entry point.
+        # For searches the frame is candidate-pool-sized; for plain
+        # scans it is snapshot-sized and spills to executor-local disk
+        # (MEMORY_AND_DISK), still cheaper than a second full match
+        # pass. query() is the driver-side dict API; the bulk path
+        # (query_df) stays lazy and never counts.
+        df = df.persist()
+        try:
+            total = df.count()  # R8: pre-limit total, distributed count
+            page = self._paginate(df, is_search, order_by, limit, offset)
+            proj = ["id", "content", "metadata"] + (
+                ["rank"] if is_search else []
+            )
+            rows = page.select(*proj).collect()
+        finally:
+            df.unpersist()
 
         results = []
         for r in rows:

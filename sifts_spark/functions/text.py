@@ -60,7 +60,13 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
         f"list_transform(generate_series(1, len({t}) - {n} + 1),"
         f" _i -> array_to_string({t}[_i:_i+{n - 1}], ' '))"
     )
-    return f"CASE WHEN len({t}) >= {n} THEN {grams} ELSE [array_to_string({t}, ' ')] END"
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — without it an empty-token doc's whole-text
+    # shingle diverges from the Spark twin (md5(NULL) is NULL).
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN {grams}"
+        f" ELSE [coalesce(array_to_string({t}, ' '), '')] END"
+    )
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:

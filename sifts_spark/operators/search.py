@@ -163,7 +163,14 @@ def search_postings(
     )
     # Per (id, leaf): tf sums over every term the leaf matches (a prefix
     # leaf can match many terms in one doc; a plain term exactly one).
-    matched = (
+    from sifts_spark.caching import track
+
+    # Candidate-pool-sized; persisted (session cache registry) because
+    # the plan reads it TWICE — once for the dfreq aggregate below and
+    # once as the scoring input it joins back into. Without the persist
+    # the filtered-postings groupBy subtree appears twice in the
+    # physical plan, doubling the postings read per text query.
+    matched = track(
         postings.filter(cond)
         .select("id", "tf", "dl", F.explode(tags).alias("tag"))
         .groupBy("id", "tag")

@@ -529,3 +529,70 @@ def test_dedup_substrings_whitespace_remnant_tombstoned(store_root, spark):
     out = col.dedup_substrings(k=10, w=5)
     assert out["removed"] == 1 and out["rewritten"] == 0
     assert {r["id"] for r in col.docs().collect()} == {"a"}
+
+
+# ---------------------------------------------- r7: single-execution
+
+
+def test_query_counts_persisted_frame_once(store_root, spark, monkeypatch):
+    """r6 VERDICT item 4: query()'s total and page share ONE execution
+    of the match plan. Evidence: the frame count() runs on is persisted
+    (so the paginated collect reads the cache, not the match subtree),
+    the page's executed plan scans that cache, and the cache is
+    released before query() returns."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4; instance method lookup resolves on classic)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    col = ten_doc_fixture(store_root, spark)
+
+    seen = {}
+    orig_count = DataFrame.count
+    orig_collect = DataFrame.collect
+
+    def spy_count(self):
+        seen["persisted_at_count"] = (
+            self.storageLevel.useMemory or self.storageLevel.useDisk
+        )
+        seen["frame"] = self
+        return orig_count(self)
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        seen["page_plan"] = self._jdf.queryExecution().executedPlan().toString()
+        return out
+
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    res = col.query("Lorem", limit=3)
+    assert res["total"] == 10 and len(res["results"]) == 3
+    assert seen["persisted_at_count"] is True
+    assert "InMemoryTableScan" in seen["page_plan"]
+    # released on exit — no cache outlives the call
+    lvl = seen["frame"].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_search_postings_caches_candidate_pool(spark):
+    """r6 VERDICT item 5: the dfreq branch must not recompute the
+    filtered-postings groupBy — the candidate pool is persisted and the
+    executed plan reads it via InMemoryTableScan (twice: once for dfreq,
+    once for scoring). Cache lifetime: the InMemoryRelation lives inside
+    the result plan, so Spark's ContextCleaner frees it when the result
+    frame is dropped; release_all() handles frames still referenced."""
+    from sifts_spark.operators import search as S
+    from sifts_spark.queryparser import parse_query
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma token{i}") for i in range(20)],
+        "doc_id string, text string",
+    )
+    postings = S.build_postings(docs, "doc_id", "text")
+    out = S.search_postings(postings, parse_query("alpha and beta"))
+    rows = out.collect()
+    assert len(rows) == 20
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2  # both consumers read the cache
+    # the filtered-postings aggregate feeding the cache appears ONCE:
+    # everything upstream of the InMemoryRelation is outside executedPlan
+    assert "postings" not in plan or plan.count("Scan parquet") == 0

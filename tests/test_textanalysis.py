@@ -361,3 +361,91 @@ class TestHashedNgramLM:
         save_artifact(spark, str(tmp_path / "lm.json"), m)
         m2 = load_artifact(spark, str(tmp_path / "lm.json"))
         assert m2["logprob"] == m["logprob"] and m2["num_buckets"] == 1024
+
+
+# --------------------------------------------------------------- r7:
+# text_fingerprint / text_boilerplate ceded their driver-oracle rows to
+# the round-6 family (r6 VERDICT item 1); these DuckDB twins keep their
+# value semantics pinned with the same engine-independence the catalog
+# oracle gave them.
+
+
+_FPB_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha  BETA gamma delta epsilon zeta"),   # ws/case: same exact_md5
+    (3, "alpha beta gamma delta epsilon eta"),     # near-dup: shares shingles
+    (4, "one two three four five six seven"),
+    (5, "one two three four five six seven"),      # exact dup of 4
+    (6, "one two three four five six eight"),
+    (7, "one two three four five six nine"),
+    (8, "one two three four five six ten"),
+    (9, "solo"),                                   # < shingle_size tokens
+    (10, ""),                                      # empty
+]
+
+
+def test_fingerprint_duckdb_twin(spark):
+    import duckdb
+
+    from sifts_spark.functions.text import shingles_sql, tokenize_sql
+    from sifts_spark.operators.textanalysis import fingerprint
+
+    docs = spark.createDataFrame(_FPB_ROWS, "doc_id long, text string")
+    got = {
+        r["id"]: (r["exact_md5"], r["winnow_fp"])
+        for r in fingerprint(docs, k=4, shingle_size=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _FPB_ROWS)
+    toks = tokenize_sql("text")
+    sh = shingles_sql(toks, 3)
+    sql = rf"""
+    SELECT doc_id AS id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS exact_md5,
+           md5(array_to_string(
+                 list_sort(list_transform(list_distinct({sh}), _s -> md5(_s)))[1:4],
+                 '|')) AS winnow_fp
+    FROM documents
+    """
+    ref = {rid: (e, w) for rid, e, w in con.sql(sql).fetchall()}
+    assert got == ref
+    assert got[1][0] == got[2][0]          # ws/case-normalized exact key
+    assert got[4] == got[5]                # exact dups agree on both keys
+
+
+def test_boilerplate_score_duckdb_twin(spark):
+    import duckdb
+
+    from sifts_spark.functions.text import shingles_sql, tokenize_sql
+    from sifts_spark.operators.textanalysis import boilerplate_score
+
+    docs = spark.createDataFrame(_FPB_ROWS, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_common"], r["boiler_ratio"])
+        for r in boilerplate_score(docs, shingle_size=3, min_df=5).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", _FPB_ROWS)
+    sh = shingles_sql(tokenize_sql("text"), 3)
+    sql = f"""
+    WITH base AS (
+      SELECT doc_id AS id, list_distinct({sh}) AS shs FROM documents
+    ), f AS (
+      SELECT id, x AS s FROM base, unnest(shs) AS t(x)
+    ), common AS (
+      SELECT s FROM (SELECT s, count(*) AS _df FROM f GROUP BY s) WHERE _df >= 5
+    ), nc AS (
+      SELECT id, count(*) AS n_common FROM f JOIN common USING (s) GROUP BY id
+    )
+    SELECT base.id,
+           CAST(len(shs) AS INT) AS n_shingles,
+           CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(nc.n_common, 0) / greatest(len(shs), 1), 6) AS boiler_ratio
+    FROM base LEFT JOIN nc ON base.id = nc.id
+    """
+    ref = {rid: (n, c, b) for rid, n, c, b in con.sql(sql).fetchall()}
+    assert got == ref
+    # docs 4-8 share 'one two three'-family shingles at df >= 5
+    assert got[4][1] > 0 and got[4][2] > 0

@@ -309,16 +309,20 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, jaccard_threshold)
 
 
-def _verify_jaccard(cand: DataFrame, jaccard_threshold: float) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame, jaccard_threshold: float, extra_cols: tuple = ()
+) -> DataFrame:
     """Exact Jaccard on (id_a, id_b, sh_a, sh_b) candidates → thresholded
-    (id_a, id_b, jaccard) — the verify step shared by the self-join and
-    incremental LSH paths."""
+    (id_a, id_b, jaccard[, *extra_cols]) — the verify step shared by the
+    self-join and incremental LSH paths."""
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), *extra_cols
+        )
     )
 
 
@@ -334,9 +338,16 @@ def minhash_lsh_pairs_incremental(
     impl: str = "arrow",
     max_bucket_size: int | None = 10_000,
     include_new_new: bool = True,
+    include_origin: bool = False,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an already-indexed corpus
     → (id_a, id_b, jaccard) — every pair involves ≥1 new doc.
+    ``include_origin=True`` appends boolean ``a_new`` / ``b_new``
+    columns: True iff that side's candidate rows came ONLY from the new
+    batch. An id present in BOTH (a re-sent id) flags False — consumers
+    that give already-accepted docs precedence (streaming/dedup.py)
+    must classify by provenance, not by batch id-membership, or a
+    re-sent id's index-backed pairs degrade to within-batch ties.
 
     ``index`` is :func:`minhash_banded_sketches` output for the base
     corpus (read back from wherever it was persisted; same
@@ -384,23 +395,41 @@ def minhash_lsh_pairs_incremental(
         if include_new_new
         else (F.col("l._new") != F.col("r._new"))
     )
-    cand = (
-        combined.alias("l")
-        .join(
-            combined.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id"))
-            & new_flag,
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = combined.alias("l").join(
+        combined.alias("r"),
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.key") == F.col("r.key"))
+        & (F.col("l.id") < F.col("r.id"))
+        & new_flag,
     )
+    if include_origin:
+        # min over the origin flag = logical AND across a pair's source
+        # rows: a side backed by ANY index row (incl. a re-sent id's
+        # old sketches) classifies as already-accepted.
+        cand = (
+            cand.select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.sh").alias("sh_a"),
+                F.col("r.sh").alias("sh_b"),
+                F.col("l._new").alias("a_new"),
+                F.col("r._new").alias("b_new"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.first("sh_a").alias("sh_a"),
+                F.first("sh_b").alias("sh_b"),
+                F.min("a_new").alias("a_new"),
+                F.min("b_new").alias("b_new"),
+            )
+        )
+        return _verify_jaccard(cand, jaccard_threshold, ("a_new", "b_new"))
+    cand = cand.select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.col("l.sh").alias("sh_a"),
+        F.col("r.sh").alias("sh_b"),
+    ).dropDuplicates(["id_a", "id_b"])
     return _verify_jaccard(cand, jaccard_threshold)
 
 

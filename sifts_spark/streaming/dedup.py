@@ -19,7 +19,12 @@ near-duplicates that a later batch job has to claw back. The composition:
 * ACCEPTED docs append both to the collection and to the sketch index
   (``<index_dir>/batch=<micro_batch_id>``, overwrite mode — a replayed
   batch rewrites the identical sketches instead of doubling them), so
-  batch N+1 dedups against batch N with no rebuild.
+  batch N+1 dedups against batch N with no rebuild;
+* the index is size-tiered-compacted in place
+  (:func:`compact_sketch_index`): batch dirs fold into ``fold=<lo>-<hi>``
+  ranges once ``compact_every`` of them accumulate, folds fold into
+  bigger folds — so a stream running for months lists a bounded number
+  of dirs per batch instead of one per micro-batch ever ingested.
 
 Rejected docs never enter the index: a near-dup of an accepted doc is
 dropped even if it arrives a thousand batches later, while two docs
@@ -35,8 +40,9 @@ Nothing corpus-sized moves.
 from __future__ import annotations
 
 import logging
+import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -48,20 +54,200 @@ _SKETCH_SCHEMA = (
     "id string, sh array<string>, band int, key string"
 )
 
+_BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
+_FOLD_DIR_RE = re.compile(r"^fold=(\d+)-(\d+)$")
+
+
+def _index_fs(spark, index_dir: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _index_layout(spark, index_dir: str) -> tuple:
+    """Crash-consistent view of the sketch index directory →
+    ``(folds, batches, stale)``:
+
+    * ``folds`` — live fold ranges ``[(lo, hi), ...]``: dirs named
+      ``fold=<lo>-<hi>`` whose ``_SUCCESS`` marker exists and whose
+      range is NOT contained in another live fold (containment = the
+      bigger fold already holds these rows — the small one is a
+      not-yet-reclaimed compaction source);
+    * ``batches`` — live micro-batch ids: ``batch=<n>`` dirs with n
+      outside every live fold range (a covered dir is a compaction
+      source whose deletion didn't land before a crash, or an
+      already-folded batch a replay re-materialized — reading it would
+      double its rows);
+    * ``stale`` — dir names safe to reclaim: covered batch dirs,
+      contained folds, and partial folds (no ``_SUCCESS``) covered by a
+      live fold.
+    """
+    jvm, fs, root = _index_fs(spark, index_dir)
+    if not fs.exists(root):
+        return [], [], []
+    all_folds: list[tuple[int, int, bool]] = []
+    batch_ids: list[int] = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if m := _BATCH_DIR_RE.match(name):
+            batch_ids.append(int(m.group(1)))
+        elif m := _FOLD_DIR_RE.match(name):
+            ok = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{name}/_SUCCESS")
+            )
+            all_folds.append((int(m.group(1)), int(m.group(2)), ok))
+    live_folds = [
+        (lo, hi)
+        for lo, hi, ok in all_folds
+        if ok
+        and not any(
+            (lo2 <= lo and hi <= hi2 and (lo2, hi2) != (lo, hi) and ok2)
+            for lo2, hi2, ok2 in all_folds
+        )
+    ]
+    covered = lambda n: any(lo <= n <= hi for lo, hi in live_folds)  # noqa: E731
+    live_batches = sorted(b for b in batch_ids if not covered(b))
+    stale = [f"batch={b}" for b in batch_ids if covered(b)] + [
+        f"fold={lo}-{hi}"
+        for lo, hi, ok in all_folds
+        if (lo, hi) not in live_folds
+        and any(lo2 <= lo and hi <= hi2 for lo2, hi2 in live_folds)
+    ]
+    return sorted(live_folds), live_batches, stale
+
+
+def _has_data(jvm, fs, path: str) -> bool:
+    gl = fs.globStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/[!_.]*"))
+    return gl is not None and len(gl) > 0
+
+
+def _live_index_paths(spark, index_dir: str) -> list[str]:
+    jvm, fs, _ = _index_fs(spark, index_dir)
+    folds, batches, _stale = _index_layout(spark, index_dir)
+    paths = [f"{index_dir}/fold={lo}-{hi}" for lo, hi in folds]
+    paths += [f"{index_dir}/batch={b}" for b in batches]
+    return [p for p in paths if _has_data(jvm, fs, p)]
+
 
 def _read_sketch_index(spark, index_dir: str) -> DataFrame:
-    """The accepted-docs sketch index, or an empty frame before the
-    first commit (absent dir / no parquet yet)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p) and len(fs.globStatus(
-        jvm.org.apache.hadoop.fs.Path(f"{index_dir}/batch=*/[!_.]*")
-    ) or []) > 0:
-        return spark.read.schema(_SKETCH_SCHEMA).option(
-            "basePath", index_dir
-        ).parquet(f"{index_dir}/batch=*").select("id", "sh", "band", "key")
-    return spark.createDataFrame([], _SKETCH_SCHEMA)
+    """The accepted-docs sketch index (live folds + live batch dirs),
+    or an empty frame before the first commit."""
+    paths = _live_index_paths(spark, index_dir)
+    if not paths:
+        return spark.createDataFrame([], _SKETCH_SCHEMA)
+    return spark.read.schema(_SKETCH_SCHEMA).parquet(*paths).select(
+        "id", "sh", "band", "key"
+    )
+
+
+def compact_sketch_index(
+    spark,
+    index_dir: str,
+    max_batch_dirs: int = 16,
+    max_fold_dirs: int = 8,
+    max_fold_bytes: int | None = None,
+) -> dict:
+    """Size-tiered compaction of the streaming sketch index — the
+    ``DocumentStore.compact``/``vacuum`` posture applied to the
+    ``stream_dedup_ingest`` sidecar, which otherwise accretes one
+    ``batch=<micro_batch_id>`` dir per micro-batch forever (listing +
+    task overhead per batch grows linearly with stream age).
+
+    Two tiers, mirroring an LSM:
+
+    * **minor** — when live ``batch=*`` dirs reach ``max_batch_dirs``,
+      fold them into one ``fold=<lo>-<hi>`` dir. Work is
+      increment-sized (never touches existing folds). Newest batch
+      wins per id, so a re-sent (upserted) id keeps only its freshest
+      sketches.
+    * **major** — when live folds reach ``max_fold_dirs``, merge the
+      maximal RECENT suffix of folds each under ``max_fold_bytes``
+      (None = all of them, the full rewrite) into one covering fold;
+      higher-range sources win per id. The suffix rule is the store's
+      size-tier invariant: old big folds are left alone, so bytes
+      rewritten stay tier-sized, not corpus-sized.
+
+    Crash-safety without a manifest: a fold is LIVE only once its
+    ``_SUCCESS`` lands, and readers (:func:`_index_layout`) ignore any
+    batch dir covered by a live fold's range and any fold contained in
+    a bigger live fold — so the write-fold-then-delete-sources protocol
+    never double-counts, whichever step a crash interrupts; orphaned
+    sources are reclaimed as ``stale`` on the next call. Safe because
+    the sink is the index's only reader/writer and micro-batches are
+    sequential (no reader can be mid-plan on a source being reclaimed —
+    the multi-writer store needs vacuum retention for that; this
+    sidecar does not).
+
+    Returns ``{"minor": bool, "major": bool, "reclaimed": int}``.
+    """
+    jvm, fs, _root = _index_fs(spark, index_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    out = {"minor": False, "major": False, "reclaimed": 0}
+
+    def _reclaim() -> None:
+        _folds, _batches, stale = _index_layout(spark, index_dir)
+        for name in stale:
+            try:
+                fs.delete(Path(f"{index_dir}/{name}"), True)
+                out["reclaimed"] += 1
+            except Exception:  # pragma: no cover - best-effort cleanup
+                logger.warning("sketch-index reclaim failed for %s", name)
+
+    _reclaim()
+    folds, batches, _stale = _index_layout(spark, index_dir)
+
+    def _tagged(path: str, rank: int) -> DataFrame:
+        return spark.read.schema(_SKETCH_SCHEMA).parquet(path).withColumn(
+            "_b", F.lit(rank)
+        )
+
+    def _fold(frames: list[DataFrame], lo: int, hi: int) -> None:
+        src = frames[0]
+        for f in frames[1:]:
+            src = src.unionByName(f)
+        w = Window.partitionBy("id")
+        (
+            src.withColumn("_mb", F.max("_b").over(w))
+            .filter(F.col("_b") == F.col("_mb"))
+            .select("id", "sh", "band", "key")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/fold={lo}-{hi}")
+        )
+
+    if len(batches) >= max_batch_dirs:
+        frames = [
+            _tagged(f"{index_dir}/batch={b}", b)
+            for b in batches
+            if _has_data(jvm, fs, f"{index_dir}/batch={b}")
+        ]
+        if frames:
+            _fold(frames, min(batches), max(batches))
+            out["minor"] = True
+            _reclaim()
+            folds, batches, _stale = _index_layout(spark, index_dir)
+
+    if len(folds) >= max_fold_dirs:
+        suffix = list(folds)
+        if max_fold_bytes is not None:
+            suffix = []
+            for lo, hi in reversed(folds):
+                size = fs.getContentSummary(
+                    Path(f"{index_dir}/fold={lo}-{hi}")
+                ).getLength()
+                if size >= max_fold_bytes:
+                    break
+                suffix.append((lo, hi))
+            suffix = list(reversed(suffix))
+        if len(suffix) > 1:
+            frames = [
+                _tagged(f"{index_dir}/fold={lo}-{hi}", hi) for lo, hi in suffix
+            ]
+            _fold(frames, suffix[0][0], suffix[-1][1])
+            out["major"] = True
+            _reclaim()
+    return out
 
 
 def make_dedup_sink(
@@ -76,6 +262,7 @@ def make_dedup_sink(
     bands: int = 4,
     shingle_size: int = 3,
     max_bucket_size: int | None = 10_000,
+    compact_every: int | None = 16,
 ):
     """foreachBatch sink: reject near-dups, append survivors, grow the
     index. Same durable-marker idempotency contract as
@@ -84,7 +271,21 @@ def make_dedup_sink(
     write is per-batch-dir overwrite, so replays rewrite rather than
     double. Requires ``id_col`` present (dedup decisions must name
     stable ids; minting uuids per replay would break both idempotency
-    and the keep-canonical rule)."""
+    and the keep-canonical rule).
+
+    Precedence: an already-ACCEPTED doc always beats a new near-dup —
+    classified by sketch provenance (``include_origin``), so a re-sent
+    id (an upsert) keeps accepted status: its index-backed pairs still
+    reject the new challengers, and if it survives its own gate the
+    re-send lands newest-wins in both collection and index (old
+    sketches retire at the next compaction fold).
+
+    ``compact_every``: once live ``batch=*`` dirs reach this count the
+    sink runs :func:`compact_sketch_index` after committing — bounding
+    per-batch listing cost on long-running streams (None disables).
+    ``index_dir`` is coupled to ``checkpoint_dir``'s lifetime: batch
+    ids must stay monotone, so restarting with a FRESH checkpoint needs
+    a fresh index dir too."""
     from sifts_spark.operators.dedup import (
         duplicate_clusters,
         minhash_banded_sketches,
@@ -113,26 +314,21 @@ def make_dedup_sink(
         cached = [batch]  # released in finally — a failed batch gets
         try:              # retried; stranding caches would leak per attempt
             index = _read_sketch_index(spark, index_dir)
-            pairs = minhash_lsh_pairs_incremental(
+            # endpoint origin rides the pairs themselves (a_new/b_new,
+            # provenance-true): an id re-sent after acceptance keeps
+            # accepted precedence instead of degrading its index-backed
+            # pairs to within-batch min-id ties.
+            flagged = minhash_lsh_pairs_incremental(
                 batch, index, id_col=id_col, text_col=content_col,
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size,
                 jaccard_threshold=jaccard_threshold,
                 max_bucket_size=max_bucket_size,
-            )
+                include_origin=True,
+            ).withColumnRenamed("a_new", "_an").withColumnRenamed(
+                "b_new", "_bn"
+            ).persist()
             new_ids = batch.select(F.col(id_col).alias("id"))
-            # classify endpoints: a pair side is "new" iff its id is in
-            # this batch (both frames are batch-sized -> broadcast)
-            an = F.broadcast(new_ids.select(F.col("id").alias("id_a"))
-                             .withColumn("_an", F.lit(True)))
-            bn = F.broadcast(new_ids.select(F.col("id").alias("id_b"))
-                             .withColumn("_bn", F.lit(True)))
-            flagged = (
-                pairs.join(an, "id_a", "left").join(bn, "id_b", "left")
-                .withColumn("_an", F.coalesce("_an", F.lit(False)))
-                .withColumn("_bn", F.coalesce("_bn", F.lit(False)))
-                .persist()
-            )
             cached.append(flagged)
             # vs-accepted pairs: the new side always loses (the index
             # holds only docs already committed — first wins)
@@ -194,6 +390,10 @@ def make_dedup_sink(
             for df in cached:
                 df.unpersist()
         mark(batch_id)
+        if compact_every is not None:
+            compact_sketch_index(
+                spark, index_dir, max_batch_dirs=compact_every
+            )
 
     return sink
 

@@ -116,3 +116,148 @@ def test_file_stream_end_to_end(col, spark, tmp_path):
     q.awaitTermination(120)
     ids = {r["id"] for r in col.docs().collect()}
     assert ids == {"a", "c"}
+
+
+# ------------------------------------------------- r7: index compaction
+
+
+def _sketch_rows(spark, rows):
+    """rows: [(id, key)] -> a frame matching the sketch-index schema."""
+    from sifts_spark.streaming.dedup import _SKETCH_SCHEMA
+
+    return spark.createDataFrame(
+        [(i, ["sh-" + i], 0, k) for i, k in rows], _SKETCH_SCHEMA
+    )
+
+
+def _write_batch(spark, index_dir, b, rows):
+    _sketch_rows(spark, rows).write.mode("overwrite").parquet(
+        f"{index_dir}/batch={b}"
+    )
+
+
+def test_compaction_bounds_dirs_across_100_batches(spark, tmp_path):
+    """The r6 VERDICT item-3 'done' gate: ~100 micro-batches end with a
+    bounded dir count (minor folds bound batch dirs, major folds bound
+    fold dirs), and the folded index reads back every id."""
+    import os
+
+    from sifts_spark.streaming.dedup import (
+        _index_layout,
+        _read_sketch_index,
+        compact_sketch_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    for b in range(100):
+        _write_batch(spark, index_dir, b, [(f"d{b}", f"k{b}")])
+        compact_sketch_index(
+            spark, index_dir, max_batch_dirs=10, max_fold_dirs=3
+        )
+    folds, batches, stale = _index_layout(spark, index_dir)
+    assert len(batches) < 10 and len(folds) <= 3 and not stale
+    assert len(os.listdir(index_dir)) <= 13
+    got = {r["id"] for r in _read_sketch_index(spark, index_dir).collect()}
+    assert got == {f"d{b}" for b in range(100)}
+
+
+def test_fold_is_newest_wins_per_id(spark, tmp_path):
+    """A re-sent (upserted) id keeps only its freshest sketches after a
+    fold — stale sketches must not keep rejecting docs that are only
+    near the DEAD content."""
+    from sifts_spark.streaming.dedup import (
+        _read_sketch_index,
+        compact_sketch_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    _write_batch(spark, index_dir, 0, [("x", "old-key"), ("y", "ky")])
+    _write_batch(spark, index_dir, 1, [("z", "kz")])
+    _write_batch(spark, index_dir, 2, [("x", "new-key")])
+    out = compact_sketch_index(spark, index_dir, max_batch_dirs=3)
+    assert out["minor"] is True
+    got = {
+        (r["id"], r["key"])
+        for r in _read_sketch_index(spark, index_dir).collect()
+    }
+    assert got == {("x", "new-key"), ("y", "ky"), ("z", "kz")}
+
+
+def test_crash_window_never_double_counts(spark, tmp_path):
+    """Fold written + _SUCCESS landed, but the source dirs' deletion
+    crashed: the reader must ignore covered batch dirs and contained
+    folds; the next compaction reclaims them."""
+    from sifts_spark.streaming.dedup import (
+        _index_layout,
+        _read_sketch_index,
+        compact_sketch_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    for b in range(4):
+        _write_batch(spark, index_dir, b, [(f"d{b}", f"k{b}")])
+    compact_sketch_index(spark, index_dir, max_batch_dirs=4)
+    folds, batches, stale = _index_layout(spark, index_dir)
+    assert folds == [(0, 3)] and batches == [] and stale == []
+    # simulate the crash: a folded source batch dir reappears (replay
+    # re-materialized it) — covered by the live fold, so it is ignored
+    _write_batch(spark, index_dir, 2, [("d2", "k2")])
+    df = _read_sketch_index(spark, index_dir)
+    assert df.filter(df.id == "d2").count() == 1  # not doubled
+    out = compact_sketch_index(spark, index_dir, max_batch_dirs=99)
+    assert out["reclaimed"] == 1  # stale dir reclaimed, no new fold
+    _folds, _batches, stale = _index_layout(spark, index_dir)
+    assert stale == []
+
+
+def test_partial_fold_is_invisible(spark, tmp_path):
+    """A fold dir without _SUCCESS (crash mid-write) must not hide the
+    batch dirs it would have covered."""
+    import os
+
+    from sifts_spark.streaming.dedup import _read_sketch_index
+
+    index_dir = str(tmp_path / "idx")
+    for b in range(3):
+        _write_batch(spark, index_dir, b, [(f"d{b}", f"k{b}")])
+    # partial fold: parquet data, no _SUCCESS
+    _sketch_rows(spark, [("ghost", "kg")]).write.mode("overwrite").parquet(
+        f"{index_dir}/fold=0-2"
+    )
+    os.remove(f"{index_dir}/fold=0-2/_SUCCESS")
+    got = {r["id"] for r in _read_sketch_index(spark, index_dir).collect()}
+    assert got == {"d0", "d1", "d2"}  # sources live, ghost invisible
+
+
+def test_sink_compacts_and_still_rejects_cross_batch(col, spark, tmp_path):
+    """End-to-end: a sink with a small compact_every folds its index
+    mid-stream, and a later near-dup is still rejected against the
+    FOLDED sketches."""
+    from sifts_spark.streaming.dedup import _index_layout
+
+    sink = _sink(col, tmp_path, compact_every=3)
+    words = lambda b: " ".join(f"w{b}x{j}" for j in range(30))  # noqa: E731
+    for b in range(9):
+        sink(_df(spark, [(f"u{b}", words(b))]), b)
+    folds, batches, _ = _index_layout(spark, str(tmp_path / "index"))
+    assert folds and len(batches) < 3
+    # near-dup of u4 (accepted five batches ago, now living in a fold)
+    sink(_df(spark, [("dup", words(4) + " tail")]), 9)
+    ids = {r["id"] for r in col.docs().collect()}
+    assert "dup" not in ids and {f"u{b}" for b in range(9)} <= ids
+
+
+def test_resent_id_keeps_accepted_precedence(col, spark, tmp_path):
+    """ADVICE r6: a batch that re-sends an already-accepted id is an
+    upsert — pairs sourced from that id's index rows must classify as
+    accepted-vs-new (challenger rejected), not within-batch min-id.
+    'a0' < 'resent' alphabetically is deliberately NOT the case here:
+    challenger 'a0' would WIN a min-id tie, so acceptance of the resent
+    doc's precedence is observable."""
+    sink = _sink(col, tmp_path)
+    sink(_df(spark, [("resent", BASE)]), 0)
+    # same id re-sent in batch 1 alongside a new near-dup challenger
+    # whose id sorts BEFORE it
+    sink(_df(spark, [("resent", BASE), ("a0", BASE + " tail")]), 1)
+    ids = {r["id"] for r in col.docs().collect()}
+    assert ids == {"resent"}

@@ -18,6 +18,7 @@ import weakref
 from pyspark.sql import DataFrame
 
 _TRACKED: list[weakref.ReferenceType] = []
+_RELEASE_HOOKS: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -27,8 +28,16 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_release_hook(fn) -> None:
+    """Register a ``() -> int`` callback run by :func:`release_all` —
+    for operator caches that are not DataFrames (e.g. bpe_encode's
+    per-model merge-table broadcasts)."""
+    _RELEASE_HOOKS.append(fn)
+
+
 def release_all() -> int:
-    """Unpersist every tracked DataFrame still alive; returns the count."""
+    """Unpersist every tracked DataFrame still alive (plus registered
+    non-DataFrame caches); returns the count."""
     released = 0
     while _TRACKED:
         ref = _TRACKED.pop()
@@ -39,4 +48,9 @@ def release_all() -> int:
                 released += 1
             except Exception:
                 pass
+    for fn in _RELEASE_HOOKS:
+        try:
+            released += int(fn() or 0)
+        except Exception:
+            pass
     return released

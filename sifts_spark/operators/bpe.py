@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from sifts_spark.caching import register_release_hook
 from sifts_spark.functions.hashing import ensure_min_parallelism, _py_tokenize
 
 EOW = "</w>"  # end-of-word sentinel symbol (Sennrich §3.2)
@@ -147,21 +148,64 @@ def _py_bpe_encode(word: str, ranks: dict, eow: str) -> list[str]:
     return syms
 
 
+# Merge-table broadcasts memoized per (application, model content):
+# without this every bpe_encode call ships a fresh broadcast that is
+# never unpersisted, so bench loops / iterative pipelines accumulate
+# merge tables in executor storage for the session lifetime.
+# release_all() (sifts_spark.caching) unpersists and clears the cache;
+# unpersist (not destroy) keeps already-built plans valid — they
+# re-fetch from the driver on next use.
+_BC_CACHE: dict = {}
+
+
+def _merge_table_broadcast(sess, model: dict):
+    import hashlib
+
+    eow = model.get("eow", EOW)
+    content = hashlib.md5(
+        ("\x1f".join("\x1e".join(p) for p in model["merges"]) + eow).encode()
+    ).hexdigest()
+    key = (sess.sparkContext.applicationId, content)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = sess.sparkContext.broadcast(
+            {
+                "ranks": {tuple(p): i for i, p in enumerate(model["merges"])},
+                "eow": eow,
+            }
+        )
+        _BC_CACHE[key] = bc
+    return bc
+
+
+def release_bpe_broadcasts() -> int:
+    """Unpersist every cached merge-table broadcast; returns the count
+    (registered with :func:`sifts_spark.caching.release_all`)."""
+    released = 0
+    for bc in _BC_CACHE.values():
+        try:
+            bc.unpersist(blocking=False)
+            released += 1
+        except Exception:
+            pass
+    _BC_CACHE.clear()
+    return released
+
+
+register_release_hook(release_bpe_broadcasts)
+
+
 def bpe_encode(text_col: Column, model: dict, spark=None) -> Column:
     """text → ARRAY<STRING> of BPE subword tokens (``</w>``-terminated
     word finals, Sennrich's wire format). Arrow kernel; the merge
-    table rides a broadcast, segmentations memoize per unique word
-    per batch. Characters never seen in training pass through as
-    single-char symbols — BPE's open-vocabulary property."""
+    table rides ONE broadcast per (session, model) — repeated calls
+    reuse it (see ``_BC_CACHE``) — and segmentations memoize per
+    unique word per batch. Characters never seen in training pass
+    through as single-char symbols — BPE's open-vocabulary property."""
     from pyspark.sql import SparkSession
 
     sess = spark or SparkSession.getActiveSession()
-    bc = sess.sparkContext.broadcast(
-        {
-            "ranks": {tuple(p): i for i, p in enumerate(model["merges"])},
-            "eow": model.get("eow", EOW),
-        }
-    )
+    bc = _merge_table_broadcast(sess, model)
 
     @pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:

@@ -240,8 +240,9 @@ def importance_weights(
         def _w(texts: pd.Series) -> pd.DataFrame:
             diff = bc_h.value
             rows = []
+            cache: dict = {}  # per-batch md5 memo (Zipf: grams repeat)
             for t in texts:
-                bs = _py_gram_buckets(t, n, nb)
+                bs = _py_gram_buckets(t, n, nb, cache)
                 lw = float(diff[np.asarray(bs, dtype=np.int64)].sum()) if bs else 0.0
                 rows.append((len(bs), round(lw, 6)))
             return pd.DataFrame(rows, columns=["n_tokens", "log_weight"])

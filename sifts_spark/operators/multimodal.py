@@ -51,43 +51,168 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 Decoder = Callable[[bytes], tuple[int, int, float]]
 
 
-class RealImageDecoder:
-    """Pillow-backed decoder: bytes → (width, height, mean_luma∈[0,1]).
+def _png_to_array(payload: bytes) -> "np.ndarray":  # noqa: F821
+    """Minimal stdlib PNG decode (zlib + struct) → H×W×C uint8.
 
-    Optional dependency: constructing fails fast DRIVER-SIDE with
-    install guidance when Pillow is absent, instead of erroring one
-    task at a time on executors. The module is imported inside
-    ``__call__`` (not stored on ``self``) so the decoder pickles
-    cleanly to executors, which re-import Pillow locally — the standard
-    shipping shape for a Python-dependency-bearing UDF."""
+    The Pillow-free fallback backend (the image twin of
+    :class:`RealAudioDecoder`'s stdlib-``wave`` posture): supports the
+    simple-PNG subset — bit depth 8, color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA), non-interlaced, all five scanline filters.
+    Filters 1/3/4 carry a left-neighbor data dependence, so they
+    reconstruct in a per-byte Python loop (row-bounded) — fine for the
+    fallback; install Pillow for the fast path and other codecs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(
+            "stdlib image fallback decodes PNG only; install Pillow "
+            "for JPEG/WebP/... codecs"
+        )
+    pos, w, h, depth, ctype, interlace = 8, None, None, None, None, None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color_type={ctype} "
+            f"interlace={interlace}) for the stdlib fallback; install "
+            "Pillow"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        flt = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if flt == 0:
+            pass
+        elif flt == 2:  # Up — uint8 wraparound IS the spec's mod-256 add
+            line += prev
+        elif flt in (1, 3, 4):
+            cur = line.astype(np.int32)
+            pr = prev.astype(np.int32)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = pr[x]
+                c = pr[x - nch] if x >= nch else 0
+                if flt == 1:  # Sub
+                    pred = a
+                elif flt == 3:  # Average
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                rec[x] = (cur[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG scanline filter {flt}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, nch)
+
+
+def _to_gray(arr: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    """H×W×C uint8 → H×W float64 luma in [0, 255] (ITU-R 601-2, the
+    same weights Pillow's convert('L') uses; alpha ignored)."""
+    a = arr.astype("float64")
+    if arr.shape[2] < 3:
+        return a[:, :, 0]
+    return a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+
+
+def _bilinear_resize(
+    a: "np.ndarray", out_w: int, out_h: int  # noqa: F821
+) -> "np.ndarray":
+    """H×W float → out_h×out_w float, center-aligned bilinear sampling
+    (numpy-vectorized; the stdlib backend's stand-in for Image.resize)."""
+    import numpy as np
+
+    h, w = a.shape
+    x = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    wx = x - np.floor(x)
+    wy = y - np.floor(y)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return top * (1 - wy)[:, None] + bot * wy[:, None]
+
+
+class RealImageDecoder:
+    """Real image decoding: bytes → (width, height, mean_luma∈[0,1]).
+
+    Backend selection, probed DRIVER-side at construction (same posture
+    as :class:`RealAudioDecoder`):
+
+    * Pillow when importable — every codec the local install handles;
+    * otherwise the stdlib PNG decoder (:func:`_png_to_array`) — 8-bit
+      non-interlaced PNG with zero extra dependencies, so the decoder
+      is REAL even in minimal containers; non-PNG payloads raise with
+      install guidance.
+
+    Modules are imported inside ``__call__`` (only the backend NAME is
+    stored on ``self``) so the decoder pickles cleanly to executors,
+    which re-import locally."""
 
     def __init__(self) -> None:
         try:
-            import PIL.Image  # noqa: F401  (driver-side fail-fast probe)
-        except ImportError as e:
-            raise ImportError(
-                "RealImageDecoder requires Pillow (`pip install Pillow` "
-                "on driver AND executors); without image codecs use "
-                "FakeImageDecoder (deterministic plumbing twin) or "
-                "inject your own decoder callable"
-            ) from e
+            import PIL.Image  # noqa: F401  (driver-side probe)
+
+            self.backend = "pillow"
+        except ImportError:
+            self.backend = "png"
 
     def __call__(self, payload: bytes) -> tuple[int, int, float]:
         import io
 
-        from PIL import Image
+        if self.backend == "pillow":
+            from PIL import Image
 
-        with Image.open(io.BytesIO(payload)) as img:
-            width, height = img.size
-            # 8-bit grayscale histogram → mean luma, normalized to [0,1]
-            hist = img.convert("L").histogram()
-        total = sum(hist)
-        mean_luma = (
-            sum(i * c for i, c in enumerate(hist)) / (total * 255.0)
-            if total
-            else 0.0
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                # 8-bit grayscale histogram → mean luma in [0,1]
+                hist = img.convert("L").histogram()
+            total = sum(hist)
+            mean_luma = (
+                sum(i * c for i, c in enumerate(hist)) / (total * 255.0)
+                if total
+                else 0.0
+            )
+            return width, height, round(mean_luma, 6)
+
+        arr = _png_to_array(payload)
+        gray = _to_gray(arr)
+        return (
+            arr.shape[1],
+            arr.shape[0],
+            round(float(gray.mean()) / 255.0, 6) if gray.size else 0.0,
         )
-        return width, height, round(mean_luma, 6)
 
 
 class FakeImageDecoder:
@@ -356,53 +481,68 @@ def sample_video_frames(
 # ----------------------------------------- perceptual image hashing (pHash)
 
 
+def _phash_from_gray32(a: "np.ndarray") -> int:  # noqa: F821
+    """32×32 grayscale float → DCT pHash: 2-D orthonormal DCT-II (one
+    32×32 matrix sandwich in numpy, no scipy) → top-left 8×8
+    low-frequency block → 63 bits, one per AC coefficient, set iff the
+    coefficient exceeds the AC median. The DC coefficient (pure
+    brightness, no structure) contributes NEITHER to the median NOR a
+    bit — a DC bit compares brightness to an AC median and is
+    essentially always 1, wasting one unit of the hamming budget (the
+    classic pHash recipe likewise hashes AC only). Bit 63 of the
+    returned int is always 0."""
+    import numpy as np
+
+    n = 32
+    k = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
+    )
+    d[0, :] = np.sqrt(1.0 / n)
+    f = d @ a @ d.T
+    ac = f[:8, :8].flatten()[1:]  # 63 AC coefficients, DC dropped
+    med = np.median(ac)
+    bits = (ac > med).astype(np.uint64)
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h)
+
+
 class RealImagePHasher:
-    """Pillow-backed perceptual hash: bytes → 64-bit DCT pHash (the
-    classic recipe, Zauner 2010 / pHash.org): grayscale → 32×32
-    resize → 2-D orthonormal DCT-II (one 32×32 matrix sandwich in
-    numpy, no scipy) → top-left 8×8 low-frequency block → bit i = 1
-    iff coefficient > median of the 63 AC coefficients (DC excluded —
-    it encodes brightness, not structure). Robust to re-encoding,
+    """Real perceptual hash: bytes → 63-bit DCT pHash (the classic
+    recipe, Zauner 2010 / pHash.org): grayscale → 32×32 resize → DCT →
+    AC-median bits (:func:`_phash_from_gray32`). Robust to re-encoding,
     resizing, and small edits; hamming distance ≈ perceptual distance.
 
-    Same optional-dependency posture as :class:`RealImageDecoder`:
-    fail fast driver-side, import Pillow per call on executors."""
+    Same backend posture as :class:`RealImageDecoder`: Pillow when
+    importable (all codecs), else the stdlib PNG decoder + numpy
+    bilinear resize — real hashing with zero optional deps."""
 
     def __init__(self) -> None:
         try:
             import PIL.Image  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "RealImagePHasher requires Pillow; without image codecs "
-                "use FakeImagePHasher (deterministic plumbing twin) or "
-                "inject your own hasher callable"
-            ) from e
+
+            self.backend = "pillow"
+        except ImportError:
+            self.backend = "png"
 
     def __call__(self, payload: bytes) -> int:
         import io
 
         import numpy as np
-        from PIL import Image
 
-        with Image.open(io.BytesIO(payload)) as img:
-            a = np.asarray(
-                img.convert("L").resize((32, 32), Image.BILINEAR),
-                dtype=np.float64,
-            )
-        n = 32
-        k = np.arange(n)
-        d = np.sqrt(2.0 / n) * np.cos(
-            np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n)
-        )
-        d[0, :] = np.sqrt(1.0 / n)
-        f = d @ a @ d.T
-        block = f[:8, :8].flatten()
-        med = np.median(block[1:])  # exclude DC
-        bits = (block > med).astype(np.uint64)
-        h = np.uint64(0)
-        for b in bits:
-            h = (h << np.uint64(1)) | b
-        return int(h)
+        if self.backend == "pillow":
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as img:
+                a = np.asarray(
+                    img.convert("L").resize((32, 32), Image.BILINEAR),
+                    dtype=np.float64,
+                )
+        else:
+            a = _bilinear_resize(_to_gray(_png_to_array(payload)), 32, 32)
+        return _phash_from_gray32(a)
 
 
 class FakeImagePHasher:

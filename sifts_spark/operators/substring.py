@@ -195,6 +195,21 @@ def duplicate_spans(
     corpus-wide first occurrence (lowest ``(id, start)``) of each
     fingerprint, Lee et al.'s keep-one policy; ``False`` marks every
     copy (their strict cut-all mode).
+
+    keep_first corner case (documented, not defended): the exemption is
+    per-FINGERPRINT, so when two duplicated runs OVERLAP inside one doc
+    and their corpus-wide first occurrences live in different docs,
+    removable grams of one run can land inside the other run's
+    first-occurrence chars — the merged interval then cuts part of a
+    "protected" first copy, and in the worst case a run loses every
+    copy corpus-wide. Making the guarantee absolute needs a second
+    corpus pass (re-exempt any merged interval containing a
+    first-occurrence gram, then re-merge — the interval and the
+    exemption are mutually recursive); pipelines that must never drop
+    content entirely should decontaminate/dedup at the doc level first
+    or run with ``keep_first=False`` knowing cut-all semantics apply.
+    Disjoint duplicated runs (the overwhelmingly common case) keep
+    their first copy exactly as documented.
     """
     fps = (
         ensure_min_parallelism(

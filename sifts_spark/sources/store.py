@@ -925,6 +925,9 @@ class DocumentStore:
             token = self._claim_sidecar(name, d, claim_ttl)
             if token is None:
                 continue  # a live peer owns this batch's sidecar build
+            stop_hb = self._claim_heartbeat(
+                f"{self._postings_dir(name)}/.claim-{d}", token, claim_ttl
+            )
             try:
                 if d not in have:
                     p = self._build_batch_postings(name, d)
@@ -946,6 +949,7 @@ class DocumentStore:
                         "overwrite"
                     ).parquet(f"{self._doclen_dir(name)}/{d}")
             finally:
+                stop_hb()
                 self._release_sidecar_claim(name, d, token)
         self._publish_manifest(name)
 
@@ -965,12 +969,15 @@ class DocumentStore:
         (or empty mid-stamp) marker and leaves it in place.
 
         Staleness is judged by marker mtime against LOCAL ``time.time()``
-        — on a shared filesystem size ``ttl`` above the worst-case build
-        time PLUS cross-host clock skew, or a live writer's claim can be
-        broken early / a crashed one broken late. (The token check above
-        turns an early break into duplicate work, never a corrupted
-        output dir: the broken original declines to touch the new
-        owner's marker.)
+        — but the owner HEARTBEATS the marker's mtime every ~ttl/3 while
+        its build runs (:meth:`_claim_heartbeat`), so the TTL measures
+        owner liveness, not wall time: a build outliving ``ttl`` keeps
+        its claim, and cross-host clock skew can only delay takeover of
+        a genuinely crashed owner, not break a live one (unless skew
+        exceeds the heartbeat interval itself — size ``ttl`` at 3× your
+        worst plausible skew). The token check above turns any residual
+        early break into duplicate work, never a corrupted output dir:
+        the broken original declines to touch the new owner's marker.
 
         The break is an atomic RENAME of the stale marker to a
         breaker-unique tombstone name — of two sweepers racing to break
@@ -1016,6 +1023,47 @@ class DocumentStore:
             return None
         self._write_small_text(marker, token)
         return token
+
+    def _claim_heartbeat(self, marker: str, token: str, ttl: float):
+        """Daemon thread refreshing a held claim's mtime every ~ttl/3 s,
+        so the TTL measures owner LIVENESS instead of build wall time:
+        a build that runs longer than ``claim_ttl`` no longer loses its
+        claim to a peer (duplicate work) — with a heartbeating owner,
+        only a genuinely dead owner's marker ever goes stale, which
+        also retires the cross-host clock-skew sizing caveat (skew now
+        only delays crash TAKEOVER, it cannot break a live claim that
+        beats faster than the skew).
+
+        The refresh is ``FileSystem.setTimes`` (mtime-only — it can
+        never CREATE the path): if a peer somehow broke the claim
+        anyway, the marker was renamed to a tombstone and the next beat
+        fails or sees a foreign token, so the heartbeat stops rather
+        than resurrecting the old path over the new owner's marker.
+
+        Returns a ``stop()`` callable; invoke it in the same ``finally``
+        as the release."""
+        stop = threading.Event()
+        interval = max(min(ttl / 3.0, 60.0), 0.05)
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    if self._read_small_text(marker) != token:
+                        return  # broken by a peer — no longer ours
+                    self._fs.setTimes(
+                        self._Path(marker), int(time.time() * 1000), -1
+                    )
+                except Exception:
+                    return  # marker gone / FS hiccup: stop beating
+
+        t = threading.Thread(target=beat, daemon=True, name="claim-heartbeat")
+        t.start()
+
+        def stopper() -> None:
+            stop.set()
+            t.join(timeout=5.0)
+
+        return stopper
 
     def _release_marker(self, marker: str, token: str, what: str) -> None:
         """Delete a claim marker ONLY if we still own it (its content
@@ -1239,6 +1287,9 @@ class DocumentStore:
         )
         if token is None:
             return False
+        stop_hb = self._claim_heartbeat(
+            f"{base}/.vclaim-batch={int(batch)}", token, claim_ttl
+        )
         try:
             # STATIC overwrite (the session default is dynamic, which
             # neither truncates a crashed partial dir nor writes the
@@ -1249,6 +1300,7 @@ class DocumentStore:
                 "cell"
             ).parquet(out)
         finally:
+            stop_hb()
             self._release_marker(
                 f"{base}/.vclaim-batch={int(batch)}", token,
                 f"{name}/vecindex/batch={batch}",

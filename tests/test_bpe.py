@@ -132,3 +132,30 @@ def test_empty_corpus_raises(spark):
     docs = spark.createDataFrame([(1, None), (2, "   ")], "doc_id long, text string")
     with pytest.raises(ValueError):
         train_bpe(docs, num_merges=10)
+
+
+def test_bpe_encode_broadcast_cached_and_released(spark):
+    """ADVICE r6: repeated bpe_encode calls must reuse ONE merge-table
+    broadcast per (session, model) instead of accumulating one per call
+    in executor storage; release_all() frees and clears the cache."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.caching import release_all
+    from sifts_spark.operators.bpe import _BC_CACHE, bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "low lower lowest new newer") for i in range(6)],
+        "doc_id string, text string",
+    )
+    model = train_bpe(docs, num_merges=10, sample_docs=6)
+    release_all()
+    assert not _BC_CACHE
+    for _ in range(3):
+        docs.select(bpe_encode(F.col("text"), model, spark)).collect()
+    assert len(_BC_CACHE) == 1  # three calls, one broadcast
+    # a content-identical model dict (e.g. artifact reload) also reuses
+    model2 = {**model, "merges": [list(p) for p in model["merges"]]}
+    docs.select(bpe_encode(F.col("text"), model2, spark)).collect()
+    assert len(_BC_CACHE) == 1
+    assert release_all() >= 1
+    assert not _BC_CACHE

@@ -622,3 +622,41 @@ def test_bm25_corpus_stats_count_tokenized_docs_only(store_root, spark):
     col.delete(["a"])
     n2, avgdl2 = DocumentStore(spark, store_root).corpus_stats("bs")
     assert n2 == 2 and avgdl2 == pytest.approx(2.0)
+
+
+def test_heartbeat_keeps_slow_build_claim_alive(store_root, spark):
+    """r6 VERDICT item 7: a build that outlives claim_ttl must NOT lose
+    its claim while its owner is alive — the owner heartbeats the
+    marker's mtime, so a peer sweeping mid-build sees a live claim; a
+    stopped heartbeat (dead owner) goes stale and is broken as before."""
+    import time as _t
+
+    from sifts_spark.sources.store import DocumentStore
+
+    store = DocumentStore(spark, store_root)
+    pdir = store._postings_dir("hb")
+    ttl = 0.6
+    token = store._claim_sidecar("hb", "batch=1", ttl)
+    assert token is not None
+    stop = store._claim_heartbeat(f"{pdir}/.claim-batch=1", token, ttl)
+    try:
+        # "slow build": sleep 4x the TTL; peers keep seeing a live claim
+        deadline = _t.time() + 4 * ttl
+        peer = DocumentStore(spark, store_root)
+        while _t.time() < deadline:
+            assert peer._claim_sidecar("hb", "batch=1", ttl) is None
+            _t.sleep(ttl / 2)
+    finally:
+        stop()
+    # owner releases; the path is free again
+    store._release_sidecar_claim("hb", "batch=1", token)
+    token2 = peer._claim_sidecar("hb", "batch=1", ttl)
+    assert token2 is not None
+    # dead owner: no heartbeat -> stale after ttl -> broken by a sweeper
+    _t.sleep(ttl + 0.3)
+    token3 = store._claim_sidecar("hb", "batch=1", ttl)
+    assert token3 is not None and token3 != token2
+    # the broken peer's release must leave the new owner's marker alone
+    peer._release_sidecar_claim("hb", "batch=1", token2)
+    assert store._read_small_text(f"{pdir}/.claim-batch=1") == token3
+    store._release_sidecar_claim("hb", "batch=1", token3)

@@ -92,6 +92,72 @@ def test_read_wet_non_warc_bytes_quarantined(spark, tmp_path):
     assert "WARC/1.x version line" in quar.collect()[0]["error"]
 
 
+def test_read_wet_resyncs_past_corrupt_record(spark, tmp_path):
+    """One corrupt record BETWEEN two good ones costs one quarantine
+    row — the scanner resyncs at the next record boundary and the
+    trailing good record is KEPT (the docstring's per-record
+    contract)."""
+    a = _record("conversion", b"good before", rid="<urn:uuid:r-a>")
+    # Content-Length LIES (3 < actual 5): the scanner lands mid-body,
+    # sees no version line, and must resync at the next boundary
+    corrupt = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               b"Content-Length: 3\r\n\r\nhello\r\n\r\n")
+    b = _record("conversion", b"good after", rid="<urn:uuid:r-b>")
+    (tmp_path / "mid.warc.wet").write_bytes(a + corrupt + b)
+    good, quar = read_wet(spark, str(tmp_path))
+    ids = {r["id"] for r in good.collect()}
+    # both neighbors survive (the lying record itself yields a short
+    # body row — the fault is only detectable at the NEXT scan position)
+    assert {"<urn:uuid:r-a>", "<urn:uuid:r-b>"} <= ids
+    q = quar.collect()
+    assert len(q) == 1 and "version line" in q[0]["error"]
+
+
+def test_read_wet_bad_content_length_resyncs(spark, tmp_path):
+    """Missing Content-Length mid-shard: one quarantine row, both
+    neighbors survive."""
+    a = _record("conversion", b"before", rid="<urn:uuid:cl-a>")
+    no_len = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody-with-no-length"
+    b = _record("conversion", b"after", rid="<urn:uuid:cl-b>")
+    (tmp_path / "cl.warc.wet").write_bytes(a + no_len + b"\r\n\r\n" + b)
+    good, quar = read_wet(spark, str(tmp_path))
+    assert {r["id"] for r in good.collect()} == {"<urn:uuid:cl-a>",
+                                                 "<urn:uuid:cl-b>"}
+    q = quar.collect()
+    assert len(q) == 1 and "Content-Length" in q[0]["error"]
+
+
+def test_read_wet_oversized_record_skipped_unbuffered(spark, tmp_path):
+    """A record whose Content-Length exceeds the cap is quarantined and
+    its body skipped; the following record still parses (memory guard
+    for adversarial/miscut shards)."""
+    big = _record("conversion", b"x" * 4096, rid="<urn:uuid:big>")
+    ok = _record("conversion", b"small survivor", rid="<urn:uuid:sm>")
+    (tmp_path / "big.warc.wet").write_bytes(big + ok)
+    good, quar = read_wet(spark, str(tmp_path), max_record_bytes=1024)
+    assert {r["id"] for r in good.collect()} == {"<urn:uuid:sm>"}
+    q = quar.collect()
+    assert len(q) == 1 and "oversized record" in q[0]["error"]
+
+
+def test_inflate_streams_chunks_not_whole_shard():
+    """The gzip path yields bounded chunks (zlib.decompressobj), never
+    one whole-shard bytes object — the 100 TB memory posture."""
+    from sifts_spark.sources.warc import _iter_inflated_chunks
+
+    member = gzip.compress(b"a" * (3 << 20))
+    blob = member + gzip.compress(b"b" * (2 << 20))  # multi-member
+    chunks = list(_iter_inflated_chunks(blob, chunk_size=1 << 20))
+    assert all(len(c) <= 1 << 20 for c in chunks)
+    assert len(chunks) >= 5
+    assert b"".join(chunks) == b"a" * (3 << 20) + b"b" * (2 << 20)
+
+    with pytest.raises(ValueError, match="truncated"):
+        list(_iter_inflated_chunks(member[:-8]))
+    with pytest.raises(ValueError, match="bad gzip"):
+        list(_iter_inflated_chunks(member[:10] + b"garbage" * 4))
+
+
 def _http_response(mime: str, body: bytes) -> bytes:
     head = (f"HTTP/1.1 200 OK\r\nContent-Type: {mime}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n").encode()

@@ -874,6 +874,12 @@ class SparkCollection:
             # is the difference between an index probe and a table scan).
             ast = parse_query(query_string)
             n_docs, avgdl = self._corpus_stats()
+            # search_postings' default pool=None: no operator-internal
+            # persist, so the serving path never leaks CacheManager
+            # entries (Spark holds InMemoryRelations strongly until an
+            # explicit unpersist). The double index probe it costs is
+            # measured-cheaper than the pool persist at sf0.1 AND sf1
+            # (see search_postings' docstring, r8).
             scored = _search.search_postings(
                 self.store.read_postings(self.name), ast,
                 n_docs=n_docs, avgdl=avgdl,

@@ -130,6 +130,7 @@ def search_postings(
     avgdl: float | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    pool: "str | list | None" = None,
 ) -> DataFrame:
     """Boolean match + BM25 over the postings index → (id, rank).
 
@@ -143,6 +144,28 @@ def search_postings(
     not passed — the whole query stays ONE lazy plan (no driver-side
     stats action). Pass precomputed stats when the index layer caches
     them (a real deployment stores stats beside the postings).
+
+    ``pool`` controls the candidate-pool persist (the plan reads the
+    pool twice — the per-tag df aggregate and the scoring join):
+
+    * ``None`` (default) — no persist: the filtered-postings subtree is
+      duplicated in the plan, i.e. TWO pushed-down index probes +
+      candidate-pool aggregations. Measured at sf0.1 AND the 10×
+      ``.scale/sf1`` dir (r8): two probes beat one probe + a pool
+      persist at both scales (0.28s vs 0.60s; 0.45s vs 0.66s
+      MEMORY_ONLY) — the probe is term-selective row-group-skipped I/O
+      while a persist pays materialization + cache-manager traffic, and
+      both sides grow with the same candidate-proportional factor, so
+      the ranking holds under scale-up. Catalyst does NOT reuse the
+      exchange (column pruning makes the two subtrees structurally
+      different), so this really is a double probe — deliberately.
+    * a ``list`` — persist and append the handle; the CALLER must
+      ``unpersist()`` after its action, so a long-lived session never
+      accumulates unreleasable cache entries (Spark's CacheManager
+      holds InMemoryRelations strongly until an explicit unpersist).
+      Right when the result feeds several separate actions.
+    * ``"track"`` — persist via the session cache registry;
+      a pipeline driver frees it with ``caching.release_all()``.
     """
     leaves = _collect_leaves(ast)
     term = F.col("term")
@@ -163,19 +186,24 @@ def search_postings(
     )
     # Per (id, leaf): tf sums over every term the leaf matches (a prefix
     # leaf can match many terms in one doc; a plain term exactly one).
-    from sifts_spark.caching import track
-
-    # Candidate-pool-sized; persisted (session cache registry) because
-    # the plan reads it TWICE — once for the dfreq aggregate below and
-    # once as the scoring input it joins back into. Without the persist
-    # the filtered-postings groupBy subtree appears twice in the
-    # physical plan, doubling the postings read per text query.
-    matched = track(
+    # Candidate-pool-sized; persisted (per the ``pool`` contract above)
+    # because the plan reads it TWICE — once for the dfreq aggregate
+    # below and once as the scoring input it joins back into. Without
+    # the persist the filtered-postings groupBy subtree appears twice in
+    # the physical plan, doubling the postings read per text query.
+    matched = (
         postings.filter(cond)
         .select("id", "tf", "dl", F.explode(tags).alias("tag"))
         .groupBy("id", "tag")
         .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
     )
+    if pool == "track":
+        from sifts_spark.caching import track
+
+        matched = track(matched)
+    elif isinstance(pool, list):
+        matched = matched.persist()
+        pool.append(matched)
     # df per leaf-tag (document frequency for idf) — small, broadcast.
     dfreq = matched.groupBy("tag").agg(F.countDistinct("id").alias("df"))
 

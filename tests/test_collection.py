@@ -573,13 +573,13 @@ def test_query_counts_persisted_frame_once(store_root, spark, monkeypatch):
     assert not (lvl.useMemory or lvl.useDisk)
 
 
-def test_search_postings_caches_candidate_pool(spark):
-    """r6 VERDICT item 5: the dfreq branch must not recompute the
-    filtered-postings groupBy — the candidate pool is persisted and the
-    executed plan reads it via InMemoryTableScan (twice: once for dfreq,
-    once for scoring). Cache lifetime: the InMemoryRelation lives inside
-    the result plan, so Spark's ContextCleaner frees it when the result
-    frame is dropped; release_all() handles frames still referenced."""
+def test_search_postings_pool_modes(spark):
+    """r8 VERDICT item 5 (supersedes the r6 persist pin): the measured
+    winner at sf0.1 AND sf1 is NO pool persist — two pushed-down index
+    probes beat one probe + pool materialization at both scales (see
+    search_postings' docstring). Default plan: no InMemoryRelation.
+    pool=list: persisted, handle surrendered to the caller (the
+    leak-free ownership contract)."""
     from sifts_spark.operators import search as S
     from sifts_spark.queryparser import parse_query
 
@@ -588,11 +588,45 @@ def test_search_postings_caches_candidate_pool(spark):
         "doc_id string, text string",
     )
     postings = S.build_postings(docs, "doc_id", "text")
+
     out = S.search_postings(postings, parse_query("alpha and beta"))
     rows = out.collect()
     assert len(rows) == 20
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 2  # both consumers read the cache
-    # the filtered-postings aggregate feeding the cache appears ONCE:
-    # everything upstream of the InMemoryRelation is outside executedPlan
-    assert "postings" not in plan or plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" not in plan  # default induces no cache
+
+    handles: list = []
+    out2 = S.search_postings(postings, parse_query("alpha and beta"),
+                             pool=handles)
+    assert len(out2.collect()) == 20
+    assert len(handles) == 1
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("InMemoryTableScan") >= 2  # both consumers cached
+    lvl = handles[0].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    handles[0].unpersist()
+
+
+def test_query_releases_all_cache_entries(store_root, spark):
+    """r7 ADVICE: the serving path must not leak CacheManager entries.
+    search_postings persists the candidate pool; Spark's CacheManager
+    holds each InMemoryRelation STRONGLY until an explicit unpersist
+    (ContextCleaner never reaps SQL cache entries), so query() must
+    release the pool persist it induced — otherwise every text query in
+    a long-lived session pins one more unreleasable cache entry."""
+    from sifts_spark.caching import release_all
+
+    release_all()  # start from a clean registry
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    col = ten_doc_fixture(store_root, spark)
+    baseline = cm.cachedData().size()
+
+    for _ in range(3):  # repeated queries must not accumulate entries
+        res = col.query("Lorem", limit=3)
+        assert res["total"] == 10
+    assert cm.cachedData().size() == baseline
+
+    # the lazy bulk path induces NO persist at all (nothing owns a
+    # release point there)
+    assert col.query_df("Lorem").count() == 10
+    assert cm.cachedData().size() == baseline

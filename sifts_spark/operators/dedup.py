@@ -343,11 +343,14 @@ def minhash_lsh_pairs_incremental(
     """Near-dup pairs of a NEW batch against an already-indexed corpus
     → (id_a, id_b, jaccard) — every pair involves ≥1 new doc.
     ``include_origin=True`` appends boolean ``a_new`` / ``b_new``
-    columns: True iff that side's candidate rows came ONLY from the new
-    batch. An id present in BOTH (a re-sent id) flags False — consumers
-    that give already-accepted docs precedence (streaming/dedup.py)
-    must classify by provenance, not by batch id-membership, or a
-    re-sent id's index-backed pairs degrade to within-batch ties.
+    columns: True iff that side's id is ABSENT from the index (a
+    genuinely new doc). A re-sent id (present in both the new batch and
+    the index) flags False regardless of which candidate rows survived
+    the pruned join — consumers that give already-accepted docs
+    precedence (streaming/dedup.py) classify by index membership, so a
+    re-send keeps accepted status even against other accepted docs.
+    The verify sketch for a re-sent id is its NEW one (deterministic;
+    admission judges the content being ingested).
 
     ``index`` is :func:`minhash_banded_sketches` output for the base
     corpus (read back from wherever it was persisted; same
@@ -403,27 +406,62 @@ def minhash_lsh_pairs_incremental(
         & new_flag,
     )
     if include_origin:
-        # min over the origin flag = logical AND across a pair's source
-        # rows: a side backed by ANY index row (incl. a re-sent id's
-        # old sketches) classifies as already-accepted.
-        cand = (
+        # Verify sketch picked DETERMINISTICALLY: max_by on the row
+        # origin prefers the NEW-batch sketch — a re-sent id with
+        # changed content contributes both its old (index) and new
+        # sketches to the same pair, and F.first would score against
+        # either run-to-run, making near-threshold admission flap
+        # (r7 ADVICE). Admission is judged on the content being
+        # ingested, i.e. the new sketch.
+        agg = (
             cand.select(
                 F.col("l.id").alias("id_a"),
                 F.col("r.id").alias("id_b"),
                 F.col("l.sh").alias("sh_a"),
                 F.col("r.sh").alias("sh_b"),
-                F.col("l._new").alias("a_new"),
-                F.col("r._new").alias("b_new"),
+                F.col("l._new").alias("_ra"),
+                F.col("r._new").alias("_rb"),
             )
             .groupBy("id_a", "id_b")
             .agg(
-                F.first("sh_a").alias("sh_a"),
-                F.first("sh_b").alias("sh_b"),
-                F.min("a_new").alias("a_new"),
-                F.min("b_new").alias("b_new"),
+                F.max_by("sh_a", "_ra").alias("sh_a"),
+                F.max_by("sh_b", "_rb").alias("sh_b"),
             )
         )
-        return _verify_jaccard(cand, jaccard_threshold, ("a_new", "b_new"))
+        # Pair-level a_new/b_new from ID MEMBERSHIP in the index, not
+        # min over SURVIVING candidate rows: index-x-index rows are
+        # excluded by new_flag, so a re-sent accepted id paired with a
+        # DIFFERENT accepted doc keeps only new-side rows — row-min
+        # would flag it new and the sink would reject the re-send,
+        # contradicting accepted-id precedence (r7 ADVICE). Shape: the
+        # index is probed id-column-only with a broadcast semi-join
+        # (increment-sized output, no corpus shuffle); both membership
+        # joins below broadcast increment-sized sets.
+        new_ids = new_banded.select("id").distinct()
+        resent = index.select("id").join(
+            F.broadcast(new_ids), "id", "semi"
+        ).distinct()
+        only_new = new_ids.join(F.broadcast(resent), "id", "anti")
+        agg = (
+            agg.join(
+                F.broadcast(
+                    only_new.withColumnRenamed("id", "id_a")
+                    .withColumn("_a_only_new", F.lit(True))
+                ),
+                "id_a", "left",
+            )
+            .join(
+                F.broadcast(
+                    only_new.withColumnRenamed("id", "id_b")
+                    .withColumn("_b_only_new", F.lit(True))
+                ),
+                "id_b", "left",
+            )
+            .withColumn("a_new", F.coalesce("_a_only_new", F.lit(False)))
+            .withColumn("b_new", F.coalesce("_b_only_new", F.lit(False)))
+            .drop("_a_only_new", "_b_only_new")
+        )
+        return _verify_jaccard(agg, jaccard_threshold, ("a_new", "b_new"))
     cand = cand.select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),

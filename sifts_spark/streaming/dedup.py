@@ -391,9 +391,20 @@ def make_dedup_sink(
                 df.unpersist()
         mark(batch_id)
         if compact_every is not None:
-            compact_sketch_index(
-                spark, index_dir, max_batch_dirs=compact_every
-            )
+            # Best-effort: the batch above already committed (mark ran),
+            # and the compaction layout protocol is safe to retry on the
+            # next batch — a transient FS error here must not kill the
+            # streaming query (foreachBatch propagates exceptions).
+            try:
+                compact_sketch_index(
+                    spark, index_dir, max_batch_dirs=compact_every
+                )
+            except Exception:
+                logger.warning(
+                    "dedup ingest batch %s: sketch-index compaction "
+                    "failed; will retry on the next batch", batch_id,
+                    exc_info=True,
+                )
 
     return sink
 

@@ -203,6 +203,55 @@ def test_minhash_incremental_prunes_index_to_touched_buckets(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_origin_flags_by_index_membership(spark):
+    """r7 ADVICE: a re-sent accepted id whose new content near-dups
+    ANOTHER accepted (index-only) doc must flag BOTH sides not-new —
+    origin comes from id membership in the index, not from which
+    candidate rows survived the index-x-index exclusion (those are all
+    new-side rows for this pair, and a row-wise min would wrongly
+    classify the re-send as a new challenger)."""
+    base_text = " ".join(f"tok{i}" for i in range(40))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id string, text string"
+    )
+    base = mk([("acc1", base_text), ("acc2", base_text + " tail")])
+    index = D.minhash_banded_sketches(base)
+    # re-send acc1 with slightly changed content, still near-dup of acc2
+    new = mk([("acc1", base_text + " changed")])
+    pairs = D.minhash_lsh_pairs_incremental(
+        new, index, include_origin=True, jaccard_threshold=0.5
+    ).collect()
+    flags = {(r["id_a"], r["id_b"]): (r["a_new"], r["b_new"]) for r in pairs}
+    assert ("acc1", "acc2") in flags
+    assert flags[("acc1", "acc2")] == (False, False)  # both accepted
+
+
+def test_incremental_resent_id_scores_against_new_sketch(spark):
+    """r7 ADVICE: a re-sent id with CHANGED content contributes its old
+    (index) and new (batch) sketches to the same pair; the verify step
+    must deterministically score the NEW sketch — the content being
+    admitted. Pin: the incremental pair's jaccard equals the full
+    operator's value for (new content, partner), not the old
+    content's."""
+    T = " ".join(f"w{i}" for i in range(40))
+    old = " ".join(f"z{i}" for i in range(40))  # unrelated to T
+    newc = T + " extra"                          # near-dups the partner
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id string, text string"
+    )
+    index = D.minhash_banded_sketches(mk([("acc1", old), ("p", T)]))
+    inc = D.minhash_lsh_pairs_incremental(
+        mk([("acc1", newc)]), index, include_origin=True
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in inc}
+    ref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(mk([("acc1", newc), ("p", T)])).collect()
+    }
+    assert ("acc1", "p") in got
+    assert got[("acc1", "p")] == ref[("acc1", "p")]
+
+
 def test_cap_buckets_schedules_no_job_at_plan_time(spark):
     """The skew guard is fully lazy: building a capped candidate plan
     schedules ZERO Spark jobs (the hot-bucket aggregation runs inside

@@ -247,6 +247,26 @@ def test_sink_compacts_and_still_rejects_cross_batch(col, spark, tmp_path):
     assert "dup" not in ids and {f"u{b}" for b in range(9)} <= ids
 
 
+def test_compaction_failure_does_not_kill_the_stream(col, spark, tmp_path,
+                                                     monkeypatch):
+    """r7 ADVICE: compaction runs AFTER the batch commits (mark), so a
+    transient FS error there must be swallowed — foreachBatch propagates
+    exceptions and would kill the streaming query for work that is safe
+    to retry next batch."""
+    import sifts_spark.streaming.dedup as SD
+
+    monkeypatch.setattr(
+        SD, "compact_sketch_index",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("transient FS")),
+    )
+    sink = _sink(col, tmp_path, compact_every=1)
+    sink(_df(spark, [("ok", BASE)]), 0)  # must NOT raise
+    assert {r["id"] for r in col.docs().collect()} == {"ok"}
+    # the next batch still ingests (and would retry compaction)
+    sink(_df(spark, [("ok2", "entirely different words here")]), 1)
+    assert {r["id"] for r in col.docs().collect()} == {"ok", "ok2"}
+
+
 def test_resent_id_keeps_accepted_precedence(col, spark, tmp_path):
     """ADVICE r6: a batch that re-sends an already-accepted id is an
     upsert — pairs sourced from that id's index rows must classify as

@@ -196,20 +196,23 @@ def duplicate_spans(
     fingerprint, Lee et al.'s keep-one policy; ``False`` marks every
     copy (their strict cut-all mode).
 
-    keep_first corner case (documented, not defended): the exemption is
-    per-FINGERPRINT, so when two duplicated runs OVERLAP inside one doc
-    and their corpus-wide first occurrences live in different docs,
-    removable grams of one run can land inside the other run's
-    first-occurrence chars — the merged interval then cuts part of a
-    "protected" first copy, and in the worst case a run loses every
-    copy corpus-wide. Making the guarantee absolute needs a second
-    corpus pass (re-exempt any merged interval containing a
-    first-occurrence gram, then re-merge — the interval and the
-    exemption are mutually recursive); pipelines that must never drop
-    content entirely should decontaminate/dedup at the doc level first
-    or run with ``keep_first=False`` knowing cut-all semantics apply.
-    Disjoint duplicated runs (the overwhelmingly common case) keep
-    their first copy exactly as documented.
+    keep_first overlap exemption (r8 — previously documented-only):
+    the per-fingerprint exemption alone is not enough when two
+    duplicated runs OVERLAP inside one doc and their corpus-wide first
+    occurrences live in different docs — removable grams of one run
+    can land inside the other run's first-occurrence chars, so the
+    merged interval would cut part of a "protected" first copy (in the
+    worst case a run would lose every copy corpus-wide). Defense: any
+    merged removable interval that overlaps a first-occurrence gram of
+    the SAME doc is exempted from the result entirely, so protected
+    chars are never cut and "first copy survives corpus-wide" is
+    absolute. The trade is deliberate under-cutting: the exempted
+    interval's non-protected duplicated chars also survive (a second
+    pass could re-shrink them, but the interval and the exemption are
+    mutually recursive — Lee et al.'s cut-all mode via
+    ``keep_first=False`` remains the strict option). Both interval
+    sets ride the SAME id-keyed groupBy, so the defense adds no
+    shuffle.
     """
     fps = (
         ensure_min_parallelism(
@@ -239,39 +242,60 @@ def duplicate_spans(
     marked = fps.withColumn("_dup", dup).withColumn(
         "_win", F.min(F.struct("id", "start")).over(wfp)
     )
-    removable = marked.filter(
-        F.col("_dup")
-        & (
-            F.lit(not keep_first)
-            | (F.col("id") != F.col("_win.id"))
-            | (F.col("start") != F.col("_win.start"))
+    # Corpus-wide-first grams are PROTECTED (keep_first); every other
+    # duplicated gram is removable. Both sets ride one groupBy(id).
+    flagged = marked.filter(F.col("_dup")).withColumn(
+        "_prot",
+        F.lit(keep_first)
+        & (F.col("id") == F.col("_win.id"))
+        & (F.col("start") == F.col("_win.start")),
+    )
+
+    def _merge_fold(col: Column) -> Column:
+        # sorted interval union: fold-merge overlaps (JVM HOF)
+        return F.aggregate(
+            F.array_sort(col),
+            F.array().cast("array<struct<start: int, end: int>>"),
+            lambda acc, x: F.when(
+                (F.size(acc) == 0)
+                | (x["start"] > F.element_at(acc, -1)["end"]),
+                F.concat(acc, F.array(x)),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["start"].alias("start"),
+                            F.greatest(
+                                F.element_at(acc, -1)["end"], x["end"]
+                            ).alias("end"),
+                        )
+                    ),
+                )
+            ),
         )
-    ).select("id", "start", "end")
-    # per-doc interval union: sort spans, fold-merge overlaps (JVM HOF)
-    merged = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("start", "end"))),
-        F.array().cast("array<struct<start: int, end: int>>"),
-        lambda acc, x: F.when(
-            (F.size(acc) == 0)
-            | (x["start"] > F.element_at(acc, -1)["end"]),
-            F.concat(acc, F.array(x)),
-        ).otherwise(
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["start"].alias("start"),
-                        F.greatest(
-                            F.element_at(acc, -1)["end"], x["end"]
-                        ).alias("end"),
-                    )
-                ),
-            )
+
+    per_doc = flagged.groupBy("id").agg(
+        _merge_fold(
+            F.collect_list(F.when(~F.col("_prot"), F.struct("start", "end")))
+        ).alias("_rm"),
+        _merge_fold(
+            F.collect_list(F.when(F.col("_prot"), F.struct("start", "end")))
+        ).alias("_pr"),
+    )
+    # keep_first overlap exemption (docstring): a merged removable
+    # interval overlapping ANY protected first-occurrence chars of this
+    # doc is not cut at all — protecting the first copy absolutely.
+    spans = F.filter(
+        F.col("_rm"),
+        lambda s: ~F.exists(
+            F.col("_pr"),
+            lambda p: (p["start"] < s["end"]) & (p["end"] > s["start"]),
         ),
     )
     return (
-        removable.groupBy("id")
-        .agg(merged.alias("spans"))
+        per_doc.select("id", spans.alias("spans"))
+        .filter(F.size("spans") > 0)
         .select(
             "id",
             "spans",

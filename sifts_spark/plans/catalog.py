@@ -1790,6 +1790,9 @@ WITH canon AS (
 ), removable AS (
   SELECT id, sp, ep FROM marked
   WHERE dup AND NOT (win.id = id AND win.sp = sp)
+), protected AS (
+  SELECT id, sp, ep FROM marked
+  WHERE dup AND win.id = id AND win.sp = sp
 ), ord AS (
   SELECT id, sp, ep,
          max(ep) OVER (PARTITION BY id ORDER BY sp, ep
@@ -1799,8 +1802,15 @@ WITH canon AS (
   SELECT *, count(CASE WHEN pm IS NULL OR sp > pm THEN 1 END)
             OVER (PARTITION BY id ORDER BY sp, ep ROWS UNBOUNDED PRECEDING) AS island
   FROM ord
-), merged AS (
+), merged_all AS (
   SELECT id, island, min(sp) AS ms, max(ep) AS me FROM isl GROUP BY id, island
+), merged AS (
+  -- keep_first overlap exemption (operators/substring.py r8): a merged
+  -- removable interval overlapping a first-occurrence gram of the same
+  -- doc is not cut at all
+  SELECT m.* FROM merged_all m
+  WHERE NOT EXISTS (SELECT 1 FROM protected p
+                    WHERE p.id = m.id AND p.sp < m.me AND p.ep > m.ms)
 ), segs AS (
   SELECT id, ms, me, lag(me, 1, 0) OVER (PARTITION BY id ORDER BY ms) AS pe
   FROM merged

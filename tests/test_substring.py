@@ -168,6 +168,35 @@ def test_exact_mode_covers_full_run(spark):
     assert {r["id"] for r in exact.collect()} == {1, 2}
 
 
+def test_keep_first_overlapping_runs_each_keep_a_copy(spark):
+    """r6 ADVICE / r8 VERDICT item 8: two duplicated runs OVERLAP in one
+    doc and their corpus-wide first occurrences live in different docs.
+    Without the overlap exemption, cutting d3's removable X+S interval
+    destroys the protected prefix of run2's (S Y) first occurrence, and
+    with d4 also fully cut, run2 survives NOWHERE. With the exemption,
+    every run keeps >= 1 intact corpus-wide copy."""
+    k = 5
+    X = " ".join(f"x{i}" for i in range(8))
+    S = " ".join(f"s{i}" for i in range(8))
+    Y = " ".join(f"y{i}" for i in range(8))
+    d1 = f"{X} {S}"            # first occurrence of run1 = X S
+    d3 = f"{X} {S} {Y}"        # run1 (removable) overlaps run2 = S Y,
+    d4 = f"{S} {Y}"            # whose first occurrence is d3
+    docs = _docs(spark, [(1, d1), (3, d3), (4, d4)])
+    out = {r["id"]: r["text"]
+           for r in remove_duplicate_spans(docs, k=k, mode="exact").collect()}
+    # run1 survives intact in d1 (all-protected there)
+    assert f"{X} {S}" in out[1]
+    # run2's first occurrence in d3 is NOT cut: the removable X+S
+    # interval overlaps protected boundary grams -> exempted
+    assert f"{S} {Y}" in out[3]
+    # d4 holds no first occurrences; its duplicated run is fully cut
+    assert S not in out[4] and Y not in out[4]
+    # the absolute guarantee: every duplicated run keeps >= 1 copy
+    for run in (f"{X} {S}", f"{S} {Y}"):
+        assert any(run in t for t in out.values())
+
+
 def test_mode_validation(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):

@@ -1109,20 +1109,18 @@ def events_rolling(spark, sf_dir) -> DataFrame:
     )
 
 
-@_register(
-    "docs_lang_salted",
-    "SELECT d.doc_id, d.lang, t.lang_total FROM documents d JOIN "
-    "(SELECT lang, CAST(count(*) AS BIGINT) AS lang_total "
-    " FROM documents GROUP BY lang) t USING (lang)",
-)
 def docs_lang_salted(spark, sf_dir) -> DataFrame:
     """Skew-safe salted equi-join on the skewed ``lang`` key (~44% of
     docs are 'en'). :func:`sifts_spark.operators.relational.salted_join`
     spreads the hot key over 8 reducers by replicating the dim side;
-    the oracle is the PLAIN join — salting must be invisible in the
-    result. At 100 TB this is the rewrite for when one key alone
-    exceeds an executor and AQE's skew split can't apply (it doesn't
-    split broadcast or bucketed colocated joins)."""
+    salting must be invisible in the result. At 100 TB this is the
+    rewrite for when one key alone exceeds an executor and AQE's skew
+    split can't apply (it doesn't split broadcast or bucketed colocated
+    joins).
+
+    r8 rotation: ceded its driver row to ``hybrid_rrf`` (the salted
+    physical shape and plain-join equality stay pytest-pinned in
+    tests/test_relational.py and the plan guard)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
@@ -1131,6 +1129,117 @@ def docs_lang_salted(spark, sf_dir) -> DataFrame:
     return R.salted_join(
         docs.select("doc_id", "lang"), totals.hint("shuffle_hash"), on="lang"
     ).select("doc_id", "lang", "lang_total")
+
+
+# Hybrid BM25 × vector retrieval fused by Reciprocal Rank Fusion
+# (Cormack/Clarke/Buettcher, SIGIR 2009) — the catalog twin of
+# Collection.hybrid_query's plan (collection.py::_hybrid_fused): each
+# leg keeps its top-``_RRF_POOL`` (per-partition heaps via orderBy +
+# limit → TakeOrderedAndProject), global row_number runs on pool-sized
+# frames only, one full-outer fuse. Determinism across engines: both
+# legs order by their ROUNDED score (BM25 @4, cosine @6 — the same
+# roundings their own driver rows pin as exact) with id tie-breaks, so
+# positions — and therefore the exact rational RRF sums — agree.
+_RRF_POOL = 50
+_RRF_K = 60
+
+_HYBRID_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+), dd AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM d WHERE len(toks) > 0
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd
+), tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, _t -> _t = 'data'))  AS tf_a,
+         len(list_filter(toks, _t -> _t = 'merge')) AS tf_b
+  FROM dd
+), dfs AS (
+  SELECT sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_a,
+         sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_b
+  FROM tf
+), bm AS (
+  SELECT doc_id,
+         round(
+           ln((n - df_a + 0.5) / (df_a + 0.5) + 1.0)
+             * (tf_a * 2.2) / (tf_a + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df_b + 0.5) / (df_b + 0.5) + 1.0)
+             * (tf_b * 2.2) / (tf_b + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           4) AS rank
+  FROM tf, stats, dfs
+  WHERE tf_a > 0 AND tf_b > 0
+), tpool AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY rank DESC, doc_id) AS INT) AS pos_t
+  FROM bm ORDER BY rank DESC, doc_id LIMIT {_RRF_POOL}
+), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id AS doc_id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
+  FROM embeddings, q
+), vpool AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS pos_v
+  FROM sims ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_POOL}
+)
+SELECT coalesce(t.doc_id, v.doc_id) AS id, t.pos_t, v.pos_v,
+       round(coalesce(1.0 / ({_RRF_K} + t.pos_t), 0)
+           + coalesce(1.0 / ({_RRF_K} + v.pos_v), 0), 6) AS rrf
+FROM tpool t FULL OUTER JOIN vpool v ON t.doc_id = v.doc_id
+"""
+
+
+@_register("hybrid_rrf", _HYBRID_SQL)
+def hybrid_rrf(spark, sf_dir) -> DataFrame:
+    """RRF-fused hybrid retrieval (rotated under the driver oracle in
+    r8, VERDICT item 7): BM25 text leg ('data merge' over the postings
+    index) × exact-cosine vector leg (query = vec 0), each pooled to
+    its top-{_RRF_POOL}, fused as Σ w/(60+pos). Same plan shape as
+    Collection.hybrid_query."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    postings = PREBUILT.get("postings") or S.build_postings(
+        docs, "doc_id", "text"
+    )
+    stats = PREBUILT.get("stats")
+    text = S.search_postings(
+        postings, parse_query("data merge"),
+        n_docs=stats[0] if stats else None,
+        avgdl=stats[1] if stats else None,
+    ).select(F.col("id").cast("long").alias("doc_id"),
+             F.round("rank", 4).alias("rank"))
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6).alias(
+            "cos_sim"
+        ),
+    )
+
+    legs = []
+    for leg, score, name in ((text, "rank", "pos_t"), (sims, "cos_sim", "pos_v")):
+        top = leg.orderBy(F.col(score).desc(), "doc_id").limit(_RRF_POOL)
+        w = Window.orderBy(F.col(score).desc(), "doc_id")
+        legs.append(
+            top.withColumn(name, F.row_number().over(w)).select("doc_id", name)
+        )
+    return (
+        legs[0]
+        .join(legs[1], "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").alias("id"),
+            "pos_t",
+            "pos_v",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("pos_t")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("pos_v")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
 
 
 _SMALLQTY_SQL = """
@@ -1852,14 +1961,14 @@ def remove_dup_spans(spark, sf_dir) -> DataFrame:
 
 # The driver's correctness harness checks the first 50 registered
 # entries; the catalog holds exactly 50 so EVERY entry is checked every
-# round (no rotation beyond the r7 swap below). Consolidations that
-# paid for this: the prefix atom lives inside fts_bool's query string,
-# events_cube subsumes events_rollup (superset grouping sets),
-# docs_except stands for the shuffle-on-distinct-key set-op family
-# (intersect pinned in pytest); in r7 text_fingerprint /
-# text_boilerplate / audio_features ceded their rows to
-# dedup_paragraphs / dsir_weights / remove_dup_spans (each retiree
-# keeps a pytest twin).
+# round. Consolidations that paid for this: the prefix atom lives
+# inside fts_bool's query string, events_cube subsumes events_rollup
+# (superset grouping sets), docs_except stands for the
+# shuffle-on-distinct-key set-op family (intersect pinned in pytest);
+# in r7 text_fingerprint / text_boilerplate / audio_features ceded
+# their rows to dedup_paragraphs / dsir_weights / remove_dup_spans; in
+# r8 docs_lang_salted ceded its row to hybrid_rrf (each retiree keeps
+# a pytest twin).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -29,7 +29,10 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   vector_knn_batch  — the bounded query BATCH (exact-kNN baseline is
 #                       corpus x queries BY DEFINITION; the scale paths
 #                       are ivf_knn / srp_knn, which stay key-joined)
-_BNLJ_ALLOWED = {"fts_bm25", "vector_knn", "vector_knn_batch"}
+#   hybrid_rrf        — both of the above: 1-row corpus-stats frame on
+#                       the BM25 leg + 1-row query vector on the cosine
+#                       leg (the fuse itself is a key-equi full outer)
+_BNLJ_ALLOWED = {"fts_bm25", "vector_knn", "vector_knn_batch", "hybrid_rrf"}
 
 
 def _explain(spark, name) -> str:

@@ -123,6 +123,40 @@ def main() -> None:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
 
+    # WET shards synthesized from the corpus (setup): Common Crawl
+    # convention, one gzip member per record, 16 shards — the read_wet
+    # row then measures the binaryFile -> streaming-inflate -> Arrow
+    # parse path end to end (shards/sec = 16 / best_sec).
+    import tempfile
+
+    from sifts_spark.sources.warc import read_wet
+
+    wet_dir = tempfile.mkdtemp(prefix="ext_bench_wet_")
+    _NSH = 16
+
+    def _write_wet_shards():
+        def write_part(idx, it):
+            import gzip as _gz
+            import os as _os
+
+            path = _os.path.join(wet_dir, f"shard{idx:04d}.warc.wet.gz")
+            with open(path, "wb") as f:
+                for row in it:
+                    body = (row["text"] or "").encode()
+                    head = (
+                        "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                        f"WARC-Record-ID: d{row['doc_id']}\r\n"
+                        f"WARC-Target-URI: http://x/{row['doc_id']}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    f.write(_gz.compress(head + body + b"\r\n\r\n"))
+            return iter(())
+
+        docs.select("doc_id", "text").repartition(_NSH).rdd \
+            .mapPartitionsWithIndex(write_part).count()
+
+    timed_setup("wet_shard_synthesis", _write_wet_shards)
+
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
         "dsir_weights": lambda: importance_weights(docs, lm_t, lm_s),
@@ -138,21 +172,58 @@ def main() -> None:
         "semdedup": lambda: semdedup(emb, centroids=cents, eps=0.95),
         "dsir_weights_bigram": lambda: importance_weights(docs, big_t, big_s),
         "image_phash_pairs": lambda: image_phash_pairs(media, max_hamming=0),
+        "read_wet": lambda: read_wet(spark, wet_dir)[0],
     }
+
+    def steal_jiffies() -> int:
+        # /proc/stat cpu line, field 8 = steal — every (sec, steal)
+        # sample makes host-contention poisoning auditable (SURVEY §6.1,
+        # same instrumentation as bench.py)
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return -1
 
     times: dict[str, float] = {}
     runs: dict[str, list] = {}
     for name, fn in QUERIES.items():
         best, samples = float("inf"), []
         for _ in range(3):
+            s0 = steal_jiffies()
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            samples.append(round(dt, 3))
+            samples.append([round(dt, 3), steal_jiffies() - s0])
             best = min(best, dt)
             release_all()
         times[name] = round(best, 3)
         runs[name] = samples
+
+    # Streaming sketch-index compaction steady state: 24 corpus-sized
+    # batches (doc_id % 24) appended to an index dir, compaction after
+    # each append with max_batch_dirs=8 — the per-batch compaction cost
+    # a long-running stream pays, separated from the sketch+write cost.
+    from sifts_spark.operators.dedup import minhash_banded_sketches
+    from sifts_spark.streaming.dedup import compact_sketch_index
+
+    idx_dir = tempfile.mkdtemp(prefix="ext_bench_sketchidx_")
+    _NB = 24
+    compact_times = []
+    for b in range(_NB):
+        minhash_banded_sketches(
+            docs.filter(F.col("doc_id") % _NB == b).withColumn(
+                "doc_id", F.col("doc_id").cast("string")
+            )  # string ids: the streaming sink's index schema
+        ).write.mode("overwrite").parquet(f"{idx_dir}/batch={b}")
+        release_all()
+        t0 = time.perf_counter()
+        compact_sketch_index(spark, idx_dir, max_batch_dirs=8)
+        compact_times.append(time.perf_counter() - t0)
+    setup["sketch_compact_per_batch_avg"] = round(
+        sum(compact_times) / _NB, 3
+    )
+    setup["sketch_compact_per_batch_max"] = round(max(compact_times), 3)
 
     print(
         json.dumps(

@@ -1,0 +1,392 @@
+"""HTML main-text extraction: crawled pages → clean training text.
+
+The missing hop in the raw-crawl pipeline: ``sources/warc.py`` turns
+WARC ``response`` records into ``text/html`` payload bytes, and every
+downstream operator (quality, langid, dedup, the curation recipe) wants
+the page's MAIN text — article body without nav bars, link farms,
+footers and scripts. Common Crawl's own WET files are exactly this
+extraction run server-side; :func:`read_warc_html` reproduces it from
+raw WARC so the engine covers corpora that ship only WARC.
+
+Method (stdlib-only, deterministic — no trafilatura/bs4 in this
+environment, and the heuristic family is public): parse with
+``html.parser.HTMLParser`` (lenient, entity-decoding), segment text
+into BLOCKS at block-level tags, then classify each block in the
+spirit of jusText (Pomikálek 2011) / Arc90 Readability:
+
+* blocks inside page chrome (``nav/header/footer/aside/form/menu``)
+  are boilerplate;
+* short blocks are boilerplate (< ``min_block_chars``);
+* high link density is boilerplate (chars inside ``<a>`` /
+  total chars > ``max_link_density`` — link farms, menus);
+* a short HEADING block is promoted to content when the next content
+  block follows it (jusText's heading rule), so titles survive.
+
+``main_text`` joins the content blocks with blank lines; per-doc block
+counts make the attrition measurable. Charset resolution follows the
+WHATWG sniff order: HTTP ``Content-Type`` param, else ``<meta
+charset>`` / ``http-equiv`` in the first 4 KiB, else UTF-8 with
+replacement.
+
+Distributed shape: ONE Arrow ``mapInPandas`` scan — parsing is
+genuinely per-row Python (there is no JVM HTML parser in
+``pyspark.sql.functions``), the same posture as the multimodal
+decoders (`operators/multimodal.py`). Cost is O(page bytes) per row
+with no shuffle; at 100 TB this runs shard-parallel right behind the
+WARC scan, and the two `mapInPandas` stages fuse into one task
+pipeline (no exchange between them — verified by plan inspection in
+the tests).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Content inside these never yields text.
+_SKIP_TAGS = frozenset(
+    # NOT "head": <title> lives there and its other children (meta,
+    # link, script, style) either emit no text or are skipped themselves
+    "script style noscript template svg iframe object select datalist".split()
+)
+# Page chrome: text here is boilerplate by position.
+_CHROME_TAGS = frozenset("nav header footer aside form menu".split())
+# Tags that terminate the current text block.
+_BLOCK_TAGS = frozenset(
+    (
+        "p div section article main li ul ol dl dt dd table thead tbody tr "
+        "td th blockquote pre figure figcaption h1 h2 h3 h4 h5 h6 br hr "
+        "address fieldset details summary"
+    ).split()
+)
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+# Elements the HTML spec defines as self-closing (never pushed on the
+# open stack, so a crawled page's unclosed <img> can't corrupt depth).
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+
+_CHARSET_RE = re.compile(rb"""charset\s*=\s*["']?\s*([-\w.:]+)""", re.I)
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("n_content_blocks", T.IntegerType()),
+        T.StructField("_err", T.StringType()),
+    ]
+)
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "in_chrome", "heading")
+
+    def __init__(self, in_chrome: bool, heading: bool):
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.in_chrome = in_chrome
+        self.heading = heading
+
+    def text(self) -> str:
+        return re.sub(r"\s+", " ", "".join(self.parts)).strip()
+
+
+class _BlockParser(HTMLParser):
+    """Segments a page into text blocks with link/chrome/heading
+    annotations. Tolerant by construction — ``html.parser`` never
+    raises on malformed markup."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self.title_parts: list[str] = []
+        self._skip = 0  # depth inside _SKIP_TAGS
+        self._chrome = 0  # depth inside _CHROME_TAGS
+        self._link = 0  # depth inside <a>
+        self._in_title = False
+        self._heading = 0  # depth inside h1..h6
+        self._cur: _Block | None = None
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur is not None:
+            if self._cur.text():
+                self.blocks.append(self._cur)
+            self._cur = None
+
+    def _sink(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(self._chrome > 0, self._heading > 0)
+        return self._cur
+
+    # -- HTMLParser hooks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            if tag not in _VOID_TAGS:
+                self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome += 1
+        if tag in _HEADING_TAGS:
+            self._heading += 1
+        if tag == "a":
+            self._link += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag == "title":
+            self._in_title = False
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome = max(0, self._chrome - 1)
+        if tag in _HEADING_TAGS:
+            self._heading = max(0, self._heading - 1)
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if data and not data.isspace():
+            b = self._sink()
+            b.parts.append(data)
+            if self._link:
+                b.link_chars += len(data)
+        elif self._cur is not None:
+            self._cur.parts.append(" ")
+
+    def close(self) -> None:  # final partial block
+        super().close()
+        self._flush()
+
+    def title(self) -> str:
+        return re.sub(r"\s+", " ", "".join(self.title_parts)).strip()
+
+
+def _classify(
+    blocks: list[_Block],
+    min_block_chars: int,
+    max_link_density: float,
+    keep_chrome: bool,
+) -> list[bool]:
+    """jusText-style two-pass: context-free verdicts, then heading
+    promotion (a short heading becomes content iff the NEXT non-heading
+    verdict is content)."""
+    good = []
+    for b in blocks:
+        t = b.text()
+        n = len(t)
+        dens = (b.link_chars / n) if n else 1.0
+        good.append(
+            (keep_chrome or not b.in_chrome)
+            and n >= min_block_chars
+            and dens <= max_link_density
+        )
+    # heading promotion (right-to-left so chains of headings promote)
+    nxt = False
+    for i in range(len(blocks) - 1, -1, -1):
+        b = blocks[i]
+        if good[i]:
+            nxt = True
+            continue
+        if (
+            b.heading
+            and nxt
+            and (keep_chrome or not b.in_chrome)
+            and b.text()
+            and (b.link_chars / len(b.text())) <= max_link_density
+        ):
+            good[i] = True
+        elif not b.heading:
+            nxt = False
+    return good
+
+
+def _resolve_charset(payload: bytes, mime_params: str | None) -> str:
+    if mime_params:
+        m = _CHARSET_RE.search(mime_params.encode("utf-8", "ignore"))
+        if m:
+            return m.group(1).decode("ascii", "ignore")
+    head = payload[:4096]
+    m = _CHARSET_RE.search(head)
+    if m:
+        return m.group(1).decode("ascii", "ignore")
+    return "utf-8"
+
+
+def decode_html_bytes(payload: bytes, content_type: str | None = None) -> str:
+    """Bytes → str with WHATWG-order charset sniffing; always succeeds
+    (unknown/mislabeled charsets fall back to UTF-8 with replacement)."""
+    cs = _resolve_charset(payload, content_type)
+    try:
+        return payload.decode(cs, "replace")
+    except LookupError:
+        return payload.decode("utf-8", "replace")
+
+
+def extract_page(
+    html: str,
+    min_block_chars: int = 40,
+    max_link_density: float = 1 / 3,
+    keep_chrome: bool = False,
+) -> dict:
+    """Single-page extraction (the per-row kernel, importable for tests
+    and driver-side use). Returns ``{title, main_text, n_blocks,
+    n_content_blocks}``."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    good = _classify(p.blocks, min_block_chars, max_link_density, keep_chrome)
+    texts = [b.text() for b, g in zip(p.blocks, good) if g]
+    return {
+        "title": p.title(),
+        "main_text": "\n\n".join(texts),
+        "n_blocks": len(p.blocks),
+        "n_content_blocks": len(texts),
+    }
+
+
+def extract_main_text(
+    pages: DataFrame,
+    id_col: str = "id",
+    html_col: str = "html",
+    min_block_chars: int = 40,
+    max_link_density: float = 1 / 3,
+    keep_chrome: bool = False,
+) -> DataFrame:
+    """Pages frame (``id``, ``html`` STRING or BINARY) → ``(id, title,
+    main_text, n_blocks, n_content_blocks)``.
+
+    BINARY html columns are charset-sniffed per row; STRING columns are
+    taken as already decoded. Map-side Arrow scan, zero shuffle; a row
+    whose parse raises (pathological input) yields an ``_err``-tagged
+    row that is filtered out here — callers needing the quarantine use
+    :func:`read_warc_html`, which surfaces it."""
+    binary = isinstance(pages.schema[html_col].dataType, T.BinaryType)
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[html_col]):
+                try:
+                    html = (
+                        decode_html_bytes(bytes(payload)) if binary else payload
+                    )
+                    d = extract_page(
+                        html, min_block_chars, max_link_density, keep_chrome
+                    )
+                    rows.append(
+                        (rid, d["title"], d["main_text"], d["n_blocks"],
+                         d["n_content_blocks"], None)
+                    )
+                except Exception as e:  # pragma: no cover - parser is lenient
+                    rows.append((rid, None, None, None, None, f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "title", "main_text", "n_blocks",
+                         "n_content_blocks", "_err"],
+            )
+
+    out = pages.select(id_col, html_col).mapInPandas(kernel, _EXTRACT_SCHEMA)
+    return out.filter(F.col("_err").isNull()).drop("_err")
+
+
+def read_warc_html(
+    spark: SparkSession,
+    path: str,
+    min_block_chars: int = 40,
+    max_link_density: float = 1 / 3,
+    min_content_chars: int = 1,
+    max_record_bytes: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Raw WARC shards → the canonical docs frame, WET-equivalently:
+    ``(good, quarantined)`` where ``good`` is ``(id, content,
+    metadata)`` — ``content`` the extracted main text, ``metadata``
+    JSON with ``uri``, ``date``, ``title``, ``source`` — ready for
+    ``Collection.add_dataframe`` / ``prepare_training_data``.
+
+    Composition: :func:`~sifts_spark.sources.warc.read_warc_responses`
+    filtered parse-side to ``text/html`` → charset decode → block
+    extraction, all inside two fused map stages of ONE shard-parallel
+    scan (no exchange — the html kernel consumes the WARC kernel's
+    Arrow batches in the same task). Framing faults quarantine per the
+    WARC reader's contract; pages whose extraction yields fewer than
+    ``min_content_chars`` characters are dropped (chrome-only pages),
+    mirroring ``read_wet``'s empty-extraction drop."""
+    from sifts_spark.sources.warc import read_warc_responses
+
+    kwargs = {} if max_record_bytes is None else {
+        "max_record_bytes": max_record_bytes
+    }
+    media, quarantined = read_warc_responses(
+        spark, path, mime_prefixes=("text/html",), **kwargs
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload, mime, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"], pdf["meta"]
+            ):
+                try:
+                    html = decode_html_bytes(bytes(payload), mime)
+                    d = extract_page(html, min_block_chars, max_link_density)
+                    if len(d["main_text"]) < min_content_chars:
+                        continue
+                    md = dict(meta or {})
+                    md["title"] = d["title"]
+                    rows.append((rid, d["main_text"], json.dumps(md), None))
+                except Exception as e:  # pragma: no cover
+                    rows.append(
+                        (rid, None, None, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "content", "metadata", "_err"]
+            )
+
+    docs_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("metadata", T.StringType()),
+            T.StructField("_err", T.StringType()),
+        ]
+    )
+    parsed = media.mapInPandas(kernel, docs_schema)
+    good = parsed.filter(F.col("_err").isNull()).select(
+        "id", "content", "metadata"
+    )
+    extract_quar = parsed.filter(F.col("_err").isNotNull()).select(
+        F.col("id").alias("source"), F.col("_err").alias("error")
+    )
+    return good, quarantined.unionByName(extract_quar)

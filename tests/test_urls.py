@@ -1,0 +1,162 @@
+"""URL / domain curation — operators/urls.py.
+
+`domain_stats` is pinned value-exact against a DuckDB twin over URLs
+synthesized deterministically from the real documents table (same
+construction in both engines), the same test-level-oracle pattern as
+fingerprint/boilerplate. Unit rows cover the eTLD+1 approximation
+corners (multi-label suffixes, IPv4, single label, port/userinfo/case,
+junk URLs) and both filter modes, plus the broadcast plan shape.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.operators.urls import (
+    domain_stats,
+    filter_domains,
+    registrable_domain,
+    url_host,
+    with_domain,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Deterministic URL synthesis shared by Spark and DuckDB: doc_id % 5
+# picks a host family covering subdomains, co.uk, IPv4 and bare hosts.
+_URL_CASE_SQL = """
+CASE CAST(doc_id AS INTEGER) % 5
+  WHEN 0 THEN 'https://www.' || source || '.example.com/a/' || doc_id
+  WHEN 1 THEN 'https://news.' || source || '.example.com/b'
+  WHEN 2 THEN 'http://shop.' || source || '.co.uk/c?x=' || doc_id
+  WHEN 3 THEN 'http://192.168.0.' || (CAST(doc_id AS INTEGER) % 250) || '/d'
+  ELSE 'http://intranet/e/' || doc_id
+END
+"""
+
+
+@pytest.fixture(scope="module")
+def url_docs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return docs.withColumn("url", F.expr(_URL_CASE_SQL))
+
+
+class TestHostAndDomain:
+    @pytest.mark.parametrize(
+        "url,host,domain",
+        [
+            ("http://User@News.Example.CO.UK:8080/a?x=1",
+             "news.example.co.uk", "example.co.uk"),
+            ("https://sub.news.example.com/path",
+             "sub.news.example.com", "example.com"),
+            ("http://192.168.0.1/x", "192.168.0.1", "192.168.0.1"),
+            ("http://localhost/x", "localhost", "localhost"),
+            ("ftp://a.b.c.d.co.jp/f", "a.b.c.d.co.jp", "d.co.jp"),
+            ("not a url", None, None),
+        ],
+    )
+    def test_corner_cases(self, spark, url, host, domain):
+        (row,) = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(url_host("url").alias("h"),
+                    registrable_domain(url_host("url")).alias("d"))
+            .collect()
+        )
+        assert row["h"] == host and row["d"] == domain
+
+    def test_extra_suffixes_extend_the_psl_subset(self, spark):
+        (row,) = (
+            spark.createDataFrame([("http://a.b.custom.tld/x",)], "url string")
+            .select(registrable_domain(
+                url_host("url"), extra_suffixes=("custom.tld",)).alias("d"))
+            .collect()
+        )
+        assert row["d"] == "b.custom.tld"
+
+
+class TestDomainStats:
+    def test_duckdb_value_twin(self, spark, url_docs):
+        got = {
+            r["domain"]: r
+            for r in domain_stats(url_docs, "url", text_col="text").collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        suffix_list = ",".join(
+            f"'{s}'" for s in ("co.uk",)
+        )  # only co.uk appears in the synthesized hosts
+        want = con.execute(f"""
+            WITH u AS (
+              SELECT *, {_URL_CASE_SQL} AS url FROM documents
+            ), h AS (
+              SELECT *, lower(regexp_extract(url, '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+              FROM u
+            ), p AS (
+              SELECT *, string_split(host, '.') AS parts FROM h
+            ), r AS (
+              SELECT *, CASE
+                WHEN regexp_matches(host, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                     OR len(parts) <= 2 THEN host
+                WHEN array_to_string(parts[-2:], '.') IN ({suffix_list})
+                  THEN array_to_string(parts[-3:], '.')
+                ELSE array_to_string(parts[-2:], '.')
+              END AS domain FROM p
+            )
+            SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts,
+                   sum(length(text)) AS total_chars,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM r GROUP BY domain
+        """).fetchall()
+        assert len(want) == len(got) > 3
+        for domain, n_docs, n_hosts, total_chars, avg_chars in want:
+            g = got[domain]
+            assert (g["n_docs"], g["n_hosts"], g["total_chars"]) == (
+                n_docs, n_hosts, total_chars), domain
+            assert abs(g["avg_chars"] - avg_chars) < 1e-9
+
+    def test_shuffle_shape_and_column_pruning(self, url_docs):
+        plan = domain_stats(url_docs, "url")._jdf.queryExecution(
+        ).executedPlan().toString()
+        # exact COUNT(DISTINCT host) is the canonical two-exchange agg:
+        # (domain, host) dedup phase then domain final — nothing more
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "partial" in plan.lower()
+        # column pruning reached the scan: only url inputs are read
+        assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+class TestFilterDomains:
+    def test_block_drops_all_subdomains(self, spark, url_docs):
+        n_all = url_docs.count()
+        # block every synthesized .co.uk registrable domain
+        blocked = [
+            r["domain"]
+            for r in with_domain(url_docs).select("domain").distinct().collect()
+            if r["domain"].endswith(".co.uk")
+        ]
+        kept = filter_domains(url_docs, blocked, "url")
+        assert kept.count() == n_all - url_docs.filter(
+            F.col("url").contains(".co.uk")).count()
+        assert kept.filter(F.col("url").contains(".co.uk")).count() == 0
+        assert kept.columns == url_docs.columns  # passthrough schema
+
+    def test_allow_keeps_only_listed(self, spark, url_docs):
+        doms = with_domain(url_docs).select("domain").distinct().collect()
+        one = sorted(r["domain"] for r in doms)[0]
+        kept = filter_domains(url_docs, [one], "url", mode="allow")
+        assert kept.count() > 0
+        got = {r["domain"] for r in with_domain(kept).select("domain").distinct().collect()}
+        assert got == {one}
+
+    def test_broadcast_join_shape(self, url_docs):
+        plan = filter_domains(url_docs, ["example.com"], "url")._jdf\
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_bad_mode_raises(self, url_docs):
+        with pytest.raises(ValueError, match="mode"):
+            filter_domains(url_docs, ["x.com"], "url", mode="deny")

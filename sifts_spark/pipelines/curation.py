@@ -122,13 +122,21 @@ def prepare_training_data(
     max_seq_tokens: int = 2048,
     target_file_mb: float = 256.0,
     scrub: bool = True,
+    url_col: str | None = None,
+    blocked_domains=None,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
     The full recipe a pretraining-data job runs, composed from this
-    repo's operators in their published order (CCNet → Gopher →
-    GPT-3 decontamination → Pile/DoReMi mixing → packing):
+    repo's operators in their published order (URL blocklist → CCNet →
+    Gopher → GPT-3 decontamination → Pile/DoReMi mixing → packing):
 
+    0. optional domain blocklist (C4/RefinedWeb's first gate) — when
+       ``blocked_domains`` (list or ``domain``-column DataFrame) and
+       ``url_col`` are given, rows whose registrable domain is listed
+       drop before any content stage
+       (:func:`~sifts_spark.operators.urls.filter_domains` — map-side
+       broadcast anti-join, the cheapest filter runs first);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
@@ -178,13 +186,20 @@ def prepare_training_data(
     from sifts_spark.pipelines.export import export_corpus
 
     manifest: dict = {"stages": {}}
+    manifest["stages"]["input"] = docs.count()
+    if blocked_domains is not None:
+        if url_col is None:
+            raise ValueError("blocked_domains requires url_col")
+        from sifts_spark.operators.urls import filter_domains
+
+        docs = filter_domains(docs, blocked_domains, url_col)
+        manifest["stages"]["domain_filtered"] = docs.count()
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,
         jaccard_threshold=jaccard_threshold, scrub=scrub,
     )
     curated = curated.persist()
-    manifest["stages"]["input"] = docs.count()
     manifest["stages"]["curated"] = curated.count()
     manifest["attrition"] = [r.asDict() for r in report.collect()]
 

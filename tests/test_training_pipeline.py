@@ -147,3 +147,75 @@ def test_prepare_training_data_substring_and_bpe_stages(spark, tmp_path):
         "_n2", bpe_token_count(F.col("text"), bpe, spark)
     ).filter(F.col("_n2") != F.col("n_tokens"))
     assert bad.count() == 0
+
+
+def test_prepare_training_data_from_warc_with_domain_blocklist(spark, tmp_path):
+    """The raw-crawl front door: WARC shard of HTML pages →
+    read_warc_html → stage-0 domain blocklist → full recipe. Pins that
+    the blocklist drops rows BEFORE curation (its stage count sits
+    between input and curated) and that extracted main text survives
+    the recipe's content gates end-to-end."""
+    import gzip
+
+    from sifts_spark.operators.htmltext import read_warc_html
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30).collect()
+
+    def record(doc, host):
+        page = (
+            "<html><head><title>D%s</title></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/x'>Browse</a></nav>"
+            "<article><p>%s</p></article>"
+            "<footer><a href='/t'>Terms</a></footer></body></html>"
+            % (doc["doc_id"], doc["text"])
+        ).encode()
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+                b"\r\n\r\n" + page)
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:{doc['doc_id']}>\r\n"
+            f"WARC-Target-URI: http://{host}/p/{doc['doc_id']}\r\n"
+            "WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    # every third page on a spam domain the blocklist names
+    shard = b"".join(
+        gzip.compress(record(d, "spam.example" if i % 3 == 0 else "ok.example"))
+        for i, d in enumerate(docs)
+    )
+    shard_dir = tmp_path / "crawl"
+    shard_dir.mkdir()
+    (shard_dir / "s.warc.gz").write_bytes(shard)
+
+    good, quar = read_warc_html(spark, str(shard_dir))
+    assert quar.count() == 0
+    crawled = good.select(
+        F.col("id").alias("doc_id"),
+        F.col("content").alias("text"),
+        F.get_json_object("metadata", "$.uri").alias("url"),
+    )
+    m = prepare_training_data(
+        crawled, str(tmp_path / "train"),
+        allowed_langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0, ppl_band=None, target_file_mb=0.01,
+        url_col="url", blocked_domains=["spam.example"],
+    )
+    s = m["stages"]
+    n_spam = sum(1 for i in range(len(docs)) if i % 3 == 0)
+    assert s["input"] == len(docs)
+    assert s["domain_filtered"] == len(docs) - n_spam
+    assert s["domain_filtered"] >= s["curated"] > 0
+    out = spark.read.parquet(str(tmp_path / "train") + "/docs")
+    assert out.count() == s["curated"]
+    # boilerplate never reached the corpus
+    assert out.filter(F.col("text").contains("Browse")).count() == 0
+
+
+def test_blocked_domains_requires_url_col(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_training_data(
+            docs, str(tmp_path / "x"), blocked_domains=["a.com"]
+        )

@@ -157,6 +157,40 @@ def main() -> None:
 
     timed_setup("wet_shard_synthesis", _write_wet_shards)
 
+    # HTML pages + crawl URLs synthesized MAP-SIDE from the corpus
+    # (format_string — no driver materialization): the extract row
+    # measures the stdlib block-parser kernel, the domain rows the
+    # JVM-expression host/eTLD+1 path over a realistic URL mix.
+    from sifts_spark.operators.htmltext import extract_main_text
+    from sifts_spark.operators.urls import domain_stats, filter_domains
+
+    # repartition: the testdata table is ONE parquet file (one scan
+    # partition), but real HTML arrives shard-parallel (read_warc_html:
+    # one task per WARC shard) — a single-core number would misstate
+    # the operator's shape by ~cpus×
+    pages = docs.repartition(int(cpus)).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.format_string(
+            "<html><head><title>Doc %s</title></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/b'>Browse</a> "
+            "<a href='/l'>Login</a></nav><article><h2>Doc %s</h2>"
+            "<p>%s</p></article><footer><a href='/t'>Terms</a> "
+            "<a href='/p'>Privacy</a></footer></body></html>",
+            "doc_id", "doc_id", "text",
+        ).alias("html"),
+    )
+    crawl = docs.withColumn(
+        "url",
+        F.expr(
+            "CASE CAST(doc_id AS INT) % 4"
+            " WHEN 0 THEN 'https://www.' || source || '.example.com/a/' || doc_id"
+            " WHEN 1 THEN 'https://news.' || source || '.example.com/b'"
+            " WHEN 2 THEN 'http://shop.' || source || '.co.uk/c?x=' || doc_id"
+            " ELSE 'http://10.0.0.' || (CAST(doc_id AS INT) % 250) || '/d' END"
+        ),
+    )
+    blocked = [f"src{i}.co.uk" for i in range(100)]
+
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
         "dsir_weights": lambda: importance_weights(docs, lm_t, lm_s),
@@ -173,6 +207,9 @@ def main() -> None:
         "dsir_weights_bigram": lambda: importance_weights(docs, big_t, big_s),
         "image_phash_pairs": lambda: image_phash_pairs(media, max_hamming=0),
         "read_wet": lambda: read_wet(spark, wet_dir)[0],
+        "extract_html_text": lambda: extract_main_text(pages),
+        "domain_stats": lambda: domain_stats(crawl, "url", text_col="text"),
+        "filter_domains": lambda: filter_domains(crawl, blocked, "url"),
     }
 
     def steal_jiffies() -> int:

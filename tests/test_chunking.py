@@ -1,0 +1,146 @@
+"""Retrieval chunking — operators/chunking.py.
+
+The distributed path is pinned row-exact against the pure-Python
+kernel on the real corpus; hypothesis drives the invariants (budget
+never exceeded, every token covered by some chunk, offsets faithful,
+determinism) over random punctuation-bearing text; controlled examples
+pin sentence alignment, overlap seeding, oversized-sentence hard
+splits and the Collection hop (index chunks → search → parent doc).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sifts_spark.operators.chunking import chunk_documents, chunk_text
+from sifts_spark.operators.textanalysis import TOKEN_COUNT_RE
+
+TOK = re.compile(TOKEN_COUNT_RE, re.IGNORECASE)
+
+text_strategy = st.text(
+    alphabet="ab c.!? d\n", min_size=0, max_size=400
+)
+
+
+class TestKernelInvariants:
+    @given(text=text_strategy, max_tokens=st.integers(3, 40),
+           overlap=st.integers(0, 2))
+    @settings(max_examples=200, deadline=None)
+    def test_budget_coverage_offsets(self, text, max_tokens, overlap):
+        chunks = chunk_text(text, max_tokens, overlap)
+        covered: set[int] = set()
+        for c in chunks:
+            # offsets faithful: the chunk text IS the doc slice
+            assert text[c["begin_char"]:c["end_char"]] == c["text"]
+            # budget invariant and self-consistent token count
+            assert 0 < c["n_tokens"] <= max_tokens
+            assert len(TOK.findall(c["text"])) == c["n_tokens"]
+            covered.update(range(c["begin_char"], c["end_char"]))
+        # every token of the doc is inside at least one chunk
+        for m in TOK.finditer(text):
+            assert set(range(m.start(), m.end())) <= covered
+        # determinism
+        assert chunk_text(text, max_tokens, overlap) == chunks
+
+    def test_sentence_alignment(self):
+        text = "First sentence here. Second one follows! Third ends it?"
+        chunks = chunk_text(text, max_tokens=5, overlap_tokens=0)
+        assert [c["text"] for c in chunks] == [
+            "First sentence here.", "Second one follows!", "Third ends it?"
+        ]
+
+    def test_two_sentences_pack_when_they_fit(self):
+        text = "One two. Three four. Five six seven eight nine."
+        chunks = chunk_text(text, max_tokens=8, overlap_tokens=0)
+        # "One two." (3 toks) + "Three four." (3) fit; the 6-tok tail not
+        assert chunks[0]["text"] == "One two. Three four."
+        assert chunks[1]["text"] == "Five six seven eight nine."
+
+    def test_overlap_reopens_with_previous_tail(self):
+        text = "Alpha beta. Gamma delta. Epsilon zeta. Eta theta."
+        chunks = chunk_text(text, max_tokens=6, overlap_tokens=3)
+        # chunk 0: two sentences (6 toks); chunk 1 re-opens with the
+        # LAST sentence of chunk 0 (3 toks >= overlap)
+        assert chunks[0]["text"] == "Alpha beta. Gamma delta."
+        assert chunks[1]["text"].startswith("Gamma delta.")
+
+    def test_oversized_sentence_hard_splits(self):
+        text = "one " * 100  # a single 100-token "sentence"
+        chunks = chunk_text(text.strip(), max_tokens=30, overlap_tokens=0)
+        assert all(c["n_tokens"] <= 30 for c in chunks)
+        assert sum(c["n_tokens"] for c in chunks) == 100
+
+    def test_overlap_shed_when_budget_tight(self):
+        # a near-budget sentence right after a flush must shed overlap
+        text = "a b c d e. " + " ".join(f"w{i}" for i in range(9)) + "."
+        chunks = chunk_text(text, max_tokens=10, overlap_tokens=5)
+        assert all(c["n_tokens"] <= 10 for c in chunks)
+
+    def test_empty_and_whitespace_docs(self):
+        assert chunk_text("") == []
+        assert chunk_text("   \n  ") == []
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_text("x", max_tokens=5, overlap_tokens=5)
+        with pytest.raises(ValueError, match="max_tokens"):
+            chunk_text("x", max_tokens=0)
+
+
+class TestDistributed:
+    def test_matches_kernel_on_real_corpus(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        got = sorted(
+            (r["chunk_id"], r["text"], r["n_tokens"], r["begin_char"])
+            for r in chunk_documents(
+                docs, max_tokens=40, overlap_tokens=8
+            ).collect()
+        )
+        want = []
+        for r in docs.collect():
+            for i, c in enumerate(chunk_text(r["text"], 40, 8)):
+                want.append(
+                    (f"{r['doc_id']}#{i}", c["text"], c["n_tokens"],
+                     c["begin_char"])
+                )
+        assert got == sorted(want) and len(got) > 100
+
+    def test_no_shuffle(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = chunk_documents(docs)._jdf.queryExecution().executedPlan(
+        ).toString()
+        assert "Exchange" not in plan
+
+    def test_chunks_into_collection_and_back(self, spark, tmp_path):
+        """The indexing story: chunk → Collection.add_dataframe → FTS
+        hit on a chunk → parent doc recoverable from the chunk id."""
+        from sifts_spark.collection import Collection
+
+        docs = spark.createDataFrame(
+            [("d1",
+              "Nothing special here. The rare word zyzzogeton appears. "
+              "More filler text follows in this sentence.")],
+            ["doc_id", "text"],
+        )
+        chunks = chunk_documents(docs, max_tokens=8, overlap_tokens=0)
+        col = Collection(str(tmp_path), "chunks", spark=spark)
+        col.add_dataframe(
+            chunks.select(
+                F.col("chunk_id").alias("id"),
+                F.col("text").alias("content"),
+                F.to_json(F.struct("doc_id", "chunk_index")).alias("metadata"),
+            )
+        )
+        res = col.query("zyzzogeton")
+        assert res["total"] == 1
+        hit = res["results"][0]
+        assert "zyzzogeton" in hit["content"]
+        assert hit["metadata"]["doc_id"] == "d1"
+        assert hit["id"].startswith("d1#")

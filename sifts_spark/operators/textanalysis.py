@@ -197,6 +197,56 @@ def fingerprint(
     )
 
 
+def keywords_tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-doc top-``k`` terms by tf-idf → ``(id, term, tf, score,
+    rank)`` — the classic corpus-statistics keyword extractor (salient
+    terms for tagging, faceting, weak labels).
+
+    Formula (pinned, DuckDB-replicable): ``idf = ln((N+1)/(df+1)) + 1``
+    (smoothed, sklearn's convention), ``score = round(tf * idf, 6)``;
+    ``N`` = docs with ≥1 token; ties broken by ``term`` ascending so
+    the top-k is total-ordered and oracle-exact.
+
+    Distributed shape: one explode + (id, term) groupBy for tf (the
+    token-sized shuffle every postings build pays); df via a window
+    count over ``term`` — NOT a vocabulary-sized broadcast join, which
+    would stop fitting exactly when the corpus gets interesting (web
+    vocab with typos is ~10^8 terms); ``N`` as a broadcast 1-row cross
+    join; per-doc window for top-k — partitioned by doc id, so sorts
+    are per-group tiny; no global sort, no driver state. (On a live
+    Collection the postings sidecar + corpus_stats already hold tf/df/N
+    — this operator is the standalone-frame path.)"""
+    from pyspark.sql import Window
+
+    toks_exploded = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = toks_exploded.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = tf.select(F.countDistinct("id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "score", "rank")
+    )
+
+
 # PII-ish patterns kept RE2/Java-regex-portable (no lookarounds): the
 # same source string compiles identically in Spark (Java regex) and
 # DuckDB (RE2), so redaction is oracle-checkable.

@@ -449,3 +449,64 @@ def test_boilerplate_score_duckdb_twin(spark):
     assert got == ref
     # docs 4-8 share 'one two three'-family shingles at df >= 5
     assert got[4][1] > 0 and got[4][2] > 0
+
+
+def test_keywords_tfidf_duckdb_twin(spark):
+    """keywords_tfidf pinned value-exact (tf, df-derived score, rank)
+    against DuckDB over the real corpus — same tokenizer, same smoothed
+    idf formula, same (score desc, term asc) total order."""
+    import duckdb
+
+    from sifts_spark.functions.text import tokenize_sql
+    from sifts_spark.operators.textanalysis import keywords_tfidf
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["id"], r["rank"], r["term"], r["tf"], round(r["score"], 6))
+        for r in keywords_tfidf(docs, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(f"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, unnest({tokenize_sql('text')}) AS term
+          FROM documents
+        ), tf AS (
+          SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term
+        ), dfreq AS (
+          SELECT *, count(*) OVER (PARTITION BY term) AS df,
+                 (SELECT count(DISTINCT id) FROM tf) AS n_docs
+          FROM tf
+        ), scored AS (
+          SELECT id, term, tf,
+                 round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS score
+          FROM dfreq
+        )
+        SELECT id, rank, term, tf, score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """).fetchall()
+    want = sorted((i, r, t, f, round(s, 6)) for i, r, t, f, s in want)
+    assert len(got) == len(want) > 1000
+    assert got == want
+
+
+def test_keywords_tfidf_rare_term_beats_common(spark):
+    docs = spark.createDataFrame(
+        [("a", "common common common zyzzogeton"),
+         ("b", "common words here"),
+         ("c", "common words again")],
+        ["doc_id", "text"],
+    )
+    from sifts_spark.operators.textanalysis import keywords_tfidf
+
+    top_a = [r["term"] for r in keywords_tfidf(docs, k=2).filter(
+        "id = 'a'").orderBy("rank").collect()]
+    # tf=3 for 'common' (df=3, idf=1) -> 3.0; 'zyzzogeton' tf=1 df=1
+    # idf=ln(4/2)+1=1.693 -> common wins on tf, rare term second
+    assert top_a == ["common", "zyzzogeton"]

@@ -62,11 +62,16 @@ _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
 def url_host(url: Column | str) -> Column:
     """Lower-cased host of a URL (no port, no userinfo) — NULL for
-    unparseable values. JVM ``parse_url``, codegen'd."""
+    unparseable values. JVM ``parse_url``, codegen'd. A trailing
+    FQDN dot (``example.com.``) is stripped so blocklists keyed on
+    ``example.com`` still match (RFC-legal absolute form, and real
+    crawl URLs carry it)."""
     c = F.col(url) if isinstance(url, str) else url
     # try_parse_url: ANSI mode makes parse_url THROW on junk values —
     # crawl URLs are untrusted input, NULL is the contract
-    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"\.$", ""
+    )
 
 
 def registrable_domain(
@@ -92,17 +97,137 @@ def registrable_domain(
     )
 
 
+class PublicSuffixList:
+    """Real Public Suffix List semantics (publicsuffix.org/list/ — the
+    algorithm is public spec) as a pure JVM expression over a
+    driver-parsed rule set.
+
+    Rules: exact (``co.uk``), wildcard (``*.ck`` — any single label
+    under the base is a public suffix), exception (``!www.ck`` — the
+    named tail is NOT a public suffix despite a covering wildcard).
+    Prevailing rule per spec: any matching exception beats everything;
+    otherwise the LONGEST matching public suffix wins; the implicit
+    default rule ``*`` (unknown TLD → last label) is the fallthrough.
+
+    Execution shape: rule membership compiles to ``Column.isin`` over
+    the per-label-count rule lists — Catalyst rewrites any ``In`` above
+    ``spark.sql.optimizer.inSetConversionThreshold`` (default 10) to
+    ``InSet``, an O(1) broadcast-hash-set probe inside whole-stage
+    codegen. The full PSL (~10k rules) is therefore a handful of
+    hash-set probes per row: map-side, no join, no shuffle, no UDF —
+    strictly cheaper at 100 TB than the broadcast-join alternative
+    (which would pay one probe per candidate tail PLUS join plumbing).
+
+    Caveats (documented, inherent to the representation): hosts are
+    matched as-is after lowercasing — supply punycode rules for
+    punycode hosts (the canonical PSL ships Unicode labels; crawl URLs
+    are almost always punycode, so feed the PSL through ``idna`` where
+    exactness on IDN TLDs matters). ``registrable_domain`` (the
+    zero-dep built-in subset above) remains the fallback when no PSL
+    file is shipped."""
+
+    def __init__(self, rules: "list[str] | str") -> None:
+        if isinstance(rules, str):
+            rules = rules.splitlines()
+        self.exact: dict[int, list[str]] = {}
+        self.wildcard: dict[int, list[str]] = {}
+        self.exception: dict[int, list[str]] = {}
+        for raw in rules:
+            line = raw.strip().lower()
+            # spec: everything after the first whitespace is a comment
+            line = line.split()[0] if line.split() else ""
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                bucket, rule = self.exception, line[1:]
+            elif line.startswith("*."):
+                bucket, rule = self.wildcard, line[2:]
+            elif line == "*":
+                continue  # the implicit default rule — always applied
+            else:
+                bucket, rule = self.exact, line
+            if rule:
+                bucket.setdefault(rule.count(".") + 1, []).append(rule)
+        self.max_suffix_labels = max(
+            [k for k in self.exact] + [k + 1 for k in self.wildcard] + [1]
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "PublicSuffixList":
+        with open(path, encoding="utf-8") as f:
+            return cls(f.read())
+
+    def registrable_domain(self, host: Column | str) -> Column:
+        """eTLD+1 of a lower-cased host under the full rule semantics.
+        NULL when the host IS a public suffix (spec: no registrable
+        domain exists) or the host is NULL; IPv4 hosts pass through
+        whole (consistent with :func:`registrable_domain`)."""
+        c = F.col(host) if isinstance(host, str) else host
+        parts = F.split(c, r"\.")
+        n = F.size(parts)
+
+        def tail(k: int) -> Column:
+            return F.concat_ws(".", F.slice(parts, -k, k))
+
+        def hit(k: int, bucket: dict[int, list[str]]) -> Column:
+            rules = bucket.get(k)
+            if not rules:
+                return F.lit(False)
+            return (n >= k) & tail(k).isin(rules)
+
+        # default rule '*': public suffix = last label → eTLD+1 = tail(2)
+        dom = F.when(n >= 2, tail(2)).otherwise(F.lit(None).cast("string"))
+        # longest public suffix wins: scan suffix length s upward so the
+        # final chained expression checks the LONGEST first
+        for s in range(2, self.max_suffix_labels + 1):
+            # a wildcard with an (s-1)-label base matches an s-label
+            # public suffix ONLY when the host actually has a label in
+            # the * position (n >= s) — a host EQUAL to the base must
+            # fall through to the shorter rules (spec: '*' consumes a
+            # label)
+            cond = hit(s, self.exact) | (
+                hit(s - 1, self.wildcard) & (n >= s)
+            )
+            dom = F.when(
+                cond,
+                F.when(n > s, tail(s + 1)).otherwise(
+                    F.lit(None).cast("string")
+                ),
+            ).otherwise(dom)
+        # 1-label exact rules add nothing over the default; wildcard
+        # bases of 1 label (*.ck) were handled at s=2 above
+        # exception rules prevail over every suffix rule: the matched
+        # tail ITSELF is the registrable domain (spec: drop the
+        # exception's leftmost label to get the public suffix)
+        for k in sorted(self.exception):
+            dom = F.when(hit(k, self.exception), tail(k)).otherwise(dom)
+        return (
+            F.when(c.isNull(), F.lit(None).cast("string"))
+            .when(c.rlike(_IPV4_RE), c)
+            .otherwise(dom)
+        )
+
+
 def with_domain(
     df: DataFrame,
     url_col: str = "url",
     out_col: str = "domain",
     extra_suffixes: tuple[str, ...] = (),
+    host_col: str = "host",
+    psl: "PublicSuffixList | None" = None,
 ) -> DataFrame:
-    """Append host + registrable-domain columns (map-side)."""
+    """Append host + registrable-domain columns (map-side). The host
+    column name follows ``host_col`` so a pre-existing ``host`` column
+    on the input is never silently clobbered; ``psl`` switches the
+    eTLD+1 computation to a real Public Suffix List (see
+    :class:`PublicSuffixList`)."""
     host = url_host(url_col)
-    return df.withColumn("host", host).withColumn(
-        out_col, registrable_domain(F.col("host"), extra_suffixes)
+    dom = (
+        psl.registrable_domain(F.col(host_col))
+        if psl is not None
+        else registrable_domain(F.col(host_col), extra_suffixes)
     )
+    return df.withColumn(host_col, host).withColumn(out_col, dom)
 
 
 def domain_stats(

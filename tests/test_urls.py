@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sifts_spark.operators.urls import (
+    PublicSuffixList,
     domain_stats,
     filter_domains,
     registrable_domain,
@@ -74,6 +75,137 @@ class TestHostAndDomain:
             .collect()
         )
         assert row["d"] == "b.custom.tld"
+
+
+class TestPublicSuffixList:
+    """Expectations mirror publicsuffix.org's published test vectors
+    (checkPublicSuffix cases) for the rule subset below — exact rules,
+    wildcard (`*.ck`, `*.kawasaki.jp`, a multi-label-base
+    `*.platform.sh`), and exceptions (`!www.ck`, `!city.kawasaki.jp`)."""
+
+    PSL_TEXT = """\
+// ===BEGIN test section===
+com
+uk
+co.uk  // inline note: rule ends at first whitespace per spec
+jp
+sh
+*.ck
+!www.ck
+*.kawasaki.jp
+!city.kawasaki.jp
+*.platform.sh
+
+// blank + comment lines above must be ignored
+"""
+
+    @pytest.fixture(scope="class")
+    def psl(self):
+        return PublicSuffixList(self.PSL_TEXT)
+
+    @pytest.mark.parametrize(
+        "host,domain",
+        [
+            # exact rules, longest wins
+            ("example.com", "example.com"),
+            ("www.example.com", "example.com"),
+            ("example.co.uk", "example.co.uk"),
+            ("a.b.example.co.uk", "example.co.uk"),
+            # host IS a public suffix → no registrable domain
+            ("com", None),
+            ("co.uk", None),
+            # wildcard: any single label under the base is a suffix
+            ("foo.ck", None),
+            ("bar.foo.ck", "bar.foo.ck"),
+            ("a.bar.foo.ck", "bar.foo.ck"),
+            # the wildcard base itself is NOT matched by the wildcard —
+            # falls through to the default rule (no exact 'ck' rule)
+            ("ck", None),
+            # exception rules prevail over the covering wildcard
+            ("www.ck", "www.ck"),
+            ("a.www.ck", "www.ck"),
+            ("test.kawasaki.jp", None),
+            ("a.test.kawasaki.jp", "a.test.kawasaki.jp"),
+            ("city.kawasaki.jp", "city.kawasaki.jp"),
+            ("test.city.kawasaki.jp", "city.kawasaki.jp"),
+            ("kawasaki.jp", "kawasaki.jp"),  # exact 'jp' rule
+            # multi-label wildcard base: host == base must NOT hit the
+            # wildcard; exact 'sh' prevails → registrable = the base
+            ("platform.sh", "platform.sh"),
+            ("foo.platform.sh", None),
+            ("bar.foo.platform.sh", "bar.foo.platform.sh"),
+            # default rule '*' for unknown TLDs
+            ("example.unknown", "example.unknown"),
+            ("a.example.unknown", "example.unknown"),
+            ("unknown", None),
+            # IPv4 passes through whole (engine convention)
+            ("192.168.0.1", "192.168.0.1"),
+            (None, None),
+        ],
+    )
+    def test_checkpublicsuffix_vectors(self, spark, psl, host, domain):
+        (row,) = (
+            spark.createDataFrame([(host,)], "host string")
+            .select(psl.registrable_domain("host").alias("d"))
+            .collect()
+        )
+        assert row["d"] == domain, f"{host!r}: {row['d']!r} != {domain!r}"
+
+    def test_with_domain_psl_and_host_col(self, spark, psl):
+        df = spark.createDataFrame(
+            [("http://a.bar.foo.ck/x", "keepme")], "url string, host string"
+        )
+        out = with_domain(df, psl=psl, host_col="url_host")
+        (row,) = out.collect()
+        # pre-existing 'host' column is NOT clobbered (ADVICE r8)
+        assert row["host"] == "keepme"
+        assert row["url_host"] == "a.bar.foo.ck"
+        assert row["domain"] == "bar.foo.ck"
+
+    def test_plan_is_pure_expression(self, spark, psl):
+        df = spark.range(1).select(
+            F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".co.uk"))
+            .alias("host")
+        )
+        plan = df.select(psl.registrable_domain("host"))._jdf\
+            .queryExecution().executedPlan().toString()
+        # no join, no exchange, no python — one codegen'd project
+        # (the `*(1)` prefix is executedPlan's whole-stage-codegen mark)
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "EvalPython" not in plan and plan.startswith("*(1) Project")
+
+    def test_from_file(self, tmp_path, spark):
+        p = tmp_path / "psl.dat"
+        p.write_text(self.PSL_TEXT, encoding="utf-8")
+        psl = PublicSuffixList.from_file(str(p))
+        (row,) = (
+            spark.createDataFrame([("x.example.co.uk",)], "host string")
+            .select(psl.registrable_domain("host").alias("d"))
+            .collect()
+        )
+        assert row["d"] == "example.co.uk"
+
+
+class TestTrailingDot:
+    def test_fqdn_trailing_dot_stripped(self, spark):
+        (row,) = (
+            spark.createDataFrame(
+                [("http://news.Example.com./a",)], "url string"
+            )
+            .select(url_host("url").alias("h"),
+                    registrable_domain(url_host("url")).alias("d"))
+            .collect()
+        )
+        assert row["h"] == "news.example.com"
+        assert row["d"] == "example.com"
+
+    def test_blocklist_matches_fqdn_form(self, spark):
+        df = spark.createDataFrame(
+            [("http://ads.tracker.com./x",), ("http://ok.org/y",)],
+            "url string",
+        )
+        kept = filter_domains(df, ["tracker.com"], "url")
+        assert [r["url"] for r in kept.collect()] == ["http://ok.org/y"]
 
 
 class TestDomainStats:

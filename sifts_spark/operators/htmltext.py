@@ -108,12 +108,26 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self.title_parts: list[str] = []
-        self._skip = 0  # depth inside _SKIP_TAGS
+        # Stack (not a counter) of open _SKIP_TAGS: html.parser never
+        # auto-closes, so a stray unclosed <svg>/<select> on crawled
+        # markup would otherwise suppress ALL remaining page text. The
+        # stack lets </svg> pop through mismatched entries, and
+        # </body> / </html> clear it entirely — bounding the damage of
+        # an unclosed skip tag at the document-structure boundary.
+        # (script/style are CDATA elements: html.parser won't even
+        # report tags inside them, so an unclosed <script> still eats
+        # the rest — that matches browser behavior and is out of our
+        # hands at this layer.)
+        self._skip_stack: list[str] = []
         self._chrome = 0  # depth inside _CHROME_TAGS
         self._link = 0  # depth inside <a>
         self._in_title = False
         self._heading = 0  # depth inside h1..h6
         self._cur: _Block | None = None
+
+    @property
+    def _skip(self) -> int:
+        return len(self._skip_stack)
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -131,10 +145,19 @@ class _BlockParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             if tag not in _VOID_TAGS:
-                self._skip += 1
+                self._skip_stack.append(tag)
             return
         if self._skip:
-            return
+            # <select>/<datalist> cannot contain flow content — a block
+            # tag implicitly closes them (browser parser behavior), so
+            # an unclosed <select> doesn't swallow the article below it
+            if tag in _BLOCK_TAGS:
+                while self._skip_stack and self._skip_stack[-1] in (
+                    "select", "datalist",
+                ):
+                    self._skip_stack.pop()
+            if self._skip:
+                return
         if tag == "title":
             self._in_title = True
             return
@@ -150,9 +173,16 @@ class _BlockParser(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
-            self._skip = max(0, self._skip - 1)
+            if tag in self._skip_stack:
+                # pop through mismatched opens (<svg><foo></svg>)
+                while self._skip_stack.pop() != tag:
+                    pass
             return
         if self._skip:
+            if tag in ("body", "html"):
+                # structural boundary: a stray unclosed skip tag must
+                # not suppress the rest of the document
+                self._skip_stack.clear()
             return
         if tag == "title":
             self._in_title = False
@@ -279,6 +309,7 @@ def extract_main_text(
     min_block_chars: int = 40,
     max_link_density: float = 1 / 3,
     keep_chrome: bool = False,
+    keep_errors: bool = False,
 ) -> DataFrame:
     """Pages frame (``id``, ``html`` STRING or BINARY) → ``(id, title,
     main_text, n_blocks, n_content_blocks)``.
@@ -286,8 +317,11 @@ def extract_main_text(
     BINARY html columns are charset-sniffed per row; STRING columns are
     taken as already decoded. Map-side Arrow scan, zero shuffle; a row
     whose parse raises (pathological input) yields an ``_err``-tagged
-    row that is filtered out here — callers needing the quarantine use
-    :func:`read_warc_html`, which surfaces it."""
+    row. By default such rows are dropped (the parser is lenient, so
+    this is vanishingly rare); pass ``keep_errors=True`` to retain the
+    ``_err`` column and ALL rows so drops are auditable — the same
+    observability :func:`read_warc_html` provides via its quarantine
+    frame."""
     binary = isinstance(pages.schema[html_col].dataType, T.BinaryType)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
@@ -316,6 +350,8 @@ def extract_main_text(
             )
 
     out = pages.select(id_col, html_col).mapInPandas(kernel, _EXTRACT_SCHEMA)
+    if keep_errors:
+        return out
     return out.filter(F.col("_err").isNull()).drop("_err")
 
 
@@ -359,11 +395,15 @@ def read_warc_html(
                 pdf["media_id"], pdf["payload"], pdf["mime"], pdf["meta"]
             ):
                 try:
-                    html = decode_html_bytes(bytes(payload), mime)
+                    md = dict(meta or {})
+                    # the FULL Content-Type header (with its charset=
+                    # parameter) rides in meta — the `mime` column is
+                    # the bare type by contract and carries no charset
+                    ctype = md.pop("content_type", None) or mime
+                    html = decode_html_bytes(bytes(payload), ctype)
                     d = extract_page(html, min_block_chars, max_link_density)
                     if len(d["main_text"]) < min_content_chars:
                         continue
-                    md = dict(meta or {})
                     md["title"] = d["title"]
                     rows.append((rid, d["main_text"], json.dumps(md), None))
                 except Exception as e:  # pragma: no cover

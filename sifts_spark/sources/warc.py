@@ -366,9 +366,17 @@ def read_warc_responses(
                     http_head = body[:sep].decode("utf-8", "replace") if sep >= 0 else ""
                     payload = body[sep + 4:] if sep >= 0 else body
                     mime = "application/octet-stream"
+                    content_type = None
                     for line in http_head.split("\r\n")[1:]:
                         k, _, v = line.partition(":")
                         if k.strip().lower() == "content-type":
+                            # mime = bare type for prefix filtering /
+                            # kind classification; the FULL header value
+                            # (incl. charset= and other parameters) is
+                            # preserved in meta for downstream decoders
+                            # — legacy sites often declare charset ONLY
+                            # here, not in <meta>
+                            content_type = v.strip() or None
                             mime = v.strip().split(";")[0].strip() or mime
                             break
                     if mime_prefixes and not any(
@@ -386,6 +394,8 @@ def read_warc_responses(
                         "date": headers.get("warc-date"),
                         "source": src,
                     }
+                    if content_type is not None:
+                        meta["content_type"] = content_type
                     rows.append((rid, kind, mime, payload, meta, None))
             yield pd.DataFrame(
                 rows,

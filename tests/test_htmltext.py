@@ -107,6 +107,37 @@ class TestExtractPage:
         d = extract_page(ARTICLE, keep_chrome=True)
         assert "Copyright" in d["main_text"]
 
+    PROSE = ("Recoverable article prose that is comfortably past the "
+             "forty character block minimum.")
+
+    def test_unclosed_svg_bounded_at_body_end(self):
+        # html.parser never auto-closes <svg>; without the boundary
+        # clear, everything after it would be silently dropped
+        page = (
+            "<html><body><svg><circle r='1'/>"
+            f"</body></html><p>{self.PROSE}</p>"
+        )
+        d = extract_page(page)
+        assert "Recoverable article prose" in d["main_text"]
+
+    def test_unclosed_select_implicitly_closed_by_block_tag(self):
+        page = (
+            "<div><select><option>one</option><option>two</option>"
+            f"<p>{self.PROSE}</p></div>"
+        )
+        d = extract_page(page)
+        assert "Recoverable article prose" in d["main_text"]
+        assert "one" not in d["main_text"]  # option text stays dropped
+
+    def test_mismatched_skip_close_pops_through(self):
+        # </svg> closes the inner unclosed <iframe> too
+        page = (
+            f"<svg><iframe>junk inside</svg><p>{self.PROSE}</p>"
+        )
+        d = extract_page(page)
+        assert "Recoverable article prose" in d["main_text"]
+        assert "junk inside" not in d["main_text"]
+
 
 class TestCharset:
     def test_http_param_wins_over_meta(self):
@@ -155,6 +186,15 @@ class TestDistributed:
         df = spark.createDataFrame([("x", bytearray(body))], "id string, html binary")
         (row,) = extract_main_text(df).collect()
         assert "café au lait" in row["main_text"]
+
+    def test_keep_errors_surfaces_err_column(self, spark):
+        df = spark.createDataFrame([("a", ARTICLE)], ["id", "html"])
+        out = extract_main_text(df, keep_errors=True)
+        assert "_err" in out.columns
+        (row,) = out.collect()
+        assert row["_err"] is None and row["title"] == "The Example Title"
+        # default path drops the column (back-compat)
+        assert "_err" not in extract_main_text(df).columns
 
 
 def _http_html_record(rid: str, uri: str, html: bytes,
@@ -207,6 +247,29 @@ class TestReadWarcHtml:
         good, quar = read_warc_html(spark, str(tmp_path))
         assert {r["id"] for r in good.collect()} == {"<urn:ok>", "<urn:ok2>"}
         assert quar.count() == 1
+
+    def test_http_header_only_charset_reaches_decoder(self, spark, tmp_path):
+        # charset declared ONLY in the HTTP Content-Type header — no
+        # <meta> — the legacy-site shape the r8 pipeline mis-decoded
+        # because read_warc_responses stripped header parameters
+        body = (
+            b"<html><body><p>caf\xe9 et croissants pour tout le monde "
+            b"ce matin, une phrase assez longue pour rester</p></body></html>"
+        )
+        (tmp_path / "s.warc").write_bytes(
+            _http_html_record(
+                "<urn:l1>", "http://legacy.example/",
+                body, ctype=b"text/html; charset=iso-8859-1",
+            )
+        )
+        good, quar = read_warc_html(spark, str(tmp_path))
+        (row,) = good.collect()
+        assert "café et croissants" in row["content"]
+        # the content_type plumbing stays out of the docs metadata
+        assert set(json.loads(row["metadata"])) == {
+            "uri", "date", "source", "title"
+        }
+        assert quar.count() == 0
 
     def test_no_exchange_between_map_stages(self, spark, tmp_path):
         (tmp_path / "s.warc").write_bytes(

@@ -17,6 +17,54 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+RETRY_FACTOR = 2.0  # best-of-N > factor * expected → suspect, retry
+MAX_EXTRA_SAMPLES = 4  # per-query cap on guard-triggered re-runs
+
+
+def load_expected(path: str) -> dict:
+    """Best-known clean per-query seconds (committed BENCH_EXPECTED.json);
+    {} when absent so the guard degrades to a no-op."""
+    try:
+        with open(path) as f:
+            return json.load(f).get("queries", {})
+    except Exception:
+        return {}
+
+
+def needs_retry(best_sec: float, expected_sec) -> bool:
+    """Deviation guard: the r9 artifact published 5-7x warmup/JIT-epoch
+    fictions on queries whose code had not changed. A best-of-N that
+    exceeds RETRY_FACTOR x the best-known clean time is presumed a
+    transient epoch (JIT deopt, GC storm, invisible host contention —
+    steal can read zero through all of these) and re-sampled; every
+    discarded sample stays in the artifact's ``runs`` so the selection
+    is auditable."""
+    if not expected_sec or expected_sec <= 0:
+        return False
+    return best_sec > RETRY_FACTOR * float(expected_sec)
+
+
+def calibration_sec() -> float:
+    """~2s pinned-seed single-process CPU workload timed on THIS host
+    epoch: fixed op count, fixed seed, no BLAS threading (elementwise
+    numpy only), so the recorded seconds quantify the run's host-speed
+    epoch. Artifacts from different rounds divide by this to separate
+    engine changes from the documented ±25% host-epoch term."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.standard_normal(4_000_000)
+    b = rng.standard_normal(4_000_000)
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(60):
+        acc += float(np.sum(a * a + b))
+        a, b = b, a
+    dt = time.perf_counter() - t0
+    assert acc == acc  # keep the loop un-elidable
+    return round(dt, 3)
+
+
 HEADLINE = [
     "fts_term",
     "fts_bool",
@@ -136,6 +184,23 @@ def main() -> None:
             release_all()
         setup["codegen_warmup_sf0.001"] = round(time.perf_counter() - t0, 3)
 
+    # AT-TARGET warmup: one untimed pass of every headline query at the
+    # measured sf_dir. sf0.001 warmup compiles most codegen units, but
+    # the sf0.1 plans can differ (file-split counts, AQE re-plans,
+    # broadcast thresholds), and r9 proved a first-compile landing
+    # inside the timed region publishes multi-x fictions. After this
+    # pass every timed sample is steady-state.
+    t0 = time.perf_counter()
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        release_all()
+    setup["target_warmup"] = round(time.perf_counter() - t0, 3)
+
     def steal_jiffies() -> int:
         # /proc/stat cpu line, field 8 = steal. Host CPU-steal bursts
         # are the main run-to-run poison on shared boxes; recording the
@@ -154,13 +219,23 @@ def main() -> None:
     # throughput a long-running cluster job pays, which is the quantity
     # this bench exists to track. ``runs`` carries every (sec, steal)
     # sample so the best-of selection is auditable after the fact.
+    expected = load_expected(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_EXPECTED.json")
+    )
+    calib = calibration_sec()
+
     times: dict[str, float] = {}
     runs: dict[str, list] = {}
+    retried: dict[str, int] = {}
+    suspect: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
         samples = []
-        for _ in range(3):
+
+        def one_sample():
+            nonlocal best
             s0 = steal_jiffies()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -168,6 +243,21 @@ def main() -> None:
             samples.append([round(dt, 3), steal_jiffies() - s0])
             best = min(best, dt)
             release_all()  # operator caches don't outlive the query
+
+        for _ in range(3):
+            one_sample()
+        # Deviation guard (r9 postmortem): re-sample while the best is
+        # >RETRY_FACTOR x the best-known clean time, up to the cap. All
+        # samples — kept and discarded — stay in `runs`.
+        extra = 0
+        while needs_retry(best, expected.get(name)) and extra < MAX_EXTRA_SAMPLES:
+            one_sample()
+            extra += 1
+        if extra:
+            retried[name] = extra
+            if needs_retry(best, expected.get(name)):
+                suspect.append(name)  # still >2x after retries: real or
+                # host-wide — either way flagged, never silently shipped
         times[name] = round(best, 3)
         runs[name] = samples
 
@@ -180,6 +270,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "runs": runs,
+                "retried": retried,
+                "suspect": suspect,
+                "calibration_sec": calib,
                 "steal_jiffies_total": sum(
                     s for rs in runs.values() for _, s in rs if s >= 0
                 ),

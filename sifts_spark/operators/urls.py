@@ -70,7 +70,7 @@ def url_host(url: Column | str) -> Column:
     # try_parse_url: ANSI mode makes parse_url THROW on junk values —
     # crawl URLs are untrusted input, NULL is the contract
     return F.regexp_replace(
-        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"\.$", ""
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"\.+$", ""
     )
 
 
@@ -160,8 +160,12 @@ class PublicSuffixList:
     def registrable_domain(self, host: Column | str) -> Column:
         """eTLD+1 of a lower-cased host under the full rule semantics.
         NULL when the host IS a public suffix (spec: no registrable
-        domain exists) or the host is NULL; IPv4 hosts pass through
-        whole (consistent with :func:`registrable_domain`)."""
+        domain exists), the host is NULL, or the host contains an empty
+        label (``.example.com`` / ``a..com`` — checkPublicSuffix's
+        leading-dot vectors pin NULL; ``url_host`` never emits such
+        hosts, but this method is public API over arbitrary host
+        columns); IPv4 hosts pass through whole (consistent with
+        :func:`registrable_domain`)."""
         c = F.col(host) if isinstance(host, str) else host
         parts = F.split(c, r"\.")
         n = F.size(parts)
@@ -202,7 +206,10 @@ class PublicSuffixList:
         for k in sorted(self.exception):
             dom = F.when(hit(k, self.exception), tail(k)).otherwise(dom)
         return (
-            F.when(c.isNull(), F.lit(None).cast("string"))
+            F.when(
+                c.isNull() | F.array_contains(parts, ""),
+                F.lit(None).cast("string"),
+            )
             .when(c.rlike(_IPV4_RE), c)
             .otherwise(dom)
         )
@@ -216,11 +223,20 @@ def with_domain(
     host_col: str = "host",
     psl: "PublicSuffixList | None" = None,
 ) -> DataFrame:
-    """Append host + registrable-domain columns (map-side). The host
-    column name follows ``host_col`` so a pre-existing ``host`` column
-    on the input is never silently clobbered; ``psl`` switches the
-    eTLD+1 computation to a real Public Suffix List (see
-    :class:`PublicSuffixList`)."""
+    """Append host + registrable-domain columns (map-side). The
+    derived host lands in ``host_col`` (default ``"host"``) — pass a
+    different ``host_col`` if the input already carries a ``host``
+    column you need to keep, otherwise it is overwritten; ``psl``
+    switches the eTLD+1 computation to a real Public Suffix List (see
+    :class:`PublicSuffixList`). ``psl`` and ``extra_suffixes`` are
+    mutually exclusive — the PSL rule set replaces the built-in
+    suffix table entirely, so silently dropping custom suffixes on a
+    migration would be a trap."""
+    if psl is not None and extra_suffixes:
+        raise ValueError(
+            "psl and extra_suffixes are mutually exclusive: add custom "
+            "rules to the PublicSuffixList rule set instead"
+        )
     host = url_host(url_col)
     dom = (
         psl.registrable_domain(F.col(host_col))
@@ -235,13 +251,17 @@ def domain_stats(
     url_col: str = "url",
     text_col: str | None = None,
     extra_suffixes: tuple[str, ...] = (),
+    psl: "PublicSuffixList | None" = None,
 ) -> DataFrame:
     """Per-registrable-domain corpus audit → ``(domain, n_docs,
     n_hosts, total_chars?, avg_chars?)`` sorted nowhere (caller
     orders). The per-domain doc share is THE input to domain capping
     (RefinedWeb §3.1 caps any single domain's contribution); feed this
-    to ``topk_per_group`` / quantiles for the report."""
-    d = with_domain(df, url_col, extra_suffixes=extra_suffixes)
+    to ``topk_per_group`` / quantiles for the report. ``psl`` keys the
+    audit on full Public-Suffix-List eTLD+1 (same map-side InSet
+    probes — the groupBy key expression changes, the plan shape
+    doesn't)."""
+    d = with_domain(df, url_col, extra_suffixes=extra_suffixes, psl=psl)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("host").alias("n_hosts"),
@@ -260,6 +280,7 @@ def filter_domains(
     url_col: str = "url",
     mode: str = "block",
     extra_suffixes: tuple[str, ...] = (),
+    psl: "PublicSuffixList | None" = None,
 ) -> DataFrame:
     """Drop (``mode="block"``) or keep (``mode="allow"``) rows whose
     registrable domain is in the list. List-sized inputs become a
@@ -269,15 +290,27 @@ def filter_domains(
     (``ads.tracker.co.uk`` is blocked by ``tracker.co.uk``). For a
     blocklist too large to broadcast, build the same key and use
     ``functions.bloom.bloom_anti_join`` — identical semantics, map-side
-    probe. Original columns pass through unchanged."""
+    probe. Original columns pass through unchanged. ``psl`` switches
+    the match key to full Public-Suffix-List eTLD+1 (so ``foo.bar.ck``
+    is blocked by listing ``foo.bar.ck``, its PSL-correct registrable
+    domain under the ``*.ck`` wildcard — not ``bar.ck``)."""
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    if psl is not None and extra_suffixes:
+        raise ValueError(
+            "psl and extra_suffixes are mutually exclusive: add custom "
+            "rules to the PublicSuffixList rule set instead"
+        )
     spark = df.sparkSession
     if not isinstance(blocked, DataFrame):
         blocked = spark.createDataFrame(
             [(d.lower(),) for d in blocked], "domain string"
         )
-    key = registrable_domain(url_host(url_col), extra_suffixes)
+    key = (
+        psl.registrable_domain(url_host(url_col))
+        if psl is not None
+        else registrable_domain(url_host(url_col), extra_suffixes)
+    )
     how = "left_anti" if mode == "block" else "left_semi"
     return (
         df.withColumn("__dom", key)

@@ -124,6 +124,7 @@ def prepare_training_data(
     scrub: bool = True,
     url_col: str | None = None,
     blocked_domains=None,
+    psl=None,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -136,7 +137,9 @@ def prepare_training_data(
        ``url_col`` are given, rows whose registrable domain is listed
        drop before any content stage
        (:func:`~sifts_spark.operators.urls.filter_domains` — map-side
-       broadcast anti-join, the cheapest filter runs first);
+       broadcast anti-join, the cheapest filter runs first); pass
+       ``psl`` (a :class:`~sifts_spark.operators.urls
+       .PublicSuffixList`) to key the blocklist on full-PSL eTLD+1;
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
@@ -192,7 +195,7 @@ def prepare_training_data(
             raise ValueError("blocked_domains requires url_col")
         from sifts_spark.operators.urls import filter_domains
 
-        docs = filter_domains(docs, blocked_domains, url_col)
+        docs = filter_domains(docs, blocked_domains, url_col, psl=psl)
         manifest["stages"]["domain_filtered"] = docs.count()
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,

@@ -292,3 +292,101 @@ class TestFilterDomains:
     def test_bad_mode_raises(self, url_docs):
         with pytest.raises(ValueError, match="mode"):
             filter_domains(url_docs, ["x.com"], "url", mode="deny")
+
+class TestPslThreading:
+    """Round-10: the PSL is usable from every consumer, not just
+    with_domain — domain_stats / filter_domains / the curation recipe
+    key on full-PSL eTLD+1 when one is supplied."""
+
+    @pytest.fixture(scope="class")
+    def psl(self):
+        return PublicSuffixList(TestPublicSuffixList.PSL_TEXT)
+
+    def test_empty_label_hosts_yield_null(self, spark, psl):
+        # checkPublicSuffix leading-dot vectors: NULL, not 'example.com'
+        df = spark.createDataFrame(
+            [(".example.com",), ("example..com",), (".com",), ("ok.com",)],
+            "host string",
+        )
+        got = [
+            r["d"]
+            for r in df.select(psl.registrable_domain("host").alias("d"))
+            .collect()
+        ]
+        assert got == [None, None, None, "ok.com"]
+
+    def test_psl_plus_extra_suffixes_raises(self, spark, psl):
+        df = spark.createDataFrame([("http://a.com/x",)], "url string")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            with_domain(df, psl=psl, extra_suffixes=("x.y",))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            filter_domains(df, ["a.com"], psl=psl, extra_suffixes=("x.y",))
+
+    def test_filter_domains_psl_wildcard_rule(self, spark, psl):
+        # under *.ck the registrable domain of a.bar.foo.ck is
+        # bar.foo.ck; the built-in approximation would compute foo.ck,
+        # so this block ONLY works when the PSL is actually threaded
+        df = spark.createDataFrame(
+            [
+                ("http://a.bar.foo.ck/1",),
+                ("http://bar.foo.ck/2",),
+                ("http://other.baz.ck/3",),
+                ("http://keep.example.com/4",),
+            ],
+            "url string",
+        )
+        kept = filter_domains(df, ["bar.foo.ck"], "url", psl=psl)
+        urls = sorted(r["url"] for r in kept.collect())
+        assert urls == ["http://keep.example.com/4", "http://other.baz.ck/3"]
+        # sanity: WITHOUT the psl the same blocklist misses (key=foo.ck)
+        assert filter_domains(df, ["bar.foo.ck"], "url").count() == 4
+
+    def test_domain_stats_psl_key(self, spark, psl):
+        df = spark.createDataFrame(
+            [
+                ("http://a.bar.foo.ck/1", "x" * 10),
+                ("http://b.bar.foo.ck/2", "x" * 30),
+                ("http://www.example.com/3", "x" * 20),
+            ],
+            "url string, text string",
+        )
+        rows = {
+            r["domain"]: r
+            for r in domain_stats(df, "url", text_col="text", psl=psl)
+            .collect()
+        }
+        assert set(rows) == {"bar.foo.ck", "example.com"}
+        assert rows["bar.foo.ck"]["n_docs"] == 2
+        assert rows["bar.foo.ck"]["n_hosts"] == 2
+        assert rows["bar.foo.ck"]["total_chars"] == 40
+        assert rows["example.com"]["n_docs"] == 1
+
+    def test_recipe_blocks_psl_registrable_domain(self, spark, psl, tmp_path):
+        # e2e: prepare_training_data(url_col=, blocked_domains=, psl=)
+        # drops the wildcard-rule domain before any content stage
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        base = (
+            "The quick brown fox jumps over the lazy dog and then walks "
+            "home through the quiet town while friendly people wave. "
+        ) * 4
+        rows = [
+            (f"d{i}", base + f"unique marker {i}", f"http://h{i}.keep.com/{i}")
+            for i in range(8)
+        ] + [
+            (f"b{i}", base + f"blocked marker {i}", f"http://x{i}.bar.foo.ck/{i}")
+            for i in range(4)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string, url string")
+        manifest = prepare_training_data(
+            docs,
+            str(tmp_path / "out"),
+            min_quality=0.0,
+            url_col="url",
+            blocked_domains=["bar.foo.ck"],
+            psl=psl,
+        )
+        assert manifest["stages"]["input"] == 12
+        assert manifest["stages"]["domain_filtered"] == 8
+        out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        assert out.filter(F.col("id").startswith("b")).count() == 0

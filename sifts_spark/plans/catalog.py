@@ -975,14 +975,12 @@ def distinct_users_by_type(spark, sf_dir) -> DataFrame:
     )
 
 
-@_register(
-    "docs_except",
-    "SELECT doc_id FROM documents WHERE lang = 'en' "
-    "EXCEPT SELECT doc_id FROM documents WHERE source < 'src10'",
-)
 def docs_except(spark, sf_dir) -> DataFrame:
     """Set difference (EXCEPT/exceptAll family — absent from the
-    reference, SURVEY §2.6): English docs not in early sources."""
+    reference, SURVEY §2.6): English docs not in early sources.
+    Rotated OUT of the driver catalog in r10 (ceded its row to
+    domain_stats — same anti-join physical family as the still-checked
+    docs_minus_blocklist); pinned by tests/test_relational.py."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     en = docs.filter(F.col("lang") == "en").select("doc_id")
@@ -1403,15 +1401,12 @@ def sample_stratified(spark, sf_dir) -> DataFrame:
     return SA.stratified_sample(docs, "lang", 20, "doc_id").select("doc_id", "lang")
 
 
-@_register(
-    "topk_per_group",
-    "SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rank FROM ("
-    "  SELECT doc_id, source, n_chars, row_number() OVER ("
-    "    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn"
-    "  FROM documents) _s WHERE rn <= 3",
-)
 def topk_per_group_q(spark, sf_dir) -> DataFrame:
-    """Top-3 longest docs per source — the per-group selection window."""
+    """Top-3 longest docs per source — the per-group selection window.
+    Rotated OUT of the driver catalog in r10 (ceded its row to
+    keywords_tfidf — same row_number-window physical family as the
+    still-checked sample_stratified); pinned by
+    tests/test_relational.py."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return SA.topk_per_group(docs, "source", "n_chars", 3, "doc_id").select(
@@ -1959,16 +1954,106 @@ def remove_dup_spans(spark, sf_dir) -> DataFrame:
     return remove_duplicate_spans(canon, k=_SPAN_K, mode="exact")
 
 
+# =====================================================================
+# r10 rotation: keywords_tfidf + domain_stats under the driver oracle
+# (their DuckDB twins graduated from pytest — tests/test_textanalysis
+# .py / test_urls.py keep the originals at sf0.001)
+# =====================================================================
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, unnest({tokenize_sql('text')}) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY id, term
+), dfreq AS (
+  SELECT *, count(*) OVER (PARTITION BY term) AS df,
+         (SELECT count(DISTINCT id) FROM tf) AS n_docs
+  FROM tf
+), scored AS (
+  SELECT id, term, tf,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS score
+  FROM dfreq
+)
+SELECT id, term, tf, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) _r WHERE rank <= 3
+"""
+
+
+@_register("keywords_tfidf", _TFIDF_SQL)
+def keywords_tfidf_q(spark, sf_dir) -> DataFrame:
+    """Per-doc top-3 tf-idf keywords (smoothed sklearn idf, total-
+    ordered by (score desc, term asc)) — the corpus-statistics keyword
+    extractor. Window df over term (no vocab-sized broadcast), per-doc
+    top-k window; see operators/textanalysis.py:200."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.keywords_tfidf(docs, k=3)
+
+
+# Deterministic URL synthesis shared verbatim by both engines (the
+# documents table carries no URL column): doc_id % 5 picks a host
+# family covering subdomains, co.uk multi-label suffixes, IPv4 and
+# bare single-label hosts.
+_URL_CASE_SQL = """
+CASE CAST(doc_id AS INTEGER) % 5
+  WHEN 0 THEN 'https://www.' || source || '.example.com/a/' || doc_id
+  WHEN 1 THEN 'https://news.' || source || '.example.com/b'
+  WHEN 2 THEN 'http://shop.' || source || '.co.uk/c?x=' || doc_id
+  WHEN 3 THEN 'http://192.168.0.' || (CAST(doc_id AS INTEGER) % 250) || '/d'
+  ELSE 'http://intranet/e/' || doc_id
+END
+"""
+
+_DOMAIN_STATS_SQL = (
+    "WITH u AS (SELECT *, " + _URL_CASE_SQL + " AS url FROM documents),\n"
+    "h AS (SELECT *, lower(regexp_extract(url,"
+    " '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),\n"
+    "p AS (SELECT *, string_split(host, '.') AS parts FROM h),\n"
+    "r AS (SELECT *, CASE\n"
+    "  WHEN regexp_matches(host,"
+    " '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')"
+    " OR len(parts) <= 2 THEN host\n"
+    "  WHEN array_to_string(parts[-2:], '.') IN ('co.uk')"
+    " THEN array_to_string(parts[-3:], '.')\n"
+    "  ELSE array_to_string(parts[-2:], '.') END AS domain FROM p)\n"
+    "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,\n"
+    "       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,\n"
+    "       CAST(sum(length(text)) AS BIGINT) AS total_chars,\n"
+    "       round(avg(length(text)), 6) AS avg_chars\n"
+    "FROM r GROUP BY domain"
+)
+
+
+@_register("domain_stats", _DOMAIN_STATS_SQL)
+def domain_stats_q(spark, sf_dir) -> DataFrame:
+    """Per-registrable-domain corpus audit (n_docs, n_hosts, char
+    volume) — the input to RefinedWeb-style domain capping. Host via
+    JVM try_parse_url, eTLD+1 via the documented built-in suffix
+    subset (PSL-exact variant pytest-pinned), one domain-keyed
+    two-exchange agg; see operators/urls.py."""
+    from sifts_spark.operators.urls import domain_stats as _ds
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.withColumn("url", F.expr(_URL_CASE_SQL))
+    return _ds(with_url, "url", text_col="text")
+
+
 # The driver's correctness harness checks the first 50 registered
 # entries; the catalog holds exactly 50 so EVERY entry is checked every
 # round. Consolidations that paid for this: the prefix atom lives
 # inside fts_bool's query string, events_cube subsumes events_rollup
-# (superset grouping sets), docs_except stands for the
-# shuffle-on-distinct-key set-op family (intersect pinned in pytest);
-# in r7 text_fingerprint / text_boilerplate / audio_features ceded
-# their rows to dedup_paragraphs / dsir_weights / remove_dup_spans; in
-# r8 docs_lang_salted ceded its row to hybrid_rrf (each retiree keeps
-# a pytest twin).
+# (superset grouping sets); in r7 text_fingerprint / text_boilerplate
+# / audio_features ceded their rows to dedup_paragraphs / dsir_weights
+# / remove_dup_spans; in r8 docs_lang_salted ceded its row to
+# hybrid_rrf; in r10 topk_per_group / docs_except ceded their rows to
+# keywords_tfidf / domain_stats (window and anti-join families stay
+# covered by sample_stratified / docs_minus_blocklist; each retiree
+# keeps a pytest twin).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -211,8 +211,14 @@ class SparkCollection:
             import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
+            # NO type annotations on the kernel: the module uses
+            # `from __future__ import annotations`, so hints are
+            # strings resolved against module globals — where `pd`
+            # doesn't exist — and pandas_udf would raise
+            # UNSUPPORTED_SIGNATURE; the returnType argument alone
+            # carries the typing.
             @pandas_udf("array<float>")
-            def _embed(s: pd.Series) -> pd.Series:
+            def _embed(s):
                 vecs = fn(s.tolist())
                 return pd.Series([[float(x) for x in v] for v in vecs])
 
@@ -224,6 +230,94 @@ class SparkCollection:
         out = out.withColumn("deleted", F.lit(False))
         self.store.append_batch(self.name, out)
         self._maintain_index()
+
+    def add_chunked(
+        self,
+        contents: Sequence[str],
+        ids: Sequence[str] | None = None,
+        metadatas: Sequence[dict | None] | None = None,
+        max_tokens: int = 256,
+        overlap_tokens: int = 32,
+    ) -> list[str]:
+        """Upsert documents CHUNKED for retrieval (RAG posture): each
+        document is split into token-budgeted sentence-aligned windows
+        (operators/chunking.py) and every chunk is indexed as its own
+        row with id ``{doc_id}#{i}`` — FTS postings and embeddings are
+        per-chunk, so book-length documents stay findable and
+        embeddable. Parent id, chunk index and char span ride in the
+        chunk's metadata under reserved ``_``-keys, merged with the
+        user's metadata; query with ``group_by_parent=True`` to get one
+        best-chunk hit per parent document with span provenance.
+        Returns the PARENT ids (extends the reference's whole-doc
+        collection posture, core.py:714-737)."""
+        contents = list(contents)
+        if ids is None:
+            ids = [str(uuid.uuid4()) for _ in contents]
+        ids = [
+            str(i) if i is not None and str(i) != "" else str(uuid.uuid4())
+            for i in ids
+        ]
+        if len(ids) != len(contents):
+            raise ValueError("ids and contents must have the same length")
+        if metadatas is None:
+            metadatas = [None] * len(contents)
+        if len(metadatas) != len(contents):
+            raise ValueError("metadatas and contents must have the same length")
+        metas = [None if m is None else json.dumps(m) for m in metadatas]
+        df = self.spark.createDataFrame(
+            list(zip(ids, contents, metas)),
+            "id string, content string, metadata string",
+        )
+        self.add_chunked_dataframe(
+            df, max_tokens=max_tokens, overlap_tokens=overlap_tokens
+        )
+        return list(ids)
+
+    def add_chunked_dataframe(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        content_col: str = "content",
+        metadata_col: str | None = _AUTO_METADATA,  # type: ignore[assignment]
+        max_tokens: int = 256,
+        overlap_tokens: int = 32,
+    ) -> None:
+        """Bulk twin of :meth:`add_chunked` (the 100 TB route): one
+        Arrow ``mapInPandas`` chunking scan (no shuffle; output rows
+        are budget-bounded regardless of input doc length), then the
+        standard bulk ingest — per-chunk embeddings via the configured
+        embedding_function. ``metadata_col`` semantics match
+        :meth:`add_dataframe` (sentinel default auto-detects)."""
+        from sifts_spark.operators.chunking import chunk_documents
+
+        if metadata_col is _AUTO_METADATA:
+            metadata_col = (
+                DEFAULT_METADATA_COL
+                if DEFAULT_METADATA_COL in df.columns
+                else None
+            )
+        elif metadata_col and metadata_col not in df.columns:
+            raise ValueError(
+                f"metadata_col={metadata_col!r} not in DataFrame columns "
+                f"{df.columns}; pass metadata_col=None to ingest without "
+                "metadata"
+            )
+        src = df
+        if metadata_col and df.schema[metadata_col].dataType.typeName() != "string":
+            src = df.withColumn(metadata_col, F.to_json(F.col(metadata_col)))
+        chunks = chunk_documents(
+            src,
+            id_col=id_col,
+            text_col=content_col,
+            max_tokens=max_tokens,
+            overlap_tokens=overlap_tokens,
+            meta_col=metadata_col,
+            provenance_metadata=True,
+        )
+        self.add_dataframe(
+            chunks, id_col="chunk_id", content_col="text",
+            metadata_col="metadata",
+        )
 
     def update(
         self,
@@ -717,10 +811,12 @@ class SparkCollection:
         offset: int = 0,
         where: dict | None = None,
         order_by: str | list[str] | None = None,
+        group_by_parent: bool = False,
     ) -> dict:
         """Plain scan (core.py:370-384) — query('') with no rank column."""
         return self.query(
-            "", limit=limit, offset=offset, where=where, order_by=order_by
+            "", limit=limit, offset=offset, where=where, order_by=order_by,
+            group_by_parent=group_by_parent,
         )
 
     def query_df(
@@ -734,6 +830,7 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         refine: int = 4,
+        group_by_parent: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
@@ -743,6 +840,8 @@ class SparkCollection:
             query_string, where, order_by, vector_search, approx, nprobe,
             adc_limit=limit, refine=refine,
         )
+        if group_by_parent:
+            df = self._collapse_parents(df, is_search)
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
         return df.select(*proj)
@@ -758,6 +857,7 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         refine: int = 4,
+        group_by_parent: bool = False,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -777,11 +877,22 @@ class SparkCollection:
         that pool); reported ranks are ALWAYS exact live-embedding
         cosines — quantization affects which candidates are scored,
         never the scores.
+
+        ``group_by_parent=True`` (for collections built with
+        :meth:`add_chunked`): hits collapse to ONE row per parent
+        document — the best-ranked chunk for searches, the first chunk
+        (document order) for plain scans. The returned ``id`` is the
+        PARENT id; the best chunk's text is the content and its
+        ``_chunk``/``_begin_char``/``_end_char`` metadata keys carry
+        the span provenance. ``where`` filters apply to chunk metadata
+        BEFORE the collapse; ``total`` counts matched parents.
         """
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
             adc_limit=limit, refine=refine,
         )
+        if group_by_parent:
+            df = self._collapse_parents(df, is_search)
         # One compute serves both the total and the page (the same
         # persist posture as hybrid_query's pool): without it the
         # count() and the paginated collect() each re-run the whole
@@ -901,6 +1012,7 @@ class SparkCollection:
         weights: tuple[float, float] = (1.0, 1.0),
         approx: bool = False,
         nprobe: int = 2,
+        group_by_parent: bool = False,
     ) -> dict:
         """Hybrid text+vector search fused by Reciprocal Rank Fusion
         (extension — the reference exposes FTS and vector search only
@@ -921,6 +1033,15 @@ class SparkCollection:
         row_number windows and the full-outer fuse run on pool-sized
         frames; only the final ``k`` winners join back to the snapshot
         for their payload.
+
+        ``group_by_parent=True`` (chunked collections, see
+        :meth:`add_chunked`): fusion stays per-CHUNK (each leg ranks
+        chunks), then hits collapse to the best-fused chunk per parent
+        before the top-``k`` cut — so ``k`` distinct parent documents
+        come back, each carrying its winning chunk's text and span
+        metadata; ``total`` counts matched parents. The payload join
+        happens on the pool-sized frame instead of the ``k`` winners
+        (the collapse needs metadata) — still pool-bounded.
         """
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
@@ -928,8 +1049,20 @@ class SparkCollection:
         ).persist()  # pool-sized; without it the count + collect each
         # re-run BOTH retrieval legs over the corpus
         try:
-            total = fused.count()
-            rows = self._hybrid_winners(fused, k).collect()
+            if group_by_parent:
+                parents = self._hybrid_parent_pool(fused).persist()
+                try:
+                    total = parents.count()
+                    rows = (
+                        parents.orderBy(F.col("rrf").desc(), F.col("id"))
+                        .limit(k)
+                        .collect()
+                    )
+                finally:
+                    parents.unpersist()
+            else:
+                total = fused.count()
+                rows = self._hybrid_winners(fused, k).collect()
         finally:
             fused.unpersist()
         results = [
@@ -953,18 +1086,24 @@ class SparkCollection:
         weights: tuple[float, float] = (1.0, 1.0),
         approx: bool = False,
         nprobe: int = 2,
+        group_by_parent: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
         winners as a lazy ``(id, content, metadata, rank)`` frame
         (``rank`` = RRF score), for pipeline composition; same
         semantics, no driver round-trip, no pre-limit total count."""
-        winners = self._hybrid_winners(
-            self._hybrid_fused(
-                query_string, where, rrf_k, pool or max(4 * k, 50),
-                weights, approx, nprobe,
-            ),
-            k,
+        fused = self._hybrid_fused(
+            query_string, where, rrf_k, pool or max(4 * k, 50),
+            weights, approx, nprobe,
         )
+        if group_by_parent:
+            winners = (
+                self._hybrid_parent_pool(fused)
+                .orderBy(F.col("rrf").desc(), F.col("id"))
+                .limit(k)
+            )
+        else:
+            winners = self._hybrid_winners(fused, k)
         return winners.select("id", "content", "metadata",
                               F.col("rrf").alias("rank"))
 
@@ -1027,6 +1166,47 @@ class SparkCollection:
         return (
             winners.join(self.docs().select("id", "content", "metadata"), "id")
             .orderBy(F.col("rrf").desc(), F.col("id"))
+        )
+
+    def _hybrid_parent_pool(self, fused: DataFrame) -> DataFrame:
+        """Fused pool joined with its payload, collapsed to the best
+        fused chunk per parent — pool-sized in, ≤pool-sized out."""
+        joined = fused.join(
+            self.docs().select("id", "content", "metadata"), "id"
+        )
+        return self._collapse_parents(
+            joined.withColumnRenamed("rrf", "rank"), is_search=True
+        ).withColumnRenamed("rank", "rrf")
+
+    def _collapse_parents(self, df: DataFrame, is_search: bool) -> DataFrame:
+        """One row per parent document for chunked collections: the
+        best-ranked chunk (searches) or the first chunk in document
+        order (plain scans). Parent = the reserved ``_parent`` metadata
+        key, falling back to the row's own id, so mixed chunked/whole
+        collections collapse correctly. One window shuffle keyed by
+        parent over the (candidate-pool-sized for searches) frame —
+        per-group sorts are chunks-per-doc tiny."""
+        parent = F.coalesce(
+            F.get_json_object(F.col("metadata"), "$._parent"), F.col("id")
+        )
+        order = (
+            [F.col("rank").desc_nulls_last()]
+            if is_search
+            else [
+                F.coalesce(
+                    F.get_json_object(F.col("metadata"), "$._chunk")
+                    .cast("int"),
+                    F.lit(0),
+                ).asc()
+            ]
+        )
+        w = Window.partitionBy("__parent").orderBy(*order, F.col("id"))
+        return (
+            df.withColumn("__parent", parent)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn("id", F.col("__parent"))
+            .drop("__rn", "__parent")
         )
 
     def _corpus_stats(self) -> tuple[int, float]:

@@ -153,31 +153,61 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 256,
     overlap_tokens: int = 32,
+    meta_col: str | None = None,
+    provenance_metadata: bool = False,
 ) -> DataFrame:
     """Docs frame → chunks frame ``(chunk_id, doc_id, chunk_index,
     text, n_tokens, begin_char, end_char)``; see module docstring for
-    the boundary/overlap/budget contract."""
+    the boundary/overlap/budget contract.
+
+    ``provenance_metadata=True`` appends a ``metadata`` string column:
+    the parent's JSON metadata (from ``meta_col`` when given — must be
+    a JSON string column) merged with the reserved provenance keys
+    ``_parent`` / ``_chunk`` / ``_begin_char`` / ``_end_char``. That is
+    the shape the Collection facade indexes (``add_chunked``) so
+    ``group_by_parent`` queries can de-overlap hits per parent and
+    report char-span provenance — the merge rides the SAME Arrow
+    kernel (already Python, zero extra passes)."""
+    import json as _json
+
+    out_cols = ["chunk_id", "doc_id", "chunk_index", "text",
+                "n_tokens", "begin_char", "end_char"]
+    schema = _CHUNK_SCHEMA
+    if provenance_metadata:
+        out_cols = out_cols + ["metadata"]
+        schema = T.StructType(
+            list(_CHUNK_SCHEMA) + [T.StructField("metadata", T.StringType())]
+        )
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
+            metas = pdf[meta_col] if meta_col else [None] * len(pdf)
             rows = []
-            for rid, text in zip(pdf[id_col], pdf[text_col]):
+            for rid, text, meta in zip(pdf[id_col], pdf[text_col], metas):
                 rid = str(rid)
+                base = None
+                if provenance_metadata:
+                    base = _json.loads(meta) if meta else {}
+                    if not isinstance(base, dict):
+                        # scalar/array metadata can't host reserved keys
+                        base = {"_meta": base}
                 for i, c in enumerate(
                     chunk_text(text or "", max_tokens, overlap_tokens)
                 ):
-                    rows.append(
-                        (f"{rid}#{i}", rid, i, c["text"], c["n_tokens"],
-                         c["begin_char"], c["end_char"])
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=["chunk_id", "doc_id", "chunk_index", "text",
-                         "n_tokens", "begin_char", "end_char"],
-            )
+                    row = (f"{rid}#{i}", rid, i, c["text"], c["n_tokens"],
+                           c["begin_char"], c["end_char"])
+                    if provenance_metadata:
+                        row = row + (_json.dumps(
+                            {**base, "_parent": rid, "_chunk": i,
+                             "_begin_char": c["begin_char"],
+                             "_end_char": c["end_char"]}
+                        ),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return docs.select(
-        F.col(id_col).cast("string").alias(id_col), text_col
-    ).mapInPandas(kernel, _CHUNK_SCHEMA)
+    in_cols = [F.col(id_col).cast("string").alias(id_col), text_col]
+    if meta_col:
+        in_cols.append(meta_col)
+    return docs.select(*in_cols).mapInPandas(kernel, schema)

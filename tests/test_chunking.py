@@ -144,3 +144,162 @@ class TestDistributed:
         assert "zyzzogeton" in hit["content"]
         assert hit["metadata"]["doc_id"] == "d1"
         assert hit["id"].startswith("d1#")
+
+
+class TestCollectionChunkedFacade:
+    """Round-10: chunking reachable from the user API — add_chunked
+    indexes {doc_id}#{i} rows with parent/span provenance metadata;
+    group_by_parent=True collapses hits to the best chunk per parent
+    (the reference's user-facing-collection posture, core.py:714-737,
+    extended to RAG chunking)."""
+
+    DOC_A = (
+        "Alpha beta gamma delta epsilon zeta. "
+        "Eta theta iota kappa lambda mu. "
+        "The rare word zyzzogeton hides in this middle sentence. "
+        "Nu xi omicron pi rho sigma. "
+        "Tau upsilon phi chi psi omega."
+    )
+    DOC_B = (
+        "Plain filler sentence one goes here. "
+        "Plain filler sentence two goes here. "
+        "Plain filler sentence three goes here."
+    )
+
+    def _col(self, spark, tmp_path, embed=None):
+        from sifts_spark.collection import Collection
+
+        return Collection(
+            str(tmp_path), "rag", spark=spark, embedding_function=embed
+        )
+
+    def test_add_chunked_indexes_chunks_with_provenance(
+        self, spark, tmp_path
+    ):
+        col = self._col(spark, tmp_path)
+        ids = col.add_chunked(
+            [self.DOC_A, self.DOC_B],
+            ids=["a", "b"],
+            metadatas=[{"lang": "en"}, None],
+            max_tokens=10,
+            overlap_tokens=0,
+        )
+        assert ids == ["a", "b"]
+        rows = {r["id"]: r for r in col.docs().collect()}
+        # chunk ids are {parent}#{i}; more than one chunk per doc
+        assert all("#" in cid for cid in rows)
+        a_chunks = [cid for cid in rows if cid.startswith("a#")]
+        assert len(a_chunks) > 1
+        import json as J
+
+        m = J.loads(rows["a#0"]["metadata"])
+        assert m["_parent"] == "a" and m["_chunk"] == 0
+        assert m["lang"] == "en"  # user metadata merged, not replaced
+        # span provenance maps back into the parent text exactly
+        assert self.DOC_A[m["_begin_char"]:m["_end_char"]] == rows["a#0"]["content"]
+        # doc B had no metadata: reserved keys still present
+        mb = J.loads(rows["b#0"]["metadata"])
+        assert mb["_parent"] == "b"
+
+    def test_query_group_by_parent_best_chunk_and_span(
+        self, spark, tmp_path
+    ):
+        col = self._col(spark, tmp_path)
+        col.add_chunked(
+            [self.DOC_A, self.DOC_B], ids=["a", "b"],
+            max_tokens=10, overlap_tokens=0,
+        )
+        # per-chunk view: the term hits exactly one chunk of doc a
+        chunk_hits = col.query("zyzzogeton")
+        assert chunk_hits["total"] == 1
+        assert chunk_hits["results"][0]["id"].startswith("a#")
+        # parent view: same hit reported AS the parent with the span
+        res = col.query("zyzzogeton", group_by_parent=True)
+        assert res["total"] == 1
+        hit = res["results"][0]
+        assert hit["id"] == "a"
+        assert "zyzzogeton" in hit["content"]
+        m = hit["metadata"]
+        assert self.DOC_A[m["_begin_char"]:m["_end_char"]] == hit["content"]
+
+    def test_query_group_by_parent_dedups_multi_chunk_hits(
+        self, spark, tmp_path
+    ):
+        col = self._col(spark, tmp_path)
+        col.add_chunked(
+            [self.DOC_A, self.DOC_B], ids=["a", "b"],
+            max_tokens=10, overlap_tokens=0,
+        )
+        # 'filler' appears in every chunk of doc b
+        raw = col.query("filler")
+        assert raw["total"] > 1
+        res = col.query("filler", group_by_parent=True)
+        assert res["total"] == 1
+        assert res["results"][0]["id"] == "b"
+        # best chunk = highest BM25 rank among b's chunks
+        best_raw = max(raw["results"], key=lambda r: r["rank"])
+        assert res["results"][0]["rank"] == best_raw["rank"]
+
+    def test_get_group_by_parent_lists_parents_once(self, spark, tmp_path):
+        col = self._col(spark, tmp_path)
+        col.add_chunked(
+            [self.DOC_A, self.DOC_B], ids=["a", "b"],
+            max_tokens=10, overlap_tokens=0,
+        )
+        assert col.count() > 2  # chunk rows in the store
+        res = col.get(group_by_parent=True, order_by="_parent")
+        assert res["total"] == 2
+        assert [r["id"] for r in res["results"]] == ["a", "b"]
+        # plain scans keep the FIRST chunk (document order)
+        assert all(r["metadata"]["_chunk"] == 0 for r in res["results"])
+
+    def test_hybrid_group_by_parent(self, spark, tmp_path):
+        # deterministic embedding: [has-zyzzogeton, has-filler, 1]
+        def embed(texts):
+            return [
+                [float("zyzzogeton" in t), float("filler" in t), 1.0]
+                for t in texts
+            ]
+
+        col = self._col(spark, tmp_path, embed=embed)
+        col.add_chunked(
+            [self.DOC_A, self.DOC_B], ids=["a", "b"],
+            max_tokens=10, overlap_tokens=0,
+        )
+        res = col.hybrid_query("zyzzogeton", k=5, group_by_parent=True)
+        ids = [r["id"] for r in res["results"]]
+        assert len(ids) == len(set(ids))  # one row per parent
+        assert set(ids) <= {"a", "b"}
+        assert ids[0] == "a"  # both legs prefer the zyzzogeton chunk
+        top = res["results"][0]
+        assert self.DOC_A[
+            top["metadata"]["_begin_char"]:top["metadata"]["_end_char"]
+        ] == top["content"]
+        # df variant agrees on the winner set
+        df_ids = [r["id"] for r in col.hybrid_query_df(
+            "zyzzogeton", k=5, group_by_parent=True).collect()]
+        assert df_ids == ids
+
+    def test_where_filters_chunks_before_collapse(self, spark, tmp_path):
+        col = self._col(spark, tmp_path)
+        col.add_chunked(
+            [self.DOC_A, self.DOC_B], ids=["a", "b"],
+            metadatas=[{"lang": "en"}, {"lang": "de"}],
+            max_tokens=10, overlap_tokens=0,
+        )
+        res = col.get(where={"lang": "de"}, group_by_parent=True)
+        assert [r["id"] for r in res["results"]] == ["b"]
+
+    def test_add_chunked_dataframe_bulk(self, spark, tmp_path):
+        col = self._col(spark, tmp_path)
+        df = spark.createDataFrame(
+            [("x", self.DOC_A, '{"src": "s1"}')],
+            "id string, content string, metadata string",
+        )
+        col.add_chunked_dataframe(df, max_tokens=10, overlap_tokens=0)
+        import json as J
+
+        rows = col.docs().collect()
+        assert len(rows) > 1
+        assert all(J.loads(r["metadata"])["src"] == "s1" for r in rows)
+        assert all(J.loads(r["metadata"])["_parent"] == "x" for r in rows)

@@ -630,3 +630,28 @@ def test_query_releases_all_cache_entries(store_root, spark):
     # release point there)
     assert col.query_df("Lorem").count() == 10
     assert cm.cachedData().size() == baseline
+
+
+def test_add_dataframe_computes_embeddings_with_function(store_root, spark):
+    """Regression (r10): the bulk-ingest embedding pandas_udf carried
+    `pd.Series` type hints that are strings under `from __future__
+    import annotations` and resolve against module globals (no `pd`
+    there) — every add_dataframe on a collection WITH an
+    embedding_function raised UNSUPPORTED_SIGNATURE."""
+    from sifts_spark.collection import Collection
+
+    def embed(texts):
+        return [[float(len(t)), 1.0] for t in texts]
+
+    col = Collection(store_root, "bulk_embed", spark=spark,
+                     embedding_function=embed)
+    df = spark.createDataFrame(
+        [("x", "short"), ("y", "a longer content string")],
+        "id string, content string",
+    )
+    col.add_dataframe(df)
+    rows = {r["id"]: r["embedding"] for r in col.docs().collect()}
+    assert rows["x"] == [5.0, 1.0]
+    assert rows["y"] == [23.0, 1.0]
+    res = col.query("anything", vector_search=True, limit=1)
+    assert res["total"] == 2

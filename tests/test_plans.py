@@ -32,7 +32,12 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   hybrid_rrf        — both of the above: 1-row corpus-stats frame on
 #                       the BM25 leg + 1-row query vector on the cosine
 #                       leg (the fuse itself is a key-equi full outer)
-_BNLJ_ALLOWED = {"fts_bm25", "vector_knn", "vector_knn_batch", "hybrid_rrf"}
+#   keywords_tfidf    — 1-row broadcast N (doc count) attached to the
+#                       scored (id, term) frame, fts_bm25's posture
+_BNLJ_ALLOWED = {
+    "fts_bm25", "vector_knn", "vector_knn_batch", "hybrid_rrf",
+    "keywords_tfidf",
+}
 
 
 def _explain(spark, name) -> str:

@@ -219,3 +219,77 @@ def test_blocked_domains_requires_url_col(spark, tmp_path):
         prepare_training_data(
             docs, str(tmp_path / "x"), blocked_domains=["a.com"]
         )
+
+
+def test_wet_to_export_recipe_e2e(spark, tmp_path):
+    """Round-10 (r8 item 8): the full crawl-to-training-shards recipe
+    as ONE composition — synthesized WET shards → read_wet → URL out
+    of the record metadata → prepare_training_data with a stage-0
+    domain blocklist → exported docs/sequences — with a pinned
+    attrition manifest at every boundary."""
+    import gzip
+    import json as J
+
+    from sifts_spark.sources.warc import read_wet
+
+    corpus = [r["text"] for r in load_table(spark, SF_DIR, "documents")
+              .filter("lang = 'en'").limit(60).collect()]
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    n_shards, n_blocked = 4, 0
+    for s in range(n_shards):
+        payload = b""
+        for j, text in enumerate(corpus[s::n_shards]):
+            rid = f"rec-{s}-{j}"
+            if j % 3 == 0:
+                uri = f"http://x{j}.bad-corpus.com/{rid}"
+                n_blocked += 1
+            else:
+                uri = f"http://www.good-corpus.com/{rid}"
+            body = text.encode()
+            head = (
+                "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: {rid}\r\nWARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            payload += gzip.compress(head + body + b"\r\n\r\n")
+        (wet_dir / f"shard{s:02d}.warc.wet.gz").write_bytes(payload)
+
+    good, quar = read_wet(spark, str(wet_dir))
+    assert quar.count() == 0
+    n_in = good.count()
+    assert n_in == len(corpus)
+
+    src = good.withColumn(
+        "url", F.get_json_object(F.col("metadata"), "$.uri")
+    )
+    out = str(tmp_path / "train")
+    m = prepare_training_data(
+        src,
+        out,
+        id_col="id",
+        text_col="content",
+        allowed_langs=("en", "de", "fr", "es", "zh"),
+        min_quality=0.0,
+        ppl_band=None,
+        url_col="url",
+        blocked_domains=["bad-corpus.com"],
+        target_file_mb=0.01,
+    )
+    s = m["stages"]
+    # stage-0 blocklist fired on the registrable domain of the WET uri
+    assert s["input"] == n_in
+    assert s["domain_filtered"] == n_in - n_blocked
+    assert s["input"] >= s["domain_filtered"] >= s["curated"] > 0
+    # exports landed; no blocked-domain record slipped through
+    d = spark.read.parquet(out + "/docs")
+    assert d.count() == m["export_docs"]["rows"] == s["curated"]
+    exported = {r["id"] for r in d.select("id").collect()}
+    blocked_ids = {
+        r["id"]
+        for r in good.filter(
+            F.get_json_object("metadata", "$.uri").contains("bad-corpus")
+        ).collect()
+    }
+    assert not (exported & blocked_ids)
+    assert spark.read.parquet(out + "/sequences").count() > 0

@@ -143,16 +143,29 @@ def main() -> None:
             with open(path, "wb") as f:
                 for row in it:
                     body = (row["text"] or "").encode()
+                    did = row["doc_id"]
+                    # realistic URL mix (same families as the crawl
+                    # frame) so the wet→export e2e's stage-0 blocklist
+                    # has real registrable domains to match
+                    fam = int(did) % 4
+                    if fam == 0:
+                        uri = f"https://www.{row['source']}.example.com/a/{did}"
+                    elif fam == 1:
+                        uri = f"https://news.{row['source']}.example.com/b"
+                    elif fam == 2:
+                        uri = f"http://shop.{row['source']}.co.uk/c?x={did}"
+                    else:
+                        uri = f"http://10.0.0.{int(did) % 250}/d"
                     head = (
                         "WARC/1.0\r\nWARC-Type: conversion\r\n"
-                        f"WARC-Record-ID: d{row['doc_id']}\r\n"
-                        f"WARC-Target-URI: http://x/{row['doc_id']}\r\n"
+                        f"WARC-Record-ID: d{did}\r\n"
+                        f"WARC-Target-URI: {uri}\r\n"
                         f"Content-Length: {len(body)}\r\n\r\n"
                     ).encode()
                     f.write(_gz.compress(head + body + b"\r\n\r\n"))
             return iter(())
 
-        docs.select("doc_id", "text").repartition(_NSH).rdd \
+        docs.select("doc_id", "source", "text").repartition(_NSH).rdd \
             .mapPartitionsWithIndex(write_part).count()
 
     timed_setup("wet_shard_synthesis", _write_wet_shards)
@@ -191,8 +204,17 @@ def main() -> None:
     )
     blocked = [f"src{i}.co.uk" for i in range(100)]
 
+    from sifts_spark.operators.chunking import chunk_documents
+    from sifts_spark.operators.textanalysis import keywords_tfidf
+
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
+        # repartition: mapInPandas inherits the scan's partitioning and
+        # the testdata table is ONE file — same rationale as `pages`
+        "chunk_documents": lambda: chunk_documents(
+            docs.repartition(int(cpus)), max_tokens=256, overlap_tokens=32
+        ),
+        "keywords_tfidf": lambda: keywords_tfidf(docs, k=5),
         "dsir_weights": lambda: importance_weights(docs, lm_t, lm_s),
         "dsir_sample": lambda: weighted_sample(
             importance_weights(docs, lm_t, lm_s), n=1000
@@ -262,6 +284,37 @@ def main() -> None:
     )
     setup["sketch_compact_per_batch_max"] = round(max(compact_times), 3)
 
+    # WET → curation → export in ONE composition (r8 item 8): every
+    # stage above is measured in isolation; this row measures what a
+    # real crawl-to-training-shards job pays end to end, including the
+    # recipe's per-stage counts and the export writes. Timed once (the
+    # pipeline is a multi-job composite with internal materialization
+    # barriers — best-of-3 would triple a minutes-scale row for noise
+    # reduction the per-stage rows already provide).
+    from sifts_spark.pipelines.curation import prepare_training_data
+    from sifts_spark.sources.warc import read_wet
+
+    e2e_out = tempfile.mkdtemp(prefix="ext_bench_e2e_")
+    blocked_e2e = [f"src{i}.co.uk" for i in range(100)]
+    t0 = time.perf_counter()
+    good, _quar = read_wet(spark, wet_dir)
+    manifest = prepare_training_data(
+        good.withColumn(
+            "url", F.get_json_object(F.col("metadata"), "$.uri")
+        ),
+        e2e_out,
+        id_col="id",
+        text_col="content",
+        min_quality=0.0,
+        ppl_band=None,
+        url_col="url",
+        blocked_domains=blocked_e2e,
+    )
+    e2e = {
+        "wet_to_export_sec": round(time.perf_counter() - t0, 3),
+        "stages": manifest["stages"],
+    }
+
     print(
         json.dumps(
             {
@@ -271,6 +324,7 @@ def main() -> None:
                 "queries": times,
                 "runs": runs,
                 "setup": setup,
+                "e2e": e2e,
                 "sf_dir": sf_dir,
             }
         )

@@ -31,7 +31,7 @@ aggregated map-side by Spark's hash aggregate before the exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Common multi-label public suffixes (second level). A host whose last
@@ -320,4 +320,201 @@ def filter_domains(
             how,
         )
         .drop("__dom")
+    )
+
+
+# ------------------------------------------------- URL canonicalization
+
+# Tracking/analytics query parameters stripped by default — the
+# standard strip set every crawl dedup applies before URL-keyed
+# dedup (utm_* is Google Analytics' documented campaign tagging;
+# gclid/fbclid/msclkid are the big ad-click ids; mc_* is Mailchimp,
+# _hs* HubSpot, pk_/mtm_ Matomo). Two URLs differing only in these
+# are the same fetched resource.
+TRACKING_PARAMS = (
+    "utm_source utm_medium utm_campaign utm_term utm_content utm_id "
+    "gclid gclsrc dclid wbraid gbraid fbclid msclkid twclid yclid "
+    "igshid mc_cid mc_eid _hsenc _hsmi mkt_tok oly_anon_id oly_enc_id "
+    "vero_id vero_conv _ga _gl pk_campaign pk_kwd pk_source pk_medium "
+    "mtm_campaign mtm_source mtm_medium ref_src s_cid spm scid"
+).split()
+
+
+def normalize_url(
+    url: Column | str,
+    strip_params: tuple[str, ...] | list[str] = TRACKING_PARAMS,
+    strip_www: bool = False,
+) -> Column:
+    """Canonical form of a URL for URL-keyed deduplication — the first
+    dedup gate of every crawl pipeline (the same page is fetched under
+    many spellings; CC-index dedup and C4-style corpora key on a
+    canonicalized URL before any content stage).
+
+    Normalizations applied (each deterministic, all JVM expressions —
+    ``try_parse_url`` + higher-order array functions, codegen'd, zero
+    shuffle):
+
+    - scheme + host lowercased; trailing FQDN dots stripped from host
+    - userinfo dropped; default ports dropped (``:80`` on http,
+      ``:443`` on https), explicit non-default ports kept
+    - empty path → ``/``
+    - fragment dropped (client-side only, never reaches the server)
+    - query params with a key in ``strip_params`` dropped
+      (case-insensitive key match), the rest SORTED byte-wise so
+      param order doesn't split identical resources; an emptied query
+      drops its ``?``
+    - with ``strip_www=True``, one leading ``www.`` label is removed
+      when the remaining host still has ≥2 labels (opt-in: www and
+      apex are usually but not always the same site)
+
+    NOT applied (documented): percent-encoding case/decode
+    normalization and path-segment ``..`` collapsing — both require
+    per-byte rewriting that the reference pipelines skip too.
+
+    Returns NULL for unparseable values or URLs with no host
+    (``try_parse_url`` null contract — crawl URLs are untrusted).
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(c, F.lit("HOST"))), r"\.+$", ""
+    )
+    if strip_www:
+        stripped = F.regexp_replace(host, r"^www\.", "")
+        host = F.when(
+            host.startswith("www.") & stripped.contains("."), stripped
+        ).otherwise(host)
+    authority = F.try_parse_url(c, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((proto == "http") & (port == "80"))
+        | ((proto == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.try_parse_url(c, F.lit("PATH"))
+    path_part = F.when(
+        path.isNull() | (path == ""), F.lit("/")
+    ).otherwise(path)
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    drop_keys = [k.lower() for k in strip_params]
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "")
+            & ~F.lower(F.element_at(F.split(p, "="), 1)).isin(drop_keys),
+        )
+    )
+    q_part = F.when(
+        F.size(params) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
+    return F.when(
+        proto.isNull() | host.isNull() | (host == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(proto, F.lit("://"), host, port_part, path_part, q_part)
+    )
+
+
+def normalize_url_sql(
+    url_expr: str,
+    strip_params: tuple[str, ...] | list[str] = TRACKING_PARAMS,
+    strip_www: bool = False,
+) -> str:
+    """DuckDB SQL twin of :func:`normalize_url` (regex-based RFC-3986
+    splitting in place of ``try_parse_url``; byte-exact on well-formed
+    URLs — the twin corpus contract)."""
+    u = url_expr
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+    hostport = f"regexp_replace({auth}, '^[^@]*@', '')"
+    host = (
+        "regexp_replace(lower(regexp_replace("
+        f"{hostport}, ':[0-9]*$', '')), '\\.+$', '')"
+    )
+    if strip_www:
+        stripped = f"regexp_replace({host}, '^www\\.', '')"
+        host = (
+            f"CASE WHEN {host} LIKE 'www.%' AND contains({stripped}, '.') "
+            f"THEN {stripped} ELSE {host} END"
+        )
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    port_part = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') "
+        f"THEN '' ELSE ':' || {port} END"
+    )
+    path = (
+        f"regexp_extract({u},"
+        " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    path_part = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({u}, '^[^#]*\\?([^#]*)', 1)"
+    drop_keys = ", ".join(
+        "'" + k.lower().replace("'", "''") + "'" for k in strip_params
+    )
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"_p -> _p <> '' AND lower(string_split(_p, '=')[1]) "
+        f"NOT IN ({drop_keys})))"
+    )
+    q_part = (
+        f"CASE WHEN len({params}) = 0 THEN '' "
+        f"ELSE '?' || array_to_string({params}, '&') END"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' OR {host} = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {port_part} "
+        f"|| {path_part} || {q_part} END"
+    )
+
+
+def url_duplicates(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: tuple[str, ...] | list[str] = TRACKING_PARAMS,
+    strip_www: bool = False,
+) -> DataFrame:
+    """(id, canonical_id) by canonical URL — same contract as
+    ``dedup.exact_duplicates`` but keyed on :func:`normalize_url`
+    instead of a content digest, so the many spellings of one fetched
+    resource collapse BEFORE any text is parsed (the cheapest dedup
+    gate a crawl pipeline has). Rows whose URL fails to canonicalize
+    (NULL) are each their own canonical — never merged with each
+    other. One shuffle keyed by the canonical URL; mega-URL skew
+    cannot occur (a key maps to refetches of one resource)."""
+    key = F.coalesce(
+        normalize_url(url_col, strip_params, strip_www),
+        # NULL-keyed rows must not merge: salt each to a singleton key
+        F.concat(F.lit("\x00unparseable:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy("_k")
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("_k"))
+        .withColumn("canonical_id", F.min("id").over(w))
+        .drop("_k")
+    )
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_params: tuple[str, ...] | list[str] = TRACKING_PARAMS,
+    strip_www: bool = False,
+) -> DataFrame:
+    """Keep one row (min id) per canonical URL; NULL-canonical rows
+    all survive. All original columns pass through. Same single
+    window shuffle as :func:`url_duplicates`."""
+    key = F.coalesce(
+        normalize_url(url_col, strip_params, strip_www),
+        F.concat(F.lit("\x00unparseable:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy("_k").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_rn")
     )

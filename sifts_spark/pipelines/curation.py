@@ -125,6 +125,7 @@ def prepare_training_data(
     url_col: str | None = None,
     blocked_domains=None,
     psl=None,
+    url_dedup: bool = False,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -140,6 +141,12 @@ def prepare_training_data(
        broadcast anti-join, the cheapest filter runs first); pass
        ``psl`` (a :class:`~sifts_spark.operators.urls
        .PublicSuffixList`) to key the blocklist on full-PSL eTLD+1;
+    0b. optional URL-keyed dedup (``url_dedup=True``, requires
+       ``url_col``) — refetches of one resource under different
+       spellings (tracking params, fragments, default ports, param
+       order) keep only the min-id copy BEFORE any text is parsed
+       (:func:`~sifts_spark.operators.urls.dedup_by_url`; rows with
+       unparseable URLs all survive);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
@@ -197,6 +204,13 @@ def prepare_training_data(
 
         docs = filter_domains(docs, blocked_domains, url_col, psl=psl)
         manifest["stages"]["domain_filtered"] = docs.count()
+    if url_dedup:
+        if url_col is None:
+            raise ValueError("url_dedup requires url_col")
+        from sifts_spark.operators.urls import dedup_by_url
+
+        docs = dedup_by_url(docs, url_col, id_col=id_col)
+        manifest["stages"]["url_deduped"] = docs.count()
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,

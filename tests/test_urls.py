@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 
 from sifts_spark.operators.urls import (
     PublicSuffixList,
+    dedup_by_url,
     domain_stats,
     filter_domains,
+    normalize_url,
+    normalize_url_sql,
     registrable_domain,
+    url_duplicates,
     url_host,
     with_domain,
 )
@@ -42,6 +46,34 @@ END
 def url_docs(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     return docs.withColumn("url", F.expr(_URL_CASE_SQL))
+
+
+# Messy-URL synthesis for the normalize_url twin: tracking params in
+# both cases, unsorted params, default and non-default ports, userinfo,
+# fragments, hostless junk — every normalization path exercised with
+# the same construction in both engines.
+_MESSY_URL_CASE_SQL = """
+CASE CAST(doc_id AS INTEGER) % 7
+  WHEN 0 THEN 'https://www.' || source || '.Example.com/a/' || doc_id
+              || '?utm_source=feed&id=' || doc_id || '&b=2#frag'
+  WHEN 1 THEN 'http://' || source || '.example.co.uk:80/b?z=1&a=' || doc_id
+  WHEN 2 THEN 'https://shop.' || source || '.com:443/c'
+  WHEN 3 THEN 'http://user@' || source || '.org:8080/d?UTM_CAMPAIGN=x'
+  WHEN 4 THEN 'http://' || source || '.net'
+  WHEN 5 THEN 'not a url ' || doc_id
+  ELSE 'https://cdn.' || source || '.io/p/?fbclid=abc&x=' || doc_id
+       || '&flag'
+END
+"""
+
+
+@pytest.fixture(scope="module")
+def url_docs_messy(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return (
+        docs.withColumn("url", F.expr(_MESSY_URL_CASE_SQL)),
+        _MESSY_URL_CASE_SQL,
+    )
 
 
 class TestHostAndDomain:
@@ -390,3 +422,160 @@ class TestPslThreading:
         assert manifest["stages"]["domain_filtered"] == 8
         out = spark.read.parquet(str(tmp_path / "out" / "docs"))
         assert out.filter(F.col("id").startswith("b")).count() == 0
+
+
+# ---------------------------------------------- URL canonicalization
+
+
+class TestNormalizeUrl:
+    @pytest.mark.parametrize(
+        "url,want",
+        [
+            # tracking strip + param sort + fragment drop + case fold
+            ("https://Ex.COM/p?b=2&utm_source=x&a=1#frag",
+             "https://ex.com/p?a=1&b=2"),
+            # default ports drop, non-default kept
+            ("http://ex.com:80/", "http://ex.com/"),
+            ("https://ex.com:443/a", "https://ex.com/a"),
+            ("http://ex.com:8080/", "http://ex.com:8080/"),
+            # empty path -> /
+            ("http://ex.com", "http://ex.com/"),
+            # userinfo dropped
+            ("http://u:p@ex.com/x", "http://ex.com/x"),
+            # query emptied of tracking params drops its '?'
+            ("http://ex.com/?utm_source=a&UTM_CAMPAIGN=b", "http://ex.com/"),
+            # valueless params sort with the rest
+            ("http://ex.com/?flag&b=1", "http://ex.com/?b=1&flag"),
+            # trailing FQDN dot
+            ("http://ex.com./x", "http://ex.com/x"),
+            # path case is significant and preserved
+            ("HTTP://EX.com/Path", "http://ex.com/Path"),
+            # unparseable / hostless -> NULL
+            ("not a url", None),
+            ("mailto:a@b.com", None),
+        ],
+    )
+    def test_corner_cases(self, spark, url, want):
+        (row,) = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(normalize_url("url").alias("n"))
+            .collect()
+        )
+        assert row["n"] == want
+
+    def test_strip_www_keeps_two_label_minimum(self, spark):
+        rows = (
+            spark.createDataFrame(
+                [("http://www.ex.com/",), ("http://www.com/",)],
+                "url string",
+            )
+            .select(normalize_url("url", strip_www=True).alias("n"))
+            .collect()
+        )
+        assert [r["n"] for r in rows] == [
+            "http://ex.com/",  # www. stripped, 2 labels remain
+            "http://www.com/",  # remainder 'com' has no dot: kept
+        ]
+
+    def test_duckdb_value_twin(self, spark, url_docs_messy):
+        df, case_sql = url_docs_messy
+        got = {
+            r["doc_id"]: r["n"]
+            for r in df.select(
+                "doc_id", normalize_url("url").alias("n")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(
+            f"SELECT doc_id, {normalize_url_sql('url')} AS n "
+            f"FROM (SELECT *, {case_sql} AS url FROM documents)"
+        ).fetchall()
+        assert len(want) == len(got) > 50
+        for doc_id, n in want:
+            assert got[doc_id] == n, doc_id
+
+
+class TestUrlDedup:
+    def test_spelling_variants_collapse(self, spark):
+        rows = [
+            ("a", "https://ex.com:443/p?b=2&a=1&utm_source=x#f"),
+            ("b", "https://EX.com/p?a=1&b=2"),
+            ("c", "https://ex.com./p?a=1&utm_medium=y&b=2"),
+            ("d", "https://ex.com/p?a=1&b=3"),  # different resource
+            ("e", "junk"),  # unparseable: never merged
+            ("f", "junk"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, url string")
+        got = {
+            r["id"]: r["canonical_id"]
+            for r in url_duplicates(df).collect()
+        }
+        assert got == {
+            "a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "f": "f"
+        }
+        kept = sorted(
+            r["doc_id"] for r in dedup_by_url(df).collect()
+        )
+        assert kept == ["a", "d", "e", "f"]
+
+    def test_single_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [("a", "http://ex.com/")], "doc_id string, url string"
+        )
+        plan = url_duplicates(df)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # canonicalization is map-side; the only exchange is the
+        # window's hash partitioning on the canonical key
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_recipe_url_dedup_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog near the barn",
+            "a completely different tale about ships sailing the sea",
+            "engineers measure the bridge span with careful instruments",
+            "the market sells fresh bread and fruit every single morning",
+            "mountain trails wind upward through pine forest and stone",
+            "the library keeps old maps of rivers and forgotten towns",
+        ]
+        rows = [
+            (f"d{i}", t + f" unique marker {i}", f"http://h{i}.keep.com/{i}")
+            for i, t in enumerate(texts)
+        ] + [
+            # refetches of d0's resource under tracking-param spellings
+            ("r1", texts[0] + " refetch one",
+             "http://h0.keep.com/0?utm_source=feed"),
+            ("r2", texts[0] + " refetch two",
+             "http://h0.keep.com:80/0#frag"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id string, text string, url string"
+        )
+        manifest = prepare_training_data(
+            docs,
+            str(tmp_path / "out"),
+            min_quality=0.0,
+            url_col="url",
+            url_dedup=True,
+        )
+        assert manifest["stages"]["input"] == 8
+        assert manifest["stages"]["url_deduped"] == 6
+        out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        assert sorted(
+            r["id"] for r in out.select("id").collect()
+        ) == [f"d{i}" for i in range(6)]
+
+    def test_url_dedup_requires_url_col(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        docs = spark.createDataFrame(
+            [("a", "text")], "doc_id string, text string"
+        )
+        with pytest.raises(ValueError, match="url_dedup requires url_col"):
+            prepare_training_data(
+                docs, str(tmp_path / "out"), url_dedup=True
+            )

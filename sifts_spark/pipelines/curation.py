@@ -126,6 +126,8 @@ def prepare_training_data(
     blocked_domains=None,
     psl=None,
     url_dedup: bool = False,
+    c4_rules: bool = False,
+    bad_words: tuple[str, ...] = (),
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -147,6 +149,12 @@ def prepare_training_data(
        order) keep only the min-id copy BEFORE any text is parsed
        (:func:`~sifts_spark.operators.urls.dedup_by_url`; rows with
        unparseable URLs all survive);
+    0c. optional C4 cleaning rules (``c4_rules=True``) — terminal-
+       punctuation / min-words / javascript line filters rewrite each
+       doc, then the ≥5-sentence, lorem-ipsum, brace and ``bad_words``
+       page gates drop docs (Raffel et al. 2020 §2.2,
+       :func:`~sifts_spark.operators.textanalysis.c4_clean` — map-side,
+       before any scoring so later stages see clean text);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
@@ -211,6 +219,13 @@ def prepare_training_data(
 
         docs = dedup_by_url(docs, url_col, id_col=id_col)
         manifest["stages"]["url_deduped"] = docs.count()
+    if c4_rules:
+        from sifts_spark.operators.textanalysis import c4_clean
+
+        docs = c4_clean(
+            docs, id_col=id_col, text_col=text_col, bad_words=bad_words
+        )
+        manifest["stages"]["c4_cleaned"] = docs.count()
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,

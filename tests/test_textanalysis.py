@@ -510,3 +510,135 @@ def test_keywords_tfidf_rare_term_beats_common(spark):
     # tf=3 for 'common' (df=3, idf=1) -> 3.0; 'zyzzogeton' tf=1 df=1
     # idf=ln(4/2)+1=1.693 -> common wins on tf, rare term second
     assert top_a == ["common", "zyzzogeton"]
+
+
+class TestC4Clean:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): unit corners
+    plus a DuckDB value twin on a corpus synthesized from the real
+    documents table (same construction in both engines)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_line_filters(self, spark):
+        from sifts_spark.operators.textanalysis import c4_clean
+
+        text = "\n".join(
+            [
+                "This is a proper sentence that survives the gate.",
+                "no terminal punctuation here",        # dropped: no punct
+                "Too short.",                          # dropped: <3 words
+                "Please enable JavaScript to view.",   # dropped: javascript
+                "  Another good line stays right here!  ",  # trimmed, kept
+                'He said "stop there".',               # kept
+                "Is this a question we keep?",         # kept
+                "A fifth full sentence closes the page.",  # kept
+            ]
+        )
+        out = c4_clean(
+            self._df(spark, [("a", text)]), keep_stats=True
+        ).collect()
+        assert len(out) == 1
+        got = out[0]["text"].split("\n")
+        assert got == [
+            "This is a proper sentence that survives the gate.",
+            "Another good line stays right here!",
+            'He said "stop there".',
+            "Is this a question we keep?",
+            "A fifth full sentence closes the page.",
+        ]
+        assert out[0]["c4_lines_kept"] == 5
+        assert out[0]["c4_lines_dropped"] == 3
+
+    def test_page_gates(self, spark):
+        from sifts_spark.operators.textanalysis import c4_clean
+
+        five = " ".join(
+            f"This is full sentence number {i} right here." for i in range(5)
+        )
+        rows = [
+            ("keep", five),
+            ("short", "Only one good sentence stands here."),  # <5 sentences
+            ("lorem", five + " And lorem ipsum filler text follows."),
+            # brace on its OWN line with no terminal punct: the line
+            # filter removes it BEFORE the page gate sees the brace —
+            # C4's order — so the page survives
+            ("brace_line", five + "\nfunction() { return; }"),
+            # brace inside a punctuated prose line: reaches the page
+            # gate and kills the page
+            ("brace_prose", five + " Code uses {braces} in prose."),
+            ("bad", five + " This page mentions badword once."),
+        ]
+        kept = sorted(
+            r["doc_id"]
+            for r in c4_clean(
+                self._df(spark, rows), bad_words=("badword",)
+            ).collect()
+        )
+        assert kept == ["brace_line", "keep"]
+
+    def test_duckdb_value_twin(self, spark):
+        from sifts_spark.operators.textanalysis import c4_clean
+
+        import duckdb
+
+        # synthesize multi-line pages from real corpus text: each doc's
+        # text becomes lines of varying quality keyed by doc_id
+        case = (
+            "text || '. More words follow here now.' || chr(10) || "
+            "'no punct line ' || doc_id || chr(10) || "
+            "'Another full sentence appears right here! Then one more "
+            "lands. And a third closes. A fourth too. Plus a fifth.'"
+        )
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id", f"{case} AS text")
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in c4_clean(docs, min_words_per_line=3).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = con.execute(f"""
+            WITH src AS (SELECT doc_id, {case} AS text FROM documents),
+            l AS (
+              SELECT doc_id, list_filter(
+                list_transform(string_split(text, chr(10)),
+                  _x -> regexp_replace(_x, '^\\s+|\\s+$', '', 'g')),
+                _t -> _t <> '' AND regexp_matches(_t, '[.!?"”]$')
+                  AND len(string_split_regex(_t, '\\s+')) >= 3
+                  AND NOT regexp_matches(lower(_t), '\\bjavascript\\b')
+              ) AS kept FROM src
+            ),
+            c AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM l)
+            SELECT doc_id, text FROM c
+            WHERE len(regexp_extract_all(text, '[.!?]+')) >= 5
+              AND NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{{')
+        """).fetchall()
+        assert len(want) == len(got) > 100
+        for doc_id, text in want:
+            assert got[doc_id] == text, doc_id
+
+    def test_recipe_c4_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        good = " ".join(
+            f"The number {i} sentence carries plenty of honest words."
+            for i in range(6)
+        )
+        rows = [
+            ("d0", good),
+            ("d1", "word " * 30),  # no terminal punct: all lines drop
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        manifest = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0, c4_rules=True
+        )
+        assert manifest["stages"]["input"] == 2
+        assert manifest["stages"]["c4_cleaned"] == 1
+        out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        assert [r["id"] for r in out.select("id").collect()] == ["d0"]

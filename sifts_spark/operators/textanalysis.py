@@ -268,6 +268,44 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4"))
     return out
 
 
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus n-gram census → top-``k`` ``(gram, n)`` by occurrence
+    count (count desc, gram asc — a total order, so the cut is
+    deterministic). The corpus-statistics staple behind boilerplate
+    inspection, stopword discovery and tokenizer sanity reports.
+
+    Scale shape: n-gram generation is a map-side higher-order
+    expression over the tokenized text (no shingle materialization
+    beyond the explode); the count is ONE hash aggregate with map-side
+    partial combine keyed by gram (vocabulary-bounded, not
+    corpus-bounded); the top-k cut is TakeOrdered (per-partition heap
+    + driver merge of k rows), never a global sort. Docs shorter than
+    ``n`` tokens contribute nothing (census semantics — unlike
+    ``shingles()``'s whole-doc fallback, which exists for MinHash
+    coverage).
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
 def c4_clean(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -283,13 +283,12 @@ def total_count(spark, sf_dir) -> DataFrame:
     )
 
 
-@_register(
-    "group_count",
-    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
-    "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source",
-)
 def group_count(spark, sf_dir) -> DataFrame:
-    """Grouped counts (R13 generalized to groupBy)."""
+    """Grouped counts (R13 generalized to groupBy). Rotated OUT of the
+    driver catalog in r10 (ceded its row to top_ngrams — the plain
+    partial-agg hash-aggregate family stays checked by domain_stats /
+    distinct_users_by_type / events_hourly); pinned by
+    tests/test_relational.py with its original SQL twin."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
@@ -787,6 +786,26 @@ def text_token_count(spark, sf_dir) -> DataFrame:
         F.col("doc_id").alias("id"),
         TA.bpe_ish_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
     )
+
+
+_TOP_NGRAMS_SQL = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       _i -> array_to_string(toks[_i:_i+1], ' '))) AS gram FROM t)
+SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+"""
+
+
+@_register("top_ngrams", _TOP_NGRAMS_SQL)
+def top_ngrams_q(spark, sf_dir) -> DataFrame:
+    """Corpus bigram census, top-20 by count (count desc, gram asc —
+    total order). Map-side n-gram generation → ONE vocabulary-bounded
+    hash agg with partial combine → TakeOrdered cut (never a global
+    sort); see operators/textanalysis.py:top_ngrams."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.top_ngrams(docs, "text", n=2, k=20)
 
 
 # text_boilerplate ceded its driver row to the round-6 operator family
@@ -2050,10 +2069,11 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # (superset grouping sets); in r7 text_fingerprint / text_boilerplate
 # / audio_features ceded their rows to dedup_paragraphs / dsir_weights
 # / remove_dup_spans; in r8 docs_lang_salted ceded its row to
-# hybrid_rrf; in r10 topk_per_group / docs_except ceded their rows to
-# keywords_tfidf / domain_stats (window and anti-join families stay
-# covered by sample_stratified / docs_minus_blocklist; each retiree
-# keeps a pytest twin).
+# hybrid_rrf; in r10 topk_per_group / docs_except / group_count ceded
+# their rows to keywords_tfidf / domain_stats / top_ngrams (window,
+# anti-join and plain-hash-agg families stay covered by
+# sample_stratified / docs_minus_blocklist / domain_stats; each
+# retiree keeps a pytest twin).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

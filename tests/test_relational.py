@@ -209,3 +209,21 @@ def test_events_rollup_matches_oracle(spark):
         hod = None if r.hour_of_day != r.hour_of_day else int(r.hour_of_day)
         want[(et, hod)] = (int(r.n), round(float(r.sum_value), 6))
     assert got == want
+
+
+def test_group_count_matches_oracle(spark):
+    # de-registered in r10 (row ceded to top_ngrams); original SQL twin
+    from sifts_spark.plans.catalog import group_count
+
+    got = {
+        r.source: (r.n_docs, round(r.avg_chars, 6))
+        for r in group_count(spark, _SF_DIR).collect()
+    }
+    odf = _duck(
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(n_chars), 6) AS avg_chars FROM documents GROUP BY source"
+    )
+    want = {
+        r.source: (r.n_docs, round(r.avg_chars, 6)) for _, r in odf.iterrows()
+    }
+    assert got == want and len(got) > 3

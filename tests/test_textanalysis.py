@@ -642,3 +642,35 @@ class TestC4Clean:
         assert manifest["stages"]["c4_cleaned"] == 1
         out = spark.read.parquet(str(tmp_path / "out" / "docs"))
         assert [r["id"] for r in out.select("id").collect()] == ["d0"]
+
+
+class TestTopNgrams:
+    def test_unit_census_semantics(self, spark):
+        from sifts_spark.operators.textanalysis import top_ngrams
+
+        rows = [
+            ("a", "the cat sat on the cat mat"),
+            ("b", "the cat sat"),
+            ("c", "solo"),  # shorter than n=2: contributes nothing
+            ("d", ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = [(r["gram"], r["n"]) for r in top_ngrams(df, n=2, k=3).collect()]
+        # 'the cat' x3, 'cat sat' x2, then alphabetical among count-1
+        assert got == [("the cat", 3), ("cat sat", 2), ("cat mat", 1)]
+
+    def test_catalog_duckdb_twin(self, spark):
+        import duckdb
+
+        from sifts_spark.plans.catalog import ORACLES, QUERIES
+
+        got = [
+            (r["gram"], r["n"])
+            for r in QUERIES["top_ngrams"](spark, SF_DIR).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = [tuple(t) for t in con.execute(ORACLES["top_ngrams"]).fetchall()]
+        assert got == want and len(got) == 20

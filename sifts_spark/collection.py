@@ -926,6 +926,82 @@ class SparkCollection:
         # PG semantics: empty page reports total=0 (core.py:341-344).
         return {"total": total if results else 0, "results": results}
 
+    def mmr_query(
+        self,
+        query_string: str,
+        k: int = 10,
+        fetch_k: int | None = None,
+        lambda_: float = 0.5,
+        where: dict | None = None,
+        approx: bool = False,
+        nprobe: int = 2,
+        group_by_parent: bool = False,
+    ) -> dict:
+        """Diversified vector search via Maximal Marginal Relevance
+        (extension; Carbonell & Goldstein, SIGIR 1998 — the standard
+        redundancy-removing rerank for RAG retrieval, where the top-k
+        by cosine is often k near-copies of one passage).
+
+        Two phases: (1) DISTRIBUTED — the usual vector-search plan
+        (``where`` filter, optional ``approx``/``nprobe`` IVF pruning)
+        pools the top ``fetch_k`` (default ``max(4*k, 20)``) candidates
+        by exact cosine, a TakeOrdered per-partition-heap cut, never a
+        global sort; (2) DRIVER-SIDE — greedy MMR over the pool
+        (:func:`~sifts_spark.operators.vector_search.mmr_select`;
+        sequential by nature and pool-sized regardless of corpus
+        size). ``lambda_=1`` degenerates to plain top-k order.
+
+        ``group_by_parent=True`` (chunked collections): candidates
+        collapse to the best chunk per parent BEFORE the pool cut, so
+        diversification operates on distinct parent documents.
+
+        Returns ``{"total": pool_size, "results": [...]}`` in
+        SELECTION order; each result carries ``rank`` (the exact
+        cosine to the query — never the blended score, mirroring the
+        approx path's scores-are-always-exact contract) and
+        ``mmr_position`` (its pick order).
+        """
+        if not 0.0 <= lambda_ <= 1.0:
+            raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+        pool_n = fetch_k or max(4 * k, 20)
+        if pool_n < k:
+            raise ValueError(f"fetch_k ({pool_n}) must be >= k ({k})")
+        df, _ = self._query_plan(
+            query_string, where, None, True, approx, nprobe,
+            adc_limit=pool_n, refine=4,
+        )
+        if group_by_parent:
+            df = self._collapse_parents(df, True)
+        pool = (
+            df.orderBy(F.col("rank").desc(), F.col("id"))
+            .limit(pool_n)
+            .select("id", "content", "metadata", "rank", "embedding")
+            .collect()
+        )
+        from sifts_spark.operators.vector_search import mmr_select
+
+        picks = mmr_select(
+            [r["rank"] for r in pool],
+            [r["embedding"] for r in pool],
+            k,
+            lambda_,
+        )
+        results = []
+        for pos, i in enumerate(picks):
+            r = pool[i]
+            results.append(
+                {
+                    "id": r["id"],
+                    "content": r["content"],
+                    "metadata": json.loads(r["metadata"])
+                    if r["metadata"]
+                    else None,
+                    "rank": r["rank"],
+                    "mmr_position": pos,
+                }
+            )
+        return {"total": len(pool) if results else 0, "results": results}
+
     def _query_plan(
         self,
         query_string: str,

@@ -521,3 +521,49 @@ def srp_knn_join(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    relevance: "list[float]",
+    embeddings: "list[list[float]]",
+    k: int,
+    lambda_: float = 0.5,
+) -> "list[int]":
+    """Greedy Maximal Marginal Relevance selection (Carbonell &
+    Goldstein, SIGIR 1998) over a BOUNDED candidate pool → the indices
+    of the ``k`` picks in selection order.
+
+    score_i = λ·relevance_i − (1−λ)·max_{j∈selected} cos(e_i, e_j);
+    λ=1 is plain relevance ranking, λ=0 pure diversity. Ties break on
+    the lower pool index, so with a deterministically-ordered pool
+    (rank desc, id asc) the selection is rerun-stable.
+
+    Driver-side numpy by design: MMR is inherently sequential (each
+    pick changes every remaining score), and the pool is fetch_k-sized
+    (~10²) REGARDLESS of corpus size — the distributed work is
+    producing the pool (TakeOrdered over the corpus), not reranking
+    it. O(k·n) dot products on an (n,d) matrix.
+    """
+    n = len(relevance)
+    if n == 0 or k <= 0:
+        return []
+    mat = np.asarray(embeddings, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors: cos 0 to everything
+    unit = mat / norms
+    rel = np.asarray(relevance, dtype=np.float64)
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if not selected:
+            score = rel.copy()
+        else:
+            score = lambda_ * rel - (1.0 - lambda_) * max_sim
+        score[~remaining] = -np.inf
+        pick = int(np.argmax(score))  # argmax takes the FIRST maximum
+        selected.append(pick)
+        remaining[pick] = False
+        sims = unit @ unit[pick]
+        max_sim = np.maximum(max_sim, sims)
+    return selected

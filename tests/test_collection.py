@@ -655,3 +655,115 @@ def test_add_dataframe_computes_embeddings_with_function(store_root, spark):
     assert rows["y"] == [23.0, 1.0]
     res = col.query("anything", vector_search=True, limit=1)
     assert res["total"] == 2
+
+
+class TestMmrQuery:
+    """Maximal-marginal-relevance diversified retrieval: greedy pick
+    matches an independent pure-Python reference; near-duplicate top
+    hits are displaced by diverse-but-relevant docs; lambda=1 is plain
+    top-k; chunked collections diversify across parents."""
+
+    @staticmethod
+    def _make_embed():
+        # a CLOSURE (not a class/module attribute): cloudpickle ships
+        # it by value, so executor-side pandas_udfs can deserialize it
+        # without importing the test module
+        def embed(texts):
+            table = {
+                "alpha": [1.0, 0.0, 0.0],
+                "alpha2": [0.999, 0.04, 0.0],
+                "beta": [0.7, 0.7, 0.0],
+                "gamma": [0.0, 1.0, 0.0],
+                "query": [1.0, 0.02, 0.0],
+            }
+            return [table[t.split()[0]] for t in texts]
+
+        return embed
+
+    def _collection(self, store_root, spark, name="mmr"):
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, name, spark=spark,
+                         embedding_function=self._make_embed())
+        col.add(
+            ["alpha first copy", "alpha2 near duplicate",
+             "beta somewhat diverse", "gamma orthogonal"],
+            ids=["a", "a2", "b", "g"],
+        )
+        return col
+
+    def test_diversification_displaces_near_duplicate(self, store_root, spark):
+        col = self._collection(store_root, spark)
+        plain = col.query("query x", vector_search=True, limit=3)
+        assert [r["id"] for r in plain["results"]][:2] == ["a", "a2"]
+        mmr = col.mmr_query("query x", k=3, lambda_=0.5)
+        ids = [r["id"] for r in mmr["results"]]
+        # first pick = most relevant; second = diverse, NOT the near-dup
+        assert ids[0] == "a" and ids[1] != "a2"
+        assert mmr["total"] == 4
+        assert [r["mmr_position"] for r in mmr["results"]] == [0, 1, 2]
+        # rank stays the exact cosine (= plain search's rank for 'a')
+        assert mmr["results"][0]["rank"] == plain["results"][0]["rank"]
+
+    def test_lambda_one_is_plain_topk(self, store_root, spark):
+        col = self._collection(store_root, spark, name="mmr_l1")
+        plain = [r["id"] for r in
+                 col.query("query x", vector_search=True, limit=3)["results"]]
+        mmr = [r["id"] for r in
+               col.mmr_query("query x", k=3, lambda_=1.0)["results"]]
+        assert mmr == plain
+
+    def test_matches_python_reference(self, store_root, spark):
+        import numpy as np
+
+        from sifts_spark.operators.vector_search import mmr_select
+
+        rng = np.random.default_rng(7)
+        rel = rng.random(30).tolist()
+        emb = rng.standard_normal((30, 8)).tolist()
+        lam = 0.3
+        got = mmr_select(rel, emb, 10, lam)
+
+        # independent greedy reference
+        unit = np.asarray(emb)
+        unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+        chosen: list[int] = []
+        cand = set(range(30))
+        while len(chosen) < 10:
+            best, best_s = None, -np.inf
+            for i in sorted(cand):
+                if not chosen:
+                    s = rel[i]
+                else:
+                    s = lam * rel[i] - (1 - lam) * max(
+                        float(unit[i] @ unit[j]) for j in chosen
+                    )
+                if s > best_s:
+                    best, best_s = i, s
+            chosen.append(best)
+            cand.remove(best)
+        assert got == chosen
+
+    def test_validations(self, store_root, spark):
+        col = self._collection(store_root, spark, name="mmr_val")
+        with pytest.raises(ValueError, match="lambda_"):
+            col.mmr_query("query x", lambda_=1.5)
+        with pytest.raises(ValueError, match="fetch_k"):
+            col.mmr_query("query x", k=10, fetch_k=3)
+
+    def test_group_by_parent_diversifies_parents(self, store_root, spark):
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, "mmr_chunks", spark=spark,
+                         embedding_function=self._make_embed())
+        # two chunks per parent; chunk embeddings collide inside a parent
+        col.add_chunked(
+            ["alpha one. alpha2 two.", "gamma one. gamma two."],
+            ids=["p1", "p2"],
+            max_tokens=3,
+            overlap_tokens=0,
+        )
+        res = col.mmr_query("query x", k=2, lambda_=0.5,
+                            group_by_parent=True)
+        ids = [r["id"] for r in res["results"]]
+        assert ids == ["p1", "p2"]  # one row per parent, both parents

@@ -323,6 +323,94 @@ def filter_domains(
     )
 
 
+def cap_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    max_docs: int = 1000,
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+    psl: "PublicSuffixList | None" = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Cap any single registrable domain's contribution at ``max_docs``
+    rows — the anti-spam stage RefinedWeb (§3.1) and MassiveWeb run
+    after the blocklist: without it a handful of mega-domains (content
+    farms, mirrors) dominate the corpus. Rows with an unparseable URL
+    are never capped (no domain to key on). The kept subset is a
+    deterministic HASH-ORDER sample per domain (md5 of domain+id), not
+    first-N by id — unbiased w.r.t. crawl order and rerun-stable.
+
+    ``method="exact"`` (default): one window keyed by domain,
+    row_number over the hash order, keep ≤ ``max_docs``. Exactly
+    ``min(n, max_docs)`` rows per domain; the per-domain sort is the
+    cost — fine up to mega-domains (spillable), and the window
+    partitions by domain so the shuffle is one exchange.
+
+    ``method="hash"``: skew-proof variant for 100 TB — per-domain
+    counts (ONE vocabulary-bounded agg), then a map-side keep rule
+    ``hash_unit(id) < max_docs/n_domain`` after a broadcast-or-shuffle
+    join of the tiny counts frame. No per-domain sort, no window, no
+    mega-domain hotspot; keeps ``~max_docs`` rows per domain
+    (binomially distributed around the cap) — the documented trade.
+    """
+    if method not in ("exact", "hash"):
+        raise ValueError(f"method must be 'exact' or 'hash', got {method!r}")
+    if psl is not None and extra_suffixes:
+        raise ValueError(
+            "psl and extra_suffixes are mutually exclusive: add custom "
+            "rules to the PublicSuffixList rule set instead"
+        )
+    dom = (
+        psl.registrable_domain(url_host(url_col))
+        if psl is not None
+        else registrable_domain(url_host(url_col), extra_suffixes)
+    )
+    d = df.withColumn("__dom", dom)
+    if method == "exact":
+        order = F.md5(
+            F.concat_ws("\x00", F.col("__dom"), F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy("__dom").orderBy(order.asc())
+        return (
+            d.withColumn(
+                "__rn",
+                F.when(F.col("__dom").isNull(), F.lit(1)).otherwise(
+                    F.row_number().over(w)
+                ),
+            )
+            .filter(F.col("__rn") <= max_docs)
+            .drop("__dom", "__rn")
+        )
+    counts = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
+    # md5-derived unit-interval hash: the first 8 hex chars as a
+    # fraction of 2^32 — deterministic, replayable in plain SQL
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x00", F.col("__dom"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        d.join(counts, "__dom", "left")
+        .filter(
+            F.col("__dom").isNull()
+            | (F.col("__n") <= max_docs)
+            | (unit < F.lit(float(max_docs)) / F.col("__n"))
+        )
+        .drop("__dom", "__n")
+    )
+
+
 # ------------------------------------------------- URL canonicalization
 
 # Tracking/analytics query parameters stripped by default — the

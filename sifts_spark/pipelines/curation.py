@@ -126,6 +126,7 @@ def prepare_training_data(
     blocked_domains=None,
     psl=None,
     url_dedup: bool = False,
+    max_docs_per_domain: int | None = None,
     c4_rules: bool = False,
     bad_words: tuple[str, ...] = (),
 ) -> dict:
@@ -149,7 +150,13 @@ def prepare_training_data(
        order) keep only the min-id copy BEFORE any text is parsed
        (:func:`~sifts_spark.operators.urls.dedup_by_url`; rows with
        unparseable URLs all survive);
-    0c. optional C4 cleaning rules (``c4_rules=True``) — terminal-
+    0c. optional per-domain cap (``max_docs_per_domain``, requires
+       ``url_col``) — no registrable domain contributes more than N
+       docs (RefinedWeb §3.1's anti-spam stage; deterministic
+       hash-order sample per domain,
+       :func:`~sifts_spark.operators.urls.cap_domains`; ``psl``
+       applies here too);
+    0d. optional C4 cleaning rules (``c4_rules=True``) — terminal-
        punctuation / min-words / javascript line filters rewrite each
        doc, then the ≥5-sentence, lorem-ipsum, brace and ``bad_words``
        page gates drop docs (Raffel et al. 2020 §2.2,
@@ -219,6 +226,16 @@ def prepare_training_data(
 
         docs = dedup_by_url(docs, url_col, id_col=id_col)
         manifest["stages"]["url_deduped"] = docs.count()
+    if max_docs_per_domain is not None:
+        if url_col is None:
+            raise ValueError("max_docs_per_domain requires url_col")
+        from sifts_spark.operators.urls import cap_domains
+
+        docs = cap_domains(
+            docs, url_col, max_docs=max_docs_per_domain,
+            id_col=id_col, psl=psl,
+        )
+        manifest["stages"]["domain_capped"] = docs.count()
     if c4_rules:
         from sifts_spark.operators.textanalysis import c4_clean
 

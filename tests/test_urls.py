@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from sifts_spark.operators.urls import (
     PublicSuffixList,
+    cap_domains,
     dedup_by_url,
     domain_stats,
     filter_domains,
@@ -579,3 +580,98 @@ class TestUrlDedup:
             prepare_training_data(
                 docs, str(tmp_path / "out"), url_dedup=True
             )
+
+
+# ---------------------------------------------------- per-domain caps
+
+
+class TestCapDomains:
+    def _docs(self, spark):
+        # 12 docs on big.com (via subdomains), 2 on small.org, 2 junk
+        rows = (
+            [(f"b{i}", f"http://sub{i % 3}.big.com/p/{i}") for i in range(12)]
+            + [("s0", "http://small.org/a"), ("s1", "http://small.org/b")]
+            + [("j0", "junk"), ("j1", "also junk")]
+        )
+        return spark.createDataFrame(rows, "doc_id string, url string")
+
+    def test_exact_cap_and_determinism(self, spark):
+        df = self._docs(spark)
+        out1 = sorted(r["doc_id"] for r in cap_domains(df, max_docs=4).collect())
+        out2 = sorted(r["doc_id"] for r in cap_domains(df, max_docs=4).collect())
+        assert out1 == out2  # hash-order sample is rerun-stable
+        kept_big = [i for i in out1 if i.startswith("b")]
+        assert len(kept_big) == 4
+        # under-cap domains and unparseable URLs survive whole
+        assert {"s0", "s1", "j0", "j1"} <= set(out1)
+
+    def test_hash_cap_no_window_in_plan(self, spark):
+        df = self._docs(spark)
+        capped = cap_domains(df, max_docs=4, method="hash")
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # the skew-proof path has no sort
+        got = {r["doc_id"] for r in capped.collect()}
+        # under-cap domains + junk always complete; big.com thinned
+        assert {"s0", "s1", "j0", "j1"} <= got
+        n_big = sum(1 for i in got if i.startswith("b"))
+        assert 0 < n_big < 12  # binomial around 4 — bounded strictly
+
+    def test_exact_duckdb_twin(self, spark, url_docs):
+        import duckdb
+
+        got = sorted(
+            r["doc_id"]
+            for r in cap_domains(url_docs, max_docs=2).select("doc_id").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        want = sorted(
+            t[0]
+            for t in con.execute(f"""
+            WITH u AS (SELECT *, {_URL_CASE_SQL} AS url FROM documents),
+            h AS (SELECT *, lower(regexp_extract(url,
+                '^[a-z]+://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host FROM u),
+            p AS (SELECT *, string_split(host, '.') AS parts FROM h),
+            r AS (SELECT *, CASE
+              WHEN regexp_matches(host,
+                   '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                   OR len(parts) <= 2 THEN host
+              WHEN array_to_string(parts[-2:], '.') IN ('co.uk')
+                THEN array_to_string(parts[-3:], '.')
+              ELSE array_to_string(parts[-2:], '.') END AS domain FROM p),
+            k AS (SELECT doc_id, domain, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5(domain || chr(0) || CAST(doc_id AS VARCHAR))
+                  ) AS rn FROM r)
+            SELECT doc_id FROM k WHERE domain IS NULL OR rn <= 2
+            """).fetchall()
+        )
+        assert got == want and 0 < len(got) < url_docs.count()
+
+    def test_recipe_domain_cap_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog near the barn",
+            "a completely different tale about ships sailing the sea",
+            "engineers measure the bridge span with careful instruments",
+            "the market sells fresh bread and fruit every single morning",
+            "mountain trails wind upward through pine forest and stone",
+            "the library keeps old maps of rivers and forgotten towns",
+        ]
+        rows = [
+            (f"d{i}", t + f" unique marker {i}",
+             f"http://sub{i}.farm.com/{i}")
+            for i, t in enumerate(texts)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id string, text string, url string"
+        )
+        manifest = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0,
+            url_col="url", max_docs_per_domain=2,
+        )
+        assert manifest["stages"]["input"] == 6
+        assert manifest["stages"]["domain_capped"] == 2

@@ -675,3 +675,18 @@ class TestCapDomains:
         )
         assert manifest["stages"]["input"] == 6
         assert manifest["stages"]["domain_capped"] == 2
+
+
+def test_normalize_url_idempotent_on_messy_corpus(spark, url_docs_messy):
+    """normalize_url is a canonicalization: applying it twice must be
+    the identity on its own output (param sort stable, stripped keys
+    stay stripped, dropped ports stay dropped)."""
+    df, _ = url_docs_messy
+    once = df.select(normalize_url("url").alias("u1"))
+    twice = once.select(
+        "u1", normalize_url(F.col("u1")).alias("u2")
+    ).filter(F.col("u1").isNotNull())
+    bad = twice.filter(
+        F.col("u2").isNull() | (F.col("u1") != F.col("u2"))
+    ).count()
+    assert bad == 0 and twice.count() > 50

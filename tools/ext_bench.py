@@ -205,7 +205,8 @@ def main() -> None:
     blocked = [f"src{i}.co.uk" for i in range(100)]
 
     from sifts_spark.operators.chunking import chunk_documents
-    from sifts_spark.operators.textanalysis import keywords_tfidf
+    from sifts_spark.operators.textanalysis import c4_clean, keywords_tfidf
+    from sifts_spark.operators.urls import cap_domains, dedup_by_url
 
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
@@ -232,6 +233,13 @@ def main() -> None:
         "extract_html_text": lambda: extract_main_text(pages),
         "domain_stats": lambda: domain_stats(crawl, "url", text_col="text"),
         "filter_domains": lambda: filter_domains(crawl, blocked, "url"),
+        # r10 URL/cleaning family: canonicalize+window URL dedup, the
+        # skew-proof per-domain cap, and the one-pass C4 rule stack
+        "url_dedup": lambda: dedup_by_url(crawl, "url"),
+        "cap_domains_hash": lambda: cap_domains(
+            crawl, "url", max_docs=50, method="hash"
+        ),
+        "c4_clean": lambda: c4_clean(docs),
     }
 
     def steal_jiffies() -> int:

@@ -368,3 +368,64 @@ def test_stream_first_seen_dedup_gate(spark, tmp_path):
         r["digest"] for r in docs.collect()
     }
     assert fresh_digests <= {d for d, _ in got}
+
+
+def test_stream_first_seen_gate_keyed_by_canonical_url(spark, tmp_path):
+    """In-flight URL dedup: the r10 canonicalization composes with the
+    streaming first-seen gate — refetch spellings of one resource
+    arriving in LATER micro-batches are swallowed; the surviving set
+    equals the batch twin's."""
+    from sifts_spark.operators.urls import normalize_url
+    from sifts_spark.streaming.stateful import (
+        batch_first_seen,
+        stream_first_seen,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"https://ex.com/p/{i}?a=1") for i in range(20)],
+        "doc_id long, url string",
+    )
+    # batch 2: the same 20 resources under tracking-param / port / case
+    # spellings, plus 5 genuinely new resources
+    b2 = spark.createDataFrame(
+        [(i + 10_000, f"https://EX.com:443/p/{i}?utm_source=x&a=1#f")
+         for i in range(20)]
+        + [(i + 20_000, f"https://ex.com/new/{i}") for i in range(5)],
+        "doc_id long, url string",
+    )
+    src = str(tmp_path / "url_src")
+    b1.write.parquet(src)
+    b2.write.mode("append").parquet(src)
+
+    def keyed(df):
+        return df.withColumn("url_key", normalize_url("url"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_first_seen(keyed(stream), ["url_key"], order_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("url_first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "url_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["url_key"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM url_first_seen").collect()
+    }
+    everything = spark.read.schema(b1.schema).parquet(src)
+    want = {
+        (r["url_key"], r["doc_id"])
+        for r in batch_first_seen(
+            keyed(everything), ["url_key"], order_col="doc_id"
+        ).collect()
+    }
+    assert got == want and len(got) == 25
+    # every batch-2 refetch spelling was swallowed by its batch-1 twin
+    assert all(i < 10_000 or i >= 20_000 for _, i in got)

@@ -1234,3 +1234,62 @@ def semdedup(
         F.lit(True).alias("keep"),
     )
     return decided.unionByName(skipped)
+
+
+def duplicate_weights(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft deduplication → ``(id, cluster_id, cluster_size, weight)``:
+    instead of DROPPING near-duplicates, every member of a duplicate
+    cluster is downweighted by ``weight = cluster_size^-alpha`` (He et
+    al. 2024's SoftDedup posture: hard removal discards phrasing
+    diversity inside a cluster; sampling-weight reduction keeps it
+    while still equalizing each RESOURCE's total contribution —
+    ``alpha=1`` makes every cluster weigh exactly 1.0 in aggregate,
+    ``alpha=0`` disables the correction, fractional alpha
+    interpolates).
+
+    Compose downstream: feed ``weight`` to
+    :func:`~sifts_spark.operators.classifier.weighted_sample` (Gumbel
+    top-k draws duplicates proportionally less often) or multiply into
+    DSIR importance weights before resampling.
+
+    Scale shape: :func:`duplicate_clusters` does the heavy lifting on
+    the |pairs|-sized subgraph; cluster sizes are counted over that
+    SAME pairs-bounded member set (never a corpus-sized groupBy —
+    singletons, the overwhelming majority, never enter the size agg
+    and default to size 1 via the left join). AQE broadcasts the size
+    frame when the dup-cluster count allows.
+    """
+    clusters = duplicate_clusters(vertices, pairs, id_col=id_col)
+    dup_members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        clusters.join(dup_members, "id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        clusters.join(sizes, "cluster_id", "left")
+        .withColumn(
+            "cluster_size", F.coalesce("cluster_size", F.lit(1))
+        )
+        .select(
+            "id",
+            "cluster_id",
+            "cluster_size",
+            F.round(
+                F.pow(
+                    F.col("cluster_size").cast("double"),
+                    F.lit(-float(alpha)),
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )

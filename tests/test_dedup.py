@@ -365,3 +365,84 @@ def test_semdedup_null_embeddings_keep_trivially(spark):
     assert set(out) == {1, 2, 3}
     assert out[3]["keep"] and out[3]["cell"] is None and out[3]["component"] == 3
     assert sum(out[i]["keep"] for i in (1, 2)) == 1
+
+
+class TestDuplicateWeights:
+    """SoftDedup-style downweighting: weight = cluster_size^-alpha over
+    the connected-component clusters, singletons at 1.0, composable
+    with the Gumbel weighted sampler."""
+
+    def _fixture(self, spark):
+        verts = spark.createDataFrame(
+            [(x,) for x in "abcdef"], "id string"
+        )
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string"
+        )
+        return verts, pairs
+
+    def test_weights_and_sizes(self, spark):
+        from sifts_spark.operators.dedup import duplicate_weights
+
+        verts, pairs = self._fixture(spark)
+        got = {
+            r["id"]: (r["cluster_id"], r["cluster_size"], r["weight"])
+            for r in duplicate_weights(verts, pairs).collect()
+        }
+        assert got["a"] == ("a", 3, round(1 / 3, 6))
+        assert got["b"] == ("a", 3, round(1 / 3, 6))
+        assert got["c"] == ("a", 3, round(1 / 3, 6))
+        assert got["d"] == ("d", 2, 0.5)
+        assert got["e"] == ("d", 2, 0.5)
+        assert got["f"] == ("f", 1, 1.0)  # singleton short-circuit
+        # alpha=1: every cluster's aggregate contribution is exactly 1
+        import collections
+
+        agg = collections.defaultdict(float)
+        for cid, _, w in got.values():
+            agg[cid] += w
+        assert all(abs(v - 1.0) < 1e-5 for v in agg.values())
+
+    def test_alpha_interpolates(self, spark):
+        from sifts_spark.operators.dedup import duplicate_weights
+
+        verts, pairs = self._fixture(spark)
+        got = {
+            r["id"]: r["weight"]
+            for r in duplicate_weights(verts, pairs, alpha=0.5).collect()
+        }
+        assert got["a"] == round(3 ** -0.5, 6)
+        assert got["d"] == round(2 ** -0.5, 6)
+        assert got["f"] == 1.0
+        flat = {
+            r["id"]: r["weight"]
+            for r in duplicate_weights(verts, pairs, alpha=0.0).collect()
+        }
+        assert set(flat.values()) == {1.0}
+
+    def test_composes_with_weighted_sample(self, spark):
+        import math
+
+        from sifts_spark.operators.classifier import weighted_sample
+        from sifts_spark.operators.dedup import duplicate_weights
+
+        # 30 singletons + one 10-member cluster: a weighted draw of 20
+        # should mostly pick singletons (cluster members carry 1/10
+        # weight each)
+        verts = spark.createDataFrame(
+            [(f"s{i}",) for i in range(30)]
+            + [(f"c{i}",) for i in range(10)],
+            "id string",
+        )
+        pairs = spark.createDataFrame(
+            [(f"c{i}", f"c{i+1}") for i in range(9)],
+            "id_a string, id_b string",
+        )
+        w = duplicate_weights(verts, pairs).withColumn(
+            "log_weight", F.log("weight")
+        )
+        picked = {r["id"] for r in weighted_sample(w, 20).collect()}
+        assert len(picked) == 20
+        n_cluster = sum(1 for i in picked if i.startswith("c"))
+        # expected cluster picks ~ 20 * (10*0.1) / (30 + 1) ≈ 0.6
+        assert n_cluster <= 4

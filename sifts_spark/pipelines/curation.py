@@ -43,6 +43,7 @@ def curate_corpus(
     min_quality: float = 0.35,
     jaccard_threshold: float = 0.5,
     scrub: bool = True,
+    soft_dedup: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """→ ``(curated, report)``.
 
@@ -50,9 +51,20 @@ def curate_corpus(
     that pass language + quality gates AND are their near-dup cluster's
     canonical representative; ``text`` is PII-scrubbed when ``scrub``.
 
+    ``soft_dedup=True`` switches the near-dup stage from hard removal
+    to SoftDedup-style reweighting (He et al. 2024; see
+    :func:`~sifts_spark.operators.dedup.duplicate_weights`): every
+    cluster member passing the other gates is KEPT and the curated
+    frame gains a ``dup_weight`` column (``1/cluster_size`` — each
+    resource's aggregate contribution is 1.0) for the training
+    loader / weighted sampling; cluster sizes are counted over the
+    pairs-bounded member set only, singletons default to 1.
+
     ``report``: one row per (lang_ok, quality_ok, canonical) tag
     combination with ``n`` docs and ``tokens`` — the full attrition
-    matrix from a single aggregation (not a count per stage).
+    matrix from a single aggregation (not a count per stage); the
+    ``canonical`` tag stays informative under ``soft_dedup`` even
+    though it no longer gates.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -76,6 +88,20 @@ def curate_corpus(
         .withColumn("canonical", F.col("cluster_id") == F.col("id"))
         .withColumn("n_tokens", bpe_ish_token_count(F.col("text")))
     )
+    if soft_dedup:
+        dup_members = (
+            pairs.select(F.col("id_a").alias("id"))
+            .unionByName(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sizes = (
+            clusters.join(dup_members, "id")
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("__csize"))
+        )
+        tagged = tagged.join(sizes, "cluster_id", "left").withColumn(
+            "__csize", F.coalesce("__csize", F.lit(1))
+        )
 
     report = (
         tagged.groupBy("lang_ok", "quality_ok", "canonical")
@@ -86,16 +112,25 @@ def curate_corpus(
     )
 
     kept = tagged.filter(
-        F.col("lang_ok") & F.col("quality_ok") & F.col("canonical")
+        F.col("lang_ok")
+        & F.col("quality_ok")
+        & (F.col("canonical") if not soft_dedup else F.lit(True))
     )
     out_text = scrub_pii(F.col("text")) if scrub else F.col("text")
-    curated = kept.select(
-        "id",
+    cols = [
+        F.col("id"),
         out_text.alias("text"),
-        "pred_lang",
-        "quality",
-        "n_tokens",
-    )
+        F.col("pred_lang"),
+        F.col("quality"),
+        F.col("n_tokens"),
+    ]
+    if soft_dedup:
+        cols.append(
+            F.round(
+                F.lit(1.0) / F.col("__csize").cast("double"), 6
+            ).alias("dup_weight")
+        )
+    curated = kept.select(*cols)
     return curated, report
 
 
@@ -129,6 +164,7 @@ def prepare_training_data(
     max_docs_per_domain: int | None = None,
     c4_rules: bool = False,
     bad_words: tuple[str, ...] = (),
+    soft_dedup: bool = False,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -164,6 +200,11 @@ def prepare_training_data(
        before any scoring so later stages see clean text);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
+       ``soft_dedup=True`` keeps near-dup cluster members and carries
+       a ``dup_weight`` column (``1/cluster_size``) through every
+       later stage into the docs export — sampling-time downweighting
+       for the training loader instead of hard removal
+       (``manifest["dedup_mode"]`` records which);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
        ``paragraph_dedup=True``) — boilerplate paragraphs keep only
        their first occurrence; texts are rewritten and token counts
@@ -247,7 +288,9 @@ def prepare_training_data(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,
         jaccard_threshold=jaccard_threshold, scrub=scrub,
+        soft_dedup=soft_dedup,
     )
+    manifest["dedup_mode"] = "soft" if soft_dedup else "hard"
     curated = curated.persist()
     manifest["stages"]["curated"] = curated.count()
     manifest["attrition"] = [r.asDict() for r in report.collect()]

@@ -55,3 +55,49 @@ def test_curate_scrubs_pii(spark):
     assert row is not None
     assert "bob@example.com" not in row["text"]
     assert re.search(r"\[EMAIL\]|<EMAIL>|\bEMAIL\b", row["text"]) or "@" not in row["text"]
+
+
+def test_curate_soft_dedup_keeps_members_with_weights(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "a completely different story about ships sailing on the open sea",
+    ]
+    rows = [
+        ("a", texts[0] + " marker one"),
+        ("b", texts[0] + " marker two"),  # near-dup of a
+        ("c", texts[1]),                  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    hard, _ = curate_corpus(docs, min_quality=0.0)
+    assert sorted(r["id"] for r in hard.collect()) == ["a", "c"]
+    assert "dup_weight" not in hard.columns
+
+    soft, report = curate_corpus(docs, min_quality=0.0, soft_dedup=True)
+    got = {r["id"]: r["dup_weight"] for r in soft.collect()}
+    assert got == {"a": 0.5, "b": 0.5, "c": 1.0}
+    # the canonical tag stays informative in the report
+    tags = {(r["canonical"]): r["n"] for r in report.collect()}
+    assert tags[True] == 2 and tags[False] == 1
+
+
+def test_recipe_soft_dedup_exports_weights(spark, tmp_path):
+    from sifts_spark.pipelines.curation import prepare_training_data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "a completely different story about ships sailing on the open sea",
+        "engineers measure the long bridge span with careful instruments",
+    ]
+    rows = [("a", texts[0] + " marker one"), ("b", texts[0] + " marker two"),
+            ("c", texts[1]), ("d", texts[2])]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    m = prepare_training_data(
+        docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+        soft_dedup=True,
+    )
+    assert m["dedup_mode"] == "soft"
+    assert m["stages"]["curated"] == 4  # nothing hard-dropped
+    out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+    got = {r["id"]: r["dup_weight"] for r in out.collect()}
+    assert got == {"a": 0.5, "b": 0.5, "c": 1.0, "d": 1.0}

@@ -268,6 +268,113 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4"))
     return out
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords_present: int = 2,
+) -> DataFrame:
+    """Gopher's MassiveWeb quality rules (Rae et al. 2021, app. A1.1 —
+    with C4 the most-replicated named web filter set) as one map-side
+    pass → per-doc signal columns plus a combined ``gopher_pass``:
+
+    - ``n_words`` in [``min_words``, ``max_words``] (whitespace words);
+    - ``mean_word_len`` in [3, 10];
+    - ``symbol_word_ratio`` (``#`` or ellipsis per word) ≤ 0.1;
+    - ``bullet_line_frac`` (lines starting with a bullet) ≤ 0.9;
+    - ``ellipsis_line_frac`` (lines ending with an ellipsis) ≤ 0.3;
+    - ``alpha_word_frac`` (words containing ≥1 alphabetic char) ≥ 0.8;
+    - ``n_stopwords_present`` ≥ 2 of Gopher's 8-word list (the, be,
+      to, of, and, that, have, with).
+
+    Repetition rules from the same appendix live in
+    :func:`repetition_stats` (dup line/word/n-gram fractions) — this
+    operator carries the document-shape half. Pure higher-order
+    expressions, codegen'd, zero shuffle; every threshold a keyword so
+    corpora can retune without forking.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    total_len = F.aggregate(
+        words, F.lit(0), lambda a, w: a + F.length(w)
+    ).cast("double")
+    mean_len = F.round(total_len / nw, 6)
+    n_symbols = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, r"#", ""))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), 0))
+    )
+    sym_ratio = F.round(n_symbols.cast("double") / nw, 6)
+    lines = F.filter(
+        F.transform(
+            F.split(t, "\n"), lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+        ),
+        lambda x: x != "",
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"^[•\-\*•‣◦]"))
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$"))).cast(
+            "double"
+        )
+        / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / nw,
+        6,
+    )
+    toks = tokenize(t)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords_present"),
+    )
+    return d.withColumn(
+        "gopher_pass",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        )
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords_present") >= min_stopwords_present),
+    )
+
+
 def top_ngrams(
     docs: DataFrame,
     text_col: str = "text",

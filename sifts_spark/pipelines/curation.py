@@ -165,6 +165,7 @@ def prepare_training_data(
     c4_rules: bool = False,
     bad_words: tuple[str, ...] = (),
     soft_dedup: bool = False,
+    gopher_rules: bool = False,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -198,6 +199,12 @@ def prepare_training_data(
        page gates drop docs (Raffel et al. 2020 §2.2,
        :func:`~sifts_spark.operators.textanalysis.c4_clean` — map-side,
        before any scoring so later stages see clean text);
+    0e. optional Gopher quality rules (``gopher_rules=True``) — docs
+       failing MassiveWeb's document-shape gates drop (word count,
+       mean word length, symbol/bullet/ellipsis ratios, alpha-word
+       fraction, stopword presence; Rae et al. 2021 app. A1.1,
+       :func:`~sifts_spark.operators.textanalysis.gopher_quality` —
+       one map-side semi-join gate);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
        ``soft_dedup=True`` keeps near-dup cluster members and carries
@@ -284,6 +291,16 @@ def prepare_training_data(
             docs, id_col=id_col, text_col=text_col, bad_words=bad_words
         )
         manifest["stages"]["c4_cleaned"] = docs.count()
+    if gopher_rules:
+        from sifts_spark.operators.textanalysis import gopher_quality
+
+        keep = (
+            gopher_quality(docs, id_col=id_col, text_col=text_col)
+            .filter(F.col("gopher_pass"))
+            .select(F.col("id").alias(id_col))
+        )
+        docs = docs.join(keep, id_col, "left_semi")
+        manifest["stages"]["gopher_filtered"] = docs.count()
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,

@@ -674,3 +674,95 @@ class TestTopNgrams:
         )
         want = [tuple(t) for t in con.execute(ORACLES["top_ngrams"]).fetchall()]
         assert got == want and len(got) == 20
+
+
+class TestGopherQuality:
+    """Gopher/MassiveWeb document-shape rules (Rae et al. 2021 A1.1):
+    per-rule unit corners, an independent Python reference over real
+    corpus docs, and the recipe gate."""
+
+    def test_rule_corners(self, spark):
+        from sifts_spark.operators.textanalysis import gopher_quality
+
+        good = " ".join(
+            "the quick brown fox and that dog have run with joy to be "
+            "here of late".split() * 5
+        )
+        rows = [
+            ("good", good),
+            ("short", "the and of to be"),                      # <50 words
+            ("symbols", " ".join(["word #tag"] * 40)),          # hash ratio
+            ("bullets", "\n".join(["• item one here"] * 10)),   # bullet lines
+            ("ellipsis", "\n".join(
+                [f"{good} so it trails off..."] * 10)),         # ellipsis ends
+            ("numeric", " ".join(["1234 5678"] * 40)),          # no alpha words
+            ("nostop", " ".join(["lorem ipsum dolor sit"] * 20)),  # <2 stopwords
+            ("null", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r["id"]: r for r in gopher_quality(df).collect()}
+        assert got["good"]["gopher_pass"]
+        for bad in ("short", "symbols", "bullets", "ellipsis",
+                    "numeric", "nostop", "null"):
+            assert not got[bad]["gopher_pass"], bad
+        assert got["good"]["n_stopwords_present"] >= 5
+        assert got["bullets"]["bullet_line_frac"] == 1.0
+        assert got["ellipsis"]["ellipsis_line_frac"] == 1.0
+        assert got["numeric"]["alpha_word_frac"] == 0.0
+
+    def test_python_reference_on_corpus(self, spark):
+        import re
+
+        from sifts_spark.operators.textanalysis import (
+            GOPHER_STOPWORDS,
+            gopher_quality,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").limit(80)
+        got = {r["id"]: r for r in gopher_quality(docs).collect()}
+        for row in docs.collect():
+            t = row["text"] or ""
+            words = [w for w in re.split(r"\s+", t) if w]
+            nw = max(len(words), 1)
+            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+            nl = max(len(lines), 1)
+            toks = set(re.findall("[a-z0-9]+", t.lower()))
+            g = got[row["doc_id"]]
+            assert g["n_words"] == len(words)
+            assert g["mean_word_len"] == round(
+                sum(len(w) for w in words) / nw, 6
+            )
+            assert g["symbol_word_ratio"] == round(
+                (t.count("#") + len(re.findall(r"\.\.\.|…", t))) / nw, 6
+            )
+            assert g["bullet_line_frac"] == round(
+                sum(1 for ln in lines if re.match(r"^[•\-\*‣◦]", ln)) / nl, 6
+            )
+            assert g["ellipsis_line_frac"] == round(
+                sum(1 for ln in lines if re.search(r"(\.\.\.|…)$", ln)) / nl,
+                6,
+            )
+            assert g["alpha_word_frac"] == round(
+                sum(1 for w in words if re.search("[a-zA-Z]", w)) / nw, 6
+            )
+            assert g["n_stopwords_present"] == len(
+                toks & set(GOPHER_STOPWORDS)
+            )
+
+    def test_recipe_gopher_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        good = " ".join(
+            "the quick brown fox and that dog have run with joy to be "
+            "here of late".split() * 5
+        )
+        rows = [("g", good), ("b", "the and of")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        m = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+            gopher_rules=True,
+        )
+        assert m["stages"]["input"] == 2
+        assert m["stages"]["gopher_filtered"] == 1
+        out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        assert [r["id"] for r in out.collect()] == ["g"]

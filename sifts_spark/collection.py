@@ -1002,6 +1002,102 @@ class SparkCollection:
             )
         return {"total": len(pool) if results else 0, "results": results}
 
+    def hybrid_mmr_query(
+        self,
+        query_string: str,
+        k: int = 10,
+        fetch_k: int | None = None,
+        lambda_: float = 0.5,
+        where: dict | None = None,
+        rrf_k: int = 60,
+        weights: tuple[float, float] = (1.0, 1.0),
+        approx: bool = False,
+        nprobe: int = 2,
+        group_by_parent: bool = False,
+    ) -> dict:
+        """MMR diversification over the HYBRID (BM25×vector RRF) pool —
+        :meth:`hybrid_query`'s retrieval with :meth:`mmr_query`'s
+        redundancy removal. The fused top ``fetch_k`` (default
+        ``max(4*k, 50)`` — the SAME leg-pool default as
+        :meth:`hybrid_query`, so ``lambda_=1`` reproduces its order
+        exactly; a different pool size shifts RRF contributions at
+        the leg-pool boundary) candidates join their live embeddings
+        (pool-sized join), then greedy MMR picks ``k``
+        (:func:`~sifts_spark.operators.vector_search.mmr_select`).
+
+        RRF scores live on a ~1/rrf_k scale, far below unit cosines,
+        and their gaps are rank-shaped (a two-tier pool min-max
+        normalizes to 1-vs-~0, letting a near-duplicate's sliver of
+        cosine margin beat every diverse candidate), so relevance
+        enters the λ blend RANK-NORMALIZED: position ``i`` of the
+        fused order maps to ``(n-1-i)/(n-1)`` — uniform spacing on
+        [0, 1], faithful to RRF's own score-free philosophy; λ keeps
+        its usual meaning (1 = pure fused order, 0 = pure diversity).
+        Rows without an embedding (possible for FTS-only hits in a
+        mixed collection) participate as zero vectors: cosine 0 to
+        everything, never penalized for redundancy, never shielding
+        others.
+
+        Returns results in SELECTION order with ``rank`` = the RRF
+        score and ``mmr_position``; ``total`` = pool size, as in
+        :meth:`mmr_query`. ``group_by_parent=True`` collapses chunks
+        to parents before the pool cut (best fused chunk carries its
+        embedding into the diversity term).
+        """
+        if not 0.0 <= lambda_ <= 1.0:
+            raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+        pool_n = fetch_k or max(4 * k, 50)
+        if pool_n < k:
+            raise ValueError(f"fetch_k ({pool_n}) must be >= k ({k})")
+        fused = self._hybrid_fused(
+            query_string, where, rrf_k, pool_n, weights, approx, nprobe
+        )
+        joined = fused.join(
+            self.docs().select("id", "content", "metadata", "embedding"),
+            "id",
+        )
+        if group_by_parent:
+            joined = self._collapse_parents(
+                joined.withColumnRenamed("rrf", "rank"), is_search=True
+            ).withColumnRenamed("rank", "rrf")
+        pool = (
+            joined.orderBy(F.col("rrf").desc(), F.col("id"))
+            .limit(pool_n)
+            .collect()
+        )
+        from sifts_spark.operators.vector_search import mmr_select
+
+        n = len(pool)
+        rel = [
+            (n - 1 - i) / (n - 1) if n > 1 else 1.0 for i in range(n)
+        ]
+        dim = next(
+            (len(r["embedding"]) for r in pool if r["embedding"] is not None),
+            1,
+        )
+        embs = [
+            list(r["embedding"])
+            if r["embedding"] is not None
+            else [0.0] * dim
+            for r in pool
+        ]
+        picks = mmr_select(rel, embs, k, lambda_)
+        results = []
+        for pos, i in enumerate(picks):
+            r = pool[i]
+            results.append(
+                {
+                    "id": r["id"],
+                    "content": r["content"],
+                    "metadata": json.loads(r["metadata"])
+                    if r["metadata"]
+                    else None,
+                    "rank": r["rrf"],
+                    "mmr_position": pos,
+                }
+            )
+        return {"total": len(pool) if results else 0, "results": results}
+
     def _query_plan(
         self,
         query_string: str,

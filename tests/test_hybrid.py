@@ -107,3 +107,61 @@ def test_hybrid_query_df_matches_dict_variant(col):
     assert [i for i, _ in got] == [i for i, _ in want]
     for (_, a), (_, b) in zip(got, want):
         assert a == pytest.approx(b)
+
+
+# ------------------------------------------------- hybrid + MMR (r10)
+
+_MMR_LOOKUP = {
+    "apple pie recipe": [1.0, 0.0, 0.0],
+    "apple pie formula": [0.999, 0.04, 0.0],   # near-dup of the recipe
+    "apple orchard walk": [0.0, 1.0, 0.0],     # relevant but diverse
+    "pear tart notes": [0.0, 0.0, 1.0],
+    "apple pie": [1.0, 0.01, 0.0],             # the query string
+}
+
+
+def _mmr_embed(texts):
+    return [_MMR_LOOKUP[t] for t in texts]
+
+
+@pytest.fixture()
+def mmr_col(store_root, spark):
+    c = Collection(store_root, "hyb_mmr", embedding_function=_mmr_embed,
+                   spark=spark)
+    c.add([k for k in _MMR_LOOKUP if k != "apple pie"],
+          ids=["recipe", "formula", "orchard", "pear"])
+    return c
+
+
+def test_hybrid_mmr_displaces_near_duplicate(mmr_col):
+    plain = mmr_col.hybrid_query("apple pie", k=3)
+    plain_ids = [r["id"] for r in plain["results"]]
+    # both legs rank the two near-dups on top
+    assert set(plain_ids[:2]) == {"recipe", "formula"}
+
+    mmr = mmr_col.hybrid_mmr_query("apple pie", k=3, lambda_=0.5)
+    ids = [r["id"] for r in mmr["results"]]
+    assert ids[0] == plain_ids[0]          # top pick = most relevant
+    assert ids[1] not in {"recipe", "formula"} or ids[1] != plain_ids[1]
+    # the near-dup of the winner is NOT second under diversification
+    assert ids[1] in {"orchard", "pear"}
+    assert [r["mmr_position"] for r in mmr["results"]] == [0, 1, 2]
+    # rank stays the RRF score of that row in the plain fusion
+    plain_rrf = {r["id"]: r["rank"] for r in plain["results"]}
+    for r in mmr["results"]:
+        if r["id"] in plain_rrf:
+            assert r["rank"] == pytest.approx(plain_rrf[r["id"]])
+
+
+def test_hybrid_mmr_lambda_one_is_fused_order(mmr_col):
+    plain = [r["id"] for r in mmr_col.hybrid_query("apple pie", k=3)["results"]]
+    mmr = [r["id"] for r in
+           mmr_col.hybrid_mmr_query("apple pie", k=3, lambda_=1.0)["results"]]
+    assert mmr == plain
+
+
+def test_hybrid_mmr_validations(mmr_col):
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_col.hybrid_mmr_query("apple pie", lambda_=-0.1)
+    with pytest.raises(ValueError, match="fetch_k"):
+        mmr_col.hybrid_mmr_query("apple pie", k=5, fetch_k=2)

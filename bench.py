@@ -21,12 +21,24 @@ RETRY_FACTOR = 2.0  # best-of-N > factor * expected → suspect, retry
 MAX_EXTRA_SAMPLES = 4  # per-query cap on guard-triggered re-runs
 
 
-def load_expected(path: str) -> dict:
+def load_expected(path: str, sf: str | float | None = None) -> dict:
     """Best-known clean per-query seconds (committed BENCH_EXPECTED.json);
-    {} when absent so the guard degrades to a no-op."""
+    {} when absent — or when the file's ``sf`` doesn't match the
+    measured scale (an sf1 run legitimately exceeds 2x the sf0.1
+    expectations on every query; flagging that would burn 4 extra
+    samples per query and ship a wall of false suspects) — so the
+    guard degrades to a no-op."""
     try:
         with open(path) as f:
-            return json.load(f).get("queries", {})
+            d = json.load(f)
+        if sf is not None and "sf" in d:
+            try:  # numeric compare: "sf": 1 must match sf=1.0
+                if float(d["sf"]) != float(sf):
+                    return {}
+            except (TypeError, ValueError):
+                if str(d["sf"]) != str(sf):
+                    return {}
+        return d.get("queries", {})
     except Exception:
         return {}
 
@@ -221,7 +233,8 @@ def main() -> None:
     # sample so the best-of selection is auditable after the fact.
     expected = load_expected(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_EXPECTED.json")
+                     "BENCH_EXPECTED.json"),
+        sf=float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     calib = calibration_sec()
 

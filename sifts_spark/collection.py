@@ -305,6 +305,32 @@ class SparkCollection:
         src = df
         if metadata_col and df.schema[metadata_col].dataType.typeName() != "string":
             src = df.withColumn(metadata_col, F.to_json(F.col(metadata_col)))
+        # UPSERT semantics: newest-batch-wins resolves per ROW id, so a
+        # re-added parent shrinking from 5 chunks to 2 would leave
+        # d#2..d#4 live with STALE text — tombstone every existing
+        # chunk of the incoming parents first (the new batch is newer
+        # than the tombstones, so re-used chunk ids still win). The
+        # collect is bounded by the chunk count of the RE-ADDED parents
+        # only (initial loads find nothing); `coalesce(_parent, id)`
+        # also retires a whole-doc row being re-added as chunked.
+        parents = src.select(
+            F.col(id_col).cast("string").alias("__p")
+        ).distinct()
+        stale = (
+            self.docs()
+            .withColumn(
+                "__p",
+                F.coalesce(
+                    F.get_json_object(F.col("metadata"), "$._parent"),
+                    F.col("id"),
+                ),
+            )
+            .join(parents, "__p", "left_semi")
+            .select("id")
+        )
+        stale_ids = [r["id"] for r in stale.collect()]
+        if stale_ids:
+            self.delete(stale_ids)
         chunks = chunk_documents(
             src,
             id_col=id_col,
@@ -313,6 +339,9 @@ class SparkCollection:
             overlap_tokens=overlap_tokens,
             meta_col=metadata_col,
             provenance_metadata=True,
+            # an accepted id must stay retrievable even when its text
+            # chunks to nothing (reference parity for empty docs)
+            keep_empty_docs=True,
         )
         self.add_dataframe(
             chunks, id_col="chunk_id", content_col="text",
@@ -838,7 +867,12 @@ class SparkCollection:
         driver round-trip)."""
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
-            adc_limit=limit, refine=refine,
+            # ADC-pruning to limit*refine CHUNKS before a parent
+            # collapse can underfill the page (one many-chunk parent
+            # may fill the pruned pool alone) — skip the prune and
+            # score every probed candidate exactly when collapsing
+            adc_limit=None if group_by_parent else limit,
+            refine=refine,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -889,7 +923,10 @@ class SparkCollection:
         """
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
-            adc_limit=limit, refine=refine,
+            # same rationale as query_df: never ADC-prune per-chunk
+            # below a parent collapse
+            adc_limit=None if group_by_parent else limit,
+            refine=refine,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -968,7 +1005,7 @@ class SparkCollection:
             raise ValueError(f"fetch_k ({pool_n}) must be >= k ({k})")
         df, _ = self._query_plan(
             query_string, where, None, True, approx, nprobe,
-            adc_limit=pool_n, refine=4,
+            adc_limit=None if group_by_parent else pool_n, refine=4,
         )
         if group_by_parent:
             df = self._collapse_parents(df, True)
@@ -1209,11 +1246,15 @@ class SparkCollection:
         ``group_by_parent=True`` (chunked collections, see
         :meth:`add_chunked`): fusion stays per-CHUNK (each leg ranks
         chunks), then hits collapse to the best-fused chunk per parent
-        before the top-``k`` cut — so ``k`` distinct parent documents
-        come back, each carrying its winning chunk's text and span
-        metadata; ``total`` counts matched parents. The payload join
-        happens on the pool-sized frame instead of the ``k`` winners
-        (the collapse needs metadata) — still pool-bounded.
+        before the top-``k`` cut — UP TO ``k`` distinct parent
+        documents come back, each carrying its winning chunk's text
+        and span metadata; ``total`` counts matched parents. The pool
+        is cut at CHUNK granularity before the collapse, so a corpus
+        where a few parents' many chunks dominate both legs can yield
+        fewer than ``k`` parents even though more match below the
+        pool cut — raise ``pool`` to widen. The payload join happens
+        on the pool-sized frame instead of the ``k`` winners (the
+        collapse needs metadata) — still pool-bounded.
         """
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),

@@ -155,10 +155,17 @@ def chunk_documents(
     overlap_tokens: int = 32,
     meta_col: str | None = None,
     provenance_metadata: bool = False,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """Docs frame → chunks frame ``(chunk_id, doc_id, chunk_index,
     text, n_tokens, begin_char, end_char)``; see module docstring for
     the boundary/overlap/budget contract.
+
+    ``keep_empty_docs=True``: a doc whose text yields zero chunks
+    (empty/whitespace-only) emits ONE empty chunk ``{id}#0`` (text
+    ``""``, span 0-0) instead of vanishing — the Collection facade
+    needs every accepted id to stay retrievable (reference parity:
+    whole-doc ``add()`` indexes empty content as a row).
 
     ``provenance_metadata=True`` appends a ``metadata`` string column:
     the parent's JSON metadata (from ``meta_col`` when given — must be
@@ -193,9 +200,13 @@ def chunk_documents(
                     if not isinstance(base, dict):
                         # scalar/array metadata can't host reserved keys
                         base = {"_meta": base}
-                for i, c in enumerate(
-                    chunk_text(text or "", max_tokens, overlap_tokens)
-                ):
+                pieces = chunk_text(text or "", max_tokens, overlap_tokens)
+                if not pieces and keep_empty_docs:
+                    pieces = [
+                        {"text": "", "n_tokens": 0,
+                         "begin_char": 0, "end_char": 0}
+                    ]
+                for i, c in enumerate(pieces):
                     row = (f"{rid}#{i}", rid, i, c["text"], c["n_tokens"],
                            c["begin_char"], c["end_char"])
                     if provenance_metadata:

@@ -1236,6 +1236,29 @@ def semdedup(
     return decided.unionByName(skipped)
 
 
+
+def with_cluster_sizes(clusters: DataFrame, pairs: DataFrame) -> DataFrame:
+    """``(id, cluster_id)`` labels + ``cluster_size``, with sizes
+    counted over the PAIRS-BOUNDED member set only: singletons (the
+    overwhelming corpus majority) never enter the groupBy and default
+    to 1 via the left join — the size frame is dup-cluster-sized, not
+    corpus-sized. Shared by :func:`duplicate_weights` and the
+    curation pipeline's soft-dedup stage."""
+    dup_members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        clusters.join(dup_members, "id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return clusters.join(sizes, "cluster_id", "left").withColumn(
+        "cluster_size", F.coalesce("cluster_size", F.lit(1))
+    )
+
+
 def duplicate_weights(
     vertices: DataFrame,
     pairs: DataFrame,
@@ -1265,21 +1288,8 @@ def duplicate_weights(
     frame when the dup-cluster count allows.
     """
     clusters = duplicate_clusters(vertices, pairs, id_col=id_col)
-    dup_members = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sizes = (
-        clusters.join(dup_members, "id")
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-    )
     return (
-        clusters.join(sizes, "cluster_id", "left")
-        .withColumn(
-            "cluster_size", F.coalesce("cluster_size", F.lit(1))
-        )
+        with_cluster_sizes(clusters, pairs)
         .select(
             "id",
             "cluster_id",

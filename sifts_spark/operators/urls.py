@@ -367,20 +367,23 @@ def cap_domains(
     )
     d = df.withColumn("__dom", dom)
     if method == "exact":
+        # NULL-domain rows are by contract never capped — route them
+        # AROUND the window (a single NULL key would otherwise funnel
+        # every unparseable URL into one mega-partition whose sort is
+        # paid and then discarded)
         order = F.md5(
             F.concat_ws("\x00", F.col("__dom"), F.col(id_col).cast("string"))
         )
         w = Window.partitionBy("__dom").orderBy(order.asc())
-        return (
-            d.withColumn(
-                "__rn",
-                F.when(F.col("__dom").isNull(), F.lit(1)).otherwise(
-                    F.row_number().over(w)
-                ),
-            )
+        capped = (
+            d.filter(F.col("__dom").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_docs)
-            .drop("__dom", "__rn")
+            .drop("__rn")
         )
+        return capped.unionByName(
+            d.filter(F.col("__dom").isNull())
+        ).drop("__dom")
     counts = d.groupBy("__dom").agg(F.count(F.lit(1)).alias("__n"))
     # md5-derived unit-interval hash: the first 8 hex chars as a
     # fraction of 2^32 — deterministic, replayable in plain SQL

@@ -89,19 +89,12 @@ def curate_corpus(
         .withColumn("n_tokens", bpe_ish_token_count(F.col("text")))
     )
     if soft_dedup:
-        dup_members = (
-            pairs.select(F.col("id_a").alias("id"))
-            .unionByName(pairs.select(F.col("id_b").alias("id")))
-            .distinct()
+        from sifts_spark.operators.dedup import with_cluster_sizes
+
+        sized = with_cluster_sizes(clusters, pairs).select(
+            "id", F.col("cluster_size").alias("__csize")
         )
-        sizes = (
-            clusters.join(dup_members, "id")
-            .groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("__csize"))
-        )
-        tagged = tagged.join(sizes, "cluster_id", "left").withColumn(
-            "__csize", F.coalesce("__csize", F.lit(1))
-        )
+        tagged = tagged.join(sized, "id")
 
     report = (
         tagged.groupBy("lang_ok", "quality_ok", "canonical")
@@ -260,37 +253,60 @@ def prepare_training_data(
 
     manifest: dict = {"stages": {}}
     manifest["stages"]["input"] = docs.count()
+
+    # Pre-curation (stage-0) chain: persist each derived frame before
+    # its attrition count and drop the superseded parent — otherwise
+    # every later stage's count() (and curation's own consumption)
+    # re-executes the whole unpersisted upstream chain: with four
+    # optional stages enabled the source scan + URL-dedup window +
+    # cap window + C4 rewrite would each run ~5x.
+    stage0 = None
+
+    def _gate(new_docs, label):
+        nonlocal docs, stage0
+        new_docs = new_docs.persist()
+        manifest["stages"][label] = new_docs.count()
+        if stage0 is not None:
+            stage0.unpersist()
+        stage0 = new_docs
+        docs = new_docs
+
     if blocked_domains is not None:
         if url_col is None:
             raise ValueError("blocked_domains requires url_col")
         from sifts_spark.operators.urls import filter_domains
 
-        docs = filter_domains(docs, blocked_domains, url_col, psl=psl)
-        manifest["stages"]["domain_filtered"] = docs.count()
+        _gate(
+            filter_domains(docs, blocked_domains, url_col, psl=psl),
+            "domain_filtered",
+        )
     if url_dedup:
         if url_col is None:
             raise ValueError("url_dedup requires url_col")
         from sifts_spark.operators.urls import dedup_by_url
 
-        docs = dedup_by_url(docs, url_col, id_col=id_col)
-        manifest["stages"]["url_deduped"] = docs.count()
+        _gate(dedup_by_url(docs, url_col, id_col=id_col), "url_deduped")
     if max_docs_per_domain is not None:
         if url_col is None:
             raise ValueError("max_docs_per_domain requires url_col")
         from sifts_spark.operators.urls import cap_domains
 
-        docs = cap_domains(
-            docs, url_col, max_docs=max_docs_per_domain,
-            id_col=id_col, psl=psl,
+        _gate(
+            cap_domains(
+                docs, url_col, max_docs=max_docs_per_domain,
+                id_col=id_col, psl=psl,
+            ),
+            "domain_capped",
         )
-        manifest["stages"]["domain_capped"] = docs.count()
     if c4_rules:
         from sifts_spark.operators.textanalysis import c4_clean
 
-        docs = c4_clean(
-            docs, id_col=id_col, text_col=text_col, bad_words=bad_words
+        _gate(
+            c4_clean(
+                docs, id_col=id_col, text_col=text_col, bad_words=bad_words
+            ),
+            "c4_cleaned",
         )
-        manifest["stages"]["c4_cleaned"] = docs.count()
     if gopher_rules:
         from sifts_spark.operators.textanalysis import gopher_quality
 
@@ -299,8 +315,7 @@ def prepare_training_data(
             .filter(F.col("gopher_pass"))
             .select(F.col("id").alias(id_col))
         )
-        docs = docs.join(keep, id_col, "left_semi")
-        manifest["stages"]["gopher_filtered"] = docs.count()
+        _gate(docs.join(keep, id_col, "left_semi"), "gopher_filtered")
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,
@@ -311,6 +326,8 @@ def prepare_training_data(
     curated = curated.persist()
     manifest["stages"]["curated"] = curated.count()
     manifest["attrition"] = [r.asDict() for r in report.collect()]
+    if stage0 is not None:
+        stage0.unpersist()  # curation has materialized past it
 
     # each superseded stage unpersists once its successor materializes
     # (a leaked persist per stage would pin 3 copies of the corpus in

@@ -64,3 +64,17 @@ class TestCalibration:
         # nominal ~2s; bound loosely — the POINT is it varies with the
         # host epoch, the test only pins that it runs and is sane
         assert 0.05 < dt < 60.0
+
+
+class TestScaleGate:
+    def test_mismatched_sf_disables_guard(self, tmp_path):
+        import json
+
+        p = tmp_path / "exp.json"
+        p.write_text(json.dumps({"sf": 0.1, "queries": {"q": 0.2}}))
+        assert bench.load_expected(str(p), sf=1.0) == {}
+        assert bench.load_expected(str(p), sf=0.1) == {"q": 0.2}
+        # legacy file without an sf field applies everywhere
+        p2 = tmp_path / "legacy.json"
+        p2.write_text(json.dumps({"queries": {"q": 0.2}}))
+        assert bench.load_expected(str(p2), sf=1.0) == {"q": 0.2}

@@ -303,3 +303,46 @@ class TestCollectionChunkedFacade:
         assert len(rows) > 1
         assert all(J.loads(r["metadata"])["src"] == "s1" for r in rows)
         assert all(J.loads(r["metadata"])["_parent"] == "x" for r in rows)
+
+
+class TestChunkedUpsertSemantics:
+    """r10 review fixes: re-adding a parent with FEWER chunks must not
+    leave stale tail chunks live, and an accepted id whose text chunks
+    to nothing must stay retrievable."""
+
+    def test_re_add_shrinking_doc_retires_stale_tail_chunks(
+        self, store_root, spark
+    ):
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, "shrink", spark=spark)
+        long = ". ".join(
+            f"Sentence number {i} has exactly these many words"
+            for i in range(40)
+        )
+        col.add_chunked([long], ids=["d"], max_tokens=30, overlap_tokens=0)
+        n_before = col.count()
+        assert n_before > 1  # multiple chunks indexed
+        col.add_chunked(["Short replacement text."], ids=["d"],
+                        max_tokens=30, overlap_tokens=0)
+        rows = col.get(limit=100)["results"]
+        assert len(rows) == 1  # every stale tail chunk tombstoned
+        assert rows[0]["id"] == "d#0"
+        assert rows[0]["content"] == "Short replacement text."
+        # parent-grouped view returns only the new content
+        got = col.get(group_by_parent=True)["results"]
+        assert [r["id"] for r in got] == ["d"]
+        assert got[0]["content"] == "Short replacement text."
+
+    def test_empty_doc_stays_retrievable(self, store_root, spark):
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, "emptydoc", spark=spark)
+        out = col.add_chunked(["", "real content here."], ids=["a", "b"])
+        assert out == ["a", "b"]
+        rows = {r["id"]: r for r in col.get(limit=10)["results"]}
+        assert "a#0" in rows and rows["a#0"]["content"] == ""
+        assert rows["a#0"]["metadata"]["_parent"] == "a"
+        parents = {r["id"] for r in
+                   col.get(group_by_parent=True)["results"]}
+        assert parents == {"a", "b"}

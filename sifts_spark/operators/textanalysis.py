@@ -299,8 +299,9 @@ def gopher_quality(
       to, of, and, that, have, with).
 
     Repetition rules from the same appendix live in
-    :func:`repetition_stats` (dup line/word/n-gram fractions) — this
-    operator carries the document-shape half. Pure higher-order
+    :func:`gopher_repetition` (the full 13-signal set; see also the
+    lighter :func:`repetition_stats` sketch) — this operator carries
+    the document-shape half. Pure higher-order
     expressions, codegen'd, zero shuffle; every threshold a keyword so
     corpora can retune without forking.
     """
@@ -618,6 +619,158 @@ def repetition_stats(
         "id", "_r.dup_line_frac", "_r.dup_word_frac",
         "_r.top_bigram_frac", "_r.dup_trigram_frac",
     )
+
+
+# Gopher's full repetition-removal thresholds (Rae et al. 2021,
+# app. A1.1 table A1, "repetition removal" rows). A doc passes when
+# every signal is <= its threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+GOPHER_REPETITION_SCHEMA = ", ".join(
+    f"{k} double" for k in GOPHER_REPETITION_THRESHOLDS
+)
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Gopher's FULL repetition-removal signal set (Rae et al. 2021
+    app. A1.1 — the half of MassiveWeb's filter that
+    :func:`gopher_quality` doesn't carry) → per-doc columns for all 13
+    signals plus a combined ``gopher_rep_pass``:
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs that are repeats of an earlier one (occurrences
+      beyond the first, over stripped non-empty elements; paragraphs
+      split on blank lines);
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters
+      inside those repeated occurrences / document length;
+    - ``top_{2,3,4}gram_char_frac`` — characters covered by the most
+      frequent word n-gram (count x gram chars) / document length;
+      among equally-frequent grams the one covering MOST characters
+      wins (the filter-tightest choice; further ties share the same
+      count x chars product, so the signal is deterministic);
+    - ``dup_{5..10}gram_char_frac`` — characters inside repeated word
+      n-grams / document length, counted by one greedy left-to-right
+      scan per n that skips over a matched repeat (so overlapping
+      repeats never double-count a character).
+
+    ``thresholds`` overrides any subset of
+    :data:`GOPHER_REPETITION_THRESHOLDS` (unknown keys raise). Word =
+    ``[a-z0-9]+`` on the lowercased text and gram chars = sum of word
+    lengths (separators excluded) — the tokenizer family used across
+    this module; the char denominator is the RAW text length, floored
+    at 1. Empty/None docs score 0 everywhere and PASS — emptiness is
+    ``gopher_quality``'s ``min_words`` job, not a repetition signal.
+
+    One Arrow kernel pass per doc (per-doc hash maps put this on the
+    Pandas-UDF side of this module's measured crossover rule), map
+    side, no shuffle; the 6 dup-n-gram scans are each O(words).
+    Recipe stage 0f via ``prepare_training_data(
+    gopher_repetition=True)``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    limits = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(limits)
+        if unknown:
+            raise ValueError(
+                f"unknown repetition thresholds: {sorted(unknown)}"
+            )
+        limits.update(thresholds)
+    keys = list(GOPHER_REPETITION_THRESHOLDS)
+
+    @pandas_udf(GOPHER_REPETITION_SCHEMA)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        word_re = re.compile(r"[a-z0-9]+")
+        para_re = re.compile(r"\n\s*\n")
+
+        def dup_fracs(elems: list[str], denom: float):
+            seen: set[str] = set()
+            n_dup = chars_dup = 0
+            for e in elems:
+                if e in seen:
+                    n_dup += 1
+                    chars_dup += len(e)
+                else:
+                    seen.add(e)
+            if not elems:
+                return 0.0, 0.0
+            return n_dup / len(elems), chars_dup / denom
+
+        def top_gram_chars(words: list[str], n: int) -> int:
+            grams = Counter(zip(*(words[i:] for i in range(n))))
+            if not grams:
+                return 0
+            count, chars = max(
+                (c, sum(len(w) for w in g)) for g, c in grams.items()
+            )
+            return count * chars
+
+        def dup_gram_chars(words: list[str], n: int) -> int:
+            seen: set[tuple] = set()
+            chars = i = 0
+            while i <= len(words) - n:
+                g = tuple(words[i : i + n])
+                if g in seen:
+                    chars += sum(len(w) for w in g)
+                    i += n
+                else:
+                    seen.add(g)
+                    i += 1
+            return chars
+
+        rows = []
+        for t in texts:
+            if t is None:
+                t = ""
+            denom = max(len(t), 1)
+            lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+            paras = [p.strip() for p in para_re.split(t) if p.strip()]
+            dl, dlc = dup_fracs(lines, denom)
+            dp, dpc = dup_fracs(paras, denom)
+            words = word_re.findall(t.lower())
+            sig = [dl, dp, dlc, dpc]
+            sig += [top_gram_chars(words, n) / denom for n in (2, 3, 4)]
+            sig += [
+                dup_gram_chars(words, n) / denom for n in range(5, 11)
+            ]
+            rows.append([round(s, 6) for s in sig])
+        return pd.DataFrame(rows, columns=keys)
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
+    out = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    out = out.select("id", _rep(F.col("_t")).alias("_r")).select(
+        "id", *[F.col(f"_r.{k}").alias(k) for k in keys]
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) <= F.lit(float(limits[k])))
+    return out.withColumn("gopher_rep_pass", cond)
 
 
 def train_unigram_lm(

@@ -159,6 +159,7 @@ def prepare_training_data(
     bad_words: tuple[str, ...] = (),
     soft_dedup: bool = False,
     gopher_rules: bool = False,
+    gopher_repetition: bool = False,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -198,6 +199,12 @@ def prepare_training_data(
        fraction, stopword presence; Rae et al. 2021 app. A1.1,
        :func:`~sifts_spark.operators.textanalysis.gopher_quality` —
        one map-side semi-join gate);
+    0f. optional Gopher repetition rules (``gopher_repetition=True``)
+       — docs failing any of the 13 repetition-removal signals drop
+       (dup line/paragraph fractions by count and chars, top-2/3/4-
+       gram char coverage, dup-5..10-gram char coverage; Rae et al.
+       2021 app. A1.1, :func:`~sifts_spark.operators.textanalysis
+       .gopher_repetition` — one Arrow-kernel semi-join gate);
     1. :func:`curate_corpus` — langid + quality gates, near-dup
        canonical keep, PII scrub (one-pass tag semantics);
        ``soft_dedup=True`` keeps near-dup cluster members and carries
@@ -316,6 +323,17 @@ def prepare_training_data(
             .select(F.col("id").alias(id_col))
         )
         _gate(docs.join(keep, id_col, "left_semi"), "gopher_filtered")
+    if gopher_repetition:
+        from sifts_spark.operators.textanalysis import (
+            gopher_repetition as _gopher_rep,
+        )
+
+        keep = (
+            _gopher_rep(docs, id_col=id_col, text_col=text_col)
+            .filter(F.col("gopher_rep_pass"))
+            .select(F.col("id").alias(id_col))
+        )
+        _gate(docs.join(keep, id_col, "left_semi"), "gopher_rep_filtered")
     curated, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,

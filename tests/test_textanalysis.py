@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from sifts_spark.operators.textanalysis import language_id
 from sifts_spark.sources.tables import load_table
@@ -764,5 +765,176 @@ class TestGopherQuality:
         )
         assert m["stages"]["input"] == 2
         assert m["stages"]["gopher_filtered"] == 1
+        out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        assert [r["id"] for r in out.collect()] == ["g"]
+
+
+class TestGopherRepetition:
+    """Gopher's full repetition-removal signal set (Rae et al. 2021
+    A1.1): per-signal corners, an independent Python reference over
+    real corpus docs, threshold-override validation, and the recipe
+    gate."""
+
+    def test_signal_corners(self, spark):
+        from sifts_spark.operators.textanalysis import gopher_repetition
+
+        clean = (
+            "The quick brown fox jumps over one lazy dog today.\n"
+            "Seven violet parrots argue about jazz near the old pier.\n"
+            "Every morning brings different words and nothing repeats here."
+        )
+        dup_lines = "\n".join(["same line again"] * 9 + ["unique closer"])
+        dup_paras = "\n\n".join(["para one is here", "para one is here",
+                                 "a different paragraph"])
+        loop5 = " ".join(["alpha beta gamma delta epsilon"] * 12)
+        top2 = " ".join(["very good"] * 20 + ["other words exist too"])
+        rows = [
+            ("clean", clean),
+            ("dup_lines", dup_lines),
+            ("dup_paras", dup_paras),
+            ("loop5", loop5),
+            ("top2", top2),
+            ("null", None),
+            ("empty", ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r["id"]: r for r in gopher_repetition(df).collect()}
+
+        assert got["clean"]["gopher_rep_pass"]
+        assert got["clean"]["dup_line_frac"] == 0.0
+
+        assert got["dup_lines"]["dup_line_frac"] == 0.8  # 8 of 10 repeat
+        assert got["dup_lines"]["dup_line_char_frac"] > 0.2
+        assert not got["dup_lines"]["gopher_rep_pass"]
+
+        assert got["dup_paras"]["dup_para_frac"] == round(1 / 3, 6)
+        assert got["dup_paras"]["dup_para_char_frac"] > 0.2
+        assert not got["dup_paras"]["gopher_rep_pass"]
+
+        # back-to-back phrase loop: the greedy scan matches repeats of
+        # the 5-gram wall-to-wall after the first occurrence
+        assert got["loop5"]["dup_5gram_char_frac"] > 0.15
+        assert not got["loop5"]["gopher_rep_pass"]
+
+        # "very good" occurs 20x: 20 * 8 chars / len(text)
+        t = top2
+        assert got["top2"]["top_2gram_char_frac"] == round(
+            20 * len("verygood") / len(t), 6
+        )
+        assert not got["top2"]["gopher_rep_pass"]
+
+        # empty/None: all-zero signals, pass (emptiness is
+        # gopher_quality's min_words job)
+        for k in ("null", "empty"):
+            assert got[k]["gopher_rep_pass"], k
+            assert got[k]["dup_5gram_char_frac"] == 0.0
+
+    def test_python_reference_on_corpus(self, spark):
+        import re
+        from collections import Counter
+
+        from sifts_spark.operators.textanalysis import gopher_repetition
+
+        def ref(t):
+            if t is None:
+                t = ""
+            denom = max(len(t), 1)
+            out = {}
+            for key, elems in (
+                ("line", [x.strip() for x in t.split("\n") if x.strip()]),
+                ("para", [x.strip()
+                          for x in re.split(r"\n\s*\n", t) if x.strip()]),
+            ):
+                counts = Counter(elems)
+                n_dup = sum(c - 1 for c in counts.values())
+                c_dup = sum((c - 1) * len(e) for e, c in counts.items())
+                out[f"dup_{key}_frac"] = (
+                    n_dup / len(elems) if elems else 0.0
+                )
+                out[f"dup_{key}_char_frac"] = c_dup / denom
+            words = re.findall(r"[a-z0-9]+", t.lower())
+            for n in (2, 3, 4):
+                grams = Counter(
+                    tuple(words[i:i + n])
+                    for i in range(len(words) - n + 1)
+                )
+                best = max(
+                    ((c, sum(map(len, g))) for g, c in grams.items()),
+                    default=(0, 0),
+                )
+                out[f"top_{n}gram_char_frac"] = best[0] * best[1] / denom
+            for n in range(5, 11):
+                seen, chars, i = set(), 0, 0
+                while i <= len(words) - n:
+                    g = tuple(words[i:i + n])
+                    if g in seen:
+                        chars += sum(map(len, g))
+                        i += n
+                    else:
+                        seen.add(g)
+                        i += 1
+                out[f"dup_{n}gram_char_frac"] = chars / denom
+            return {k: round(v, 6) for k, v in out.items()}
+
+        # real corpus docs plus adversarial rows the corpus lacks
+        docs = load_table(spark, SF_DIR, "documents").limit(60)
+        extra = spark.createDataFrame(
+            [("x1", "a b c d e f g h i j a b c d e f g h i j"),
+             ("x2", "one\ntwo\n\none\ntwo\n\nthree"),
+             ("x3", None)],
+            "doc_id string, text string",
+        )
+        docs = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        ).unionByName(extra)
+        got = {r["id"]: r for r in gopher_repetition(docs).collect()}
+        for row in docs.collect():
+            want = ref(row["text"])
+            g = got[row["doc_id"]]
+            for k, v in want.items():
+                assert g[k] == v, (row["doc_id"], k, g[k], v)
+
+    def test_threshold_override_and_unknown_key(self, spark):
+        from sifts_spark.operators.textanalysis import gopher_repetition
+
+        text = "\n".join([
+            "alpha bravo charlie",
+            "alpha bravo charlie",
+            "delta echo foxtrot golf hotel india juliet kilo",
+            "lima mike november oscar papa quebec romeo sierra",
+            "tango uniform victor whiskey xray yankee zulu item one",
+            "extra words keep every gram fraction far below limits",
+        ])
+        df = spark.createDataFrame(
+            [("d", text)], "doc_id string, text string"
+        )
+        # dup_line_frac = 0.2 passes the default 0.30 but fails 0.1
+        assert gopher_repetition(df).collect()[0]["gopher_rep_pass"]
+        tight = gopher_repetition(
+            df, thresholds={"dup_line_frac": 0.1}
+        ).collect()[0]
+        assert not tight["gopher_rep_pass"]
+        with pytest.raises(ValueError, match="unknown repetition"):
+            gopher_repetition(df, thresholds={"nope": 0.5})
+
+    def test_recipe_gopher_repetition_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        good = (
+            "the quick brown fox and that dog have run with joy to be "
+            "here of late while seven violet parrots argue about jazz "
+            "near the old pier and every morning brings different words "
+            "plus nothing ever repeats anywhere in this single document"
+        )
+        loop = " ".join(["the same five word phrase"] * 30)
+        docs = spark.createDataFrame(
+            [("g", good), ("r", loop)], "doc_id string, text string"
+        )
+        m = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+            gopher_repetition=True,
+        )
+        assert m["stages"]["input"] == 2
+        assert m["stages"]["gopher_rep_filtered"] == 1
         out = spark.read.parquet(str(tmp_path / "out" / "docs"))
         assert [r["id"] for r in out.collect()] == ["g"]

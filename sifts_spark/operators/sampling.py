@@ -58,6 +58,105 @@ def topk_per_group(
     )
 
 
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split",
+    method: str = "hash",
+    stratify_col: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named partition (train/validation/
+    holdout/…) → input columns + ``split_col`` — the split step every
+    training pipeline needs before a held-out eval set can exist, and
+    the one ``randomSplit`` gets wrong for data work: Spark's sampling
+    is seed-and-partitioning dependent, so a rewritten table or a
+    different engine reshuffles which docs are "held out" — silently
+    contaminating every eval built on the old split.
+
+    ``splits`` maps name → fraction (insertion order is boundary
+    order; fractions must be positive and sum to 1 within 1e-6).
+    Assignment keys off ``md5(seed, id)`` only — adding or removing
+    OTHER rows never moves an existing row between splits (the
+    property that makes a holdout set stable across corpus versions;
+    a fraction-boundary change only migrates boundary-interval rows).
+
+    ``method="hash"`` (default, the 100 TB path): the md5 unit-interval
+    trick — first 8 hex chars as a fraction of 2^32 against cumulative
+    boundaries; pure map-side expressions, NO shuffle, NO window;
+    per-split counts are binomial around n*frac (exact in expectation,
+    ±√n jitter). ``method="exact"``: md5-rank row_number against
+    count-scaled boundaries — exact floor/ceil split sizes (per
+    ``stratify_col`` group when given: every stratum splits in the
+    same proportions — balanced eval sets for skewed language/source
+    mixes) at the cost of one shuffle; per-group total order, so use
+    it for many-medium-strata shapes, not one giant stratum.
+    ``stratify_col`` with ``method="hash"`` raises — hash assignment
+    is already stratum-independent, so asking for stratification there
+    signals the caller wants the exact guarantee.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one partition")
+    fracs = list(splits.values())
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive: {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1: {splits}")
+    if method not in ("hash", "exact"):
+        raise ValueError(f"unknown split method: {method!r}")
+    if method == "hash" and stratify_col is not None:
+        raise ValueError(
+            "stratify_col requires method='exact' (hash assignment is "
+            "already independent across strata; exact mode adds the "
+            "per-stratum size guarantee)"
+        )
+    names = list(splits)
+    cum = []
+    run = 0.0
+    for f in fracs:
+        run += f
+        cum.append(run)
+    cum[-1] = 1.0  # close the last interval against float drift
+
+    if method == "hash":
+        unit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x00", F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+        )
+        col = F.lit(names[-1])
+        for name, hi in zip(reversed(names[:-1]), reversed(cum[:-1])):
+            col = F.when(unit < F.lit(hi), F.lit(name)).otherwise(col)
+        return df.withColumn(split_col, col)
+
+    order = F.md5(
+        F.concat_ws("\x00", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    key = stratify_col if stratify_col is not None else F.lit(0)
+    w = Window.partitionBy(key).orderBy(order, F.col(id_col))
+    wn = Window.partitionBy(key)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    col = F.lit(names[-1])
+    for name, hi in zip(reversed(names[:-1]), reversed(cum[:-1])):
+        col = F.when(
+            rn <= F.round(F.lit(hi) * n).cast("long"), F.lit(name)
+        ).otherwise(col)
+    return df.withColumn(split_col, col)
+
+
 def mix_corpus(
     df: DataFrame,
     group_col: str,

@@ -160,6 +160,8 @@ def prepare_training_data(
     soft_dedup: bool = False,
     gopher_rules: bool = False,
     gopher_repetition: bool = False,
+    holdout_frac: float = 0.0,
+    split_seed: str = "holdout",
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -232,6 +234,15 @@ def prepare_training_data(
     3. perplexity band — train a unigram LM on the survivors, keep
        docs inside the ``ppl_band`` quantile band (CCNet keeps the
        low/middle band; both tails are suspect — skipped when None);
+    3b. optional holdout split (``holdout_frac`` > 0) — a
+       deterministic md5-keyed fraction of the fully-filtered corpus
+       peels off to ``{out_path}/holdout`` BEFORE mixing/packing (so
+       held-out docs never consume the token budget or leak into
+       training sequences), via :func:`~sifts_spark.operators.sampling
+       .split_corpus` hash mode — membership depends only on
+       ``(split_seed, id)``, so the holdout set is stable across
+       corpus versions (holdout token counts stay the regex proxy;
+       eval sets don't need BPE budgets);
     4. mixing — :func:`~sifts_spark.operators.sampling.mix_corpus`
        to ``mix_weights`` over predicted language at ``total_tokens``
        (skipped unless both given); when a trained ``bpe_model``
@@ -419,6 +430,32 @@ def prepare_training_data(
         ).select("id")
         manifest["stages"]["ppl_band"] = _advance(stage.join(keep, "id"))
         manifest["ppl_cutoffs"] = {"low": lo, "high": hi}
+
+    if holdout_frac:
+        if not (0.0 < holdout_frac < 1.0):
+            raise ValueError(
+                f"holdout_frac must be in (0, 1): {holdout_frac}"
+            )
+        from sifts_spark.operators.sampling import split_corpus
+
+        tagged = split_corpus(
+            stage,
+            {"train": 1.0 - holdout_frac, "holdout": holdout_frac},
+            id_col="id",
+            seed=split_seed,
+        )
+        holdout = tagged.filter(F.col("split") == "holdout").drop("split")
+        holdout = holdout.persist()
+        manifest["stages"]["holdout"] = holdout.count()
+        manifest["export_holdout"] = export_corpus(
+            holdout,
+            f"{out_path.rstrip('/')}/holdout",
+            target_file_mb=target_file_mb,
+        )
+        holdout.unpersist()
+        manifest["stages"]["train_split"] = _advance(
+            tagged.filter(F.col("split") == "train").drop("split")
+        )
 
     if bpe_model is not None:
         from sifts_spark.operators.bpe import bpe_token_count

@@ -128,3 +128,145 @@ def test_mix_extreme_upsampling_no_per_row_arrays(spark, docs):
     assert eps[1] >= 3 * 299
     # per-(doc, epoch) uniqueness still holds
     assert out.select("doc_id", "epoch").distinct().count() == eps[1]
+
+
+class TestSplitCorpus:
+    """Deterministic train/validation/holdout assignment
+    (split_corpus): hash-mode value parity with a Python md5
+    reference, subset stability, exact-mode size guarantees, and
+    input validation."""
+
+    def test_hash_mode_python_reference_and_plan(self, spark):
+        import hashlib
+
+        from sifts_spark.operators.sampling import split_corpus
+
+        splits = {"train": 0.8, "val": 0.1, "holdout": 0.1}
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+        got = {
+            r["doc_id"]: r["split"]
+            for r in split_corpus(docs, splits, seed="s1").collect()
+        }
+        assert len(got) == 500
+
+        def ref(doc_id):
+            h = hashlib.md5(f"s1\x00{doc_id}".encode()).hexdigest()
+            u = int(h[:8], 16) / 2**32
+            if u < 0.8:
+                return "train"
+            if u < 0.9:
+                return "val"
+            return "holdout"
+
+        for doc_id, split in got.items():
+            assert split == ref(doc_id), doc_id
+        # every named split materializes at plausible proportions
+        from collections import Counter
+
+        c = Counter(got.values())
+        assert 350 < c["train"] < 450 and c["val"] > 20 and c["holdout"] > 20
+
+        # the 100 TB contract: pure map-side, no shuffle
+        plan = (
+            split_corpus(docs, splits, seed="s1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_hash_mode_subset_stability(self, spark):
+        from sifts_spark.operators.sampling import split_corpus
+
+        splits = {"train": 0.9, "holdout": 0.1}
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+        full = {
+            r["doc_id"]: r["split"]
+            for r in split_corpus(docs, splits).collect()
+        }
+        subset = {
+            r["doc_id"]: r["split"]
+            for r in split_corpus(
+                docs.filter(F.col("doc_id") % 3 == 0), splits
+            ).collect()
+        }
+        # removing other rows never moves a surviving row's split
+        for doc_id, split in subset.items():
+            assert split == full[doc_id]
+
+    def test_seed_changes_assignment(self, spark):
+        from sifts_spark.operators.sampling import split_corpus
+
+        splits = {"a": 0.5, "b": 0.5}
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+        s1 = {r["doc_id"]: r["split"]
+              for r in split_corpus(docs, splits, seed="x").collect()}
+        s2 = {r["doc_id"]: r["split"]
+              for r in split_corpus(docs, splits, seed="y").collect()}
+        assert s1 != s2
+        assert s1 == {
+            r["doc_id"]: r["split"]
+            for r in split_corpus(docs, splits, seed="x").collect()
+        }
+
+    def test_exact_mode_sizes_and_stratification(self, spark):
+        from collections import Counter
+
+        from sifts_spark.operators.sampling import split_corpus
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "lang"
+        )
+        splits = {"train": 0.8, "holdout": 0.2}
+        # global exact: floor/ceil-exact sizes
+        rows = split_corpus(docs, splits, method="exact").collect()
+        c = Counter(r["split"] for r in rows)
+        assert c["train"] == 400 and c["holdout"] == 100
+        # stratified: the SAME proportions inside every language
+        rows = split_corpus(
+            docs, splits, method="exact", stratify_col="lang"
+        ).collect()
+        per_lang = {}
+        for r in rows:
+            per_lang.setdefault(r["lang"], Counter())[r["split"]] += 1
+        for lang, cc in per_lang.items():
+            n = sum(cc.values())
+            want_train = int(0.8 * n + 0.5)
+            assert cc["train"] == want_train, (lang, cc)
+            assert cc["holdout"] == n - want_train, (lang, cc)
+
+    def test_validation(self, spark):
+        from sifts_spark.operators.sampling import split_corpus
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+        with pytest.raises(ValueError, match="sum to 1"):
+            split_corpus(docs, {"a": 0.5, "b": 0.2})
+        with pytest.raises(ValueError, match="positive"):
+            split_corpus(docs, {"a": 1.5, "b": -0.5})
+        with pytest.raises(ValueError, match="at least one"):
+            split_corpus(docs, {})
+        with pytest.raises(ValueError, match="unknown split method"):
+            split_corpus(docs, {"a": 1.0}, method="nope")
+        with pytest.raises(ValueError, match="stratify_col requires"):
+            split_corpus(docs, {"a": 1.0}, stratify_col="lang")
+
+    def test_recipe_holdout_stage(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        ).limit(120)
+        m = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+            allowed_langs=("en", "de", "fr", "es", "it", "und"),
+            jaccard_threshold=1.01,  # no dedup attrition: split math clean
+            holdout_frac=0.25,
+        )
+        assert m["stages"]["holdout"] + m["stages"]["train_split"] == (
+            m["stages"]["curated"]
+        )
+        assert m["stages"]["holdout"] > 0
+        hold = spark.read.parquet(str(tmp_path / "out" / "holdout"))
+        train = spark.read.parquet(str(tmp_path / "out" / "docs"))
+        hold_ids = {r["id"] for r in hold.select("id").collect()}
+        train_ids = {r["id"] for r in train.select("id").collect()}
+        assert hold_ids and not (hold_ids & train_ids)
+        assert len(hold_ids) == m["stages"]["holdout"]

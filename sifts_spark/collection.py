@@ -482,6 +482,38 @@ class SparkCollection:
             ).withColumnRenamed("cos_sim", "score")
         raise ValueError(f"unknown dedup method {method!r}")
 
+    def topics(
+        self,
+        n_topics: int | None = None,
+        k_terms: int = 10,
+        seed: int = 1,
+        centroids: list | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Corpus composition audit over the live snapshot — the
+        facade door into :func:`~sifts_spark.operators.topics
+        .topic_clusters` (embedding k-means + c-TF-IDF labels) →
+        ``(assignments, topics)`` DataFrames: (id, topic_id, sim) and
+        (topic_id, n_docs, rank, term, tf, score).
+
+        Requires stored embeddings (docs without one are not
+        assigned). ``n_topics`` defaults to the trainer's √N rule;
+        pass ``centroids`` (e.g. a persisted artifact) to reuse a
+        trained set and skip training (centroid training and the
+        scalar average-class-length aggregate run eagerly; the
+        returned frames themselves stay lazy)."""
+        from sifts_spark.operators.topics import topic_clusters
+
+        return topic_clusters(
+            self.docs(),
+            n_topics=n_topics,
+            id_col="id",
+            text_col="content",
+            vec_col="embedding",
+            k_terms=k_terms,
+            centroids=centroids,
+            seed=seed,
+        )
+
     def dedup(self, method: str = "minhash", dry_run: bool = False, **kwargs) -> int:
         """Deduplicate the collection IN PLACE: find duplicate pairs,
         resolve transitive clusters (connected components), tombstone

@@ -124,3 +124,40 @@ class TestTopicClusters:
         assert sorted((r["id"], r["topic_id"]) for r in a) == sorted(
             (r["id"], r["topic_id"]) for r in a2.collect()
         )
+
+
+class TestCollectionTopics:
+    def test_facade_topics(self, spark, tmp_path):
+        from sifts_spark.collection import Collection
+
+        def embed(texts):
+            table = {
+                "soccer": [1.0, 0.0], "striker": [0.9, 0.1],
+                "keeper": [0.95, 0.05],
+                "tensor": [0.0, 1.0], "gradient": [0.1, 0.9],
+                "optimizer": [0.05, 0.95],
+            }
+            return [table[t.split()[0]] for t in texts]
+
+        col = Collection(str(tmp_path), "t", spark=spark,
+                         embedding_function=embed)
+        col.add(
+            ["soccer goal league", "striker penalty match",
+             "keeper corner referee", "tensor loss epoch",
+             "gradient batch layer", "optimizer epoch loss"],
+            ids=["s1", "s2", "s3", "m1", "m2", "m3"],
+        )
+        assigned, topics = col.topics(
+            centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])], k_terms=3
+        )
+        got = {r["id"]: r["topic_id"] for r in assigned.collect()}
+        assert got == {"s1": 0, "s2": 0, "s3": 0,
+                       "m1": 1, "m2": 1, "m3": 1}
+        terms = {}
+        for r in topics.collect():
+            terms.setdefault(r["topic_id"], set()).add(r["term"])
+        assert terms[0] <= {"soccer", "goal", "league", "striker",
+                            "penalty", "match", "keeper", "corner",
+                            "referee"}
+        assert terms[1] <= {"tensor", "loss", "epoch", "gradient",
+                            "batch", "layer", "optimizer"}

@@ -170,6 +170,77 @@ def language_id(
     )
 
 
+# script name -> (Java regex char class, RE2/DuckDB char class).
+# Java prefixes script names with "Is"; RE2 uses the bare name — same
+# Unicode Script property underneath, so counts agree engine-to-engine.
+SCRIPT_PATTERNS: dict[str, tuple[str, str]] = {
+    "latin": (r"\p{IsLatin}", r"\p{Latin}"),
+    "cyrillic": (r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    "han": (r"\p{IsHan}", r"\p{Han}"),
+    "kana": (
+        r"[\p{IsHiragana}\p{IsKatakana}]",
+        r"[\p{Hiragana}\p{Katakana}]",
+    ),
+    "hangul": (r"\p{IsHangul}", r"\p{Hangul}"),
+    "arabic": (r"\p{IsArabic}", r"\p{Arabic}"),
+    "devanagari": (r"\p{IsDevanagari}", r"\p{Devanagari}"),
+}
+
+
+def script_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc Unicode-SCRIPT composition → (id, n_chars,
+    ``{script}_frac`` x 7, other_frac, main_script) — the multilingual
+    curation signal the marker-lexicon :func:`language_id` can't give
+    (it only knows five Latin-script languages): script fractions
+    catch mislabeled-language docs (claimed ``en`` but 80% Han),
+    mixed-script spam, and transliteration artifacts, and they're the
+    standard routing key for script-specific tokenizer/filter stages
+    in multilingual pipelines.
+
+    Scripts: latin, cyrillic, han, kana (hiragana+katakana), hangul,
+    arabic, devanagari — each a Unicode Script property class, counted
+    by length-difference after ``regexp_replace`` (7 codegen'd regex
+    passes, map-side, no shuffle, no UDF). ``n_chars`` counts
+    non-whitespace chars (the denominator, floored at 1);
+    ``other_frac`` is the remainder (digits, punctuation, unlisted
+    scripts). ``main_script`` = the highest-count script in
+    declaration order on ties, or ``"none"`` when no listed script
+    occurs (empty/NULL/digits-only text). Fractions rounded to 6 dp;
+    every pattern has an RE2 twin in :data:`SCRIPT_PATTERNS` so the
+    whole frame is DuckDB-replayable.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    counts = {
+        name: F.length(t) - F.length(F.regexp_replace(t, java_pat, ""))
+        for name, (java_pat, _) in SCRIPT_PATTERNS.items()
+    }
+    listed = None
+    for c in counts.values():
+        listed = c if listed is None else listed + c
+    cols = [F.col(id_col).alias("id"), n_chars.alias("n_chars")]
+    cols += [
+        F.round(c.cast("double") / denom, 6).alias(f"{name}_frac")
+        for name, c in counts.items()
+    ]
+    cols.append(
+        F.round(
+            (n_chars - listed).cast("double") / denom, 6
+        ).alias("other_frac")
+    )
+    best = F.greatest(*counts.values())
+    main = F.lit("none")
+    for name in reversed(list(counts)):
+        main = F.when(
+            (counts[name] == best) & (best > 0), F.lit(name)
+        ).otherwise(main)
+    cols.append(main.alias("main_script"))
+    return docs.select(*cols)
+
+
 def fingerprint(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -938,3 +938,118 @@ class TestGopherRepetition:
         assert m["stages"]["gopher_rep_filtered"] == 1
         out = spark.read.parquet(str(tmp_path / "out" / "docs"))
         assert [r["id"] for r in out.collect()] == ["g"]
+
+
+class TestScriptStats:
+    """Unicode-script composition (script_stats): main-script pins on
+    multilingual rows, edge cases, and a DuckDB RE2 value twin over
+    synthetic + real corpus docs."""
+
+    ROWS = [
+        ("en", "The quick brown fox jumps over the lazy dog"),
+        ("ru", "Съешь же ещё этих мягких французских булок"),
+        ("zh", "天地玄黄宇宙洪荒日月盈昃辰宿列张"),
+        ("ja", "すもももももももものうち、漢字とカタカナも混ざる"),
+        ("ko", "다람쥐 헌 쳇바퀴에 타고파"),
+        ("ar", "نص حكيم له سر قاطع وذو شأن عظيم"),
+        ("hi", "ऋषियों को सताने वाले दुष्ट राक्षसों के राजा"),
+        ("mixed", "hello мир 世界 bonjour"),
+        ("digits", "1234567890 !!! ???"),
+        ("empty", ""),
+        ("null", None),
+    ]
+
+    def test_main_script_and_edges(self, spark):
+        from sifts_spark.operators.textanalysis import script_stats
+
+        df = spark.createDataFrame(self.ROWS, "doc_id string, text string")
+        got = {r["id"]: r for r in script_stats(df).collect()}
+        want_main = {
+            "en": "latin", "ru": "cyrillic", "zh": "han", "ko": "hangul",
+            "ar": "arabic", "hi": "devanagari", "digits": "none",
+            "empty": "none", "null": "none",
+        }
+        for k, v in want_main.items():
+            assert got[k]["main_script"] == v, (k, got[k])
+        # ja: kana outnumbers han in the sample
+        assert got["ja"]["main_script"] == "kana"
+        assert got["ja"]["han_frac"] > 0
+        # mixed doc: every script present, fractions sum to ~1
+        m = got["mixed"]
+        assert m["latin_frac"] > 0 and m["cyrillic_frac"] > 0
+        assert m["han_frac"] > 0
+        total = sum(
+            m[f"{s}_frac"] for s in
+            ("latin", "cyrillic", "han", "kana", "hangul", "arabic",
+             "devanagari")
+        ) + m["other_frac"]
+        assert abs(total - 1.0) < 1e-5
+        # digits-only: all chars are "other"
+        assert got["digits"]["other_frac"] == 1.0
+        assert got["empty"]["n_chars"] == 0
+
+    def test_duckdb_twin(self, spark):
+        import duckdb
+
+        from sifts_spark.operators.textanalysis import (
+            SCRIPT_PATTERNS,
+            script_stats,
+        )
+
+        docs = (
+            load_table(spark, SF_DIR, "documents")
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .limit(40)
+            .unionByName(
+                spark.createDataFrame(
+                    self.ROWS, "doc_id string, text string"
+                )
+            )
+        )
+        got = {r["id"]: r for r in script_stats(docs).collect()}
+
+        pdf = docs.toPandas()
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        cnt = {
+            name: (
+                "length(t) - length(regexp_replace(t, '"
+                + re2 + "', '', 'g'))"
+            )
+            for name, (_, re2) in SCRIPT_PATTERNS.items()
+        }
+        listed = " + ".join(cnt.values())
+        frac_cols = ", ".join(
+            f"round(({c})::DOUBLE / denom, 6) AS {name}_frac"
+            for name, c in cnt.items()
+        )
+        case = "CASE "
+        for name, c in cnt.items():
+            case += f"WHEN ({c}) > 0 AND ({c}) = best THEN '{name}' "
+        case += "ELSE 'none' END AS main_script"
+        best = "greatest(" + ", ".join(cnt.values()) + ")"
+        sql = f"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM docs
+            ), d AS (
+                SELECT doc_id, t,
+                       length(regexp_replace(t, '\\s', '', 'g')) AS n_chars,
+                       greatest(length(regexp_replace(t, '\\s', '', 'g')), 1)::DOUBLE AS denom,
+                       {best} AS best
+                FROM base
+            )
+            SELECT doc_id, n_chars, {frac_cols},
+                   round((n_chars - ({listed}))::DOUBLE / denom, 6) AS other_frac,
+                   {case}
+            FROM d
+        """
+        for row in con.execute(sql).fetchall():
+            cols = ["doc_id", "n_chars"] + [
+                f"{n}_frac" for n in cnt
+            ] + ["other_frac", "main_script"]
+            want = dict(zip(cols, row))
+            g = got[want["doc_id"]]
+            assert g["n_chars"] == want["n_chars"], want["doc_id"]
+            for c in cols[2:-1]:
+                assert g[c] == want[c], (want["doc_id"], c, g[c], want[c])
+            assert g["main_script"] == want["main_script"], want["doc_id"]

@@ -137,6 +137,41 @@ def cell_assign_arrow(vec_col: Column, centroid_rows) -> Column:
     return _assign(vec_col)
 
 
+def cell_assign_sim_arrow(vec_col: Column, centroid_rows) -> Column:
+    """Map-side ``struct<cell_id, sim>`` of the nearest centroid and
+    its rounded cosine — :func:`cell_assign_arrow` plus the winning
+    similarity in the same Arrow pass, for consumers that keep a
+    prototypicality signal per assignment (topic audits, SemDeDup-style
+    keep rules). Ties: lowest cell_id (argmax-first, the
+    ``assign_cells`` contract); NULL/zero-norm vectors assign to the
+    lowest cell id with ``sim`` NULL (the dedup-module posture —
+    filter upstream if unassignable rows should vanish)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, mat, norms = _centroid_matrix(centroid_rows)
+
+    @pandas_udf("cell_id long, sim double")
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {
+                    "cell_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        sims = _batch_cell_sims(vecs, mat, norms)
+        best = np.argmax(np.where(np.isnan(sims), -np.inf, sims), axis=1)
+        bsim = sims[np.arange(len(sims)), best]
+        return pd.DataFrame(
+            {
+                "cell_id": cids[best],
+                "sim": pd.Series(bsim).where(~np.isnan(bsim), None),
+            }
+        )
+
+    return _assign(vec_col)
+
+
 def cell_topn_arrow(vec_col: Column, centroid_rows, nprobe: int) -> Column:
     """Map-side ARRAY of the ``nprobe`` nearest cell ids, Arrow-
     vectorized twin of

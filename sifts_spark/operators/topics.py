@@ -38,8 +38,9 @@ def topic_clusters(
 
     - ``assignments``: (id, topic_id, sim) — every doc with a non-null
       embedding, assigned to its nearest centroid by rounded cosine
-      (ties → lowest topic_id; the :func:`~sifts_spark.operators
-      .vector_search.assign_cells` contract);
+      (ties → lowest topic_id, the ``assign_cells`` contract, via the
+      map-side :func:`~sifts_spark.functions.vector
+      .cell_assign_sim_arrow` kernel — no crossJoin, no window);
     - ``topics``: (topic_id, n_docs, rank, term, tf, score) — the
       ``k_terms`` highest c-TF-IDF terms per topic, rank 1-based in
       (score desc, term asc) total order.
@@ -58,8 +59,10 @@ def topic_clusters(
     (``n_topics`` defaults to its √N rule — deterministic for a fixed
     (corpus, seed)).
 
-    Scale shape: assignment is a broadcast crossJoin against a
-    centroid-count-sized table, map-side per row; the label stage is
+    Scale shape: assignment is one Arrow argmax per row against the
+    closure-shipped centroid matrix — text rides along in the same
+    scan, so there is NO corpus self-join and NO shuffle before the
+    label aggregate; the label stage is
     ONE (topic, term) hash aggregate with map-side partial combine
     (vocabulary x topics bounded, not corpus bounded), a term-keyed
     re-aggregate for ``f(t)``, a broadcast of the topic-count-sized
@@ -69,34 +72,34 @@ def topic_clusters(
     assigned (they have no cluster to belong to) — filter upstream or
     backfill embeddings first.
     """
-    from sifts_spark.operators.vector_search import (
-        assign_cells,
-        kmeans_centroids,
-    )
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cell_assign_sim_arrow
+    from sifts_spark.operators.vector_search import kmeans_centroids
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
-        F.col(vec_col).alias("v"),
-    ).filter(F.col("v").isNotNull())
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            F.col(vec_col).alias("v"),
+        ).filter(F.col("v").isNotNull())
+    )
     if centroids is None:
         centroids = kmeans_centroids(
             base, n_cells=n_topics, vec_col="v",
             sample_size=sample_size, seed=seed,
         )
-    cdf = df.sparkSession.createDataFrame(
-        [(int(cid), list(map(float, vec))) for cid, vec in centroids],
-        "cell_id int, centroid array<double>",
-    )
-    assigned = assign_cells(
-        base, cdf, id_col="id", vec_col="v", nprobe=1
+    crows = [(int(cid), list(map(float, vec))) for cid, vec in centroids]
+    tagged = base.select(
+        "id", "text", cell_assign_sim_arrow(F.col("v"), crows).alias("_a")
     ).select(
         "id",
-        F.col("cell_id").alias("topic_id"),
-        F.col("_csim").alias("sim"),
+        "text",
+        F.col("_a.cell_id").alias("topic_id"),
+        F.col("_a.sim").alias("sim"),
     )
+    assigned = tagged.select("id", "topic_id", "sim")
 
-    docs = base.select("id", "text").join(assigned, "id")
+    docs = tagged.select("id", "text", "topic_id")
     sizes = assigned.groupBy("topic_id").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

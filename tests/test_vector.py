@@ -489,3 +489,45 @@ def test_concurrent_adds_all_approx_searchable(store_root, spark):
                       approx=True, nprobe=2)
         found |= {r["id"] for r in got["results"] if r["id"].startswith("w")}
     assert found == {f"w{i}" for i in range(6)}, f"ANN lost {set('w%d' % i for i in range(6)) - found}"
+
+
+def test_cell_assign_sim_arrow_matches_assign_cells(spark):
+    """The struct kernel is value-identical to the assign_cells
+    crossJoin+window path at nprobe=1, including tie and
+    null/zero-norm semantics."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.functions.vector import cell_assign_sim_arrow
+    from sifts_spark.operators.vector_search import assign_cells
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.6, 0.8]),
+        ("c", [-1.0, 0.0]),
+        ("tie", [1.0, 1.0]),      # equidistant from both -> lowest cid
+        ("zero", [0.0, 0.0]),     # zero-norm -> lowest cid, sim NULL
+    ]
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id string, v array<double>")
+    got = {
+        r["id"]: (r["a"]["cell_id"], r["a"]["sim"])
+        for r in df.select(
+            "id", cell_assign_sim_arrow(F.col("v"), cents).alias("a")
+        ).collect()
+    }
+    assert got["a"] == (0, 1.0)
+    assert got["b"] == (1, 0.8)
+    assert got["c"] == (1, 0.0)  # max cosine, not min angle to cell 0
+    assert got["tie"] == (0, round(1 / 2**0.5, 6))
+    assert got["zero"] == (0, None)
+
+    cdf = spark.createDataFrame(cents, "cell_id int, centroid array<double>")
+    ref = {
+        r["id"]: (r["cell_id"], r["_csim"])
+        for r in assign_cells(
+            df.filter(F.col("id") != "zero"), cdf,
+            id_col="id", vec_col="v", nprobe=1,
+        ).collect()
+    }
+    for k, v in ref.items():
+        assert got[k] == v, k

@@ -205,8 +205,19 @@ def main() -> None:
     blocked = [f"src{i}.co.uk" for i in range(100)]
 
     from sifts_spark.operators.chunking import chunk_documents
-    from sifts_spark.operators.textanalysis import c4_clean, keywords_tfidf
+    from sifts_spark.operators.sampling import split_corpus
+    from sifts_spark.operators.textanalysis import (
+        c4_clean,
+        gopher_repetition,
+        keywords_tfidf,
+        script_stats,
+    )
+    from sifts_spark.operators.topics import topic_clusters
     from sifts_spark.operators.urls import cap_domains, dedup_by_url
+
+    docs_emb = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
 
     QUERIES = {
         "classifier_score": lambda: classifier_score(docs, clf),
@@ -240,6 +251,22 @@ def main() -> None:
             crawl, "url", max_docs=50, method="hash"
         ),
         "c4_clean": lambda: c4_clean(docs),
+        # r10 curation/audit family: the full Gopher repetition kernel,
+        # script composition, the map-side corpus split, and topic
+        # labels over pre-trained centroids (training is `kmeans_
+        # centroids` in setup). script_stats repartitions for the same
+        # one-file reason as `pages`; gopher_repetition carries its own
+        # parallelism guard.
+        "gopher_repetition": lambda: gopher_repetition(docs),
+        "script_stats": lambda: script_stats(
+            docs.repartition(int(cpus))
+        ),
+        "split_corpus_hash": lambda: split_corpus(
+            docs, {"train": 0.98, "holdout": 0.02}
+        ),
+        "topic_clusters": lambda: topic_clusters(
+            docs_emb, centroids=cents, k_terms=10
+        )[1],
     }
 
     def steal_jiffies() -> int:

@@ -118,23 +118,12 @@ def cosine_similarity_arrow(a_col: Column, b_col: Column) -> Column:
 def cell_assign_arrow(vec_col: Column, centroid_rows) -> Column:
     """Map-side nearest-centroid id, Arrow-vectorized. Value-identical
     to :func:`sifts_spark.operators.vector_search.cell_assign_expr`:
-    argmax by (sim rounded to 6dp desc, cell_id asc)."""
-    from pyspark.sql.functions import pandas_udf
-
-    cids, mat, norms = _centroid_matrix(centroid_rows)
-
-    @pandas_udf("long")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        sims = _batch_cell_sims(vecs, mat, norms)
-        # argmax returns the FIRST max -> lowest cell_id on ties
-        best = np.nanargmax(
-            np.where(np.isnan(sims), -np.inf, sims), axis=1
-        )
-        return pd.Series(cids[best])
-
-    return _assign(vec_col)
+    argmax by (sim rounded to 6dp desc, cell_id asc). Delegates to
+    :func:`cell_assign_sim_arrow` — ONE argmax/tie/NULL implementation
+    to keep value-identical, not two."""
+    return cell_assign_sim_arrow(vec_col, centroid_rows).getField(
+        "cell_id"
+    )
 
 
 def cell_assign_sim_arrow(vec_col: Column, centroid_rows) -> Column:

@@ -117,17 +117,25 @@ def split_corpus(
     for f in fracs:
         run += f
         cum.append(run)
-    cum[-1] = 1.0  # close the last interval against float drift
+    # (the last interval needs no boundary: otherwise(names[-1]) below
+    # catches everything past cum[-2])
+
+    # NULL ids would all hash to md5(seed) alone (concat_ws drops the
+    # NULL) and land in ONE split together — silently violating the
+    # binomial-size and stability guarantees. Fail loudly at execution
+    # time instead; zero cost on clean data.
+    sid = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit("split_corpus requires non-null ids")
+        ).cast("string"),
+    ).otherwise(F.col(id_col).cast("string"))
 
     if method == "hash":
         unit = (
             F.conv(
                 F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "\x00", F.lit(seed), F.col(id_col).cast("string")
-                        )
-                    ),
+                    F.md5(F.concat_ws("\x00", F.lit(seed), sid)),
                     1,
                     8,
                 ),
@@ -141,9 +149,7 @@ def split_corpus(
             col = F.when(unit < F.lit(hi), F.lit(name)).otherwise(col)
         return df.withColumn(split_col, col)
 
-    order = F.md5(
-        F.concat_ws("\x00", F.lit(seed), F.col(id_col).cast("string"))
-    )
+    order = F.md5(F.concat_ws("\x00", F.lit(seed), sid))
     key = stratify_col if stratify_col is not None else F.lit(0)
     w = Window.partitionBy(key).orderBy(order, F.col(id_col))
     wn = Window.partitionBy(key)

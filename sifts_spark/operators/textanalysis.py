@@ -170,6 +170,15 @@ def language_id(
     )
 
 
+# Whitespace for the script denominator: ASCII \s is not enough — CJK
+# text separates with U+3000 (ideographic space) and web text is full
+# of NBSP; counting those as "content" would deflate every script
+# fraction. \p{Zs} adds all Unicode space separators; Zl/Zp/NEL added
+# explicitly (Java spells code points \uXXXX, RE2 \x{XXXX} — hence the
+# engine pair, same convention as SCRIPT_PATTERNS).
+WS_PATTERN_JAVA = "[\\s\\p{Zs}\\u2028\\u2029\\u0085]"
+WS_PATTERN_RE2 = "[\\s\\p{Zs}\\x{2028}\\x{2029}\\x{0085}]"
+
 # script name -> (Java regex char class, RE2/DuckDB char class).
 # Java prefixes script names with "Is"; RE2 uses the bare name — same
 # Unicode Script property underneath, so counts agree engine-to-engine.
@@ -203,7 +212,10 @@ def script_stats(
     arabic, devanagari — each a Unicode Script property class, counted
     by length-difference after ``regexp_replace`` (7 codegen'd regex
     passes, map-side, no shuffle, no UDF). ``n_chars`` counts
-    non-whitespace chars (the denominator, floored at 1);
+    non-whitespace chars — whitespace per :data:`WS_PATTERN_JAVA`,
+    which includes the Unicode space separators (U+3000 ideographic
+    space, NBSP, …) ASCII ``\\s`` misses (the denominator, floored at
+    1);
     ``other_frac`` is the remainder (digits, punctuation, unlisted
     scripts). ``main_script`` = the highest-count script in
     declaration order on ties, or ``"none"`` when no listed script
@@ -212,7 +224,7 @@ def script_stats(
     whole frame is DuckDB-replayable.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    n_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_chars = F.length(F.regexp_replace(t, WS_PATTERN_JAVA, ""))
     denom = F.greatest(n_chars, F.lit(1)).cast("double")
     counts = {
         name: F.length(t) - F.length(F.regexp_replace(t, java_pat, ""))

@@ -43,14 +43,19 @@ def topic_clusters(
       .cell_assign_sim_arrow` kernel — no crossJoin, no window);
     - ``topics``: (topic_id, n_docs, rank, term, tf, score) — the
       ``k_terms`` highest c-TF-IDF terms per topic, rank 1-based in
-      (score desc, term asc) total order.
+      (score desc, term asc) total order; a topic whose assigned docs
+      are all text-free keeps one row with NULL term/tf/score/rank
+      (every topic that received a doc appears, so ``n_docs`` sums to
+      the assigned-corpus size).
 
     c-TF-IDF (Grootendorst 2022 §3.2): treat each topic's concatenated
     text as one class document; ``W(t, c) = tf(t, c) * ln(1 + A /
     f(t))`` with ``tf(t, c)`` the term's count inside the class,
     ``f(t)`` its corpus-wide count and ``A`` the average class token
     count — terms every topic shares score low, topic-specific
-    vocabulary scores high, with no stopword list to maintain.
+    vocabulary scores high, with no stopword list to maintain. ``A``
+    averages over classes with ≥1 token (term-free classes have no
+    class document to average).
 
     Centroids: pass ``centroids`` (``[(topic_id, [float, ...]), ...]``,
     e.g. a persisted artifact) to reuse a trained set; otherwise
@@ -70,7 +75,11 @@ def topic_clusters(
     vocabulary-sized rows. Docs with NULL text contribute no terms but
     still count toward ``n_docs``; docs with NULL embeddings are not
     assigned (they have no cluster to belong to) — filter upstream or
-    backfill embeddings first.
+    backfill embeddings first. The tagged assignment frame is
+    persisted (both returned frames and the class-length scalar share
+    its one scan); it stays cached until the session evicts it —
+    Spark's LRU keeps the leak bounded, and an explicit
+    ``spark.catalog.clearCache()`` reclaims it eagerly.
     """
     from sifts_spark.functions.hashing import ensure_min_parallelism
     from sifts_spark.functions.vector import cell_assign_sim_arrow
@@ -89,6 +98,10 @@ def topic_clusters(
             sample_size=sample_size, seed=seed,
         )
     crows = [(int(cid), list(map(float, vec))) for cid, vec in centroids]
+    # persisted: assignments, sizes, term_counts and the class-length
+    # scalar all descend from this one scan — unpersisted, one action
+    # over `topics` would re-run the Arrow assignment kernel and the
+    # corpus scan 3-4x (once per lineage branch)
     tagged = base.select(
         "id", "text", cell_assign_sim_arrow(F.col("v"), crows).alias("_a")
     ).select(
@@ -96,7 +109,7 @@ def topic_clusters(
         "text",
         F.col("_a.cell_id").alias("topic_id"),
         F.col("_a.sim").alias("sim"),
-    )
+    ).persist()
     assigned = tagged.select("id", "topic_id", "sim")
 
     docs = tagged.select("id", "text", "topic_id")
@@ -111,7 +124,9 @@ def topic_clusters(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # f(t) and A derive from the (topic, term) counts — vocabulary-
-    # sized inputs, no second corpus scan
+    # sized inputs, no second corpus scan. The scalar collect also
+    # materializes `tagged` into the persist, so later actions over
+    # either returned frame hit the cache.
     term_totals = term_counts.groupBy("term").agg(
         F.sum("tf").alias("f_t")
     )
@@ -135,10 +150,13 @@ def topic_clusters(
     w = Window.partitionBy("topic_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
-    topics = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_terms)
-        .join(F.broadcast(sizes), "topic_id")
-        .select("topic_id", "n_docs", "rank", "term", "tf", "score")
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_terms
+    )
+    # LEFT from sizes: a topic whose docs are all text-free has no term
+    # rows, but it still happened — it surfaces as one row with NULL
+    # term/tf/score/rank instead of vanishing from the audit
+    topics = F.broadcast(sizes).join(ranked, "topic_id", "left").select(
+        "topic_id", "n_docs", "rank", "term", "tf", "score"
     )
     return assigned, topics

@@ -248,6 +248,18 @@ class TestSplitCorpus:
         with pytest.raises(ValueError, match="stratify_col requires"):
             split_corpus(docs, {"a": 1.0}, stratify_col="lang")
 
+    def test_null_ids_fail_loudly(self, spark):
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from sifts_spark.operators.sampling import split_corpus
+
+        df = spark.createDataFrame(
+            [("a",), (None,)], "doc_id string"
+        )
+        out = split_corpus(df, {"train": 0.5, "holdout": 0.5})
+        with pytest.raises(SparkRuntimeException, match="non-null ids"):
+            out.collect()
+
     def test_recipe_holdout_stage(self, spark, tmp_path):
         from sifts_spark.pipelines.curation import prepare_training_data
 

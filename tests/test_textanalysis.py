@@ -957,6 +957,9 @@ class TestScriptStats:
         ("digits", "1234567890 !!! ???"),
         ("empty", ""),
         ("null", None),
+        # U+3000 ideographic space + NBSP: whitespace, NOT content
+        ("cjk_space", "天地　玄黄　宇宙"),
+        ("nbsp", "hello world"),
     ]
 
     def test_main_script_and_edges(self, spark):
@@ -987,12 +990,18 @@ class TestScriptStats:
         # digits-only: all chars are "other"
         assert got["digits"]["other_frac"] == 1.0
         assert got["empty"]["n_chars"] == 0
+        # Unicode space separators are whitespace, not "other" content
+        assert got["cjk_space"]["n_chars"] == 6
+        assert got["cjk_space"]["han_frac"] == 1.0
+        assert got["nbsp"]["n_chars"] == 10
+        assert got["nbsp"]["latin_frac"] == 1.0
 
     def test_duckdb_twin(self, spark):
         import duckdb
 
         from sifts_spark.operators.textanalysis import (
             SCRIPT_PATTERNS,
+            WS_PATTERN_RE2,
             script_stats,
         )
 
@@ -1033,8 +1042,8 @@ class TestScriptStats:
                 SELECT doc_id, coalesce(text, '') AS t FROM docs
             ), d AS (
                 SELECT doc_id, t,
-                       length(regexp_replace(t, '\\s', '', 'g')) AS n_chars,
-                       greatest(length(regexp_replace(t, '\\s', '', 'g')), 1)::DOUBLE AS denom,
+                       length(regexp_replace(t, '{WS_PATTERN_RE2}', '', 'g')) AS n_chars,
+                       greatest(length(regexp_replace(t, '{WS_PATTERN_RE2}', '', 'g')), 1)::DOUBLE AS denom,
                        {best} AS best
                 FROM base
             )

@@ -91,6 +91,29 @@ class TestTopicClusters:
         # topic-specific vocabulary outranks shared terms
         assert got[2][0][2] in {"bake", "crust", "oven", "yeast", "dough"}
 
+    def test_textfree_topic_keeps_its_row(self, spark):
+        # a cluster whose docs are ALL text-free must not vanish from
+        # the audit: it keeps one row with NULL term/rank
+        rows = [
+            ("t1", "real words here", [1.0, 0.0]),
+            ("t2", None, [0.0, 1.0]),
+            ("t3", "", [0.0, 0.9]),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, embedding array<double>"
+        )
+        _, topics = topic_clusters(
+            df, centroids=[(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        )
+        got = {r["topic_id"]: r for r in topics.collect()}
+        assert got[1]["n_docs"] == 2
+        assert got[1]["term"] is None and got[1]["rank"] is None
+        assert got[0]["term"] is not None
+        assert sum(
+            r["n_docs"] for r in
+            {g["topic_id"]: g for g in got.values()}.values()
+        ) == 3
+
     def test_trained_centroids_on_real_corpus(self, spark):
         docs = load_table(spark, SF_DIR, "documents")
         embs = load_table(spark, SF_DIR, "embeddings")

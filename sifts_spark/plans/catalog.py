@@ -1454,12 +1454,15 @@ def _scrub_sql() -> str:
     return f"SELECT doc_id AS id, md5({expr}) AS scrubbed_md5 FROM documents"
 
 
-@_register("text_scrub", _scrub_sql())
 def text_scrub(spark, sf_dir) -> DataFrame:
     """PII redaction over doc text with synthetic injected email+phone
     (so the redaction provably fires); md5 of the scrubbed text is
     compared byte-for-byte against DuckDB running the same RE2/Java-
-    portable patterns."""
+    portable patterns. Rotated OUT of the driver catalog late in r10
+    (ceded its row to script_stats — the same map-side regexp_replace
+    physical family); pinned by
+    tests/test_textanalysis.py::test_text_scrub_matches_oracle against
+    the original `_scrub_sql()` twin."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     synth = F.concat(
@@ -1474,6 +1477,71 @@ def text_scrub(spark, sf_dir) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.md5(TA.scrub_pii(synth)).alias("scrubbed_md5"),
     )
+
+
+# =====================================================================
+# Unicode-script composition (map-side regexp length differences,
+# oracle-checked value-for-value via the RE2 pattern twins)
+# =====================================================================
+
+
+def _script_stats_sql() -> str:
+    from sifts_spark.operators.textanalysis import (
+        SCRIPT_PATTERNS,
+        WS_PATTERN_RE2,
+    )
+
+    cnt = {
+        name: (
+            "length(t) - length(regexp_replace(t, '"
+            + re2 + "', '', 'g'))"
+        )
+        for name, (_, re2) in SCRIPT_PATTERNS.items()
+    }
+    listed = " + ".join(cnt.values())
+    fracs = ", ".join(
+        f"round(CAST(({c}) AS DOUBLE) / denom, 6) AS {name}_frac"
+        for name, c in cnt.items()
+    )
+    case = "CASE "
+    for name, c in cnt.items():
+        case += f"WHEN ({c}) > 0 AND ({c}) = best THEN '{name}' "
+    case += "ELSE 'none' END AS main_script"
+    best = "greatest(" + ", ".join(cnt.values()) + ")"
+    ws = WS_PATTERN_RE2
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
+        ), d AS (
+            SELECT id, t,
+                   CAST(length(regexp_replace(t, '{ws}', '', 'g')) AS BIGINT)
+                       AS n_chars,
+                   CAST(greatest(
+                       length(regexp_replace(t, '{ws}', '', 'g')), 1
+                   ) AS DOUBLE) AS denom,
+                   {best} AS best
+            FROM base
+        )
+        SELECT id, n_chars, {fracs},
+               round(CAST(n_chars - ({listed}) AS DOUBLE) / denom, 6)
+                   AS other_frac,
+               {case}
+        FROM d
+    """
+
+
+@_register("script_stats", _script_stats_sql())
+def script_stats_q(spark, sf_dir) -> DataFrame:
+    """Per-doc Unicode-script composition (r10): seven script-class
+    fractions + other_frac + main_script, every Java pattern checked
+    against its RE2 twin value-for-value — the rotation replacing
+    text_scrub (same map-side regexp_replace family, which text_scrub's
+    pytest twin still pins). n_chars cast to long for dtype-stable
+    compares."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.script_stats(docs)
+    return out.withColumn("n_chars", F.col("n_chars").cast("long"))
 
 
 # =====================================================================
@@ -2073,7 +2141,9 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # their rows to keywords_tfidf / domain_stats / top_ngrams (window,
 # anti-join and plain-hash-agg families stay covered by
 # sample_stratified / docs_minus_blocklist / domain_stats; each
-# retiree keeps a pytest twin).
+# retiree keeps a pytest twin); late in r10 text_scrub ceded its row
+# to script_stats (regexp_replace family stays covered by the new row
+# itself; retiree pinned by test_text_scrub_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

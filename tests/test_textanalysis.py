@@ -1062,3 +1062,22 @@ class TestScriptStats:
             for c in cols[2:-1]:
                 assert g[c] == want[c], (want["doc_id"], c, g[c], want[c])
             assert g["main_script"] == want["main_script"], want["doc_id"]
+
+
+def test_text_scrub_matches_oracle(spark):
+    # de-registered late in r10 (row ceded to script_stats); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _scrub_sql, text_scrub
+
+    got = {
+        r["id"]: r["scrubbed_md5"]
+        for r in text_scrub(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.sql(_scrub_sql()).fetchall()}
+    assert got == want and len(got) == 500

@@ -205,6 +205,9 @@ def main() -> None:
     blocked = [f"src{i}.co.uk" for i in range(100)]
 
     from sifts_spark.operators.chunking import chunk_documents
+    from sifts_spark.operators.embedding import (
+        embed_hashing as _embed_hashing,
+    )
     from sifts_spark.operators.sampling import split_corpus
     from sifts_spark.operators.textanalysis import (
         c4_clean,
@@ -267,6 +270,8 @@ def main() -> None:
         "topic_clusters": lambda: topic_clusters(
             docs_emb, centroids=cents, k_terms=10
         )[1],
+        # carries its own parallelism guard, like gopher_repetition
+        "embed_hashing": lambda: _embed_hashing(docs, dim=128),
     }
 
     def steal_jiffies() -> int:

@@ -862,6 +862,14 @@ class SparkCollection:
             return self.store.snapshot_at(self.name, as_of)
         return self.store.read(self.name)
 
+    def diff(self, since: int, until: int | None = None) -> DataFrame:
+        """Changed ids between manifest versions → (id, change ∈
+        added/updated/deleted); ``until=None`` = the current snapshot.
+        The incremental-consumer door into
+        :meth:`~sifts_spark.sources.store.DocumentStore.diff` —
+        versions come from ``store.manifest_versions(name)``."""
+        return self.store.diff(self.name, since, until)
+
     def count(self) -> int:
         """core.py:125-138."""
         return self.docs().count()

@@ -344,12 +344,9 @@ class DocumentStore:
             if d.startswith("v") and d[1:].isdigit()
         )
 
-    def snapshot_at(self, name: str, version: int) -> DataFrame:
-        """The collection snapshot as of manifest ``version`` — LSM
-        resolution over exactly the batches that manifest referenced.
-        Time travel is bounded by :meth:`vacuum`'s retention clock
-        (identical to Delta: VACUUM erases history); a version whose
-        log entry was pruned raises ValueError."""
+    def _manifest_at(self, name: str, version: int) -> dict:
+        """The logged manifest dict at ``version`` (raises when pruned
+        by vacuum retention) — shared by time travel and diff."""
         m = self._read_json_file(
             f"{self._partition_dir(name)}/_manifest_log/v{int(version)}"
         )
@@ -359,7 +356,59 @@ class DocumentStore:
                 f"(available: {self.manifest_versions(name)}) — history is "
                 "bounded by vacuum retention"
             )
-        return resolve_snapshot(self.read_raw(name, m))
+        return m
+
+    def snapshot_at(self, name: str, version: int) -> DataFrame:
+        """The collection snapshot as of manifest ``version`` — LSM
+        resolution over exactly the batches that manifest referenced.
+        Time travel is bounded by :meth:`vacuum`'s retention clock
+        (identical to Delta: VACUUM erases history); a version whose
+        log entry was pruned raises ValueError."""
+        return resolve_snapshot(
+            self.read_raw(name, self._manifest_at(name, version))
+        )
+
+    def diff(
+        self, name: str, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Version-level change feed between two manifest versions →
+        (id, change ∈ added/updated/deleted) — what an incremental
+        downstream job (re-embed, re-index, re-curate) needs to
+        process ONLY what moved since its last run, instead of
+        re-scanning the collection (the Delta CDF posture, by manifest
+        version).
+
+        ``until=None`` compares against the CURRENT snapshot. Change
+        detection is by winning batch number, not content bytes:
+        newest-batch-wins means any upsert bumps the winner, so a
+        re-upsert of identical content still reads as ``updated``
+        (documented, Delta-style version semantics). An id deleted and
+        re-added between the versions is ``updated`` (present in
+        both).
+
+        Scale shape: two column-pruned (id, batch, deleted) scans →
+        per-side winner windows → ONE full-outer join on id of
+        id-sized frames; no content columns move. Both endpoints
+        resolve through logged manifests, so the result is exact even
+        while a writer races (the log is immutable)."""
+        old = self.live_versions(name, self._manifest_at(name, since))
+        new = self.live_versions(
+            name,
+            _UNSET if until is None else self._manifest_at(name, until),
+        )
+        o = old.select("id", F.col("batch").alias("_ob"))
+        n = new.select("id", F.col("batch").alias("_nb"))
+        return (
+            o.join(n, "id", "full_outer")
+            .withColumn(
+                "change",
+                F.when(F.col("_ob").isNull(), F.lit("added"))
+                .when(F.col("_nb").isNull(), F.lit("deleted"))
+                .when(F.col("_ob") != F.col("_nb"), F.lit("updated")),
+            )
+            .filter(F.col("change").isNotNull())
+            .select("id", "change")
+        )
 
     def _publish_manifest(
         self, name: str, superseded: set[int] | None = None

@@ -660,3 +660,42 @@ def test_heartbeat_keeps_slow_build_claim_alive(store_root, spark):
     peer._release_sidecar_claim("hb", "batch=1", token2)
     assert store._read_small_text(f"{pdir}/.claim-batch=1") == token3
     store._release_sidecar_claim("hb", "batch=1", token3)
+
+
+def test_diff_between_versions(store_root, spark):
+    """Version-level change feed: added/updated/deleted between two
+    manifest versions, by winning batch number."""
+    col = Collection(store_root, "dv", spark=spark)
+    col.add(["a doc", "b doc", "c doc"], ids=["a", "b", "c"])
+    v1 = col.store.read_manifest("dv")["version"]
+
+    col.add(["b doc v2"], ids=["b"])        # update
+    col.add(["d doc"], ids=["d"])           # add
+    col.delete(["c"])                        # delete
+    v2 = col.store.read_manifest("dv")["version"]
+
+    got = {r["id"]: r["change"] for r in col.diff(v1).collect()}
+    assert got == {"b": "updated", "d": "added", "c": "deleted"}
+    # explicit until= endpoint gives the same answer
+    got2 = {r["id"]: r["change"] for r in col.diff(v1, until=v2).collect()}
+    assert got2 == got
+    # self-diff is empty; unchanged ids never appear
+    assert col.diff(v2).count() == 0
+
+    # delete + re-add between the endpoints reads as updated
+    col.delete(["a"])
+    col.add(["a doc back"], ids=["a"])
+    got3 = {r["id"]: r["change"] for r in col.diff(v2).collect()}
+    assert got3 == {"a": "updated"}
+
+    # identical-content re-upsert still bumps the winner (documented)
+    col.add(["d doc"], ids=["d"])
+    v3 = col.store.read_manifest("dv")["version"]
+    got4 = {r["id"]: r["change"] for r in col.store.diff("dv", v2, v3).collect()}
+    assert got4["d"] == "updated"
+
+    # pruned history raises like snapshot_at
+    col.store.compact("dv", postings=True)
+    col.store.vacuum("dv", min_age_seconds=0)
+    with pytest.raises(ValueError, match="vacuum retention"):
+        col.diff(v1).collect()

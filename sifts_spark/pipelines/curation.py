@@ -162,6 +162,7 @@ def prepare_training_data(
     gopher_repetition: bool = False,
     holdout_frac: float = 0.0,
     split_seed: str = "holdout",
+    semantic_dedup_eps: float | None = None,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -214,6 +215,15 @@ def prepare_training_data(
        later stage into the docs export — sampling-time downweighting
        for the training loader instead of hard removal
        (``manifest["dedup_mode"]`` records which);
+    1a2. optional SEMANTIC dedup (``semantic_dedup_eps``, e.g. 0.95) —
+       the SemDeDup stage (Abbas et al. 2023): hash-embed the curated
+       text (:func:`~sifts_spark.operators.embedding.embed_hashing`,
+       128-dim feature hashing — the documented lexical stand-in; for
+       neural semantic dedup run :func:`~sifts_spark.operators.dedup
+       .semdedup` yourself over real embeddings), k-means-cluster,
+       and within each cell keep one doc per eps-cosine connected
+       component (the least prototypical member — the paper's
+       diversity-preserving choice);
     1b. optional corpus-wide paragraph dedup (CCNet's line-hash stage,
        ``paragraph_dedup=True``) — boilerplate paragraphs keep only
        their first occurrence; texts are rewritten and token counts
@@ -371,6 +381,28 @@ def prepare_training_data(
             stage.unpersist()
         stage = new_stage
         return n
+
+    if semantic_dedup_eps is not None:
+        from sifts_spark.operators.dedup import semdedup
+        from sifts_spark.operators.embedding import embed_hashing
+        from sifts_spark.operators.vector_search import kmeans_centroids
+
+        # persisted: the embed kernel feeds both the centroid sample
+        # and the semdedup scan — unpersisted it would run twice
+        emb = embed_hashing(stage, id_col="id", text_col="text").persist()
+        cents = kmeans_centroids(emb, vec_col="embedding")
+        keep = (
+            semdedup(
+                emb, id_col="id", vec_col="embedding",
+                centroids=cents, eps=semantic_dedup_eps,
+            )
+            .filter(F.col("keep"))
+            .select("id")
+        )
+        manifest["stages"]["semantic_deduped"] = _advance(
+            stage.join(keep, "id", "left_semi")
+        )
+        emb.unpersist()
 
     if paragraph_dedup:
         from sifts_spark.operators.dedup import dedup_paragraphs

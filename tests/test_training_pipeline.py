@@ -293,3 +293,33 @@ def test_wet_to_export_recipe_e2e(spark, tmp_path):
     }
     assert not (exported & blocked_ids)
     assert spark.read.parquet(out + "/sequences").count() > 0
+
+
+def test_prepare_training_data_semantic_dedup_stage(spark, tmp_path):
+    """SemDeDup recipe stage: a planted lexical near-copy drops, the
+    rest of the corpus survives, attrition lands in the manifest."""
+    docs = load_table(spark, SF_DIR, "documents").limit(60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    base = docs.collect()
+    near = base[0]["text"] + " tiny trailing addition"
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [("planted-copy", near)], "doc_id string, text string"
+        )
+    )
+    m = prepare_training_data(
+        planted, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+        allowed_langs=("en", "de", "fr", "es", "it", "zh", "und"),
+        jaccard_threshold=1.01,       # isolate the semantic stage
+        semantic_dedup_eps=0.9,
+    )
+    assert m["stages"]["input"] == 61
+    assert m["stages"]["curated"] == 61
+    # the planted pair (and any NATURAL near-dups the template-built
+    # corpus carries) collapse; the stage never over-drops wholesale
+    assert 40 < m["stages"]["semantic_deduped"] <= 60
+    out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+    ids = {r["id"] for r in out.select("id").collect()}
+    # one of the two planted near-copies survives, never both
+    assert len({base[0]["doc_id"], "planted-copy"} & ids) == 1

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from sifts_spark.functions.metadata import compile_order_by, compile_where
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import search as _search
-from sifts_spark.queryparser import parse_query
+from sifts_spark.queryparser import has_phrase, parse_query
 from sifts_spark.session import get_spark
 from sifts_spark.sources.store import DOC_SCHEMA, DocumentStore, validate_name
 
@@ -1245,6 +1245,17 @@ class SparkCollection:
                 n_docs=n_docs, avgdl=avgdl,
             )
             df = df.join(scored, "id")
+            # quoted phrases: postings carry no positions, so the index
+            # candidates are all-words-present — verify adjacency on the
+            # joined content (map-side predicate over the candidate pool
+            # only). Phrase-free queries skip this branch entirely, so
+            # their plans stay byte-identical. BM25 rank for a phrase is
+            # the sum of its words' contributions (the positions-free
+            # approximation).
+            if has_phrase(ast):
+                from sifts_spark.functions.text import tokenize as _tok
+
+                df = df.filter(ast.to_column(_tok(F.col("content"))))
             is_search = True
 
         if where:

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sifts_spark.functions.text import tokenize
-from sifts_spark.queryparser import And, Node, Or, Prefix, Term
+from sifts_spark.queryparser import And, Node, Or, Phrase, Prefix, Term
 
 # Classic Okapi BM25 constants (same defaults as FTS5's bm25() and Lucene).
 BM25_K1 = 1.2
@@ -82,6 +82,12 @@ def write_postings(postings: DataFrame, path: str) -> None:
 def _collect_leaves(ast: Node) -> list[Node]:
     if isinstance(ast, (Term, Prefix)):
         return [ast]
+    if isinstance(ast, Phrase):
+        # the postings index carries no positions: a phrase's candidate
+        # set is the AND of its words (a superset); the caller verifies
+        # adjacency on the joined content (collection.py) — the
+        # Lucene-without-positions plan
+        return [Term(w) for w in ast.words]
     if isinstance(ast, (And, Or)):
         return _collect_leaves(ast.left) + _collect_leaves(ast.right)
     raise TypeError(f"unknown AST node {ast!r}")
@@ -104,6 +110,13 @@ def _retag(ast: Node) -> Node:
         return ast
     if isinstance(ast, Prefix):
         return Term(ast.prefix + "*")
+    if isinstance(ast, Phrase):
+        # over the tag set a phrase degrades to all-words-present; the
+        # adjacency half of its semantics is the caller's content verify
+        node: Node = Term(ast.words[0])
+        for w in ast.words[1:]:
+            node = And(node, Term(w))
+        return node
     if isinstance(ast, And):
         return And(_retag(ast.left), _retag(ast.right))
     if isinstance(ast, Or):
@@ -167,7 +180,12 @@ def search_postings(
     * ``"track"`` — persist via the session cache registry;
       a pipeline driver frees it with ``caching.release_all()``.
     """
-    leaves = _collect_leaves(ast)
+    # unique by tag (order-preserving): a word appearing twice — e.g.
+    # standalone AND inside a phrase — must score once, not double its
+    # tf through two identical tag entries
+    leaves = list(
+        {_leaf_tag(lf): lf for lf in _collect_leaves(ast)}.values()
+    )
     term = F.col("term")
     cond = None
     for leaf in leaves:

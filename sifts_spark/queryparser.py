@@ -75,6 +75,45 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class Phrase(Node):
+    """Quoted-phrase match: the words occur CONSECUTIVELY in token
+    order — an EXTENSION past the reference's documented surface
+    (SURVEY §2.4: the reference passes quotes through raw, where they
+    work on the FTS5 backend but break the PG rewriter — backend-
+    divergent, so the reference effectively has no phrase semantics;
+    we define them properly instead). Words are tokenizer-split, so
+    ``"don't stop"`` matches the token run [don, t, stop]."""
+
+    words: tuple
+
+    def to_column(self, tokens: Column) -> Column:
+        n = len(self.words)
+        probe = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+        def run_at(i):
+            cond = None
+            for j, w in enumerate(self.words):
+                c = F.element_at(tokens, i + F.lit(j)) == F.lit(w)
+                cond = c if cond is None else cond & c
+            return cond
+        # the when-guard keeps sequence() ascending and element_at
+        # in-bounds for docs shorter than the phrase (and NULL tokens)
+        return F.when(
+            F.size(tokens) >= F.lit(n), F.exists(probe, run_at)
+        ).otherwise(F.lit(False))
+
+    def to_sql(self, tokens_sql: str) -> str:
+        n = len(self.words)
+        conds = " AND ".join(
+            f"({tokens_sql})[_i + {j}] = '{_sql_quote(w)}'"
+            for j, w in enumerate(self.words)
+        )
+        return (
+            f"len(list_filter(range(1, greatest(len({tokens_sql}) - "
+            f"{n - 1}, 0) + 1), _i -> {conds})) > 0"
+        )
+
+
+@dataclass(frozen=True)
 class And(Node):
     left: Node
     right: Node
@@ -102,7 +141,8 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
-_TOKEN_RE = re.compile(r"\S+")
+# a quoted span is ONE lexeme (phrase); otherwise whitespace-split
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 
 
 class QueryParser:
@@ -113,7 +153,11 @@ class QueryParser:
         query   := or_expr
         or_expr := and_expr (("or") and_expr)*
         and_expr:= atom (("and")? atom)*       -- bare adjacency = implicit AND
-        atom    := WORD | WORD"*"
+        atom    := WORD | WORD"*" | '"' WORD+ '"'   -- quoted = phrase
+
+    Quoted phrases are an extension (see :class:`Phrase`); a quoted
+    ``"and"``/``"or"`` is a term, never an operator, and ``*`` inside
+    a phrase is tokenizer-stripped (no prefix matching inside phrases).
 
     Anything outside the documented surface (stray operators at the edges,
     empty query) raises :class:`ParseError` — the reference passes such
@@ -162,6 +206,15 @@ class QueryParser:
         if word.lower() in ("and", "or"):
             raise ParseError(f"operator {word!r} in term position")
         self._pos += 1
+        if word.startswith('"'):
+            if len(word) < 2 or not word.endswith('"'):
+                raise ParseError(f"unterminated quote in {word!r}")
+            parts = _split_like_tokenizer(word[1:-1])
+            if not parts:
+                raise ParseError(f"no searchable characters in {word!r}")
+            if len(parts) == 1:
+                return Term(parts[0])  # one-word "phrase" is a term
+            return Phrase(tuple(parts))
         is_prefix = word.endswith("*") and len(word) > 1
         if is_prefix:
             word = word[:-1]
@@ -189,3 +242,14 @@ def _split_like_tokenizer(word: str) -> list[str]:
 
 def parse_query(query: str) -> Node:
     return QueryParser(query).parse()
+
+
+def has_phrase(ast: Node) -> bool:
+    """True when the AST contains a :class:`Phrase` — callers on the
+    postings path use this to add the adjacency verify only when one
+    exists (phrase-free plans stay byte-identical)."""
+    if isinstance(ast, Phrase):
+        return True
+    if isinstance(ast, (And, Or)):
+        return has_phrase(ast.left) or has_phrase(ast.right)
+    return False

@@ -159,3 +159,104 @@ if HAVE_HYPOTHESIS:
         node = parse_query(q)
         sql = node.to_sql("list_value('lorem', 'ipsum')")
         duckdb.sql(f"SELECT {sql}")  # raises on malformed SQL
+
+
+# ---- quoted phrases (extension past the reference surface) ----
+
+
+def test_phrase_parses():
+    from sifts_spark.queryparser import Phrase
+
+    assert parse_query('"lorem ipsum"') == Phrase(("lorem", "ipsum"))
+    assert parse_query('"Lorem IPSUM dolor"') == Phrase(
+        ("lorem", "ipsum", "dolor")
+    )
+
+
+def test_phrase_composes_with_operators():
+    from sifts_spark.queryparser import Phrase
+
+    assert parse_query('"lorem ipsum" or sit') == Or(
+        Phrase(("lorem", "ipsum")), Term("sit")
+    )
+    assert parse_query('dolor "lorem ipsum"') == And(
+        Term("dolor"), Phrase(("lorem", "ipsum"))
+    )
+
+
+def test_quoted_operator_is_a_term():
+    assert parse_query('"and"') == Term("and")
+    assert parse_query('lorem "or" ipsum') == And(
+        And(Term("lorem"), Term("or")), Term("ipsum")
+    )
+
+
+def test_single_word_phrase_is_a_term():
+    assert parse_query('"lorem"') == Term("lorem")
+
+
+def test_phrase_tokenizer_split():
+    from sifts_spark.queryparser import Phrase
+
+    # punctuation splits inside phrases exactly like document text
+    assert parse_query('"don\'t stop"') == Phrase(("don", "t", "stop"))
+
+
+def test_phrase_edge_rejections():
+    with pytest.raises(ParseError, match="unterminated"):
+        parse_query('"lorem ipsum')
+    with pytest.raises(ParseError, match="no searchable"):
+        parse_query('""')
+    with pytest.raises(ParseError, match="no searchable"):
+        parse_query('"!!!"')
+
+
+def test_phrase_sql_twin_matches_semantics():
+    """to_sql replays phrase adjacency in DuckDB, including the
+    shorter-than-phrase and scattered-words negatives."""
+    import duckdb
+
+    from sifts_spark.queryparser import Phrase
+
+    node = Phrase(("a", "b", "c"))
+    cases = [
+        ("list_value('a','b','c')", True),
+        ("list_value('x','a','b','c','y')", True),
+        ("list_value('a','b','x','c')", False),   # scattered
+        ("list_value('c','b','a')", False),       # wrong order
+        ("list_value('a','b')", False),           # shorter than phrase
+        ("CAST(list_value() AS VARCHAR[])", False),
+    ]
+    for expr, want in cases:
+        got = duckdb.sql(
+            f"SELECT {node.to_sql(expr)}"
+        ).fetchone()[0]
+        assert got == want, expr
+
+
+def test_phrase_column_matches_documents(store_root, spark):
+    """End-to-end through the Collection FTS path: postings candidates
+    + adjacency verify return exactly the adjacent-run docs."""
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "ph", spark=spark)
+    col.add(
+        [
+            "the quick brown fox jumps",        # adjacent run
+            "quick the brown and fox",          # words present, scattered
+            "brown fox quick",                  # wrong order
+            "entirely unrelated text here",
+            "leading words then quick brown fox trailing",  # adjacent, offset
+        ],
+        ids=["hit1", "scatter", "order", "none", "hit2"],
+    )
+    res = col.query('"quick brown fox"')
+    assert {r["id"] for r in res["results"]} == {"hit1", "hit2"}
+    # phrase composes with boolean operators through the same path
+    res2 = col.query('"quick brown fox" or unrelated')
+    assert {r["id"] for r in res2["results"]} == {"hit1", "hit2", "none"}
+    # and the plain-boolean semantics are unchanged by the extension
+    res3 = col.query("quick brown fox")
+    assert {r["id"] for r in res3["results"]} == {
+        "hit1", "scatter", "order", "hit2"
+    }

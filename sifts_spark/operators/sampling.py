@@ -354,3 +354,59 @@ def pack_sequences(
         .sortWithinPartitions("_h", "_id")
     )
     return prepped.mapInPandas(pack, PACK_SCHEMA)
+
+
+def render_sequences(
+    sequences: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Materialize packed sequences into training payloads →
+    (seq_id, text, n_docs, total_tokens, fill) — the step between
+    :func:`pack_sequences`' assignments and what a training loader
+    actually reads: each sequence's member documents concatenated IN
+    PACKING ORDER, joined by ``sep`` (pass the tokenizer's EOS/
+    document-separator string in a real pipeline; the default keeps
+    payloads human-inspectable).
+
+    Docs are matched on ``id_col`` against the ``doc_ids`` arrays (the
+    recipe's epoch-suffixed ``row_id`` keys work too — pass the frame
+    keyed the way packing saw it). A doc id missing from ``docs``
+    drops out of its sequence (its tokens were budgeted but its text
+    cannot be rendered) — keep the two frames from one snapshot.
+
+    Scale shape: posexplode of assignment-sized arrays, ONE doc-keyed
+    shuffle join to fetch payloads, ONE seq-keyed aggregate that
+    reassembles order via ``array_sort`` over (pos, text) structs —
+    the payload bytes move exactly once; nothing is driver-side.
+    """
+    asg = sequences.select(
+        "seq_id",
+        "total_tokens",
+        "fill",
+        F.posexplode("doc_ids").alias("_pos", "_id"),
+    )
+    payload = docs.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    return (
+        asg.join(payload, "_id")
+        .groupBy("seq_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_t"))
+                    ),
+                    lambda s: s["_t"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("total_tokens").alias("total_tokens"),
+            F.first("fill").alias("fill"),
+        )
+    )

@@ -163,6 +163,8 @@ def prepare_training_data(
     holdout_frac: float = 0.0,
     split_seed: str = "holdout",
     semantic_dedup_eps: float | None = None,
+    render_sequence_text: bool = False,
+    sequence_sep: str = "\n\n",
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -263,7 +265,13 @@ def prepare_training_data(
     5. packing — :func:`~sifts_spark.operators.sampling
        .pack_sequences` into ``max_seq_tokens`` bins;
     6. export — docs to ``{out_path}/docs`` and the packing manifest
-       to ``{out_path}/sequences`` via the calibrated-shard sink.
+       to ``{out_path}/sequences`` via the calibrated-shard sink;
+       ``render_sequence_text=True`` additionally materializes the
+       CONCATENATED training payloads (:func:`~sifts_spark.operators
+       .sampling.render_sequences`, members joined by
+       ``sequence_sep`` in packing order) to
+       ``{out_path}/sequences_text`` — what a loader that doesn't
+       re-join docs itself reads.
 
     Driver actions: one count per stage boundary (5 small aggs over a
     persisted frame — attrition numbers are the POINT of the manifest;
@@ -524,12 +532,42 @@ def prepare_training_data(
         "n_tokens",
     )
     seqs = pack_sequences(packable, "row_id", "n_tokens", max_seq_tokens)
+    if render_sequence_text:
+        # two consumers (payload render + assignment export): persist
+        # so the packing kernel runs once; packing is deterministic, so
+        # this is cost, not correctness
+        seqs = seqs.persist()
     manifest["export_docs"] = export_corpus(
         stage, f"{out_path.rstrip('/')}/docs", target_file_mb=target_file_mb
     )
+    if render_sequence_text:
+        from sifts_spark.operators.sampling import render_sequences
+
+        # the epoch-suffixed row_id keys the payload frame exactly the
+        # way packing saw it, so upsampled epochs render their copy too
+        rendered = render_sequences(
+            seqs,
+            stage.select(
+                F.concat_ws(
+                    "#",
+                    F.col("id").cast("string"),
+                    F.col("epoch").cast("string"),
+                ).alias("row_id"),
+                "text",
+            ),
+            id_col="row_id",
+            sep=sequence_sep,
+        )
+        manifest["export_sequence_text"] = export_corpus(
+            rendered,
+            f"{out_path.rstrip('/')}/sequences_text",
+            target_file_mb=target_file_mb,
+        )
     manifest["export_sequences"] = export_corpus(
         seqs, f"{out_path.rstrip('/')}/sequences", target_file_mb=target_file_mb
     )
+    if render_sequence_text:
+        seqs.unpersist()
     if stage is not curated:
         stage.unpersist()
     curated.unpersist()

@@ -282,3 +282,87 @@ class TestSplitCorpus:
         train_ids = {r["id"] for r in train.select("id").collect()}
         assert hold_ids and not (hold_ids & train_ids)
         assert len(hold_ids) == m["stages"]["holdout"]
+
+
+class TestRenderSequences:
+    """Packed-sequence payload materialization: packing order
+    preserved, separator applied, missing docs drop, recipe e2e."""
+
+    def test_order_and_separator(self, spark):
+        from sifts_spark.operators.sampling import (
+            pack_sequences,
+            render_sequences,
+        )
+
+        rows = [("d1", "alpha text", 900), ("d2", "beta text", 900),
+                ("d3", "gamma text", 900), ("d4", "delta text", 1800)]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, n_tokens long"
+        )
+        seqs = pack_sequences(df, max_tokens=2000)
+        rendered = {
+            r["seq_id"]: r
+            for r in render_sequences(
+                seqs, df, sep=" <EOS> "
+            ).collect()
+        }
+        texts = dict(
+            (doc_id, text) for doc_id, text, _ in rows
+        )
+        by_seq = {r["seq_id"]: list(r["doc_ids"]) for r in seqs.collect()}
+        assert len(rendered) == len(by_seq)
+        for sid, ids in by_seq.items():
+            want = " <EOS> ".join(texts[i] for i in ids)
+            got = rendered[sid]
+            assert got["text"] == want, sid
+            assert got["n_docs"] == len(ids)
+
+    def test_missing_and_null_docs(self, spark):
+        from sifts_spark.operators.sampling import (
+            pack_sequences,
+            render_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "visible", 10), ("b", None, 10)],
+            "doc_id string, text string, n_tokens long",
+        )
+        seqs = pack_sequences(df, max_tokens=100)
+        # NULL text renders as empty string, not a dropped member
+        r = render_sequences(seqs, df).collect()[0]
+        assert r["n_docs"] == 2 and "visible" in r["text"]
+        # a doc id absent from the payload frame drops from its seq
+        r2 = render_sequences(
+            seqs, df.filter("doc_id = 'a'")
+        ).collect()[0]
+        assert r2["n_docs"] == 1 and r2["text"] == "visible"
+
+    def test_recipe_renders_payloads(self, spark, tmp_path):
+        from sifts_spark.pipelines.curation import prepare_training_data
+
+        docs = load_table(spark, SF_DIR, "documents").limit(40).select(
+            "doc_id", "text"
+        )
+        m = prepare_training_data(
+            docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+            allowed_langs=("en", "de", "fr", "es", "it", "zh", "und"),
+            jaccard_threshold=1.01, max_seq_tokens=512,
+            render_sequence_text=True, sequence_sep=" <EOS> ",
+        )
+        assert m["export_sequence_text"]["rows"] > 0
+        seqs = spark.read.parquet(str(tmp_path / "out" / "sequences"))
+        payloads = spark.read.parquet(
+            str(tmp_path / "out" / "sequences_text")
+        )
+        assert payloads.count() == seqs.count()
+        joined = seqs.select("seq_id", "n_docs").join(
+            payloads.select(
+                "seq_id", F.col("n_docs").alias("n2"), "text"
+            ),
+            "seq_id",
+        ).collect()
+        assert joined and all(r["n_docs"] == r["n2"] for r in joined)
+        multi = [r for r in joined if r["n_docs"] > 1]
+        assert all(
+            r["text"].count(" <EOS> ") == r["n_docs"] - 1 for r in multi
+        )

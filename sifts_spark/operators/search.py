@@ -32,7 +32,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sifts_spark.functions.text import tokenize
-from sifts_spark.queryparser import And, Node, Or, Phrase, Prefix, Term
+from sifts_spark.queryparser import (
+    And,
+    AndNot,
+    Node,
+    Or,
+    Phrase,
+    Prefix,
+    Term,
+)
 
 # Classic Okapi BM25 constants (same defaults as FTS5's bm25() and Lucene).
 BM25_K1 = 1.2
@@ -88,7 +96,9 @@ def _collect_leaves(ast: Node) -> list[Node]:
         # adjacency on the joined content (collection.py) — the
         # Lucene-without-positions plan
         return [Term(w) for w in ast.words]
-    if isinstance(ast, (And, Or)):
+    if isinstance(ast, (And, Or, AndNot)):
+        # AndNot's right side too: its tags must be visible per
+        # candidate id so the exclusion can evaluate over the tag set
         return _collect_leaves(ast.left) + _collect_leaves(ast.right)
     raise TypeError(f"unknown AST node {ast!r}")
 
@@ -121,7 +131,26 @@ def _retag(ast: Node) -> Node:
         return And(_retag(ast.left), _retag(ast.right))
     if isinstance(ast, Or):
         return Or(_retag(ast.left), _retag(ast.right))
+    if isinstance(ast, AndNot):
+        # a Phrase under negation cannot be excluded from the tag set
+        # (all-words-present over-approximates the phrase, and negating
+        # an over-approximation UNDER-approximates — real matches would
+        # be dropped before the content verify). Drop the negation from
+        # the prefilter instead: candidates stay a superset, and the
+        # caller's has_phrase content verify applies the exact
+        # semantics.
+        if _contains_phrase(ast.right):
+            return _retag(ast.left)
+        return AndNot(_retag(ast.left), _retag(ast.right))
     raise TypeError(f"unknown AST node {ast!r}")
+
+
+def _contains_phrase(ast: Node) -> bool:
+    if isinstance(ast, Phrase):
+        return True
+    if isinstance(ast, (And, Or, AndNot)):
+        return _contains_phrase(ast.left) or _contains_phrase(ast.right)
+    return False
 
 
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:

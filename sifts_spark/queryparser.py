@@ -137,6 +137,34 @@ class Or(Node):
         return f"({self.left.to_sql(tokens_sql)} OR {self.right.to_sql(tokens_sql)})"
 
 
+@dataclass(frozen=True)
+class AndNot(Node):
+    """FTS5-style binary set difference: ``a NOT b`` = matches of
+    ``a`` minus matches of ``b`` — an EXTENSION (the reference has no
+    negation; SURVEY §2.4). NOT is deliberately UPPERCASE-ONLY and
+    binary: lowercase "not" stays an ordinary content term ("do not
+    disturb" keeps meaning three words), and a pure-negative query
+    (``NOT a``, ``x or NOT a``) is rejected — complement-of-corpus
+    cannot be answered from a postings index (the Lucene/FTS5
+    restriction)."""
+
+    left: Node
+    right: Node
+
+    def to_column(self, tokens: Column) -> Column:
+        # coalesce: a NULL right side (NULL tokens) must read "does
+        # not match", not poison the conjunction to NULL
+        return self.left.to_column(tokens) & ~F.coalesce(
+            self.right.to_column(tokens), F.lit(False)
+        )
+
+    def to_sql(self, tokens_sql: str) -> str:
+        return (
+            f"({self.left.to_sql(tokens_sql)} AND NOT "
+            f"coalesce({self.right.to_sql(tokens_sql)}, false))"
+        )
+
+
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
@@ -152,12 +180,14 @@ class QueryParser:
 
         query   := or_expr
         or_expr := and_expr (("or") and_expr)*
-        and_expr:= atom (("and")? atom)*       -- bare adjacency = implicit AND
-        atom    := WORD | WORD"*" | '"' WORD+ '"'   -- quoted = phrase
+        and_expr:= atom (("and")? atom | "NOT" atom)*   -- bare adjacency = AND
+        atom    := WORD | WORD"*" | '"' WORD+ '"'       -- quoted = phrase
 
-    Quoted phrases are an extension (see :class:`Phrase`); a quoted
-    ``"and"``/``"or"`` is a term, never an operator, and ``*`` inside
-    a phrase is tokenizer-stripped (no prefix matching inside phrases).
+    Quoted phrases and binary ``NOT`` are extensions (see
+    :class:`Phrase` / :class:`AndNot`); a quoted ``"and"``/``"or"`` is
+    a term, never an operator, ``*`` inside a phrase is
+    tokenizer-stripped (no prefix matching inside phrases), and NOT is
+    uppercase-only (lowercase "not" stays a content term).
 
     Anything outside the documented surface (stray operators at the edges,
     empty query) raises :class:`ParseError` — the reference passes such
@@ -193,7 +223,10 @@ class QueryParser:
             nxt = self._peek()
             if nxt is None or nxt.lower() == "or":
                 return node
-            if nxt.lower() == "and":
+            if nxt == "NOT":  # case-sensitive: lowercase not = a term
+                self._pos += 1
+                node = AndNot(node, self._atom())
+            elif nxt.lower() == "and":
                 self._pos += 1
                 node = And(node, self._atom())
             else:
@@ -205,6 +238,11 @@ class QueryParser:
             raise ParseError("query ends with an operator")
         if word.lower() in ("and", "or"):
             raise ParseError(f"operator {word!r} in term position")
+        if word == "NOT":
+            raise ParseError(
+                "NOT is binary (a NOT b) — a pure-negative query has "
+                "no positive clause to search from"
+            )
         self._pos += 1
         if word.startswith('"'):
             if len(word) < 2 or not word.endswith('"'):
@@ -250,6 +288,6 @@ def has_phrase(ast: Node) -> bool:
     exists (phrase-free plans stay byte-identical)."""
     if isinstance(ast, Phrase):
         return True
-    if isinstance(ast, (And, Or)):
+    if isinstance(ast, (And, Or, AndNot)):
         return has_phrase(ast.left) or has_phrase(ast.right)
     return False

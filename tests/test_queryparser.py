@@ -260,3 +260,79 @@ def test_phrase_column_matches_documents(store_root, spark):
     assert {r["id"] for r in res3["results"]} == {
         "hit1", "scatter", "order", "hit2"
     }
+
+
+# ---- binary NOT (extension past the reference surface) ----
+
+
+def test_not_parses_binary():
+    from sifts_spark.queryparser import AndNot, Phrase
+
+    assert parse_query("lorem NOT ipsum") == AndNot(
+        Term("lorem"), Term("ipsum")
+    )
+    assert parse_query("a b NOT c") == AndNot(
+        And(Term("a"), Term("b")), Term("c")
+    )
+    assert parse_query("a NOT b or c") == Or(
+        AndNot(Term("a"), Term("b")), Term("c")
+    )
+    assert parse_query('a NOT "b c"') == AndNot(
+        Term("a"), Phrase(("b", "c"))
+    )
+
+
+def test_lowercase_not_is_a_term():
+    assert parse_query("do not disturb") == And(
+        And(Term("do"), Term("not")), Term("disturb")
+    )
+    assert parse_query("Not now") == And(Term("not"), Term("now"))
+
+
+def test_pure_negative_rejected():
+    with pytest.raises(ParseError, match="pure-negative|binary"):
+        parse_query("NOT lorem")
+    with pytest.raises(ParseError, match="pure-negative|binary"):
+        parse_query("a or NOT b")
+
+
+def test_not_sql_twin():
+    import duckdb
+
+    from sifts_spark.queryparser import AndNot
+
+    node = AndNot(Term("a"), Term("b"))
+    cases = [
+        ("list_value('a','x')", True),
+        ("list_value('a','b')", False),
+        ("list_value('b')", False),
+        ("CAST(NULL AS VARCHAR[])", None),  # no positive match either
+    ]
+    for expr, want in cases:
+        got = duckdb.sql(f"SELECT {node.to_sql(expr)}").fetchone()[0]
+        assert got == want, expr
+
+
+def test_not_matches_documents(store_root, spark):
+    """Through the Collection postings path: exclusion over the tag
+    set, and the phrase-under-negation superset rule."""
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "neg", spark=spark)
+    col.add(
+        [
+            "apples and oranges on the table",
+            "apples only here",
+            "oranges alone",
+            "apples with sliced green oranges nearby",
+        ],
+        ids=["both", "a_only", "o_only", "both2"],
+    )
+    res = col.query("apples NOT oranges")
+    assert {r["id"] for r in res["results"]} == {"a_only"}
+    # negated PHRASE: docs with the words scattered still match
+    res2 = col.query('apples NOT "oranges on"')
+    assert {r["id"] for r in res2["results"]} == {"a_only", "both2"}
+    # plain positive semantics unchanged
+    res3 = col.query("apples")
+    assert len(res3["results"]) == 3

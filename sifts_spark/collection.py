@@ -932,6 +932,7 @@ class SparkCollection:
         nprobe: int = 2,
         refine: int = 4,
         group_by_parent: bool = False,
+        highlight: bool = False,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -960,6 +961,13 @@ class SparkCollection:
         ``_chunk``/``_begin_char``/``_end_char`` metadata keys carry
         the span provenance. ``where`` filters apply to chunk metadata
         BEFORE the collapse; ``total`` counts matched parents.
+
+        ``highlight=True`` (extension; text queries only): each result
+        gains a ``snippet`` — the densest-match window of its content
+        with matched tokens bracketed (:func:`~sifts_spark.functions
+        .snippets.make_snippet`; call it directly for custom
+        window/markers). Driver-side over the page only, so the cost
+        is O(limit x doc length) — the bulk path is unaffected.
         """
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
@@ -990,6 +998,11 @@ class SparkCollection:
         finally:
             df.unpersist()
 
+        snip_ast = None
+        if highlight and query_string and not vector_search:
+            from sifts_spark.functions.snippets import make_snippet
+
+            snip_ast = parse_query(query_string)
         results = []
         for r in rows:
             d: dict[str, Any] = {
@@ -999,6 +1012,8 @@ class SparkCollection:
             }
             if is_search:
                 d["rank"] = r["rank"]
+            if snip_ast is not None:
+                d["snippet"] = make_snippet(r["content"], snip_ast)
             results.append(d)
         # PG semantics: empty page reports total=0 (core.py:341-344).
         return {"total": total if results else 0, "results": results}

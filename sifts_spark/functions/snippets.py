@@ -1,0 +1,114 @@
+"""Result highlighting: FTS5-``snippet()``-style extracts.
+
+Given a page of search hits and the parsed query AST, produce a short
+window of each document around the densest cluster of matched tokens,
+with the matches marked — what a search UI renders under each result.
+The reference exposes no snippet API (its FTS5 backend has one, its PG
+backend's would differ — ``ts_headline`` — so it defines none); this is
+a defined extension with one engine-independent semantics.
+
+Deliberately DRIVER-SIDE: snippets decorate a ``limit``-sized page (the
+``mmr_select`` precedent — k-sized work stays out of the cluster), so
+the cost is O(page x doc length), never corpus-anything. The bulk path
+(``query_df``) is unaffected.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sifts_spark.queryparser import And, AndNot, Node, Or, Phrase, Prefix, Term
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def positive_leaves(ast: Node) -> tuple[set, set, list]:
+    """(terms, prefixes, phrases) occurring in POSITIVE positions —
+    the right side of ``AndNot`` is excluded (a term the user excluded
+    must never be highlighted as a match)."""
+    terms: set = set()
+    prefixes: set = set()
+    phrases: list = []
+
+    def walk(node: Node) -> None:
+        if isinstance(node, Term):
+            terms.add(node.word)
+        elif isinstance(node, Prefix):
+            prefixes.add(node.prefix)
+        elif isinstance(node, Phrase):
+            phrases.append(tuple(node.words))
+        elif isinstance(node, (And, Or)):
+            walk(node.left)
+            walk(node.right)
+        elif isinstance(node, AndNot):
+            walk(node.left)  # never node.right
+        else:  # pragma: no cover - parser produces no other nodes
+            raise TypeError(f"unknown AST node {node!r}")
+
+    walk(ast)
+    return terms, prefixes, phrases
+
+
+def make_snippet(
+    text: str | None,
+    ast: Node,
+    window: int = 16,
+    mark: tuple = ("[", "]"),
+    ellipsis: str = "…",
+) -> str:
+    """The ``window``-token extract of ``text`` containing the MOST
+    positive-match tokens (earliest window on ties), matched tokens
+    wrapped in ``mark``, clipped edges flagged with ``ellipsis``.
+    Tokenization mirrors the index (lowercase ``[a-z0-9]+`` runs), and
+    marks wrap the ORIGINAL text spans, so casing/punctuation render
+    as written. Phrase matches highlight only true consecutive runs.
+    Matchless or empty text returns its plain leading window."""
+    if not text:
+        return ""
+    spans = [
+        (m.group(), m.start(), m.end())
+        for m in _TOKEN_RE.finditer(text.lower())
+    ]
+    if not spans:
+        return text
+    terms, prefixes, phrases = positive_leaves(ast)
+    matched: set = set()
+    for i, (tok, _, _) in enumerate(spans):
+        if tok in terms or any(tok.startswith(p) for p in prefixes):
+            matched.add(i)
+    for words in phrases:
+        n = len(words)
+        for i in range(len(spans) - n + 1):
+            if all(spans[i + j][0] == words[j] for j in range(n)):
+                matched.update(range(i, i + n))
+
+    flags = [1 if i in matched else 0 for i in range(len(spans))]
+    pre = [0]
+    for f in flags:
+        pre.append(pre[-1] + f)
+    best_start, best_count = 0, -1
+    for start in range(0, max(len(spans) - window, 0) + 1):
+        stop = min(start + window, len(spans))
+        c = pre[stop] - pre[start]
+        if c > best_count:
+            best_start, best_count = start, c
+    stop = min(best_start + window, len(spans))
+    lo = spans[best_start][1]
+    hi = spans[stop - 1][2]
+
+    out = []
+    cur = lo
+    for i in range(best_start, stop):
+        _, s, e = spans[i]
+        out.append(text[cur:s])
+        if i in matched:
+            out.append(mark[0] + text[s:e] + mark[1])
+        else:
+            out.append(text[s:e])
+        cur = e
+    snippet = "".join(out)
+    if lo > 0:
+        snippet = ellipsis + snippet
+    if hi < len(text):
+        snippet = snippet + ellipsis
+    return snippet

@@ -1,0 +1,84 @@
+"""Snippet extraction (make_snippet / query(highlight=True)):
+window selection, marking, polarity, phrase runs, edges."""
+
+from __future__ import annotations
+
+from sifts_spark.functions.snippets import make_snippet, positive_leaves
+from sifts_spark.queryparser import parse_query
+
+
+class TestMakeSnippet:
+    def test_marks_and_window(self):
+        text = (
+            "filler " * 30
+            + "the target word sits here in context "
+            + "filler " * 30
+        ).strip()
+        ast = parse_query("target context")
+        snip = make_snippet(text, ast, window=8)
+        assert "[target]" in snip and "[context]" in snip
+        assert snip.startswith("…") and snip.endswith("…")
+        assert "[filler]" not in snip
+        # window is token-bounded, not the whole doc
+        assert len(snip) < len(text) / 2
+
+    def test_densest_window_wins(self):
+        text = (
+            "alpha spread "
+            + "noise " * 40
+            + "alpha alpha alpha clustered together"
+        )
+        snip = make_snippet(text, parse_query("alpha"), window=6)
+        assert snip.count("[alpha]") == 3  # the cluster, not the loner
+
+    def test_original_casing_preserved(self):
+        snip = make_snippet(
+            "Apples are GREAT", parse_query("apples great"), window=6
+        )
+        assert "[Apples]" in snip and "[GREAT]" in snip
+        assert not snip.startswith("…") and not snip.endswith("…")
+
+    def test_prefix_and_phrase_highlighting(self):
+        text = "querying quick brown fox and quick red fox"
+        snip = make_snippet(text, parse_query('quer* "quick brown"'), window=12)
+        assert "[querying]" in snip
+        assert "[quick] [brown]" in snip
+        # the scattered second "quick" is not part of the phrase run
+        assert "[quick] red" not in snip and " quick red" in snip
+
+    def test_negated_terms_never_highlight(self):
+        terms, prefixes, phrases = positive_leaves(
+            parse_query('apples NOT oranges')
+        )
+        assert terms == {"apples"} and not prefixes and not phrases
+        snip = make_snippet(
+            "apples and oranges", parse_query("apples NOT bananas"), window=8
+        )
+        assert "[apples]" in snip and "[oranges]" not in snip
+
+    def test_edges(self):
+        ast = parse_query("x")
+        assert make_snippet(None, ast) == ""
+        assert make_snippet("", ast) == ""
+        assert make_snippet("!!! ???", ast) == "!!! ???"
+        # matchless text: plain leading window
+        out = make_snippet("just some words here", ast, window=2)
+        assert out == "just some…"
+
+
+def test_query_highlight_end_to_end(store_root, spark):
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "hl", spark=spark)
+    col.add(
+        ["the quick brown fox jumps over fences",
+         "nothing relevant in this one at all"],
+        ids=["hit", "miss"],
+    )
+    res = col.query("quick fences", highlight=True)
+    assert [r["id"] for r in res["results"]] == ["hit"]
+    assert "[quick]" in res["results"][0]["snippet"]
+    assert "[fences]" in res["results"][0]["snippet"]
+    # off by default
+    res2 = col.query("quick")
+    assert "snippet" not in res2["results"][0]

@@ -1288,6 +1288,7 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         group_by_parent: bool = False,
+        highlight: bool = False,
     ) -> dict:
         """Hybrid text+vector search fused by Reciprocal Rank Fusion
         (extension — the reference exposes FTS and vector search only
@@ -1321,6 +1322,10 @@ class SparkCollection:
         pool cut — raise ``pool`` to widen. The payload join happens
         on the pool-sized frame instead of the ``k`` winners (the
         collapse needs metadata) — still pool-bounded.
+
+        ``highlight=True``: per-result ``snippet`` over the TEXT leg's
+        query terms (same contract as :meth:`query`; a vector-leg-only
+        hit simply shows its unmarked leading window).
         """
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
@@ -1353,6 +1358,12 @@ class SparkCollection:
             }
             for r in rows
         ]
+        if highlight:
+            from sifts_spark.functions.snippets import make_snippet
+
+            snip_ast = parse_query(query_string)
+            for d in results:
+                d["snippet"] = make_snippet(d["content"], snip_ast)
         return {"total": total if results else 0, "results": results}
 
     def hybrid_query_df(

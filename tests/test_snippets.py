@@ -82,3 +82,21 @@ def test_query_highlight_end_to_end(store_root, spark):
     # off by default
     res2 = col.query("quick")
     assert "snippet" not in res2["results"][0]
+
+
+def test_hybrid_query_highlight(store_root, spark):
+    from sifts_spark.collection import Collection
+
+    def embed(texts):
+        return [[1.0, 0.0] if "quick" in t else [0.0, 1.0] for t in texts]
+
+    col = Collection(store_root, "hh", spark=spark,
+                     embedding_function=embed)
+    col.add(
+        ["the quick brown fox", "slow green turtle"], ids=["q", "s"]
+    )
+    res = col.hybrid_query("quick fox", k=2, highlight=True)
+    by_id = {r["id"]: r for r in res["results"]}
+    assert "[quick]" in by_id["q"]["snippet"]
+    # vector-leg-only hit: unmarked window, still present
+    assert "snippet" in by_id["s"] and "[" not in by_id["s"]["snippet"]

@@ -40,6 +40,7 @@ from sifts_spark.queryparser import (
     Phrase,
     Prefix,
     Term,
+    has_phrase,
 )
 
 # Classic Okapi BM25 constants (same defaults as FTS5's bm25() and Lucene).
@@ -87,19 +88,30 @@ def write_postings(postings: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
-def _collect_leaves(ast: Node) -> list[Node]:
+def _collect_leaves(ast: Node, negative: bool = False) -> list:
+    """[(leaf, negative)] — negative-position leaves (under an
+    ``AndNot`` right side) participate in candidate fetch and the tag
+    set (the exclusion must see them) but never in BM25 scoring: a
+    surviving doc must not rank HIGHER for containing more of the
+    words the user excluded (reachable via the negated-phrase
+    prefilter drop, where scattered excluded words legitimately
+    survive)."""
     if isinstance(ast, (Term, Prefix)):
-        return [ast]
+        return [(ast, negative)]
     if isinstance(ast, Phrase):
         # the postings index carries no positions: a phrase's candidate
         # set is the AND of its words (a superset); the caller verifies
         # adjacency on the joined content (collection.py) — the
         # Lucene-without-positions plan
-        return [Term(w) for w in ast.words]
-    if isinstance(ast, (And, Or, AndNot)):
-        # AndNot's right side too: its tags must be visible per
-        # candidate id so the exclusion can evaluate over the tag set
-        return _collect_leaves(ast.left) + _collect_leaves(ast.right)
+        return [(Term(w), negative) for w in ast.words]
+    if isinstance(ast, (And, Or)):
+        return _collect_leaves(ast.left, negative) + _collect_leaves(
+            ast.right, negative
+        )
+    if isinstance(ast, AndNot):
+        return _collect_leaves(ast.left, negative) + _collect_leaves(
+            ast.right, True
+        )
     raise TypeError(f"unknown AST node {ast!r}")
 
 
@@ -139,18 +151,10 @@ def _retag(ast: Node) -> Node:
         # the prefilter instead: candidates stay a superset, and the
         # caller's has_phrase content verify applies the exact
         # semantics.
-        if _contains_phrase(ast.right):
+        if has_phrase(ast.right):
             return _retag(ast.left)
         return AndNot(_retag(ast.left), _retag(ast.right))
     raise TypeError(f"unknown AST node {ast!r}")
-
-
-def _contains_phrase(ast: Node) -> bool:
-    if isinstance(ast, Phrase):
-        return True
-    if isinstance(ast, (And, Or, AndNot)):
-        return _contains_phrase(ast.left) or _contains_phrase(ast.right)
-    return False
 
 
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:
@@ -211,10 +215,18 @@ def search_postings(
     """
     # unique by tag (order-preserving): a word appearing twice — e.g.
     # standalone AND inside a phrase — must score once, not double its
-    # tf through two identical tag entries
-    leaves = list(
-        {_leaf_tag(lf): lf for lf in _collect_leaves(ast)}.values()
-    )
+    # tf through two identical tag entries. A tag that appears in BOTH
+    # polarities (its word standalone and inside a negation) scores: the
+    # positive occurrence earns it.
+    signed: dict = {}
+    for leaf, neg in _collect_leaves(ast):
+        tag = _leaf_tag(leaf)
+        if tag not in signed:
+            signed[tag] = (leaf, neg)
+        elif not neg:
+            signed[tag] = (leaf, False)
+    leaves = [leaf for leaf, _ in signed.values()]
+    positive_tags = [t for t, (_, neg) in signed.items() if not neg]
     term = F.col("term")
     cond = None
     for leaf in leaves:
@@ -274,6 +286,11 @@ def search_postings(
     idf = F.log((n_col - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl_col)
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    # negative-position tags contribute nothing to rank (see
+    # _collect_leaves); they remain in the tag set for exclusion eval
+    contrib = F.when(
+        F.col("tag").isin(positive_tags), contrib
+    ).otherwise(F.lit(0.0))
 
     scored = with_stats.groupBy("id").agg(
         F.collect_set("tag").alias("_tags"),

@@ -397,7 +397,9 @@ def prepare_training_data(
 
         # persisted: the embed kernel feeds both the centroid sample
         # and the semdedup scan — unpersisted it would run twice
-        emb = embed_hashing(stage, id_col="id", text_col="text").persist()
+        emb = embed_hashing(
+            stage, id_col="id", text_col="text", dim=128
+        ).persist()  # 128: the measured config (DEDUP_EVAL/EXT_BENCH)
         cents = kmeans_centroids(emb, vec_col="embedding")
         keep = (
             semdedup(
@@ -523,7 +525,13 @@ def prepare_training_data(
                 id_col="id",
             )
         )
+        stage_persisted = stage
     else:
+        # keep the PERSISTED handle: unpersisting the withColumn-derived
+        # plan below would be a no-op (uncache matches exact plans only
+        # — the bpe-block lesson) and leak the last stage through
+        # packing and every export
+        stage_persisted = stage
         stage = stage.withColumn("epoch", F.lit(0))
 
     # packing needs a unique row key once upsampling introduced epochs
@@ -568,7 +576,7 @@ def prepare_training_data(
     )
     if render_sequence_text:
         seqs.unpersist()
-    if stage is not curated:
-        stage.unpersist()
+    if stage_persisted is not curated:
+        stage_persisted.unpersist()
     curated.unpersist()
     return manifest

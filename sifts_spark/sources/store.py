@@ -379,26 +379,38 @@ class DocumentStore:
         version).
 
         ``until=None`` compares against the CURRENT snapshot. Change
-        detection is by winning batch number, not content bytes:
-        newest-batch-wins means any upsert bumps the winner, so a
-        re-upsert of identical content still reads as ``updated``
-        (documented, Delta-style version semantics). An id deleted and
-        re-added between the versions is ``updated`` (present in
+        detection: the winning batch number flags candidates cheaply,
+        then batch-changed ids are VERIFIED by content digest
+        (md5 over content/metadata/embedding) — so a re-upsert of
+        identical bytes does NOT read as updated, and neither does a
+        :meth:`compact` between the endpoints (compaction rewrites
+        every live row's batch number; without the digest verify a
+        routine maintenance fold would tell an incremental consumer
+        to reprocess the whole corpus — the failure Delta's
+        ``dataChange=false`` flag exists to prevent). An id deleted
+        and re-added with different bytes is ``updated`` (present in
         both).
 
         Scale shape: two column-pruned (id, batch, deleted) scans →
         per-side winner windows → ONE full-outer join on id of
-        id-sized frames; no content columns move. Both endpoints
-        resolve through logged manifests, so the result is exact even
-        while a writer races (the log is immutable)."""
-        old = self.live_versions(name, self._manifest_at(name, since))
-        new = self.live_versions(
-            name,
-            _UNSET if until is None else self._manifest_at(name, until),
-        )
+        id-sized frames; content bytes move only for the
+        batch-changed candidates, which the digest join then prunes
+        to real changes (normally append-sized; corpus-sized only
+        right after a full compaction, where reading the bytes is the
+        price of answering correctly). Both endpoints resolve through
+        logged manifests, so the result is exact even while a writer
+        races (the log is immutable)."""
+        m_old = self._manifest_at(name, since)
+        m_new = _UNSET if until is None else self._manifest_at(name, until)
+        if until is not None and int(until) < int(since):
+            raise ValueError(
+                f"diff endpoints inverted: since={since} > until={until}"
+            )
+        old = self.live_versions(name, m_old)
+        new = self.live_versions(name, m_new)
         o = old.select("id", F.col("batch").alias("_ob"))
         n = new.select("id", F.col("batch").alias("_nb"))
-        return (
+        flagged = (
             o.join(n, "id", "full_outer")
             .withColumn(
                 "change",
@@ -408,6 +420,42 @@ class DocumentStore:
             )
             .filter(F.col("change").isNotNull())
             .select("id", "change")
+        )
+
+        def digest(snapshot: DataFrame, alias: str) -> DataFrame:
+            return snapshot.select(
+                "id",
+                F.md5(
+                    F.concat_ws(
+                        "\x00",
+                        F.coalesce(F.col("content"), F.lit("\x01")),
+                        F.coalesce(F.col("metadata"), F.lit("\x01")),
+                        F.coalesce(
+                            F.col("embedding").cast("string"), F.lit("\x01")
+                        ),
+                    )
+                ).alias(alias),
+            )
+
+        candidates = flagged.filter(F.col("change") == "updated")
+        verified = (
+            candidates.join(
+                digest(
+                    resolve_snapshot(self.read_raw(name, m_old)), "_dold"
+                ),
+                "id",
+            )
+            .join(
+                digest(
+                    resolve_snapshot(self.read_raw(name, m_new)), "_dnew"
+                ),
+                "id",
+            )
+            .filter(F.col("_dold") != F.col("_dnew"))
+            .select("id", "change")
+        )
+        return flagged.filter(F.col("change") != "updated").unionByName(
+            verified
         )
 
     def _publish_manifest(

@@ -336,3 +336,10 @@ def test_not_matches_documents(store_root, spark):
     # plain positive semantics unchanged
     res3 = col.query("apples")
     assert len(res3["results"]) == 3
+    # excluded words NEVER boost rank: the surviving docs score exactly
+    # as the positive-only query scores them (both2 contains the
+    # scattered word "oranges" — without the polarity split it would
+    # outrank a_only on the user's own excluded term)
+    plain = {r["id"]: r["rank"] for r in res3["results"]}
+    for r in res2["results"]:
+        assert r["rank"] == plain[r["id"]], r["id"]

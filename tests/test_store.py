@@ -688,14 +688,28 @@ def test_diff_between_versions(store_root, spark):
     got3 = {r["id"]: r["change"] for r in col.diff(v2).collect()}
     assert got3 == {"a": "updated"}
 
-    # identical-content re-upsert still bumps the winner (documented)
+    # identical-content re-upsert bumps the winner but the digest
+    # verify prunes it — not a change an incremental consumer cares about
     col.add(["d doc"], ids=["d"])
     v3 = col.store.read_manifest("dv")["version"]
     got4 = {r["id"]: r["change"] for r in col.store.diff("dv", v2, v3).collect()}
-    assert got4["d"] == "updated"
+    assert "d" not in got4
+
+    # inverted endpoints fail loudly instead of returning a reversed feed
+    with pytest.raises(ValueError, match="inverted"):
+        col.store.diff("dv", v3, v1)
+
+    # compaction rewrites every live row's batch number; the digest
+    # verify keeps the feed EMPTY across it (Delta dataChange=false)
+    v_pre = col.store.read_manifest("dv")["version"]
+    col.store.compact("dv", postings=True)
+    assert col.diff(v_pre).count() == 0
+    # ... and real changes after the compaction still surface
+    col.add(["a changed again"], ids=["a"])
+    got5 = {r["id"]: r["change"] for r in col.diff(v_pre).collect()}
+    assert got5 == {"a": "updated"}
 
     # pruned history raises like snapshot_at
-    col.store.compact("dv", postings=True)
     col.store.vacuum("dv", min_age_seconds=0)
     with pytest.raises(ValueError, match="vacuum retention"):
         col.diff(v1).collect()

@@ -120,11 +120,14 @@ def main() -> None:
     corpus = corpus.persist()
     n_corpus = corpus.count()
 
-    def recall(pairs_df, sec) -> dict:
-        found = {
-            tuple(sorted((r["id_a"], r["id_b"])))
-            for r in pairs_df.select("id_a", "id_b").collect()
-        }
+    def run(build) -> dict:
+        # the timer brackets the COLLECT — building the DataFrame is
+        # lazy plan construction, not method cost
+        t0 = time.perf_counter()
+        pairs_df = build()
+        rows = pairs_df.select("id_a", "id_b").collect()
+        sec = time.perf_counter() - t0
+        found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in rows}
         out = {"sec": round(sec, 3), "pairs_found": len(found)}
         for rate, want in planted.items():
             hit = sum(
@@ -134,29 +137,21 @@ def main() -> None:
         return out
 
     results: dict[str, dict] = {}
-
-    t0 = time.perf_counter()
-    mh = minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
-    results["minhash_j0.5_16x4"] = recall(mh, time.perf_counter() - t0)
-
-    t0 = time.perf_counter()
-    ng = ngram_jaccard_pairs(corpus, threshold=0.5)
-    results["ngram_jaccard_j0.5"] = recall(ng, time.perf_counter() - t0)
-
-    t0 = time.perf_counter()
-    sh = simhash_pairs(corpus, max_hamming=8)
-    results["simhash_h8"] = recall(sh, time.perf_counter() - t0)
-
-    t0 = time.perf_counter()
-    emb = embed_hashing(corpus, id_col="doc_id", dim=128)
-    ep = embedding_dup_pairs(
-        emb.withColumnRenamed("id", "vec_id"),
-        id_col="vec_id",
-        threshold=0.90,
-        n_cells=32,
+    results["minhash_j0.5_16x4"] = run(
+        lambda: minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
     )
-    results["hash_embedding_cos0.9_ivf32"] = recall(
-        ep, time.perf_counter() - t0
+    results["ngram_jaccard_j0.5"] = run(
+        lambda: ngram_jaccard_pairs(corpus, threshold=0.5)
+    )
+    results["simhash_h8"] = run(lambda: simhash_pairs(corpus, max_hamming=8))
+    results["hash_embedding_cos0.9_ivf32"] = run(
+        lambda: embedding_dup_pairs(
+            embed_hashing(corpus, id_col="doc_id", dim=128)
+            .withColumnRenamed("id", "vec_id"),
+            id_col="vec_id",
+            threshold=0.90,
+            n_cells=32,
+        )
     )
 
     originals.unpersist()

@@ -564,6 +564,49 @@ class SparkCollection:
         report_dropped_buckets()  # log any skew-guard exclusions loudly
         return n
 
+    def backfill_embeddings(self) -> int:
+        """Embed every live doc whose stored ``embedding`` is NULL
+        through the configured ``embedding_function`` → count
+        re-upserted. The missing-vector verb for collections that
+        predate an embedder (docs added without one, bulk
+        ``add_dataframe`` loads without an embedding column, or
+        substring-dedup rewrites under a then-missing embedder):
+        open the collection WITH the embedder, call this once, and
+        vector/hybrid search covers the whole corpus.
+
+        Docs with NULL content are skipped (nothing to embed — they
+        stay NULL); re-upsert is newest-batch-wins with content and
+        metadata preserved, so the operation is idempotent (a second
+        call finds zero NULL embeddings) and incremental-index
+        maintenance picks the new vectors up like any other batch.
+
+        Scale shape: one snapshot scan filtered to NULL embeddings →
+        ONE missing-docs-sized append batch (the Arrow embed kernel
+        runs inside the write, never on the driver).
+        """
+        if self.embedding_function is None:
+            raise ValueError(
+                "backfill_embeddings requires an embedding_function"
+            )
+        missing = (
+            self.docs()
+            .filter(
+                F.col("embedding").isNull() & F.col("content").isNotNull()
+            )
+            .select("id", "content", "metadata")
+            .persist()
+        )
+        try:
+            n = missing.count()
+            if n:
+                self.add_dataframe(
+                    missing, id_col="id", content_col="content",
+                    metadata_col="metadata",
+                )
+            return n
+        finally:
+            missing.unpersist()
+
     def dedup_substrings(
         self,
         k: int = 50,

@@ -531,3 +531,41 @@ def test_cell_assign_sim_arrow_matches_assign_cells(spark):
     }
     for k, v in ref.items():
         assert got[k] == v, k
+
+
+def test_backfill_embeddings(store_root, spark):
+    """Docs added without an embedder gain vectors on backfill; the
+    operation is idempotent and null-content rows are skipped."""
+    from sifts_spark.collection import Collection
+
+    plain = Collection(store_root, "bf", spark=spark)
+    plain.add(
+        ["Lorem ipsum dolor", "sit amet", "consectetur"],
+        ids=["1", "2", "3"],
+    )
+    with pytest.raises(ValueError, match="embedding_function"):
+        plain.backfill_embeddings()
+    assert (
+        plain.docs().filter("embedding IS NOT NULL").count() == 0
+    )
+
+    # a CLOSURE, not the module-level embed: cloudpickle ships it by
+    # value so the executor-side backfill kernel can deserialize it
+    # without importing the test module (the TestMmrQuery idiom)
+    table = dict(_LOOKUP)
+
+    def embed_fn(texts):
+        return [table[t] for t in texts]
+
+    col = Collection(store_root, "bf", spark=spark,
+                     embedding_function=embed_fn)
+    assert col.backfill_embeddings() == 3
+    assert col.docs().filter("embedding IS NULL").count() == 0
+    # vector search now covers the backfilled corpus
+    res = col.query("Lorem ipsum dolor", vector_search=True, limit=1)
+    assert res["results"][0]["id"] == "1"
+    # idempotent; content and metadata preserved
+    assert col.backfill_embeddings() == 0
+    got = {r["id"]: r["content"] for r in col.docs().collect()}
+    assert got == {"1": "Lorem ipsum dolor", "2": "sit amet",
+                   "3": "consectetur"}

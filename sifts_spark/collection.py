@@ -943,11 +943,16 @@ class SparkCollection:
         nprobe: int = 2,
         refine: int = 4,
         group_by_parent: bool = False,
+        highlight: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
         pipeline composition (feed dedup/analysis operators without a
-        driver round-trip)."""
+        driver round-trip). ``highlight=True`` (text queries) appends a
+        ``snippet`` column via one distributed Arrow pass
+        (:func:`~sifts_spark.functions.snippets.snippet_column` — the
+        same kernel :meth:`query` uses driver-side, for building
+        search-results DATASETS)."""
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
             # ADC-pruning to limit*refine CHUNKS before a parent
@@ -961,7 +966,15 @@ class SparkCollection:
             df = self._collapse_parents(df, is_search)
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
-        return df.select(*proj)
+        out = df.select(*proj)
+        if highlight and query_string and not vector_search:
+            from sifts_spark.functions.snippets import snippet_column
+
+            out = out.withColumn(
+                "snippet",
+                snippet_column(parse_query(query_string), F.col("content")),
+            )
+        return out
 
     def query(
         self,

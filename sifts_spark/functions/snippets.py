@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from sifts_spark.queryparser import And, AndNot, Node, Or, Phrase, Prefix, Term
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -112,3 +114,26 @@ def make_snippet(
     if hi < len(text):
         snippet = snippet + ellipsis
     return snippet
+
+
+def snippet_column(
+    ast: Node,
+    content_col,
+    window: int = 16,
+    mark: tuple = ("[", "]"),
+    ellipsis: str = "…",
+):
+    """:func:`make_snippet` as a distributed column — ONE Arrow pass
+    with the AST closure-shipped, for the bulk path
+    (``query_df(highlight=True)``: building a search-results DATASET
+    rather than reading a page). Same kernel as the driver-side page
+    decoration, so the two paths can never disagree."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _snip(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [make_snippet(t, ast, window, mark, ellipsis) for t in texts]
+        )
+
+    return _snip(content_col)

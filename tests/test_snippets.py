@@ -100,3 +100,22 @@ def test_hybrid_query_highlight(store_root, spark):
     assert "[quick]" in by_id["q"]["snippet"]
     # vector-leg-only hit: unmarked window, still present
     assert "snippet" in by_id["s"] and "[" not in by_id["s"]["snippet"]
+
+
+def test_query_df_snippet_column_matches_driver_path(store_root, spark):
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "hd", spark=spark)
+    col.add(
+        ["the quick brown fox jumps over fences " + "pad " * 30,
+         "fences first then much later a quick appearance"],
+        ids=["a", "b"],
+    )
+    page = col.query("quick fences", highlight=True)["results"]
+    bulk = {
+        r["id"]: r["snippet"]
+        for r in col.query_df("quick fences", highlight=True).collect()
+    }
+    assert len(bulk) == 2
+    for r in page:
+        assert bulk[r["id"]] == r["snippet"]  # one kernel, two paths

@@ -967,7 +967,8 @@ class SparkCollection:
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
         out = df.select(*proj)
-        if highlight and query_string and not vector_search:
+        # .strip(): match _query_plan's has_text (see query())
+        if highlight and query_string.strip() and not vector_search:
             from sifts_spark.functions.snippets import snippet_column
 
             out = out.withColumn(
@@ -1055,7 +1056,9 @@ class SparkCollection:
             df.unpersist()
 
         snip_ast = None
-        if highlight and query_string and not vector_search:
+        # .strip(): match _query_plan's has_text — a whitespace-only
+        # query is a plain scan, not a ParseError
+        if highlight and query_string.strip() and not vector_search:
             from sifts_spark.functions.snippets import make_snippet
 
             snip_ast = parse_query(query_string)

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import re
 
-import pandas as pd
-
 from sifts_spark.queryparser import And, AndNot, Node, Or, Phrase, Prefix, Term
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -128,10 +126,17 @@ def snippet_column(
     (``query_df(highlight=True)``: building a search-results DATASET
     rather than reading a page). Same kernel as the driver-side page
     decoration, so the two paths can never disagree."""
+    # pandas imported HERE, not at module top: the driver-side page
+    # path (query(highlight=True) -> make_snippet) must not require
+    # pandas (an optional pyspark extra — the multimodal import-guard
+    # posture). NO type annotations on the kernel: `from __future__
+    # import annotations` strings would resolve against module globals
+    # where pd doesn't exist (the add_dataframe _embed idiom).
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
-    def _snip(texts: pd.Series) -> pd.Series:
+    def _snip(texts):
         return pd.Series(
             [make_snippet(t, ast, window, mark, ellipsis) for t in texts]
         )

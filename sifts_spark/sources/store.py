@@ -85,7 +85,7 @@ import uuid
 import threading
 
 from py4j.protocol import Py4JJavaError
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -401,7 +401,16 @@ class DocumentStore:
         logged manifests, so the result is exact even while a writer
         races (the log is immutable)."""
         m_old = self._manifest_at(name, since)
-        m_new = _UNSET if until is None else self._manifest_at(name, until)
+        # resolve the CURRENT endpoint ONCE: letting live_versions and
+        # the digest pass each re-read "current" would tear under a
+        # racing writer — the two sides could see different snapshots
+        # and silently drop a change (the docstring's exactness claim
+        # depends on both sides pinning the same manifest)
+        m_new = (
+            self.read_manifest(name)
+            if until is None
+            else self._manifest_at(name, until)
+        )
         if until is not None and int(until) < int(since):
             raise ValueError(
                 f"diff endpoints inverted: since={since} > until={until}"
@@ -422,35 +431,55 @@ class DocumentStore:
             .select("id", "change")
         )
 
+        def field_digest(col: Column) -> Column:
+            # per-field md5 prefixed by a null flag, then combined:
+            # concatenating raw fields would be ambiguous (a separator
+            # or sentinel occurring INSIDE content could collide two
+            # distinct (content, metadata) pairs and prune a real
+            # change)
+            return F.concat(
+                F.when(col.isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.md5(F.coalesce(col, F.lit(""))),
+            )
+
         def digest(snapshot: DataFrame, alias: str) -> DataFrame:
             return snapshot.select(
                 "id",
                 F.md5(
                     F.concat_ws(
                         "\x00",
-                        F.coalesce(F.col("content"), F.lit("\x01")),
-                        F.coalesce(F.col("metadata"), F.lit("\x01")),
-                        F.coalesce(
-                            F.col("embedding").cast("string"), F.lit("\x01")
-                        ),
+                        field_digest(F.col("content")),
+                        field_digest(F.col("metadata")),
+                        field_digest(F.col("embedding").cast("string")),
                     )
                 ).alias(alias),
             )
 
         candidates = flagged.filter(F.col("change") == "updated")
+        # <=100k candidates (the normal incremental poll): ship the id
+        # list into both scans as a pushable In-predicate UNDER the
+        # winner window, so content bytes move only for batch-changed
+        # ids. More (a compaction fold renumbered the corpus): reading
+        # the bytes is the price of answering correctly — full-scan
+        # digest join.
+        cand = candidates.persist()
+        try:
+            n_cand = cand.count()
+            ids = None
+            if 0 < n_cand <= 100_000:
+                ids = [r["id"] for r in cand.select("id").collect()]
+        finally:
+            cand.unpersist()
+
+        def side(manifest, alias: str) -> DataFrame:
+            raw = self.read_raw(name, manifest)
+            if ids is not None:
+                raw = raw.filter(F.col("id").isin(ids))
+            return digest(resolve_snapshot(raw), alias)
+
         verified = (
-            candidates.join(
-                digest(
-                    resolve_snapshot(self.read_raw(name, m_old)), "_dold"
-                ),
-                "id",
-            )
-            .join(
-                digest(
-                    resolve_snapshot(self.read_raw(name, m_new)), "_dnew"
-                ),
-                "id",
-            )
+            candidates.join(side(m_old, "_dold"), "id")
+            .join(side(m_new, "_dnew"), "id")
             .filter(F.col("_dold") != F.col("_dnew"))
             .select("id", "change")
         )

@@ -119,3 +119,13 @@ def test_query_df_snippet_column_matches_driver_path(store_root, spark):
     assert len(bulk) == 2
     for r in page:
         assert bulk[r["id"]] == r["snippet"]  # one kernel, two paths
+
+
+def test_whitespace_query_with_highlight_is_plain_scan(store_root, spark):
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "ws", spark=spark)
+    col.add(["some text"], ids=["1"])
+    res = col.query("   ", highlight=True)
+    assert res["total"] == 1 and "snippet" not in res["results"][0]
+    assert col.query_df("   ", highlight=True).count() == 1

@@ -713,3 +713,25 @@ def test_diff_between_versions(store_root, spark):
     col.store.vacuum("dv", min_age_seconds=0)
     with pytest.raises(ValueError, match="vacuum retention"):
         col.diff(v1).collect()
+
+
+def test_diff_digest_unambiguous_across_field_boundaries(store_root, spark):
+    """Separator/sentinel bytes INSIDE a field must not collide two
+    distinct (content, metadata) pairs — the naive concat digest would
+    prune this real change as 'no change'."""
+    from pyspark.sql import functions as F
+
+    col = Collection(store_root, "dg", spark=spark)
+    v1_df = spark.createDataFrame(
+        [("a", "x", "\x01")], "id string, content string, metadata string"
+    )
+    col.add_dataframe(v1_df, metadata_col="metadata")
+    v1 = col.store.read_manifest("dg")["version"]
+    # under concat_ws('\x00', coalesce(c,'\x01'), coalesce(m,'\x01')),
+    # this new version digests byte-identically to v1
+    v2_df = spark.createDataFrame(
+        [("a", "x\x00\x01", None)], "id string, content string, metadata string"
+    )
+    col.add_dataframe(v2_df, metadata_col="metadata")
+    got = {r["id"]: r["change"] for r in col.diff(v1).collect()}
+    assert got == {"a": "updated"}

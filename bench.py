@@ -56,6 +56,53 @@ def needs_retry(best_sec: float, expected_sec) -> bool:
     return best_sec > RETRY_FACTOR * float(expected_sec)
 
 
+DRIFT_MEDIAN_STEAL = 1.25  # median ratio above this + nonzero steal → drift
+DRIFT_MEDIAN_ALWAYS = 1.40  # above this the artifact is suspect even at
+# zero recorded steal (steal reads zero through JIT deopt epochs, GC
+# storms and same-host cgroup contention — r10's "mixed epoch" case)
+
+
+def artifact_drift(
+    times: dict, expected: dict, steal_total: int
+) -> dict | None:
+    """Whole-artifact systematic-drift check (r10 verdict item 5).
+
+    The per-query deviation guard catches individual spikes but not a
+    UNIFORMLY slow epoch: r10 shipped an artifact where every query
+    drifted 1.3-1.5x vs the best-known clean floor (2365 steal
+    jiffies) without any single query crossing the 2x retry gate.
+    Flag the ARTIFACT when the median per-query ratio vs
+    BENCH_EXPECTED exceeds DRIFT_MEDIAN_STEAL with nonzero steal, or
+    DRIFT_MEDIAN_ALWAYS regardless — the publication protocol then
+    says discard and re-run on a quiet epoch. Returns the diagnostic
+    dict (median_ratio, n_compared, steal) when drifting, else None;
+    fewer than 3 comparable queries → None (a median of 1-2 ratios is
+    noise, and the guard must not fire on partial/expected-less runs).
+    """
+    ratios = sorted(
+        times[q] / float(expected[q])
+        for q in times
+        if expected.get(q) and float(expected[q]) > 0 and times[q] > 0
+    )
+    if len(ratios) < 3:
+        return None
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2.0
+    )
+    if med > DRIFT_MEDIAN_ALWAYS or (
+        med > DRIFT_MEDIAN_STEAL and steal_total > 0
+    ):
+        return {
+            "median_ratio": round(med, 3),
+            "n_compared": len(ratios),
+            "steal_jiffies_total": steal_total,
+        }
+    return None
+
+
 def calibration_sec() -> float:
     """~2s pinned-seed single-process CPU workload timed on THIS host
     epoch: fixed op count, fixed seed, no BLAS threading (elementwise
@@ -275,6 +322,8 @@ def main() -> None:
         runs[name] = samples
 
     total = round(sum(times.values()), 3)
+    steal_total = sum(s for rs in runs.values() for _, s in rs if s >= 0)
+    drift = artifact_drift(times, expected, steal_total)
     print(
         json.dumps(
             {
@@ -285,10 +334,10 @@ def main() -> None:
                 "runs": runs,
                 "retried": retried,
                 "suspect": suspect,
+                "suspect_artifact": drift is not None,
+                "drift": drift,
                 "calibration_sec": calib,
-                "steal_jiffies_total": sum(
-                    s for rs in runs.values() for _, s in rs if s >= 0
-                ),
+                "steal_jiffies_total": steal_total,
                 "setup": setup,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

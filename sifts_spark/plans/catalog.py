@@ -129,6 +129,41 @@ def fts_bool(spark, sf_dir) -> DataFrame:
     return S.match_filter(docs, _AST_BOOL, "text").select("doc_id")
 
 
+_AST_PHRASE = parse_query('"table hash" or "part filter"')
+_AST_NOT = parse_query('merge NOT "slow key"')
+
+
+@_register(
+    "fts_phrase",
+    f"SELECT doc_id FROM documents WHERE {_AST_PHRASE.to_sql(TOKS)}",
+)
+def fts_phrase(spark, sf_dir) -> DataFrame:
+    """Quoted-phrase match (defined extension, SURVEY §2.4): the words
+    must occur CONSECUTIVELY in token order — two phrases under OR, so
+    the row pins both the adjacency semantics and their composition
+    with the boolean surface (queryparser.Phrase; rotated under the
+    driver oracle in r11 per the r10 verdict)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_PHRASE, "text").select("doc_id")
+
+
+@_register(
+    "fts_not",
+    f"SELECT doc_id FROM documents WHERE {_AST_NOT.to_sql(TOKS)}",
+)
+def fts_not(spark, sf_dir) -> DataFrame:
+    """Binary NOT with a NEGATED PHRASE right side (defined extension,
+    SURVEY §2.4): docs matching ``merge`` minus docs containing the
+    consecutive run ``slow key`` — the composition that exercises both
+    AndNot's set-difference semantics and phrase adjacency under
+    negation (queryparser.AndNot; rotated under the driver oracle in
+    r11 per the r10 verdict)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_NOT, "text").select("doc_id")
+
+
 _BM25_SQL = f"""
 WITH d AS (
   SELECT doc_id, {TOKS} AS toks FROM documents
@@ -201,15 +236,22 @@ def _with_metadata(docs: DataFrame) -> DataFrame:
     )
 
 
-@_register(
-    "meta_where_string",
+_META_WHERE_STRING_SQL = (
     "SELECT doc_id FROM documents "
-    "WHERE lang IN ('de','fr') AND source > 'src15'",
+    "WHERE lang IN ('de','fr') AND source > 'src15'"
 )
+
+
 def meta_where_string(spark, sf_dir) -> DataFrame:
     """$in + $gt on string metadata through the JSON path (R6,
     ref core.py:241-300). Oracle uses the plain columns — semantics must
-    coincide exactly (lexicographic compare)."""
+    coincide exactly (lexicographic compare).
+
+    De-registered in r11 (row ceded to fts_phrase): the string-typed
+    $in/$gt family stays driver-covered by meta_where_numeric /
+    meta_where_nin; value semantics pinned by
+    tests/test_plans.py::test_meta_where_string_matches_oracle against
+    the original ``_META_WHERE_STRING_SQL`` twin."""
     _prep(spark)
     docs = _with_metadata(load_table(spark, sf_dir, "documents"))
     pred = compile_where(
@@ -773,13 +815,20 @@ def text_langid(spark, sf_dir) -> DataFrame:
 # pinned by the DuckDB twin in tests/test_textanalysis.py.
 
 
-@_register(
-    "text_token_count",
+_TOKEN_COUNT_SQL = (
     "SELECT doc_id AS id, CAST(len(regexp_extract_all(lower(text),"
-    " '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens FROM documents",
+    " '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens FROM documents"
 )
+
+
 def text_token_count(spark, sf_dir) -> DataFrame:
-    """BPE-ish surface token counting (words + single symbols)."""
+    """BPE-ish surface token counting (words + single symbols).
+
+    De-registered in r11 (row ceded to fts_not): the map-side
+    regexp-scan family stays driver-covered by text_stats /
+    text_quality / script_stats; value semantics pinned by
+    tests/test_plans.py::test_text_token_count_matches_oracle against
+    the original ``_TOKEN_COUNT_SQL`` twin."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -2143,7 +2192,12 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # sample_stratified / docs_minus_blocklist / domain_stats; each
 # retiree keeps a pytest twin); late in r10 text_scrub ceded its row
 # to script_stats (regexp_replace family stays covered by the new row
-# itself; retiree pinned by test_text_scrub_matches_oracle).
+# itself; retiree pinned by test_text_scrub_matches_oracle); in r11
+# meta_where_string / text_token_count ceded their rows to fts_phrase /
+# fts_not (string-predicate family stays covered by meta_where_numeric
+# / meta_where_nin, map-regexp family by text_stats / script_stats;
+# retirees pinned by test_meta_where_string_matches_oracle /
+# test_text_token_count_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -78,3 +78,43 @@ class TestScaleGate:
         p2 = tmp_path / "legacy.json"
         p2.write_text(json.dumps({"queries": {"q": 0.2}}))
         assert bench.load_expected(str(p2), sf=1.0) == {"q": 0.2}
+
+
+class TestArtifactDrift:
+    EXP = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0}
+
+    def test_clean_epoch_not_flagged(self):
+        times = {q: 1.05 for q in self.EXP}
+        assert bench.artifact_drift(times, self.EXP, 500) is None
+
+    def test_r10_epoch_would_have_been_flagged(self):
+        # the r10 signature: uniform ~1.3x drift, 2365 steal jiffies,
+        # nothing over the per-query 2x gate
+        times = {q: r for q, r in zip(self.EXP, (1.30, 1.28, 1.35, 1.52, 1.54))}
+        d = bench.artifact_drift(times, self.EXP, 2365)
+        assert d is not None and d["median_ratio"] == 1.35
+        assert d["n_compared"] == 5
+
+    def test_moderate_drift_needs_nonzero_steal(self):
+        times = {q: 1.30 for q in self.EXP}
+        assert bench.artifact_drift(times, self.EXP, 0) is None
+        assert bench.artifact_drift(times, self.EXP, 1) is not None
+
+    def test_heavy_drift_flags_even_at_zero_steal(self):
+        times = {q: 1.45 for q in self.EXP}
+        assert bench.artifact_drift(times, self.EXP, 0) is not None
+
+    def test_single_query_spike_is_not_systematic(self):
+        # one 3x outlier, everything else clean: the PER-QUERY guard's
+        # job, not the artifact flag's
+        times = dict.fromkeys(self.EXP, 1.0)
+        times["e"] = 3.0
+        assert bench.artifact_drift(times, self.EXP, 2000) is None
+
+    def test_too_few_comparables_degrades_to_noop(self):
+        assert bench.artifact_drift({"a": 2.0}, {"a": 1.0}, 5000) is None
+        assert bench.artifact_drift({"a": 2.0, "b": 2.0}, self.EXP, 5000) is None
+
+    def test_no_expectations_degrades_to_noop(self):
+        times = {q: 9.9 for q in self.EXP}
+        assert bench.artifact_drift(times, {}, 5000) is None

@@ -112,3 +112,41 @@ def test_phash_and_hashed_lm_no_allpairs_shapes(spark):
         )
         for bad in _FORBIDDEN:
             assert bad not in plan, f"{name}: {bad} in physical plan"
+
+
+def test_meta_where_string_matches_oracle(spark):
+    # de-registered in r11 (row ceded to fts_phrase); original SQL twin
+    # kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import (
+        _META_WHERE_STRING_SQL,
+        meta_where_string,
+    )
+
+    got = sorted(r["doc_id"] for r in meta_where_string(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(r[0] for r in con.sql(_META_WHERE_STRING_SQL).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_text_token_count_matches_oracle(spark):
+    # de-registered in r11 (row ceded to fts_not); original SQL twin
+    # kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _TOKEN_COUNT_SQL, text_token_count
+
+    got = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in text_token_count(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = {r[0]: r[1] for r in con.sql(_TOKEN_COUNT_SQL).fetchall()}
+    assert got == want and len(got) == 500

@@ -13,18 +13,25 @@ both sides of self-joins).
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_TRACKED: list[weakref.ReferenceType] = []
+# STRONG references, deliberately: Spark's CacheManager pins the
+# InMemoryRelation JVM-side until an explicit unpersist — garbage-
+# collecting the Python wrapper does NOT uncache the plan. The original
+# weakref registry silently lost the ability to release any persist
+# whose wrapper died before release_all (store.diff's internal frame
+# was the first caught case: the returned plan references the cached
+# relation, but no Python object keeps the wrapper alive), leaving the
+# executor memory pinned forever. Holding the wrapper costs a few
+# hundred bytes per entry; release_all drains the list either way.
+_TRACKED: list[DataFrame] = []
 _RELEASE_HOOKS: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
     """persist() a DataFrame and remember it for :func:`release_all`."""
     df.persist()
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
@@ -40,14 +47,12 @@ def release_all() -> int:
     non-DataFrame caches); returns the count."""
     released = 0
     while _TRACKED:
-        ref = _TRACKED.pop()
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist()
-                released += 1
-            except Exception:
-                pass
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass
     for fn in _RELEASE_HOOKS:
         try:
             released += int(fn() or 0)

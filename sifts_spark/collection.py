@@ -159,10 +159,13 @@ class SparkCollection:
         content_col: str = "content",
         metadata_col: str | None = _AUTO_METADATA,  # type: ignore[assignment]
         embedding_col: str | None = None,
-    ) -> None:
+    ) -> int:
         """Bulk ingest path (the 100 TB route): any DataFrame in, ids
         defaulted with ``uuid()``, embeddings via a pandas_udf batch call
         on executors (Arrow) when an embedding_function is configured.
+        Returns the committed batch number (monotone per collection —
+        callers can scope "rows this write landed" by it, see
+        :meth:`add_chunked_dataframe`).
 
         ``metadata_col``: the DEFAULT (a sentinel, not the string) picks
         up a ``metadata`` column when the frame has one (the canonical
@@ -228,8 +231,9 @@ class SparkCollection:
                 "embedding", F.lit(None).cast("array<float>")
             )
         out = out.withColumn("deleted", F.lit(False))
-        self.store.append_batch(self.name, out)
+        batch = self.store.append_batch(self.name, out)
         self._maintain_index()
+        return batch
 
     def add_chunked(
         self,
@@ -305,32 +309,6 @@ class SparkCollection:
         src = df
         if metadata_col and df.schema[metadata_col].dataType.typeName() != "string":
             src = df.withColumn(metadata_col, F.to_json(F.col(metadata_col)))
-        # UPSERT semantics: newest-batch-wins resolves per ROW id, so a
-        # re-added parent shrinking from 5 chunks to 2 would leave
-        # d#2..d#4 live with STALE text — tombstone every existing
-        # chunk of the incoming parents first (the new batch is newer
-        # than the tombstones, so re-used chunk ids still win). The
-        # collect is bounded by the chunk count of the RE-ADDED parents
-        # only (initial loads find nothing); `coalesce(_parent, id)`
-        # also retires a whole-doc row being re-added as chunked.
-        parents = src.select(
-            F.col(id_col).cast("string").alias("__p")
-        ).distinct()
-        stale = (
-            self.docs()
-            .withColumn(
-                "__p",
-                F.coalesce(
-                    F.get_json_object(F.col("metadata"), "$._parent"),
-                    F.col("id"),
-                ),
-            )
-            .join(parents, "__p", "left_semi")
-            .select("id")
-        )
-        stale_ids = [r["id"] for r in stale.collect()]
-        if stale_ids:
-            self.delete(stale_ids)
         chunks = chunk_documents(
             src,
             id_col=id_col,
@@ -343,10 +321,55 @@ class SparkCollection:
             # chunks to nothing (reference parity for empty docs)
             keep_empty_docs=True,
         )
-        self.add_dataframe(
+        # UPSERT semantics: newest-batch-wins resolves per ROW id, so a
+        # re-added parent shrinking from 5 chunks to 2 would leave
+        # d#2..d#4 live with STALE text. WRITE-FIRST, RETIRE-SECOND:
+        # the new chunk batch lands before any tombstone, so a crash
+        # between the two leaves extra stale chunks (healed by a
+        # re-run), never lost documents — the delete-first order would
+        # drop previously-live rows if the add never arrived. Stale =
+        # live rows of the incoming parents whose WINNER predates the
+        # new batch (re-used chunk ids won batch `new_batch` and are
+        # excluded — tombstoning them now would kill the rows we just
+        # wrote); `coalesce(_parent, id)` also retires a whole-doc row
+        # being re-added as chunked. Fully distributed: the retirement
+        # list flows through delete_dataframe (a full re-ingest of a
+        # chunked corpus retires EVERY live chunk — never a Python
+        # list); the isEmpty probe on the persisted id-sized frame is
+        # what keeps the common append-only ingest from paying an
+        # empty tombstone batch per call.
+        new_batch = self.add_dataframe(
             chunks, id_col="chunk_id", content_col="text",
             metadata_col="metadata",
         )
+        parents = src.select(
+            F.col(id_col).cast("string").alias("__p")
+        ).distinct()
+        stale = (
+            self.docs()
+            .join(
+                self.store.live_versions(self.name).filter(
+                    F.col("batch") < F.lit(new_batch)
+                ).select("id"),
+                "id",
+                "left_semi",
+            )
+            .withColumn(
+                "__p",
+                F.coalesce(
+                    F.get_json_object(F.col("metadata"), "$._parent"),
+                    F.col("id"),
+                ),
+            )
+            .join(parents, "__p", "left_semi")
+            .select("id")
+            .persist()
+        )
+        try:
+            if not stale.isEmpty():
+                self.delete_dataframe(stale)
+        finally:
+            stale.unpersist()
 
     def update(
         self,
@@ -953,6 +976,7 @@ class SparkCollection:
         (:func:`~sifts_spark.functions.snippets.snippet_column` — the
         same kernel :meth:`query` uses driver-side, for building
         search-results DATASETS)."""
+        self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
             # ADC-pruning to limit*refine CHUNKS before a parent
@@ -967,8 +991,8 @@ class SparkCollection:
         df = self._paginate(df, is_search, order_by, limit, offset)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
         out = df.select(*proj)
-        # .strip(): match _query_plan's has_text (see query())
-        if highlight and query_string.strip() and not vector_search:
+        # _validate_highlight guarantees a parseable text query here
+        if highlight:
             from sifts_spark.functions.snippets import snippet_column
 
             out = out.withColumn(
@@ -1026,6 +1050,7 @@ class SparkCollection:
         window/markers). Driver-side over the page only, so the cost
         is O(limit x doc length) — the bulk path is unaffected.
         """
+        self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
             # same rationale as query_df: never ADC-prune per-chunk
@@ -1056,9 +1081,8 @@ class SparkCollection:
             df.unpersist()
 
         snip_ast = None
-        # .strip(): match _query_plan's has_text — a whitespace-only
-        # query is a plain scan, not a ParseError
-        if highlight and query_string.strip() and not vector_search:
+        # _validate_highlight guarantees a parseable text query here
+        if highlight:
             from sifts_spark.functions.snippets import make_snippet
 
             snip_ast = parse_query(query_string)
@@ -1249,6 +1273,30 @@ class SparkCollection:
             )
         return {"total": len(pool) if results else 0, "results": results}
 
+    @staticmethod
+    def _validate_highlight(
+        highlight: bool, query_string: str, vector_search: bool
+    ) -> None:
+        """R1-style validation (the order_by/vector_search precedent):
+        ``highlight`` marks matched QUERY TOKENS, so it is definable
+        only for a text search — silently returning rows without the
+        requested ``snippet`` column (the pre-r11 behavior) gave the
+        caller no signal why it was missing."""
+        if not highlight:
+            return
+        if vector_search:
+            raise ValueError(
+                "highlight=True cannot be combined with "
+                "vector_search=True: a vector query has no match "
+                "tokens to mark (use hybrid_query for fused "
+                "text+vector results with snippets)"
+            )
+        if not query_string.strip():
+            raise ValueError(
+                "highlight=True requires a non-empty text query: a "
+                "plain scan has no match tokens to mark"
+            )
+
     def _query_plan(
         self,
         query_string: str,
@@ -1436,11 +1484,18 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         group_by_parent: bool = False,
+        highlight: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
         winners as a lazy ``(id, content, metadata, rank)`` frame
         (``rank`` = RRF score), for pipeline composition; same
-        semantics, no driver round-trip, no pre-limit total count."""
+        semantics, no driver round-trip, no pre-limit total count.
+        ``highlight=True`` appends a ``snippet`` column over the TEXT
+        leg's query terms in one distributed Arrow pass
+        (:func:`~sifts_spark.functions.snippets.snippet_column` — the
+        same kernel :meth:`hybrid_query` applies driver-side, so the
+        two paths can never disagree; a vector-leg-only hit shows its
+        unmarked leading window)."""
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,
@@ -1453,8 +1508,16 @@ class SparkCollection:
             )
         else:
             winners = self._hybrid_winners(fused, k)
-        return winners.select("id", "content", "metadata",
-                              F.col("rrf").alias("rank"))
+        out = winners.select("id", "content", "metadata",
+                             F.col("rrf").alias("rank"))
+        if highlight:
+            from sifts_spark.functions.snippets import snippet_column
+
+            out = out.withColumn(
+                "snippet",
+                snippet_column(parse_query(query_string), F.col("content")),
+            )
+        return out
 
     def _hybrid_fused(
         self,

@@ -419,7 +419,17 @@ class DocumentStore:
         new = self.live_versions(name, m_new)
         o = old.select("id", F.col("batch").alias("_ob"))
         n = new.select("id", F.col("batch").alias("_nb"))
-        flagged = (
+        # Persisted (session cache registry) because the returned plan
+        # reads this id-sized subtree FOUR times — the non-updated
+        # union arm, the verified join's candidate side, and both
+        # digest scans' semi-join build sides; without the persist each
+        # re-runs the two column-pruned winner-window scans. The
+        # caller's action materializes it once; a pipeline frees it
+        # with caching.release_all() (the operator-persist contract,
+        # caching.py).
+        from sifts_spark.caching import track
+
+        flagged = track(
             o.join(n, "id", "full_outer")
             .withColumn(
                 "change",
@@ -456,25 +466,25 @@ class DocumentStore:
             )
 
         candidates = flagged.filter(F.col("change") == "updated")
-        # <=100k candidates (the normal incremental poll): ship the id
-        # list into both scans as a pushable In-predicate UNDER the
-        # winner window, so content bytes move only for batch-changed
-        # ids. More (a compaction fold renumbered the corpus): reading
-        # the bytes is the price of answering correctly — full-scan
-        # digest join.
-        cand = candidates.persist()
-        try:
-            n_cand = cand.count()
-            ids = None
-            if 0 < n_cand <= 100_000:
-                ids = [r["id"] for r in cand.select("id").collect()]
-        finally:
-            cand.unpersist()
 
         def side(manifest, alias: str) -> DataFrame:
-            raw = self.read_raw(name, manifest)
-            if ids is not None:
-                raw = raw.filter(F.col("id").isin(ids))
+            # Each raw scan pruned to the batch-changed candidates by a
+            # distributed SEMI-JOIN under the winner window (winner
+            # resolution is per-id, so pre-filtering to an id subset is
+            # exact) — never a driver-collected In-list: the r10 path
+            # materialized up to 100k ids on the driver and inlined
+            # them as plan literals, which Spark doesn't push to
+            # parquet anyway above the 10-element In threshold. In the
+            # normal incremental poll the candidate side is append-
+            # sized and AQE broadcasts it (content bytes are read once,
+            # shuffled never; Spark's runtime bloom-filter injection
+            # additionally prunes the scan side); a corpus-sized
+            # candidate set (right after a compaction fold) degrades to
+            # a shuffled semi-join — reading the bytes is the price of
+            # answering correctly.
+            raw = self.read_raw(name, manifest).join(
+                candidates.select("id"), "id", "left_semi"
+            )
             return digest(resolve_snapshot(raw), alias)
 
         verified = (

@@ -346,3 +346,48 @@ class TestChunkedUpsertSemantics:
         parents = {r["id"] for r in
                    col.get(group_by_parent=True)["results"]}
         assert parents == {"a", "b"}
+
+    def test_re_add_shrinking_dataframe_retires_stale_tail_chunks(
+        self, store_root, spark
+    ):
+        # r11 verdict item 2: the BULK path must retire stale chunks
+        # without a driver-side collect, and the new batch must land
+        # BEFORE the tombstones (crash-safe order; re-used ids survive
+        # because only pre-new-batch winners are tombstoned)
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, "shrinkdf", spark=spark)
+        long = ". ".join(
+            f"Sentence number {i} has exactly these many words"
+            for i in range(40)
+        )
+        df1 = spark.createDataFrame([("d", long)], "id string, content string")
+        col.add_chunked_dataframe(df1, max_tokens=30, overlap_tokens=0)
+        assert col.count() > 1
+        df2 = spark.createDataFrame(
+            [("d", "Short replacement text.")], "id string, content string"
+        )
+        col.add_chunked_dataframe(df2, max_tokens=30, overlap_tokens=0)
+        rows = col.get(limit=100)["results"]
+        assert len(rows) == 1
+        assert rows[0]["id"] == "d#0"
+        assert rows[0]["content"] == "Short replacement text."
+        # an untouched sibling parent must survive the re-ingest
+        col.add_chunked_dataframe(
+            spark.createDataFrame([("e", "other doc.")],
+                                  "id string, content string")
+        )
+        col.add_chunked_dataframe(df2, max_tokens=30, overlap_tokens=0)
+        got = {r["id"] for r in col.get(limit=100)["results"]}
+        assert got == {"d#0", "e#0"}
+
+    def test_bulk_retirement_path_has_no_driver_collect(self):
+        # source-level pin for the verdict's "no collect in the path":
+        # the retirement logic must flow through delete_dataframe
+        import inspect
+
+        from sifts_spark.collection import SparkCollection
+
+        src = inspect.getsource(SparkCollection.add_chunked_dataframe)
+        assert ".collect()" not in src
+        assert "delete_dataframe" in src

@@ -121,11 +121,52 @@ def test_query_df_snippet_column_matches_driver_path(store_root, spark):
         assert bulk[r["id"]] == r["snippet"]  # one kernel, two paths
 
 
-def test_whitespace_query_with_highlight_is_plain_scan(store_root, spark):
+def test_highlight_without_match_tokens_raises(store_root, spark):
+    # r10 ADVICE: silently ignoring highlight=True on vector searches
+    # and whitespace-only queries left the caller with no signal why
+    # the snippet column was missing — both now raise (the
+    # order_by/vector_search validation precedent)
+    import pytest
+
     from sifts_spark.collection import Collection
 
-    col = Collection(store_root, "ws", spark=spark)
+    col = Collection(store_root, "ws", spark=spark,
+                     embedding_function=lambda ts: [[1.0, 0.0] for _ in ts])
     col.add(["some text"], ids=["1"])
-    res = col.query("   ", highlight=True)
-    assert res["total"] == 1 and "snippet" not in res["results"][0]
-    assert col.query_df("   ", highlight=True).count() == 1
+    with pytest.raises(ValueError, match="highlight.*vector_search"):
+        col.query("some", vector_search=True, highlight=True)
+    with pytest.raises(ValueError, match="highlight.*vector_search"):
+        col.query_df("some", vector_search=True, highlight=True)
+    with pytest.raises(ValueError, match="non-empty text query"):
+        col.query("   ", highlight=True)
+    with pytest.raises(ValueError, match="non-empty text query"):
+        col.query_df("", highlight=True)
+    # plain scans without highlight stay fine
+    assert col.query("   ")["total"] == 1
+
+
+def test_hybrid_query_df_highlight_matches_driver_path(store_root, spark):
+    # r10 verdict item 6: the bulk fused path can now produce snippet
+    # datasets; its rows must agree with hybrid_query(highlight=True)
+    from sifts_spark.collection import Collection
+
+    def embed(texts):
+        return [[1.0, 0.0] if "quick" in t else [0.0, 1.0] for t in texts]
+
+    col = Collection(store_root, "hhdf", spark=spark,
+                     embedding_function=embed)
+    col.add(
+        ["the quick brown fox jumps fences", "slow green turtle sits"],
+        ids=["q", "s"],
+    )
+    page = {r["id"]: r for r in
+            col.hybrid_query("quick fox", k=2, highlight=True)["results"]}
+    bulk = {r["id"]: r for r in
+            col.hybrid_query_df("quick fox", k=2, highlight=True).collect()}
+    assert set(bulk) == set(page) == {"q", "s"}
+    for i in page:
+        assert bulk[i]["snippet"] == page[i]["snippet"]
+        assert abs(bulk[i]["rank"] - page[i]["rank"]) < 1e-9
+    assert "[quick]" in bulk["q"]["snippet"]
+    # off by default: no snippet column in the lazy schema
+    assert "snippet" not in col.hybrid_query_df("quick fox", k=1).columns

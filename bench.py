@@ -63,7 +63,8 @@ DRIFT_MEDIAN_ALWAYS = 1.40  # above this the artifact is suspect even at
 
 
 def artifact_drift(
-    times: dict, expected: dict, steal_total: int
+    times: dict, expected: dict, steal_total: int,
+    steal_available: bool = True,
 ) -> dict | None:
     """Whole-artifact systematic-drift check (r10 verdict item 5).
 
@@ -78,6 +79,11 @@ def artifact_drift(
     dict (median_ratio, n_compared, steal) when drifting, else None;
     fewer than 3 comparable queries → None (a median of 1-2 ratios is
     noise, and the guard must not fire on partial/expected-less runs).
+
+    ``steal_available=False`` means the host exposes no steal counter
+    (every sample read -1, summed as zero) — contention is then
+    INVISIBLE, so the moderate band flags unconditionally rather than
+    letting a uniform 1.3x epoch pass until 1.40x (r11 ADVICE).
     """
     ratios = sorted(
         times[q] / float(expected[q])
@@ -93,14 +99,45 @@ def artifact_drift(
         else (ratios[mid - 1] + ratios[mid]) / 2.0
     )
     if med > DRIFT_MEDIAN_ALWAYS or (
-        med > DRIFT_MEDIAN_STEAL and steal_total > 0
+        med > DRIFT_MEDIAN_STEAL
+        and (steal_total > 0 or not steal_available)
     ):
         return {
             "median_ratio": round(med, 3),
             "n_compared": len(ratios),
             "steal_jiffies_total": steal_total,
+            "steal_available": steal_available,
         }
     return None
+
+
+DEFERRED_SAMPLES = 3  # end-of-run re-measure depth per still-suspect query
+
+
+def deferred_remeasure(suspect, times, runs, expected, sample_fn):
+    """One-shot end-of-run re-measure for still-suspect queries (r11
+    verdict item 6: self-healing suspect protocol).
+
+    A query that stays >RETRY_FACTOR x expected through all
+    MAX_EXTRA_SAMPLES immediate retries usually sat inside a transient
+    contended window (host steal burst, GC storm); by the END of the
+    run — minutes later — that window has typically moved. Take
+    DEFERRED_SAMPLES fresh samples per suspect via
+    ``sample_fn(name) -> (sec, steal_delta)``, append them to ``runs``
+    (so the selection stays auditable), refresh the best-of in
+    ``times``, and return ``(still_suspect, cleared)``. Mutates
+    ``times``/``runs`` in place; callers recompute totals after.
+    """
+    cleared = []
+    for name in list(suspect):
+        for _ in range(DEFERRED_SAMPLES):
+            sec, steal = sample_fn(name)
+            runs[name].append([round(sec, 3), steal])
+            if sec < times[name]:
+                times[name] = round(sec, 3)
+        if not needs_retry(times[name], expected.get(name)):
+            cleared.append(name)
+    return [q for q in suspect if q not in cleared], cleared
 
 
 def calibration_sec() -> float:
@@ -321,9 +358,30 @@ def main() -> None:
         times[name] = round(best, 3)
         runs[name] = samples
 
+    # Self-healing suspect protocol (r11 verdict item 6): still-suspect
+    # queries get one deferred best-of-DEFERRED_SAMPLES re-measure at
+    # the END of the run — the contended window has usually moved.
+    deferred_cleared: list[str] = []
+    if suspect:
+        def _deferred_sample(name):
+            s0 = steal_jiffies()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            release_all()
+            return dt, steal_jiffies() - s0
+
+        suspect, deferred_cleared = deferred_remeasure(
+            suspect, times, runs, expected, _deferred_sample
+        )
+
     total = round(sum(times.values()), 3)
-    steal_total = sum(s for rs in runs.values() for _, s in rs if s >= 0)
-    drift = artifact_drift(times, expected, steal_total)
+    steal_samples = [s for rs in runs.values() for _, s in rs]
+    steal_available = any(s >= 0 for s in steal_samples)
+    steal_total = sum(s for s in steal_samples if s >= 0)
+    drift = artifact_drift(times, expected, steal_total, steal_available)
     print(
         json.dumps(
             {
@@ -334,10 +392,12 @@ def main() -> None:
                 "runs": runs,
                 "retried": retried,
                 "suspect": suspect,
+                "deferred_cleared": deferred_cleared,
                 "suspect_artifact": drift is not None,
                 "drift": drift,
                 "calibration_sec": calib,
                 "steal_jiffies_total": steal_total,
+                "steal_available": steal_available,
                 "setup": setup,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

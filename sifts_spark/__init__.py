@@ -23,6 +23,7 @@ all operators are declarative DataFrame expressions so Catalyst supplies
 predicate pushdown, column pruning, broadcast joins and whole-stage codegen.
 """
 
+from sifts_spark.caching import release_all
 from sifts_spark.collection import Collection, SparkCollection
 from sifts_spark.queryparser import QueryParser, parse_query
 from sifts_spark.session import get_spark
@@ -33,6 +34,7 @@ __all__ = [
     "QueryParser",
     "parse_query",
     "get_spark",
+    "release_all",
 ]
 
 __version__ = "0.1.0"

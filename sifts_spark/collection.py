@@ -933,7 +933,18 @@ class SparkCollection:
         added/updated/deleted); ``until=None`` = the current snapshot.
         The incremental-consumer door into
         :meth:`~sifts_spark.sources.store.DocumentStore.diff` —
-        versions come from ``store.manifest_versions(name)``."""
+        versions come from ``store.manifest_versions(name)``.
+
+        Caching contract: the returned frame is backed by an id-sized
+        ``persist()`` registered in the session cache registry (the
+        operator-persist contract, ``sifts_spark/caching.py``) — it
+        stops the verify join from re-running the winner-window scans
+        per subtree. That executor memory is freed only by
+        :func:`sifts_spark.release_all` (re-exported at the package
+        root); a long-lived caller who diffs in a loop without
+        releasing accumulates one pinned id-sized cache per call.
+        Call ``release_all()`` after the action that consumes the
+        diff completes."""
         return self.store.diff(self.name, since, until)
 
     def count(self) -> int:
@@ -1434,6 +1445,11 @@ class SparkCollection:
         query terms (same contract as :meth:`query`; a vector-leg-only
         hit simply shows its unmarked leading window).
         """
+        # Same error surface as query/query_df for the same misuse: a
+        # whitespace-only query with highlight=True must raise the
+        # _validate_highlight ValueError, not a downstream parser error
+        # (vector_search never applies on the hybrid path).
+        self._validate_highlight(highlight, query_string, False)
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,
@@ -1496,6 +1512,7 @@ class SparkCollection:
         same kernel :meth:`hybrid_query` applies driver-side, so the
         two paths can never disagree; a vector-leg-only hit shows its
         unmarked leading window)."""
+        self._validate_highlight(highlight, query_string, False)
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,

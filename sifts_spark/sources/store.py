@@ -399,7 +399,15 @@ class DocumentStore:
         right after a full compaction, where reading the bytes is the
         price of answering correctly). Both endpoints resolve through
         logged manifests, so the result is exact even while a writer
-        races (the log is immutable)."""
+        races (the log is immutable).
+
+        Caching contract: the returned plan is backed by an id-sized
+        ``persist()`` in the session cache registry; call
+        :func:`sifts_spark.release_all` once the consuming action
+        completes, or repeated ``diff`` calls accumulate pinned
+        executor memory for the session lifetime (see
+        :meth:`Collection.diff
+        <sifts_spark.collection.Collection.diff>`)."""
         m_old = self._manifest_at(name, since)
         # resolve the CURRENT endpoint ONCE: letting live_versions and
         # the digest pass each re-read "current" would tear under a

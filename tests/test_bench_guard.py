@@ -118,3 +118,50 @@ class TestArtifactDrift:
     def test_no_expectations_degrades_to_noop(self):
         times = {q: 9.9 for q in self.EXP}
         assert bench.artifact_drift(times, {}, 5000) is None
+
+    def test_steal_unavailable_flags_moderate_band(self):
+        # r11 ADVICE: hosts without /proc steal visibility sum steal as
+        # zero — contention is invisible, so a uniform 1.3x epoch must
+        # flag rather than coast until 1.40x.
+        times = {q: 1.30 for q in self.EXP}
+        assert bench.artifact_drift(times, self.EXP, 0, True) is None
+        d = bench.artifact_drift(times, self.EXP, 0, False)
+        assert d is not None and d["steal_available"] is False
+
+
+class TestDeferredRemeasure:
+    """r11 verdict item 6: the end-of-run self-healing pass for queries
+    still suspect after MAX_EXTRA_SAMPLES immediate retries."""
+
+    def test_contention_moved_clears_the_suspect(self):
+        # during the main loop the query measured 3x expected; by the
+        # deferred pass the contended window has moved and it measures
+        # clean — the suspect list self-heals, samples stay auditable
+        times = {"q": 0.60}
+        runs = {"q": [[0.60, 500], [0.62, 480], [0.61, 510]]}
+        fresh = iter([(0.21, 0), (0.20, 0), (0.22, 0)])
+        still, cleared = bench.deferred_remeasure(
+            ["q"], times, runs, {"q": 0.2}, lambda name: next(fresh)
+        )
+        assert still == [] and cleared == ["q"]
+        assert times["q"] == 0.20  # best refreshed
+        assert len(runs["q"]) == 6  # deferred samples appended
+
+    def test_real_regression_stays_suspect(self):
+        times = {"q": 0.60}
+        runs = {"q": [[0.60, 0]]}
+        still, cleared = bench.deferred_remeasure(
+            ["q"], times, runs, {"q": 0.2}, lambda name: (0.58, 0)
+        )
+        assert still == ["q"] and cleared == []
+        assert len(runs["q"]) == 1 + bench.DEFERRED_SAMPLES
+
+    def test_mixed_suspects_partition_correctly(self):
+        times = {"a": 0.9, "b": 0.9}
+        runs = {"a": [[0.9, 0]], "b": [[0.9, 0]]}
+        vals = {"a": (0.25, 0), "b": (0.85, 0)}
+        still, cleared = bench.deferred_remeasure(
+            ["a", "b"], times, runs, {"a": 0.2, "b": 0.2},
+            lambda name: vals[name],
+        )
+        assert still == ["b"] and cleared == ["a"]

@@ -383,11 +383,60 @@ class TestChunkedUpsertSemantics:
 
     def test_bulk_retirement_path_has_no_driver_collect(self):
         # source-level pin for the verdict's "no collect in the path":
-        # the retirement logic must flow through delete_dataframe
+        # the retirement logic must flow through delete_dataframe.
+        # KNOWN LIMITATION (r11 ADVICE): a cheap tripwire only — it
+        # would pass vacuously if the logic moved into a helper that
+        # itself collects; the behavioral twin below covers that by
+        # spying the actual call. Comments/docstrings are stripped so
+        # an innocent ".collect()" mention can't false-positive.
         import inspect
+        import io
+        import textwrap
+        import tokenize
 
         from sifts_spark.collection import SparkCollection
 
-        src = inspect.getsource(SparkCollection.add_chunked_dataframe)
-        assert ".collect()" not in src
-        assert "delete_dataframe" in src
+        src = textwrap.dedent(
+            inspect.getsource(SparkCollection.add_chunked_dataframe)
+        )
+        code_only = " ".join(
+            tok.string
+            for tok in tokenize.generate_tokens(io.StringIO(src).readline)
+            if tok.type not in (tokenize.COMMENT, tokenize.STRING)
+        )
+        assert ".collect" not in code_only
+        assert "delete_dataframe" in code_only
+
+    def test_bulk_retirement_flows_through_delete_dataframe(
+        self, store_root, spark, monkeypatch
+    ):
+        # behavioral twin of the tripwire above: a shrinking re-ingest
+        # must retire its stale chunks via the DISTRIBUTED
+        # delete_dataframe path (whose own tests pin tombstone
+        # semantics), not some driver-side loop a refactor introduces
+        from sifts_spark.collection import Collection, SparkCollection
+
+        col = Collection(store_root, "retirespy", spark=spark)
+        long = ". ".join(
+            f"Sentence number {i} has exactly these many words"
+            for i in range(40)
+        )
+        df1 = spark.createDataFrame([("d", long)], "id string, content string")
+        col.add_chunked_dataframe(df1, max_tokens=30, overlap_tokens=0)
+        n1 = col.count()
+        assert n1 > 1
+
+        calls = []
+        orig = SparkCollection.delete_dataframe
+
+        def spy(self, ids_df, *a, **k):
+            calls.append(ids_df)
+            return orig(self, ids_df, *a, **k)
+
+        monkeypatch.setattr(SparkCollection, "delete_dataframe", spy)
+        df2 = spark.createDataFrame(
+            [("d", "Short replacement text.")], "id string, content string"
+        )
+        col.add_chunked_dataframe(df2, max_tokens=30, overlap_tokens=0)
+        assert calls, "retirement must flow through delete_dataframe"
+        assert col.count() == 1  # stale tail chunks actually retired

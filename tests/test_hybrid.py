@@ -95,6 +95,13 @@ def test_hybrid_validations(store_root, spark):
     c.add(["apple pie recipe"], ids=["x"])
     with pytest.raises(ValueError, match="non-empty"):
         c.hybrid_query("   ")
+    # r11 ADVICE: highlight=True with a whitespace-only query must
+    # surface the SAME _validate_highlight ValueError as query/query_df
+    # (not a downstream parser error) on both hybrid paths
+    with pytest.raises(ValueError, match="highlight=True requires"):
+        c.hybrid_query("   ", highlight=True)
+    with pytest.raises(ValueError, match="highlight=True requires"):
+        c.hybrid_query_df("   ", highlight=True)
 
 
 def test_hybrid_query_df_matches_dict_variant(col):

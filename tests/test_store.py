@@ -715,6 +715,33 @@ def test_diff_between_versions(store_root, spark):
         col.diff(v1).collect()
 
 
+def test_diff_release_all_cycle_unpersists(store_root, spark):
+    """The documented caching contract (r11 verdict item 5 / ADVICE):
+    diff() registers an internal persist in the session cache registry;
+    sifts_spark.release_all() — re-exported at the package root — must
+    actually free it, so a diff-then-release loop holds no memory."""
+    import sifts_spark
+    from sifts_spark.caching import _TRACKED
+
+    assert sifts_spark.release_all is not None  # package-root door
+    sifts_spark.release_all()  # drain anything earlier tests tracked
+    col = Collection(store_root, "dvrel", spark=spark)
+    col.add(["a doc"], ids=["a"])
+    v1 = col.store.read_manifest("dvrel")["version"]
+    col.add(["b doc"], ids=["b"])
+
+    before = len(_TRACKED)
+    d = col.diff(v1)
+    assert d.count() == 1
+    tracked = [t for t in _TRACKED[before:]]
+    assert tracked, "diff() should register its persist in the registry"
+    assert all(t.storageLevel.useMemory for t in tracked)
+    released = sifts_spark.release_all()
+    assert released >= len(tracked)
+    assert not _TRACKED  # registry drained
+    assert all(not t.storageLevel.useMemory for t in tracked)  # uncached
+
+
 def test_diff_digest_unambiguous_across_field_boundaries(store_root, spark):
     """Separator/sentinel bytes INSIDE a field must not collide two
     distinct (content, metadata) pairs — the naive concat digest would

@@ -69,10 +69,19 @@ class SparkCollection:
         auto_compact_batches: int | None = None,
         vacuum_grace_seconds: float = 300.0,
         auto_compact_fold_bytes: int | None = None,
+        index_positions: bool = False,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
         self.use_fts = use_fts
+        # Positional postings (term positions in the index): phrase
+        # queries verify adjacency index-side instead of re-tokenizing
+        # every candidate's content — the FTS5-parity path
+        # (core.py:460-462 gets positions free from FTS5). Opt-in
+        # because positions grow the index; STICKY once enabled (the
+        # store remembers via its _positions marker, so reopening with
+        # the default flag keeps the layout).
+        self.index_positions = index_positions
         self.spark = spark or get_spark()
         self.store = DocumentStore(self.spark, root)
         # LSM write amplification control: every read resolves
@@ -450,7 +459,10 @@ class SparkCollection:
         the auto-compaction policy if configured."""
         self._docs_version += 1
         if self.use_fts:
-            self.store.maintain_postings(self.name)
+            self.store.maintain_postings(
+                self.name,
+                positions=True if self.index_positions else None,
+            )
         # ANN index twin of the postings sweep: assign the new batch
         # into the existing centroid set (no-op without an index).
         self.maintain_vector_index()
@@ -1378,17 +1390,30 @@ class SparkCollection:
                 n_docs=n_docs, avgdl=avgdl,
             )
             df = df.join(scored, "id")
-            # quoted phrases: postings carry no positions, so the index
-            # candidates are all-words-present — verify adjacency on the
-            # joined content (map-side predicate over the candidate pool
-            # only). Phrase-free queries skip this branch entirely, so
-            # their plans stay byte-identical. BM25 rank for a phrase is
-            # the sum of its words' contributions (the positions-free
-            # approximation).
+            # quoted phrases: over a POSITIONAL index (index_positions=
+            # True) search_postings verified adjacency index-side and
+            # returns ``_pending`` — only truncation/pre-positions-batch
+            # inconclusive rows re-tokenize their content (a fully
+            # positional store has none, so the when() branch never
+            # touches the bytes). Positions-free index: the candidates
+            # are all-words-present — verify adjacency on the joined
+            # content (map-side predicate over the candidate pool only).
+            # Phrase-free queries skip this branch entirely, so their
+            # plans stay byte-identical. BM25 rank for a phrase is the
+            # sum of its words' contributions (the positions-free
+            # approximation) on either layout.
             if has_phrase(ast):
                 from sifts_spark.functions.text import tokenize as _tok
 
-                df = df.filter(ast.to_column(_tok(F.col("content"))))
+                verify = ast.to_column(_tok(F.col("content")))
+                if "_pending" in scored.columns:
+                    df = df.filter(
+                        F.when(F.col("_pending"), verify).otherwise(
+                            F.lit(True)
+                        )
+                    ).drop("_pending")
+                else:
+                    df = df.filter(verify)
             is_search = True
 
         if where:
@@ -1685,6 +1710,7 @@ def Collection(
     auto_compact_batches: int | None = None,
     vacuum_grace_seconds: float = 300.0,
     auto_compact_fold_bytes: int | None = None,
+    index_positions: bool = False,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -1724,4 +1750,5 @@ def Collection(
         auto_compact_batches=auto_compact_batches,
         vacuum_grace_seconds=vacuum_grace_seconds,
         auto_compact_fold_bytes=auto_compact_fold_bytes,
+        index_positions=index_positions,
     )

@@ -362,6 +362,7 @@ def render_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n\n",
+    bpe_model: dict | None = None,
 ) -> DataFrame:
     """Materialize packed sequences into training payloads →
     (seq_id, text, n_docs, total_tokens, fill) — the step between
@@ -381,6 +382,17 @@ def render_sequences(
     shuffle join to fetch payloads, ONE seq-keyed aggregate that
     reassembles order via ``array_sort`` over (pos, text) structs —
     the payload bytes move exactly once; nothing is driver-side.
+
+    ``bpe_model`` (a :func:`~sifts_spark.operators.bpe.train_bpe`
+    artifact) additionally emits ``token_ids ARRAY<INT>`` — each
+    member encoded through the broadcast merge table
+    (:func:`~sifts_spark.operators.bpe.bpe_encode_ids`) BEFORE the
+    join (map-side, once per doc), members joined by the vocabulary's
+    SEP id (1). A training loader then reads ids directly instead of
+    re-tokenizing text the packing stage already token-counted; the
+    ``text`` column stays for inspection, and
+    :func:`~sifts_spark.operators.bpe.bpe_decode_ids` inverts the ids
+    modulo separators (the pinned roundtrip).
     """
     asg = sequences.select(
         "seq_id",
@@ -392,21 +404,37 @@ def render_sequences(
         F.col(id_col).alias("_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
-    return (
-        asg.join(payload, "_id")
-        .groupBy("seq_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_pos", "_t"))
-                    ),
-                    lambda s: s["_t"],
-                ),
-                sep,
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.first("total_tokens").alias("total_tokens"),
-            F.first("fill").alias("fill"),
+    aggs = [
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first("total_tokens").alias("total_tokens"),
+        F.first("fill").alias("fill"),
+    ]
+    if bpe_model is not None:
+        from sifts_spark.operators.bpe import SEP, bpe_encode_ids, bpe_vocab
+
+        sep_id = bpe_vocab(bpe_model)[SEP]
+        payload = payload.withColumn(
+            "_ids", bpe_encode_ids(F.col("_t"), bpe_model, docs.sparkSession)
         )
-    )
+        # interpose the SEP id between members, preserving pack order:
+        # transform-with-index prefixes every non-first member's ids
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_ids"))),
+                    lambda s, i: F.when(
+                        i == 0, s["_ids"]
+                    ).otherwise(
+                        F.concat(F.array(F.lit(sep_id)), s["_ids"])
+                    ),
+                )
+            ).alias("token_ids")
+        )
+    return asg.join(payload, "_id").groupBy("seq_id").agg(*aggs)

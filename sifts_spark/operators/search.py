@@ -58,21 +58,55 @@ def match_filter(df: DataFrame, ast: Node, content_col: str = "content") -> Data
 # ---------------------------------------------------------------------------
 
 
-def build_postings(docs: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
-    """documents → postings (term, id, tf, dl).
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "id",
+    content_col: str = "content",
+    positions: bool = False,
+    max_positions: int | None = None,
+) -> DataFrame:
+    """documents → postings (term, id, tf, dl[, pos]).
 
     ``dl`` (doc length in tokens) rides on every posting so scoring never
     joins back to the docs table. Map-side: explode is narrow; the single
     shuffle is the (term, id) partial-count aggregation.
+
+    ``positions=True`` adds ``pos ARRAY<INT>`` — the term's 0-based
+    token positions, sorted — which lets :func:`search_postings` verify
+    phrase adjacency INDEX-SIDE instead of re-tokenizing every
+    candidate's full content (the FTS5/Lucene positional-postings plan;
+    the reference gets positions free from FTS5, core.py:460-462). At
+    100 TB this is the difference between a candidate-pool-sized index
+    read and joining the text bytes of every doc containing the
+    phrase's (individually common) words.
+
+    ``max_positions=k`` keeps only the FIRST k positions per posting
+    (Lucene's indexing cap posture) to bound payload on stop-word-heavy
+    terms. Truncation is detectable downstream (``size(pos) < tf``), so
+    adjacency stays SOUND: a match found inside the kept prefix is
+    definite, an exhausted prefix falls back to content verification —
+    never a silently dropped match.
     """
     toks = docs.select(
         F.col(id_col).alias("id"), tokenize(F.col(content_col)).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
-    return (
-        toks.select("id", "dl", F.explode("tokens").alias("term"))
+    if not positions:
+        return (
+            toks.select("id", "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", "id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    out = (
+        toks.select("id", "dl", F.posexplode("tokens").alias("p", "term"))
         .groupBy("term", "id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("p").cast("int"))).alias("pos"),
+        )
     )
+    if max_positions is not None:
+        out = out.withColumn("pos", F.slice("pos", 1, int(max_positions)))
+    return out
 
 
 def write_postings(postings: DataFrame, path: str) -> None:
@@ -157,6 +191,84 @@ def _retag(ast: Node) -> Node:
     raise TypeError(f"unknown AST node {ast!r}")
 
 
+def _phrase_words(ast: Node) -> set:
+    """All words appearing inside Phrase nodes (the tags whose position
+    arrays the 3-valued evaluator needs)."""
+    if isinstance(ast, Phrase):
+        return set(ast.words)
+    if isinstance(ast, (And, Or, AndNot)):
+        return _phrase_words(ast.left) | _phrase_words(ast.right)
+    return set()
+
+
+def _phrase_3v(phrase: Phrase, tags: Column, posmap: Column):
+    """(optimistic, pessimistic) truth of a phrase from per-word
+    position arrays — Kleene three-valued logic flattened to two
+    booleans (opt: unknown→true; pes: unknown→false).
+
+    * found (definite TRUE): every word present AND an adjacency run
+      exists among the AVAILABLE positions — positions present are
+      real, so a hit inside a truncated prefix is still definite.
+    * definite FALSE: a word absent (postings are complete w.r.t.
+      WORDS — only positions truncate), or all involved position
+      arrays complete (``size(pos) == tf``) and no run found.
+    * unknown: no run found but some involved array truncated or null
+      (pre-positions batch) — the caller content-verifies these.
+    """
+    words = phrase.words
+    present = None
+    for w in set(words):
+        c = F.array_contains(tags, w)
+        present = c if present is None else (present & c)
+    entry = {w: F.element_at(posmap, w) for w in set(words)}
+
+    def run_at(p):
+        c = None
+        for i, w in enumerate(words[1:], 1):
+            step = F.coalesce(
+                F.array_contains(entry[w]["pos"], p + F.lit(i)), F.lit(False)
+            )
+            c = step if c is None else (c & step)
+        return c if c is not None else F.lit(True)
+
+    found = present & F.coalesce(
+        F.exists(entry[words[0]]["pos"], run_at), F.lit(False)
+    )
+    complete = None
+    for w in set(words):
+        cc = F.coalesce(
+            F.size(entry[w]["pos"]) == entry[w]["tf"], F.lit(False)
+        )
+        complete = cc if complete is None else (complete & cc)
+    return found | (present & ~complete), found
+
+
+def _eval_3v(ast: Node, tags: Column, posmap: Column):
+    """Three-valued evaluation of the full AST over the per-doc tag set
+    + phrase-word position map → (optimistic, pessimistic) Columns.
+    Non-phrase leaves are definite (opt == pes); the standard Kleene
+    duals propagate: NOT swaps the pair, AND/OR distribute."""
+    if isinstance(ast, Term):
+        c = F.array_contains(tags, ast.word)
+        return c, c
+    if isinstance(ast, Prefix):
+        c = F.array_contains(tags, ast.prefix + "*")
+        return c, c
+    if isinstance(ast, Phrase):
+        return _phrase_3v(ast, tags, posmap)
+    if isinstance(ast, (And, Or)):
+        lo, lp = _eval_3v(ast.left, tags, posmap)
+        ro, rp = _eval_3v(ast.right, tags, posmap)
+        if isinstance(ast, And):
+            return lo & ro, lp & rp
+        return lo | ro, lp | rp
+    if isinstance(ast, AndNot):
+        lo, lp = _eval_3v(ast.left, tags, posmap)
+        ro, rp = _eval_3v(ast.right, tags, posmap)
+        return lo & ~rp, lp & ~ro
+    raise TypeError(f"unknown AST node {ast!r}")
+
+
 def corpus_stats(postings: DataFrame) -> tuple[int, float]:
     """(N, avgdl) from postings alone (distinct ids / mean dl)."""
     row = (
@@ -212,6 +324,19 @@ def search_postings(
       Right when the result feeds several separate actions.
     * ``"track"`` — persist via the session cache registry;
       a pipeline driver frees it with ``caching.release_all()``.
+
+    **Phrases.** Over a positions-free index (no ``pos`` column) the
+    result is the all-words-present SUPERSET; the caller verifies
+    adjacency on joined content. When the index carries ``pos``
+    (:func:`build_postings` ``positions=True``) adjacency is verified
+    INDEX-SIDE and the result gains a boolean ``_pending`` column:
+    False rows are exact matches (nothing left to verify — no content
+    join), True rows are inconclusive (position array truncated by
+    ``max_positions``, or a pre-positions batch read as null) and need
+    the caller's content verify. A fully-positional uncapped index
+    yields ``_pending = False`` everywhere, including EXACT index-side
+    exclusion for negated phrases (which the positions-free prefilter
+    must over-approximate).
     """
     # unique by tag (order-preserving): a word appearing twice — e.g.
     # standalone AND inside a phrase — must score once, not double its
@@ -250,12 +375,28 @@ def search_postings(
     # below and once as the scoring input it joins back into. Without
     # the persist the filtered-postings groupBy subtree appears twice in
     # the physical plan, doubling the postings read per text query.
-    matched = (
-        postings.filter(cond)
-        .select("id", "tf", "dl", F.explode(tags).alias("tag"))
-        .groupBy("id", "tag")
-        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
-    )
+    # Positions ride through the aggregation ONLY when a phrase needs
+    # them on a positional index — phrase-free queries (and positions-
+    # free indexes) keep today's plan byte-identical, and column
+    # pruning keeps ``pos`` out of the scan.
+    use_positions = "pos" in postings.columns and has_phrase(ast)
+    pre = postings.filter(cond)
+    if use_positions:
+        matched = (
+            pre.select("id", "tf", "dl", "pos", F.explode(tags).alias("tag"))
+            .groupBy("id", "tag")
+            .agg(
+                F.sum("tf").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.flatten(F.collect_list("pos")).alias("pos"),
+            )
+        )
+    else:
+        matched = (
+            pre.select("id", "tf", "dl", F.explode(tags).alias("tag"))
+            .groupBy("id", "tag")
+            .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+        )
     if pool == "track":
         from sifts_spark.caching import track
 
@@ -292,6 +433,36 @@ def search_postings(
         F.col("tag").isin(positive_tags), contrib
     ).otherwise(F.lit(0.0))
 
+    if use_positions:
+        # Per-doc map word → (pos, tf) for PHRASE words only (keeps the
+        # aggregation buffer phrase-sized, not leaf-count-sized); the
+        # 3-valued AST evaluation then filters exactly index-side,
+        # flagging only truncation-inconclusive docs as ``_pending``.
+        pwords = sorted(_phrase_words(ast))
+        scored = with_stats.groupBy("id").agg(
+            F.collect_set("tag").alias("_tags"),
+            F.sum(contrib).alias("rank"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("tag").isin(pwords),
+                        F.struct(
+                            F.col("tag").alias("key"),
+                            F.struct(
+                                F.col("pos").alias("pos"),
+                                F.col("tf").alias("tf"),
+                            ).alias("value"),
+                        ),
+                    )
+                )
+            ).alias("_posmap"),
+        )
+        opt, pes = _eval_3v(ast, F.col("_tags"), F.col("_posmap"))
+        return (
+            scored.filter(opt)
+            .withColumn("_pending", ~pes)
+            .drop("_tags", "_posmap")
+        )
     scored = with_stats.groupBy("id").agg(
         F.collect_set("tag").alias("_tags"),
         F.sum(contrib).alias("rank"),

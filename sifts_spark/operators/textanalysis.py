@@ -7,6 +7,7 @@ shuffle-free — and each has an exact DuckDB-SQL twin for the oracle.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1267,4 +1268,185 @@ def hashed_lm_score(
     )
     return base.select("id", _score(F.col("_t")).alias("_o")).select(
         "id", "_o.n_ngrams", "_o.logprob_mean"
+    )
+
+
+# ------------------------------------------------------------------
+# Trainable language ID (fastText-grade; r11 verdict item 3)
+# ------------------------------------------------------------------
+#
+# The marker lexicon above (language_id) is the zero-setup default: 5
+# Latin-script languages, function-word hits. Real curation pipelines
+# (CCNet, RefinedWeb) run fastText lid.176-class models — a linear
+# softmax over hashed character n-grams (Joulin et al. 2016; the
+# langid.py / CLD2 family uses the same feature class). The pair below
+# is that architecture on this engine's deterministic-hashing terms:
+#
+# * train_langid — per-language deterministic samples (md5-order, the
+#   train_quality_classifier recipe) collected driver-side, softmax
+#   regression on hashed char 1-3-gram features; model = (L, dim)
+#   float32 matrix, broadcast-sized (L=20, dim=2^13 → 640 KiB).
+# * langid_score — one Arrow scan, numpy batch matmul, no shuffle.
+#
+# Char n-grams (not word markers) carry orthography: accents, digraph
+# statistics, and SCRIPT (any CJK/Cyrillic/Greek codepoint n-gram is
+# language-evidence on its own), so coverage scales with training
+# labels, not with curated lexicons. Feature hashing is a vectorized
+# polynomial rolling hash over codepoints (uint64 wraparound —
+# platform-independent, rerun-stable; documented deviation from the
+# module's md5 contract: langid featurizes ~10^3 grams/doc, where
+# per-gram md5 measured ~8x slower than the numpy path and the hash
+# never needs a SQL oracle replay — accuracy tests pin behavior
+# instead).
+
+_LANGID_P = np.uint64(1099511628211)  # FNV-64 prime as the poly base
+_LANGID_SALT = (np.uint64(0xA5A5A5A5A5A5A5A5), np.uint64(0x5A5A5A5A5A5A5A5A),
+                np.uint64(0xC3C3C3C3C3C3C3C3))
+
+
+def _langid_features(texts, dim: int, max_chars: int = 400) -> "np.ndarray":
+    """(n_docs, dim) L1-normalized hashed char-{1,2,3}-gram counts.
+    ``max_chars`` caps the scan — language identity saturates within a
+    few hundred characters (fastText's own truncation posture), and the
+    cap bounds per-doc cost on 100 MB outliers."""
+    X = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        t = " ".join((t or "").lower().split())[:max_chars]
+        if not t:
+            continue
+        cp = np.fromiter(map(ord, t), dtype=np.uint64, count=len(t))
+        bufs = []
+        for n in (1, 2, 3):
+            if len(cp) < n:
+                break
+            h = cp[: len(cp) - n + 1].copy()
+            for j in range(1, n):
+                h = h * _LANGID_P + cp[j: len(cp) - n + 1 + j]
+            bufs.append((h ^ _LANGID_SALT[n - 1]) % np.uint64(dim))
+        if not bufs:
+            continue
+        idx = np.concatenate(bufs).astype(np.int64)
+        np.add.at(X[i], idx, np.float32(1.0))
+        X[i] /= np.float32(len(idx))
+    return X
+
+
+def train_langid(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    dim: int = 2**13,
+    sample_per_lang: int = 1000,
+    max_chars: int = 400,
+    epochs: int = 80,
+    lr: float = 8.0,
+    l2: float = 1e-5,
+) -> dict:
+    """Train the hashed-char-n-gram softmax language classifier →
+    ``{"kind": "langid_softmax", "dim", "max_chars", "langs",
+    "weights", "bias"}`` — persistable via
+    :mod:`sifts_spark.functions.artifacts` (bytes hex-encode).
+
+    Distributed shape: one TakeOrdered(sample_per_lang) job per
+    observed language (md5-of-text order — an unbiased, rerun-stable
+    permutation, the train_quality_classifier recipe); the corpus is
+    never collected. The fit is full-batch softmax regression in numpy
+    on the (langs*sample, dim) sample matrix."""
+    langs = sorted(
+        r["_l"]
+        for r in labeled.select(F.col(lang_col).alias("_l"))
+        .filter(F.col(lang_col).isNotNull())
+        .distinct()
+        .collect()
+    )
+    if len(langs) < 2:
+        raise ValueError(f"need >=2 labeled languages, got {langs}")
+    texts: list[str] = []
+    y: list[int] = []
+    for k, lang in enumerate(langs):
+        rows = (
+            labeled.filter(F.col(lang_col) == lang)
+            .select(F.col(text_col).alias("_t"))
+            .filter(F.col("_t").isNotNull() & (F.length("_t") > 0))
+            .orderBy(F.md5(F.col("_t")), F.col("_t"))
+            .limit(sample_per_lang)
+            .collect()
+        )
+        texts.extend(r["_t"] for r in rows)
+        y.extend([k] * len(rows))
+        if not rows:
+            raise ValueError(f"language {lang!r} has no non-empty docs")
+    X = _langid_features(texts, dim, max_chars)
+    Y = np.asarray(y, dtype=np.int64)
+    L, n = len(langs), len(Y)
+    W = np.zeros((L, dim), dtype=np.float32)
+    b = np.zeros(L, dtype=np.float32)
+    onehot = np.zeros((n, L), dtype=np.float32)
+    onehot[np.arange(n), Y] = 1.0
+    for _ in range(epochs):
+        Z = X @ W.T + b
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        G = (P - onehot) / n  # (n, L)
+        W -= lr * (G.T @ X + l2 * W)
+        b -= lr * G.sum(axis=0)
+    return {
+        "kind": "langid_softmax",
+        "dim": dim,
+        "max_chars": max_chars,
+        "langs": langs,
+        "weights": W.astype("<f4").tobytes(),
+        "bias": b.astype("<f4").tobytes(),
+    }
+
+
+def langid_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every doc with a :func:`train_langid` model →
+    ``(id, pred_lang, lang_prob)`` (softmax argmax + its probability;
+    empty/NULL text → 'und', prob NULL). Map-side Arrow kernel: the
+    (L, dim) weight matrix rides ONE SparkContext broadcast per
+    executor; scoring is a numpy batch matmul — one scan, no shuffle,
+    the 1000-executor shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    dim, max_chars = int(model["dim"]), int(model["max_chars"])
+    langs = list(model["langs"])
+    L = len(langs)
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (
+            np.frombuffer(model["weights"], dtype="<f4").reshape(L, dim).copy(),
+            np.frombuffer(model["bias"], dtype="<f4").copy(),
+        )
+    )
+
+    @pandas_udf("pred_lang string, lang_prob double")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        W, bias = bc.value
+        X = _langid_features(list(texts), dim, max_chars)
+        Z = X @ W.T + bias
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        best = P.argmax(axis=1)
+        out = []
+        for i, t in enumerate(texts):
+            if not (t or "").strip():
+                out.append(("und", None))
+            else:
+                out.append((langs[int(best[i])], round(float(P[i, best[i]]), 6)))
+        return pd.DataFrame(out, columns=["pred_lang", "lang_prob"])
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
+    base = ensure_min_parallelism(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    return base.select("id", _score(F.col("_t")).alias("_o")).select(
+        "id", "_o.pred_lang", "_o.lang_prob"
     )

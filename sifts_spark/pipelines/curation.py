@@ -271,7 +271,11 @@ def prepare_training_data(
        .sampling.render_sequences`, members joined by
        ``sequence_sep`` in packing order) to
        ``{out_path}/sequences_text`` — what a loader that doesn't
-       re-join docs itself reads.
+       re-join docs itself reads; with ``bpe_model`` also supplied,
+       each payload row carries ``token_ids ARRAY<INT>``
+       (SEP-id-joined, :func:`~sifts_spark.operators.bpe
+       .bpe_encode_ids`) so the loader never re-tokenizes
+       (``manifest["sequence_token_ids"]`` records it).
 
     Driver actions: one count per stage boundary (5 small aggs over a
     persisted frame — attrition numbers are the POINT of the manifest;
@@ -565,7 +569,11 @@ def prepare_training_data(
             ),
             id_col="row_id",
             sep=sequence_sep,
+            # with a BPE model the payload gains token_ids ARRAY<INT>
+            # (SEP-joined, loader-ready) alongside the text
+            bpe_model=bpe_model,
         )
+        manifest["sequence_token_ids"] = bpe_model is not None
         manifest["export_sequence_text"] = export_corpus(
             rendered,
             f"{out_path.rstrip('/')}/sequences_text",

@@ -1034,19 +1034,50 @@ class DocumentStore:
             f"{self._partition_dir(name)}/{batch_dir}"
         )
 
-    def _build_batch_postings(self, name: str, batch_dir: str) -> DataFrame:
+    def _build_batch_postings(
+        self, name: str, batch_dir: str, positions: bool = False
+    ) -> DataFrame:
         from sifts_spark.operators.search import build_postings
 
         batch = int(batch_dir.split("=", 1)[1])
         docs = self._read_batch_docs(name, batch_dir).filter(~F.col("deleted"))
-        return build_postings(docs, "id", "content").withColumn(
-            "batch", F.lit(batch).cast("long")
-        )
+        return build_postings(
+            docs, "id", "content", positions=positions
+        ).withColumn("batch", F.lit(batch).cast("long"))
 
-    def maintain_postings(self, name: str, claim_ttl: float = 900.0) -> None:
+    def _positions_marker(self, name: str) -> str:
+        return f"{self._postings_dir(name)}/_positions"
+
+    def postings_positions(self, name: str) -> bool:
+        """Whether this collection's postings index carries term
+        positions (the ``_positions`` marker, written by the first
+        positional :meth:`maintain_postings`). Sticky: once positional,
+        every later batch — including compaction rebuilds — is built
+        with positions, so the index converges to fully positional as
+        batches fold. Pre-marker batches read with ``pos = null``,
+        which the phrase evaluator treats as inconclusive → content
+        verify, so correctness never depends on the layout."""
+        try:
+            return self._fs.exists(self._Path(self._positions_marker(name)))
+        except Exception:
+            return False
+
+    def maintain_postings(
+        self,
+        name: str,
+        claim_ttl: float = 900.0,
+        positions: bool | None = None,
+    ) -> None:
         """Write postings (and doclen-sidecar) batches for every docs
         batch that lacks one (normally exactly the batch just appended).
         Idempotent; overwrite mode heals partial writes.
+
+        ``positions=True`` builds POSITIONAL postings (term positions
+        per posting, see :func:`~sifts_spark.operators.search.
+        build_postings`) and stamps the collection's ``_positions``
+        marker so every later maintenance — including ``positions=None``
+        callers like :meth:`compact` — keeps the layout;
+        ``None`` means "whatever this collection already uses".
 
         **Concurrent-writer safety**: each sidecar batch is built under
         an atomically-created ``.claim-N`` marker. Without it, two
@@ -1060,6 +1091,14 @@ class DocumentStore:
         then the read path builds missing postings lazily, so queries
         never miss data. Claims older than ``claim_ttl`` seconds are
         treated as crashed writers and broken."""
+        if positions:
+            pdir = self._postings_dir(name)
+            self._fs.mkdirs(self._Path(pdir))
+            if not self.postings_positions(name):
+                self._write_small_text(self._positions_marker(name), "1")
+        use_pos = (
+            self.postings_positions(name) if positions is None else positions
+        )
         mf = self.read_manifest(name)
         have = set(self._postings_batch_dirs(name, mf))
         have_dl = set(self._doclen_batch_dirs(name, mf))
@@ -1074,7 +1113,7 @@ class DocumentStore:
             )
             try:
                 if d not in have:
-                    p = self._build_batch_postings(name, d)
+                    p = self._build_batch_postings(name, d, positions=use_pos)
                     # term-sorted within files => parquet min/max
                     # row-group skipping turns a term lookup into an
                     # index probe; the term bloom filter additionally
@@ -1253,14 +1292,24 @@ class DocumentStore:
         winners so stale versions and tombstoned docs drop out."""
         mf = self.read_manifest(name)
         docs_dirs = self._batch_dirs(name, mf)
-        POSTINGS_SCHEMA = T.StructType(
-            [
-                T.StructField("term", T.StringType(), True),
-                T.StructField("id", T.StringType(), True),
-                T.StructField("dl", T.IntegerType(), True),
-                T.StructField("tf", T.LongType(), True),
-            ]
-        )
+        use_pos = self.postings_positions(name)
+        fields = [
+            T.StructField("term", T.StringType(), True),
+            T.StructField("id", T.StringType(), True),
+            T.StructField("dl", T.IntegerType(), True),
+            T.StructField("tf", T.LongType(), True),
+        ]
+        cols = ["term", "id", "dl", "tf"]
+        if use_pos:
+            # pre-marker batches lack the column on disk; the explicit
+            # read schema fills pos = null, which the phrase evaluator
+            # treats as inconclusive → content-verify fallback (exact
+            # either way, see search_postings)
+            fields.append(
+                T.StructField("pos", T.ArrayType(T.IntegerType()), True)
+            )
+            cols.append("pos")
+        POSTINGS_SCHEMA = T.StructType(fields)
         if not docs_dirs:
             return self.spark.createDataFrame([], POSTINGS_SCHEMA)
         have = set(self._postings_batch_dirs(name, mf))
@@ -1272,15 +1321,15 @@ class DocumentStore:
                 self.spark.read.schema(POSTINGS_SCHEMA)
                 .option("basePath", self._postings_dir(name))
                 .parquet(*[f"{self._postings_dir(name)}/{d}" for d in on_disk])
-                .select("term", "id", "dl", "tf", F.col("batch").cast("long"))
+                .select(*cols, F.col("batch").cast("long"))
             )
         for d in missing:
-            parts.append(self._build_batch_postings(name, d))
+            parts.append(self._build_batch_postings(name, d, positions=use_pos))
         p = parts[0]
         for more in parts[1:]:
             p = p.unionByName(more)
         live = self.live_versions(name, mf)
-        return p.join(live, ["id", "batch"]).select("term", "id", "dl", "tf")
+        return p.join(live, ["id", "batch"]).select(*cols)
 
     def read_doclens(self, name: str) -> DataFrame:
         """Live (id, dl) for every doc with ≥1 token — the stats-sidecar

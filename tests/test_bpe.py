@@ -159,3 +159,110 @@ def test_bpe_encode_broadcast_cached_and_released(spark):
     assert len(_BC_CACHE) == 1
     assert release_all() >= 1
     assert not _BC_CACHE
+
+
+# ----------------------------------------------- token ids (r11 item 4)
+
+
+def test_vocab_layout_and_determinism(spark):
+    from sifts_spark.operators.bpe import SEP, UNK, bpe_vocab
+
+    model = train_bpe(_docs(spark), num_merges=50)
+    v = bpe_vocab(model)
+    assert v[UNK] == 0 and v[SEP] == 1
+    # alphabet block: sorted chars + EOW occupy ids 2..2+len(alphabet)
+    alpha = model["alphabet"]
+    assert [s for s, i in sorted(v.items(), key=lambda kv: kv[1])][2:2 + len(alpha)] == alpha
+    # merge outputs follow in merge order
+    first_merge = "".join(model["merges"][0])
+    assert v[first_merge] == 2 + len(alpha)
+    assert bpe_vocab(model) == v  # pure function of the dict
+
+
+def test_encode_ids_mirrors_encode_symbols(spark):
+    from sifts_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    docs = _docs(spark)
+    model = train_bpe(docs, num_merges=60)
+    v = bpe_vocab(model)
+    rows = docs.select(
+        "doc_id",
+        bpe_encode(F.col("text"), model, spark).alias("syms"),
+        bpe_encode_ids(F.col("text"), model, spark).alias("ids"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert [v[s] for s in r["syms"]] == r["ids"]
+
+
+def test_decode_ids_roundtrip(spark):
+    from sifts_spark.operators.bpe import bpe_decode_ids, bpe_encode_ids
+
+    docs = _docs(spark)
+    model = train_bpe(docs, num_merges=60)
+    rows = docs.select(
+        "text", bpe_encode_ids(F.col("text"), model, spark).alias("ids")
+    ).collect()
+    for r in rows:
+        assert bpe_decode_ids(r["ids"], model) == " ".join(
+            _py_tokenize(r["text"])
+        )
+
+
+def test_unknown_chars_encode_to_unk(spark):
+    # the repo tokenizer keeps only ascii alnum runs, so "unknown" means
+    # alnum chars absent from the training alphabet (CORPUS has no
+    # j/z/7): they hit UNK while known words still encode
+    from sifts_spark.operators.bpe import bpe_encode_ids
+
+    model = train_bpe(_docs(spark), num_merges=40)
+    assert "j" not in model["alphabet"] and "7" not in model["alphabet"]
+    df = spark.createDataFrame([(1, "low jazz 777")], "doc_id long, text string")
+    ids = df.select(
+        bpe_encode_ids(F.col("text"), model, spark).alias("ids")
+    ).first()["ids"]
+    assert 0 in ids                   # j/z/7 symbols hit UNK
+    assert any(i != 0 for i in ids)   # "low" still encodes
+
+
+def test_legacy_model_without_alphabet_still_ids(spark):
+    from sifts_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    model = train_bpe(_docs(spark), num_merges=40)
+    legacy = {k: v for k, v in model.items() if k != "alphabet"}
+    v = bpe_vocab(legacy)
+    assert v and min(v.values()) == 0
+    ids = (
+        _docs(spark)
+        .select(bpe_encode_ids(F.col("text"), legacy, spark).alias("ids"))
+        .first()["ids"]
+    )
+    assert ids
+
+
+def test_render_sequences_token_ids(spark):
+    from sifts_spark.operators.bpe import SEP, bpe_decode_ids, bpe_vocab
+    from sifts_spark.operators.sampling import pack_sequences, render_sequences
+
+    docs = _docs(spark)
+    model = train_bpe(docs, num_merges=60)
+    from sifts_spark.operators.bpe import bpe_segment
+
+    seg = bpe_segment(docs, model)
+    seqs = pack_sequences(seg, "id", "n_tokens", max_tokens=64)
+    rendered = render_sequences(
+        seqs, docs.select(F.col("doc_id").cast("string").alias("id"), "text"),
+        id_col="id", text_col="text", bpe_model=model,
+    )
+    rows = rendered.collect()
+    assert rows and all("token_ids" in r.asDict() for r in rows)
+    sep_id = bpe_vocab(model)[SEP]
+    for r in rows:
+        ids = r["token_ids"]
+        # SEP joins exactly the members: n_docs-1 separators
+        assert ids.count(sep_id) == r["n_docs"] - 1
+        # decode equals the rendered text re-tokenized, modulo separator
+        txt = " ".join(_py_tokenize(r["text"]))
+        assert bpe_decode_ids(ids, model) == txt
+        # budget agreement: ids (minus separators) == total_tokens
+        assert len(ids) - (r["n_docs"] - 1) == r["total_tokens"]

@@ -1,0 +1,243 @@
+"""Positional postings (r11 verdict item 2): opt-in term positions in
+the index, index-side phrase adjacency, content-verify fallback for
+positions-free / truncated layouts.
+
+Reference anchor: FTS5 gives the reference phrase positions for free
+(/root/reference/src/sifts/core.py:460-462); our positions-free default
+re-tokenizes every all-words-present candidate — fine until a common-
+word phrase at 100 TB. These tests pin that (a) the positional layout
+answers phrases WITHOUT touching content, (b) every layout agrees with
+the scan-predicate truth, (c) truncation/mixed layouts degrade to the
+fallback, never to a wrong answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.collection import Collection
+from sifts_spark.operators import search as S
+from sifts_spark.queryparser import parse_query
+
+DOCS = [
+    (1, "new york is a big city"),
+    (2, "york new haven line"),                  # words present, no run
+    (3, "the new york new york medley"),         # two runs
+    (4, "totally unrelated words here"),
+    (5, "big apple aka new york"),               # run at the tail
+    (6, "new new york subway"),                  # overlapping repeat
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _truth(spark, query):
+    ast = parse_query(query)
+    return {
+        r["doc_id"]
+        for r in S.match_filter(_docs(spark), ast, "text").collect()
+    }
+
+
+class TestBuildPositions:
+    def test_positions_are_sorted_token_indices(self, spark):
+        p = S.build_postings(
+            _docs(spark), "doc_id", "text", positions=True
+        )
+        row = {
+            (r["id"], r["term"]): r
+            for r in p.filter(F.col("id").isin(1, 3)).collect()
+        }
+        assert row[(1, "new")]["pos"] == [0]
+        assert row[(1, "york")]["pos"] == [1]
+        assert row[(3, "new")]["pos"] == [1, 3]
+        assert row[(3, "york")]["pos"] == [2, 4]
+        # tf always counts ALL occurrences, even when pos is capped
+        assert row[(3, "new")]["tf"] == 2
+
+    def test_max_positions_caps_array_not_tf(self, spark):
+        p = S.build_postings(
+            _docs(spark), "doc_id", "text", positions=True, max_positions=1
+        )
+        r = {
+            (x["id"], x["term"]): x
+            for x in p.filter(F.col("id") == 3).collect()
+        }
+        assert r[(3, "new")]["pos"] == [1] and r[(3, "new")]["tf"] == 2
+
+    def test_default_layout_unchanged(self, spark):
+        p = S.build_postings(_docs(spark), "doc_id", "text")
+        assert "pos" not in p.columns
+
+
+class TestIndexSidePhrase:
+    def _search_ids(self, spark, query, **build_kw):
+        postings = S.build_postings(
+            _docs(spark), "doc_id", "text", **build_kw
+        )
+        res = S.search_postings(postings, parse_query(query))
+        return res
+
+    @pytest.mark.parametrize(
+        "query",
+        ['"new york"', '"new york" and big', '"new new york"',
+         'city or "new haven"'],
+    )
+    def test_positional_matches_scan_truth_nothing_pending(
+        self, spark, query
+    ):
+        res = self._search_ids(spark, query, positions=True)
+        rows = res.collect()
+        assert {int(r["id"]) for r in rows} == _truth(spark, query)
+        # fully positional + uncapped: adjacency is definite index-side
+        assert all(r["_pending"] is False for r in rows)
+
+    def test_one_word_phrase_is_a_term_no_positions_needed(self, spark):
+        # parse_query normalizes a one-word "phrase" to a Term
+        # (queryparser.py): no phrase in the AST → positions ignored,
+        # no _pending column even on a positional index
+        res = self._search_ids(spark, '"york"', positions=True)
+        assert "_pending" not in res.columns
+        assert {int(r["id"]) for r in res.collect()} == _truth(spark, '"york"')
+
+    def test_negated_phrase_exact_index_side(self, spark):
+        # positions-free prefilter must over-approximate NOT "phrase";
+        # the positional index evaluates it EXACTLY: doc 2 has both
+        # words but no run, so it survives the negation definitively
+        query = 'new NOT "new york"'
+        res = self._search_ids(spark, query, positions=True)
+        rows = res.collect()
+        assert {int(r["id"]) for r in rows} == _truth(spark, query) == {2}
+        assert all(r["_pending"] is False for r in rows)
+
+    def test_positionless_layout_still_superset_no_pending_col(self, spark):
+        res = self._search_ids(spark, '"new york"')
+        assert "_pending" not in res.columns
+        ids = {int(r["id"]) for r in res.collect()}
+        assert ids >= _truth(spark, '"new york"')
+        assert 2 in ids  # the all-words-no-run doc the caller prunes
+
+    def test_truncated_positions_sound_and_flag_pending(self, spark):
+        # cap positions at 1: doc 1 ("new york" at 0,1) resolves inside
+        # the prefix (definite, not pending); doc 3 (first "new" at 1,
+        # first "york" at 2) also resolves; doc 2 has complete arrays
+        # for its single occurrences → definite false. Build a corpus
+        # where the run starts BEYOND the kept prefix to force pending:
+        extra = spark.createDataFrame(
+            [(7, "york and york again new york")],  # york pos 0,2; new 4
+            "doc_id long, text string",
+        )
+        docs = _docs(spark).unionByName(extra)
+        postings = S.build_postings(
+            docs, "doc_id", "text", positions=True, max_positions=1
+        )
+        res = S.search_postings(postings, parse_query('"new york"'))
+        got = {int(r["id"]): r["_pending"] for r in res.collect()}
+        # nothing wrongly dropped: every true match is present
+        ast = parse_query('"new york"')
+        truth = {
+            r["doc_id"] for r in S.match_filter(docs, ast, "text").collect()
+        }
+        assert truth <= set(got)
+        assert got[1] is False          # run inside kept prefix: definite
+        assert got[7] is True           # york's kept prefix [0] misses the
+        # run at (4,5) → inconclusive, caller verifies content
+        assert 2 not in got or got[2] is True or 2 not in truth
+
+    def test_mixed_layout_null_pos_batches_go_pending(self, spark):
+        # a pre-positions batch unioned in with pos = null: its docs
+        # must come back PENDING (content verify), never dropped
+        pos_part = S.build_postings(
+            _docs(spark).filter(F.col("doc_id") <= 3),
+            "doc_id", "text", positions=True,
+        )
+        old_part = S.build_postings(
+            _docs(spark).filter(F.col("doc_id") > 3), "doc_id", "text"
+        ).withColumn("pos", F.lit(None).cast("array<int>"))
+        postings = pos_part.unionByName(old_part)
+        res = S.search_postings(postings, parse_query('"new york"'))
+        got = {int(r["id"]): r["_pending"] for r in res.collect()}
+        assert got[1] is False and got[3] is False  # positional: definite
+        assert got[5] is True                       # null-pos: fallback
+        assert 2 not in got                         # definite false stays out
+
+    def test_rank_identical_across_layouts(self, spark):
+        # BM25 is the positions-free sum-of-words approximation on BOTH
+        # layouts — positions change candidate pruning, never scoring
+        plain = S.search_postings(
+            S.build_postings(_docs(spark), "doc_id", "text"),
+            parse_query('"new york" or city'),
+        ).select("id", "rank")
+        positional = S.search_postings(
+            S.build_postings(_docs(spark), "doc_id", "text", positions=True),
+            parse_query('"new york" or city'),
+        ).select("id", "rank")
+        p = {r["id"]: round(r["rank"], 9) for r in plain.collect()}
+        q = {r["id"]: round(r["rank"], 9) for r in positional.collect()}
+        for i in q:  # positional ⊆ plain (plain keeps the superset)
+            assert q[i] == p[i]
+
+
+class TestCollectionPositional:
+    CORPUS = [
+        ("a", "new york is a big city"),
+        ("b", "york new haven line"),
+        ("c", "the new york new york medley"),
+        ("d", "totally unrelated words here"),
+    ]
+
+    def _fill(self, col):
+        col.add([t for _, t in self.CORPUS], ids=[i for i, _ in self.CORPUS])
+
+    def test_e2e_matches_default_layout(self, store_root, spark):
+        pos_col = Collection(
+            store_root, "pos", spark=spark, index_positions=True
+        )
+        plain_col = Collection(store_root, "plain", spark=spark)
+        self._fill(pos_col)
+        self._fill(plain_col)
+        for q in ['"new york"', 'haven NOT "new york"', '"new york" or line']:
+            a = {r["id"] for r in pos_col.query(q)["results"]}
+            b = {r["id"] for r in plain_col.query(q)["results"]}
+            assert a == b, q
+        # the positional store's on-disk postings really carry pos
+        assert pos_col.store.postings_positions("pos")
+        assert "pos" in pos_col.store.read_postings("pos").columns
+        assert "pos" not in plain_col.store.read_postings("plain").columns
+
+    def test_layout_sticky_across_reopen_and_compact(self, store_root, spark):
+        col = Collection(store_root, "st", spark=spark, index_positions=True)
+        self._fill(col)
+        # reopen WITHOUT the flag: marker keeps the layout
+        re = Collection(store_root, "st", spark=spark)
+        re.add(["brand new york story"], ids=["e"])
+        assert re.store.postings_positions("st")
+        got = {r["id"] for r in re.query('"new york"')["results"]}
+        assert got == {"a", "c", "e"}
+        # compaction folds batches and REBUILDS positional postings
+        re.compact()
+        assert re.store.postings_positions("st")
+        p = re.store.read_postings("st")
+        assert "pos" in p.columns
+        # post-compact postings rows all carry real positions (no nulls)
+        assert p.filter(F.col("pos").isNull()).count() == 0
+        got2 = {r["id"] for r in re.query('"new york"')["results"]}
+        assert got2 == {"a", "c", "e"}
+
+    def test_positional_store_pending_free_plan(self, store_root, spark):
+        """The 100 TB point: on a fully-positional store the phrase
+        path's content verify is DEAD — search_postings resolves every
+        candidate index-side (``_pending`` False for all), so the
+        when()-guarded tokenize(content) never evaluates."""
+        from sifts_spark.operators import search as _S
+
+        col = Collection(store_root, "pf", spark=spark, index_positions=True)
+        self._fill(col)
+        res = _S.search_postings(
+            col.store.read_postings("pf"), parse_query('"new york"')
+        )
+        rows = res.collect()
+        assert rows and all(r["_pending"] is False for r in rows)

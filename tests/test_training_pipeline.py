@@ -131,6 +131,7 @@ def test_prepare_training_data_substring_and_bpe_stages(spark, tmp_path):
         min_quality=0.0, ppl_band=None,
         substring_dedup=True, substring_k=12,
         bpe_model=bpe,
+        render_sequence_text=True,
         target_file_mb=0.01,
     )
     s = m["stages"]
@@ -147,6 +148,20 @@ def test_prepare_training_data_substring_and_bpe_stages(spark, tmp_path):
         "_n2", bpe_token_count(F.col("text"), bpe, spark)
     ).filter(F.col("_n2") != F.col("n_tokens"))
     assert bad.count() == 0
+    # r11 item 4: with a bpe_model the rendered sequences carry
+    # loader-ready token ids — SEP-joined, decode-verified
+    from sifts_spark.functions.hashing import _py_tokenize
+    from sifts_spark.operators.bpe import SEP, bpe_decode_ids, bpe_vocab
+
+    assert m["sequence_token_ids"] is True
+    seq = spark.read.parquet(str(tmp_path / "sub") + "/sequences_text")
+    assert "token_ids" in seq.columns
+    row = seq.orderBy("seq_id").first()
+    sep_id = bpe_vocab(bpe)[SEP]
+    assert row["token_ids"].count(sep_id) == row["n_docs"] - 1
+    assert bpe_decode_ids(row["token_ids"], bpe) == " ".join(
+        _py_tokenize(row["text"])
+    )
 
 
 def test_prepare_training_data_from_warc_with_domain_blocklist(spark, tmp_path):

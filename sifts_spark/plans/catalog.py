@@ -142,10 +142,27 @@ def fts_phrase(spark, sf_dir) -> DataFrame:
     must occur CONSECUTIVELY in token order — two phrases under OR, so
     the row pins both the adjacency semantics and their composition
     with the boolean surface (queryparser.Phrase; rotated under the
-    driver oracle in r11 per the r10 verdict)."""
+    driver oracle in r11 per the r10 verdict).
+
+    r12: routed through the POSITIONAL postings path — adjacency is
+    verified index-side from the term-position arrays
+    (operators/search.py, the FTS5-positions-parity plan), so the
+    oracle now gates the scale-path physical strategy; the
+    scan-predicate twin (match_filter) stays pinned by
+    tests/test_search_positions.py's scan-truth equivalences and the
+    fts_not row below. Built uncapped in-query, every candidate
+    resolves definitely (``_pending`` is False by construction — the
+    column is dropped, and the oracle re-proves exactness per round)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return S.match_filter(docs, _AST_PHRASE, "text").select("doc_id")
+    from sifts_spark.caching import track
+
+    postings = track(
+        S.build_postings(docs, "doc_id", "text", positions=True)
+    )
+    return S.search_postings(postings, _AST_PHRASE).select(
+        F.col("id").alias("doc_id")
+    )
 
 
 @_register(

@@ -322,24 +322,35 @@ def main() -> None:
     )
     calib = calibration_sec()
 
+    def measure(name):
+        """One timed noop-sink run of a headline query → (sec, steal
+        delta). The SINGLE sampling path: the best-of loop and the
+        deferred suspect re-measure share it, so their samples stay
+        protocol-identical — a deferred sample taken under a different
+        protocol could not honestly clear the suspect it re-judges."""
+        s0 = steal_jiffies()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        st = steal_jiffies() - s0
+        release_all()  # operator caches don't outlive the query
+        return dt, st
+
     times: dict[str, float] = {}
     runs: dict[str, list] = {}
     retried: dict[str, int] = {}
     suspect: list[str] = []
     for name in HEADLINE:
-        fn = QUERIES[name]
         best = float("inf")
         samples = []
 
         def one_sample():
             nonlocal best
-            s0 = steal_jiffies()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            samples.append([round(dt, 3), steal_jiffies() - s0])
+            dt, st = measure(name)
+            samples.append([round(dt, 3), st])
             best = min(best, dt)
-            release_all()  # operator caches don't outlive the query
 
         for _ in range(3):
             one_sample()
@@ -363,18 +374,8 @@ def main() -> None:
     # the END of the run — the contended window has usually moved.
     deferred_cleared: list[str] = []
     if suspect:
-        def _deferred_sample(name):
-            s0 = steal_jiffies()
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
-            release_all()
-            return dt, steal_jiffies() - s0
-
         suspect, deferred_cleared = deferred_remeasure(
-            suspect, times, runs, expected, _deferred_sample
+            suspect, times, runs, expected, measure
         )
 
     total = round(sum(times.values()), 3)

@@ -184,8 +184,9 @@ def bpe_vocab(model: dict) -> dict:
 
 def bpe_decode_ids(ids, model: dict) -> str:
     """ids → text (driver-side; the loader-side inverse used by the
-    roundtrip tests): tokens re-join with EOW → space, SEP → the
-    ``" "``-flanked document boundary, UNK renders as ``UNK``.
+    roundtrip tests): tokens re-join with EOW → space, SEP → a plain
+    space at the document boundary, UNK renders as the literal
+    ``"<unk>"`` symbol (inline, like any other non-EOW symbol).
     ``decode(encode_ids(t))`` equals ``" ".join(tokenize(t))`` whenever
     ``t``'s characters are inside the training alphabet. Output is
     space-normalized (an EOW already ends each word with a space, so a

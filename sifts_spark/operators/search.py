@@ -382,8 +382,18 @@ def search_postings(
     use_positions = "pos" in postings.columns and has_phrase(ast)
     pre = postings.filter(cond)
     if use_positions:
+        # positions ride the shuffle ONLY for phrase-word tags: a
+        # stop-word tag outside any phrase (`the AND "hash join"`)
+        # would otherwise drag its tf-sized array — the exact payload
+        # max_positions exists to bound — through both aggregations
+        # just to be nulled at the posmap. collect_list skips the
+        # nulls, so non-phrase tags aggregate an empty (unused) array.
+        pwords = sorted(_phrase_words(ast))
         matched = (
             pre.select("id", "tf", "dl", "pos", F.explode(tags).alias("tag"))
+            .withColumn(
+                "pos", F.when(F.col("tag").isin(pwords), F.col("pos"))
+            )
             .groupBy("id", "tag")
             .agg(
                 F.sum("tf").alias("tf"),
@@ -438,7 +448,6 @@ def search_postings(
         # aggregation buffer phrase-sized, not leaf-count-sized); the
         # 3-valued AST evaluation then filters exactly index-side,
         # flagging only truncation-inconclusive docs as ``_pending``.
-        pwords = sorted(_phrase_words(ast))
         scored = with_stats.groupBy("id").agg(
             F.collect_set("tag").alias("_tags"),
             F.sum(contrib).alias("rank"),

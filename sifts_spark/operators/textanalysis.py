@@ -1364,11 +1364,18 @@ def train_langid(
     texts: list[str] = []
     y: list[int] = []
     for k, lang in enumerate(langs):
+        # substring BEFORE collect: only the first max_chars are ever
+        # featurized, and shipping full 100 MB outlier docs to the
+        # driver is exactly the hazard the cap exists for (md5 sample
+        # order stays on the full text, so the draw is unchanged)
         rows = (
             labeled.filter(F.col(lang_col) == lang)
-            .select(F.col(text_col).alias("_t"))
+            .select(
+                F.substring(F.col(text_col), 1, int(max_chars)).alias("_t"),
+                F.md5(F.col(text_col)).alias("_h"),
+            )
             .filter(F.col("_t").isNotNull() & (F.length("_t") > 0))
-            .orderBy(F.md5(F.col("_t")), F.col("_t"))
+            .orderBy("_h", "_t")
             .limit(sample_per_lang)
             .collect()
         )
@@ -1401,6 +1408,54 @@ def train_langid(
     }
 
 
+# Weight-matrix broadcasts memoized per (application, model content) —
+# the bpe.py _BC_CACHE posture: without it every langid_score call in a
+# bench loop / long-lived pipeline ships a fresh broadcast that is
+# never unpersisted. release_all() drains via the registered hook.
+_LANGID_BC_CACHE: dict = {}
+
+
+def _langid_broadcast(sess, model: dict):
+    import hashlib
+
+    key = (
+        sess.sparkContext.applicationId,
+        hashlib.md5(model["weights"] + model["bias"]).hexdigest(),
+    )
+    bc = _LANGID_BC_CACHE.get(key)
+    if bc is None:
+        L, dim = len(model["langs"]), int(model["dim"])
+        bc = sess.sparkContext.broadcast(
+            (
+                np.frombuffer(model["weights"], dtype="<f4")
+                .reshape(L, dim)
+                .copy(),
+                np.frombuffer(model["bias"], dtype="<f4").copy(),
+            )
+        )
+        _LANGID_BC_CACHE[key] = bc
+    return bc
+
+
+def release_langid_broadcasts() -> int:
+    """Unpersist every cached langid weight broadcast; returns the
+    count (registered with :func:`sifts_spark.caching.release_all`)."""
+    released = 0
+    for bc in _LANGID_BC_CACHE.values():
+        try:
+            bc.unpersist(blocking=False)
+            released += 1
+        except Exception:
+            pass
+    _LANGID_BC_CACHE.clear()
+    return released
+
+
+from sifts_spark.caching import register_release_hook  # noqa: E402
+
+register_release_hook(release_langid_broadcasts)
+
+
 def langid_score(
     docs: DataFrame,
     model: dict,
@@ -1410,20 +1465,15 @@ def langid_score(
     """Score every doc with a :func:`train_langid` model →
     ``(id, pred_lang, lang_prob)`` (softmax argmax + its probability;
     empty/NULL text → 'und', prob NULL). Map-side Arrow kernel: the
-    (L, dim) weight matrix rides ONE SparkContext broadcast per
-    executor; scoring is a numpy batch matmul — one scan, no shuffle,
+    (L, dim) weight matrix rides ONE memoized SparkContext broadcast
+    per (session, model) — repeated calls reuse it, ``release_all``
+    frees it; scoring is a numpy batch matmul — one scan, no shuffle,
     the 1000-executor shape."""
     from pyspark.sql.functions import pandas_udf
 
     dim, max_chars = int(model["dim"]), int(model["max_chars"])
     langs = list(model["langs"])
-    L = len(langs)
-    bc = docs.sparkSession.sparkContext.broadcast(
-        (
-            np.frombuffer(model["weights"], dtype="<f4").reshape(L, dim).copy(),
-            np.frombuffer(model["bias"], dtype="<f4").copy(),
-        )
-    )
+    bc = _langid_broadcast(docs.sparkSession, model)
 
     @pandas_udf("pred_lang string, lang_prob double")
     def _score(texts: pd.Series) -> pd.DataFrame:

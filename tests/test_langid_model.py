@@ -140,6 +140,20 @@ class TestLangidModel:
         })
         assert nz == exp
 
+    def test_broadcast_memoized_and_released(self, spark, corpus, model):
+        # the bpe _BC_CACHE posture: repeated scoring calls share ONE
+        # broadcast per (session, model); release_all drains it via the
+        # registered hook — a bench loop must not accumulate broadcasts
+        from sifts_spark.caching import release_all
+
+        _, test = corpus
+        TA._LANGID_BC_CACHE.clear()
+        TA.langid_score(test, model).count()
+        TA.langid_score(test, model).count()
+        assert len(TA._LANGID_BC_CACHE) == 1
+        release_all()
+        assert not TA._LANGID_BC_CACHE
+
     def test_needs_two_languages(self, spark):
         df = spark.createDataFrame(
             [(1, "hello", "en")], "doc_id long, text string, lang string"

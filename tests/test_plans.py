@@ -34,9 +34,12 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #                       leg (the fuse itself is a key-equi full outer)
 #   keywords_tfidf    — 1-row broadcast N (doc count) attached to the
 #                       scored (id, term) frame, fts_bm25's posture
+#   fts_phrase        — routed through search_postings since r12
+#                       (positional index path): the same 1-row
+#                       corpus-stats frame as fts_bm25
 _BNLJ_ALLOWED = {
     "fts_bm25", "vector_knn", "vector_knn_batch", "hybrid_rrf",
-    "keywords_tfidf",
+    "keywords_tfidf", "fts_phrase",
 }
 
 

@@ -145,7 +145,9 @@ class TestIndexSidePhrase:
         assert got[1] is False          # run inside kept prefix: definite
         assert got[7] is True           # york's kept prefix [0] misses the
         # run at (4,5) → inconclusive, caller verifies content
-        assert 2 not in got or got[2] is True or 2 not in truth
+        # doc 2: single occurrences → arrays complete under the cap →
+        # definitively rejected index-side, never returned pending
+        assert 2 not in got
 
     def test_mixed_layout_null_pos_batches_go_pending(self, spark):
         # a pre-positions batch unioned in with pos = null: its docs

@@ -70,6 +70,14 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # the operator-persist contract (caching.py): rows like
+            # fts_phrase/fts_bm25 track() an in-query postings build;
+            # without a per-query release each stays pinned in executor
+            # memory for the remaining ~50 queries of this run
+            from sifts_spark.caching import release_all
+
+            release_all()
         if name not in oracles:
             print(f"OK?  {name}: rows={len(sdf)} (no oracle — rows-only check) "
                   f"[{time.time()-t0:.1f}s]")

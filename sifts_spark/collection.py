@@ -38,7 +38,12 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sifts_spark.functions.metadata import compile_order_by, compile_where
+from sifts_spark.functions.metadata import (
+    compile_keyset_after,
+    compile_order_by,
+    compile_where,
+    lexicographic_after,
+)
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import search as _search
 from sifts_spark.queryparser import has_phrase, parse_query
@@ -970,11 +975,12 @@ class SparkCollection:
         where: dict | None = None,
         order_by: str | list[str] | None = None,
         group_by_parent: bool = False,
+        after: dict | None = None,
     ) -> dict:
         """Plain scan (core.py:370-384) — query('') with no rank column."""
         return self.query(
             "", limit=limit, offset=offset, where=where, order_by=order_by,
-            group_by_parent=group_by_parent,
+            group_by_parent=group_by_parent, after=after,
         )
 
     def query_df(
@@ -990,6 +996,7 @@ class SparkCollection:
         refine: int = 4,
         group_by_parent: bool = False,
         highlight: bool = False,
+        after: dict | None = None,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
@@ -998,7 +1005,8 @@ class SparkCollection:
         ``snippet`` column via one distributed Arrow pass
         (:func:`~sifts_spark.functions.snippets.snippet_column` — the
         same kernel :meth:`query` uses driver-side, for building
-        search-results DATASETS)."""
+        search-results DATASETS). ``after=`` is the keyset cursor
+        (see :meth:`query`)."""
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
             query_string, where, order_by, vector_search, approx, nprobe,
@@ -1011,7 +1019,7 @@ class SparkCollection:
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
-        df = self._paginate(df, is_search, order_by, limit, offset)
+        df = self._paginate(df, is_search, order_by, limit, offset, after)
         proj = ["id", "content", "metadata"] + (["rank"] if is_search else [])
         out = df.select(*proj)
         # _validate_highlight guarantees a parseable text query here
@@ -1037,6 +1045,7 @@ class SparkCollection:
         refine: int = 4,
         group_by_parent: bool = False,
         highlight: bool = False,
+        after: dict | None = None,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -1072,6 +1081,23 @@ class SparkCollection:
         .snippets.make_snippet`; call it directly for custom
         window/markers). Driver-side over the page only, so the cost
         is O(limit x doc length) — the bulk path is unaffected.
+
+        ``after=`` (extension): keyset cursor — pass the LAST result
+        dict of the previous page (``page["results"][-1]``) to get the
+        next page under the same ``order_by``/``where``. Deep
+        pagination via ``offset=N`` sorts and skips N rows every page
+        (each partition keeps an N+limit heap — the cost GROWS with
+        the walk); a cursor compiles to a strictly-after row filter
+        under the identical total order (order keys, then id
+        tiebreak), so every page is filter + page-sized top-k no
+        matter how deep — the seek method, the only pagination shape
+        that survives a 100 TB corpus. ``total`` still reports the
+        full pre-cursor match count (the PG total semantics). Mutually
+        exclusive with ``offset``. Keep ``order_by`` and ``where``
+        fixed across a walk; a cursor over an unordered plain scan
+        walks in id order — start such a walk from the empty-id cursor
+        ``after={"id": ""}`` (the cursorless first page keeps the
+        legacy storage-order contract).
         """
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
@@ -1095,7 +1121,7 @@ class SparkCollection:
         df = df.persist()
         try:
             total = df.count()  # R8: pre-limit total, distributed count
-            page = self._paginate(df, is_search, order_by, limit, offset)
+            page = self._paginate(df, is_search, order_by, limit, offset, after)
             proj = ["id", "content", "metadata"] + (
                 ["rank"] if is_search else []
             )
@@ -1681,12 +1707,46 @@ class SparkCollection:
         order_by: str | list[str] | None,
         limit: int | None,
         offset: int,
+        after: dict | None = None,
     ) -> DataFrame:
         """Sort (R7 / rank-desc default) then offset/limit (R9).
 
         ``limit`` in (None, 0) means NO limit — the reference's default
-        ``limit=0`` only appends LIMIT when truthy (core.py:327-333)."""
+        ``limit=0`` only appends LIMIT when truthy (core.py:327-333).
+
+        ``after`` (extension): keyset cursor — a result dict from a
+        previous page (``page["results"][-1]``). Compiles to a
+        strictly-after row-comparison FILTER under the same total order
+        the sort uses (order keys, then id), so deep pagination stays a
+        filter + page-sized top-k instead of ``OFFSET N``'s
+        N+page-sized per-partition heaps — the seek method, the only
+        pagination that survives a 100 TB corpus. Mutually exclusive
+        with ``offset``; a cursor over an UNORDERED plain scan walks in
+        id order (an explicit order is what makes a seek meaningful)."""
         sort_cols = compile_order_by(F.col("metadata"), order_by, numeric="auto")
+        if after is not None:
+            if offset:
+                raise ValueError(
+                    "after= (keyset cursor) and offset are mutually "
+                    "exclusive — a cursor IS the page position"
+                )
+            meta_json, cur_id, cur_rank = _keyset_cursor(after)
+            if sort_cols:
+                pred = compile_keyset_after(
+                    F.col("metadata"), order_by, meta_json, cur_id,
+                    F.col("id"), numeric="auto",
+                )
+            elif is_search:
+                # rank desc_nulls_last, id asc — as the default sort
+                rank = F.col("rank")
+                pred = lexicographic_after([
+                    (rank.isNull(), F.lit(cur_rank is None), False),
+                    (rank, F.lit(cur_rank).cast("double"), True),
+                    (F.col("id"), F.lit(cur_id), False),
+                ])
+            else:
+                pred = F.col("id") > F.lit(cur_id)
+            df = df.filter(pred)
         if sort_cols:
             # id tiebreak keeps pages deterministic under equal keys
             df = df.orderBy(*sort_cols, F.col("id"))
@@ -1694,11 +1754,40 @@ class SparkCollection:
             # Deterministic default: rank desc, id tiebreak (documented
             # deviation from reference storage order, SURVEY §2.7).
             df = df.orderBy(F.col("rank").desc_nulls_last(), F.col("id"))
+        elif after is not None:
+            df = df.orderBy(F.col("id"))
         if offset:
             df = df.offset(offset)
         if limit:
             df = df.limit(limit)
         return df
+
+
+def _keyset_cursor(after: dict) -> tuple[str | None, str, float | None]:
+    """Normalize an ``after=`` cursor to (metadata_json, id, rank).
+
+    Accepts a result dict exactly as :meth:`CollectionHandle.query`
+    returns it — ``metadata`` may be the parsed dict (re-serialized
+    with the same ``json.dumps`` the write path uses, so facade-written
+    tokens roundtrip byte-identically), an already-raw JSON string, or
+    None. Caveat for EXTERNALLY written raw JSON: numerically-equal but
+    differently-spelled tokens ("1.50" vs a re-serialized "1.5") can
+    perturb tie order among equal sort keys — the id tiebreak keeps the
+    walk complete and duplicate-free regardless."""
+    if not isinstance(after, dict) or "id" not in after:
+        raise ValueError(
+            "after= expects a result dict from a previous page "
+            "(at minimum {'id': ...})"
+        )
+    meta = after.get("metadata")
+    if isinstance(meta, (dict, list)):
+        meta_json: str | None = json.dumps(meta)
+    elif meta is None or isinstance(meta, str):
+        meta_json = meta
+    else:
+        raise ValueError(f"after['metadata'] must be dict/str/None, got {type(meta)}")
+    rank = after.get("rank")
+    return meta_json, str(after["id"]), None if rank is None else float(rank)
 
 
 def Collection(

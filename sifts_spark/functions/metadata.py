@@ -163,3 +163,86 @@ def compile_order_by(
             col = col.try_cast("double")
         cols.append(col.desc_nulls_first() if desc else col.asc_nulls_last())
     return cols
+
+
+def _order_pieces(col: Column, numeric: bool | str) -> list[Column]:
+    """One order key → the piece tuple whose plain lexicographic order
+    (every piece in the KEY's direction) equals :func:`compile_order_by`'s
+    sort for that key.
+
+    The leading ``isNull()`` piece encodes the null placement explicitly
+    (ASC: ``false < true`` puts nulls last; DESC reversed puts them
+    first), so the keyset predicate below never needs nulls-first/last
+    variants — a null never wins a ``>``/``<`` against anything (SQL
+    null comparison → NULL, coalesced to false), and null-vs-null falls
+    through the null-safe equality chain to the next piece. Semantics
+    are cross-pinned against offset pagination by the cursor-walk
+    equivalence tests, not by sharing code with ``compile_order_by``
+    (whose single-column ``asc_nulls_last`` plans are byte-pinned
+    elsewhere)."""
+    if numeric == "auto":
+        num = col.try_cast("double")
+        return [col.isNull(), num.isNull(), num, col]
+    if numeric is True:
+        num = col.try_cast("double")
+        return [num.isNull(), num]
+    return [col.isNull(), col]
+
+
+def lexicographic_after(pairs: list[tuple[Column, Column, bool]]) -> Column:
+    """Strictly-after predicate over an ordered key tuple.
+
+    ``pairs``: ``(row_expr, cursor_expr, desc)`` per piece, most
+    significant first. Returns ``OR_i (AND_{j<i} eq_j) AND gt_i`` —
+    the standard keyset (seek-method) row comparison, null-safe:
+    equality is ``eqNullSafe`` and a NULL comparison coalesces to
+    false, so rows never leak past a null cursor piece."""
+    if not pairs:
+        raise WhereError("keyset cursor needs at least one order piece")
+    pred: Column | None = None
+    eq_chain: Column | None = None
+    for row, cur, desc in pairs:
+        gt = F.coalesce((row < cur) if desc else (row > cur), F.lit(False))
+        term = gt if eq_chain is None else (eq_chain & gt)
+        pred = term if pred is None else (pred | term)
+        eq = row.eqNullSafe(cur)
+        eq_chain = eq if eq_chain is None else (eq_chain & eq)
+    return pred
+
+
+def compile_keyset_after(
+    metadata: Column,
+    order_by: str | list[str] | None,
+    cursor_metadata_json: str | None,
+    cursor_id: str,
+    id_col: Column,
+    numeric: bool | str = False,
+) -> Column:
+    """Keyset-pagination predicate: rows strictly AFTER the cursor row
+    in ``compile_order_by(order_by)``'s total order (id ascending as
+    the final tiebreak, matching the paginator's deterministic sort).
+
+    The cursor side re-runs the SAME extraction/cast expressions over
+    ``lit(cursor_metadata_json)`` — Catalyst constant-folds them — so
+    both sides of every comparison share one semantics by construction
+    (typed-ordering pieces included). At scale this replaces
+    sort-then-``OFFSET N`` (every partition's top-N+page heap grows
+    with the offset) with filter-then-top-``page`` — the seek method:
+    the per-partition heap stays page-sized no matter how deep the
+    walk is.
+    """
+    lit_meta = F.lit(cursor_metadata_json).cast("string")
+    keys = (
+        [order_by] if isinstance(order_by, str) else list(order_by or [])
+    )
+    pairs: list[tuple[Column, Column, bool]] = []
+    for raw in keys:
+        desc = raw.startswith("-")
+        key = raw.lstrip("+-")
+        row_pieces = _order_pieces(meta_get(metadata, key), numeric)
+        cur_pieces = _order_pieces(meta_get(lit_meta, key), numeric)
+        pairs.extend(
+            (r, c, desc) for r, c in zip(row_pieces, cur_pieces)
+        )
+    pairs.append((id_col, F.lit(cursor_id), False))
+    return lexicographic_after(pairs)

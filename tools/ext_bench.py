@@ -379,6 +379,43 @@ def main() -> None:
     )
     QUERIES["langid_model_score"] = lambda: langid_score(docs, lid_model)
 
+    # r12: deep-pagination contrast — OFFSET N (every partition holds
+    # an N+page TakeOrdered heap) vs the keyset seek filter (page-sized
+    # heaps at any depth). Same on-disk table, same total order, same
+    # page; N = 80% of the corpus so the gap scales with sf.
+    from sifts_spark.functions.metadata import (
+        compile_keyset_after,
+        compile_order_by,
+    )
+
+    page_dir = tempfile.mkdtemp(prefix="ext_bench_page_")
+    timed_setup(
+        "page_table_build",
+        lambda: sdocs.withColumn(
+            "metadata", F.to_json(F.struct(F.length("content").alias("len")))
+        ).write.mode("overwrite").parquet(page_dir),
+    )
+    pframe = spark.read.parquet(page_dir)
+    _deep = int(pframe.count() * 0.8)
+    _page_sort = compile_order_by(F.col("metadata"), "len", numeric="auto")
+    _cursor = (
+        pframe.orderBy(*_page_sort, F.col("id"))
+        .offset(_deep - 1).limit(1).select("metadata", "id").collect()[0]
+    )
+
+    QUERIES["page_offset_deep"] = lambda: (
+        pframe.orderBy(*_page_sort, F.col("id")).offset(_deep).limit(100)
+    )
+
+    def _page_keyset_deep():
+        pred = compile_keyset_after(
+            F.col("metadata"), "len", _cursor["metadata"], _cursor["id"],
+            F.col("id"), numeric="auto",
+        )
+        return pframe.filter(pred).orderBy(*_page_sort, F.col("id")).limit(100)
+
+    QUERIES["page_keyset_deep"] = _page_keyset_deep
+
     def steal_jiffies() -> int:
         # /proc/stat cpu line, field 8 = steal — every (sec, steal)
         # sample makes host-contention poisoning auditable (SURVEY §6.1,

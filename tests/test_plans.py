@@ -117,6 +117,52 @@ def test_phash_and_hashed_lm_no_allpairs_shapes(spark):
             assert bad not in plan, f"{name}: {bad} in physical plan"
 
 
+# Entries whose SEMANTICS never touch document text: their parquet
+# scan of the wide `documents` table must prune the text column
+# (ReadSchema), or the plan reads ~100x the bytes it needs at scale.
+_NO_TEXT_ENTRIES = (
+    "order_paginate",       # projects (doc_id, lang, source)
+    "total_count",          # count over a lang filter
+    "meta_where_numeric",   # metadata from (lang, source, n_chars)
+    "meta_where_nin",       # same synthesized metadata
+)
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", _NO_TEXT_ENTRIES)
+def test_documents_scan_prunes_text(spark, name):
+    plan = _formatted(spark, QUERIES[name](spark, SF_DIR))
+    doc_scans = [
+        blk for blk in plan.split("Scan parquet")
+        if "documents.parquet" in blk and "ReadSchema" in blk
+    ]
+    assert doc_scans, f"{name}: no documents scan found\n{plan}"
+    for blk in doc_scans:
+        schema = next(
+            ln for ln in blk.splitlines() if "ReadSchema" in ln
+        )
+        assert "text" not in schema, f"{name}: text not pruned — {schema}"
+
+
+def test_total_count_filter_pushed_to_scan(spark):
+    """The lang predicate must reach the parquet reader (row-group
+    stats skip whole chunks at scale), not evaluate post-scan only."""
+    plan = _formatted(spark, QUERIES["total_count"](spark, SF_DIR))
+    blk = next(
+        b for b in plan.split("Scan parquet")
+        if "documents.parquet" in b and "PushedFilters" in b
+    )
+    pushed = next(ln for ln in blk.splitlines() if "PushedFilters" in ln)
+    assert "EqualTo(lang,en)" in pushed, pushed
+
+
 def test_meta_where_string_matches_oracle(spark):
     # de-registered in r11 (row ceded to fts_phrase); original SQL twin
     # kept here

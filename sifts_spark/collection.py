@@ -75,6 +75,7 @@ class SparkCollection:
         vacuum_grace_seconds: float = 300.0,
         auto_compact_fold_bytes: int | None = None,
         index_positions: bool = False,
+        promote_metadata: list[str] | None = None,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
@@ -89,6 +90,15 @@ class SparkCollection:
         self.index_positions = index_positions
         self.spark = spark or get_spark()
         self.store = DocumentStore(self.spark, root)
+        # Promoted metadata columns: `where` predicates on these keys
+        # compile against typed sidecar columns materialized at write
+        # (parquet-pushable, row-group skipping) instead of
+        # get_json_object expressions — the PG expression-index / Delta
+        # generated-column analog. STICKY (store `_promoted` marker,
+        # union semantics); enabling on a non-empty collection rewrites
+        # the live snapshot once (see DocumentStore.promote_metadata).
+        if promote_metadata:
+            self.store.promote_metadata(self.name, promote_metadata)
         # LSM write amplification control: every read resolves
         # newest-batch-wins across ALL live batches, so an append-heavy
         # collection accretes read-side work. When set, any write that
@@ -1443,8 +1453,20 @@ class SparkCollection:
             is_search = True
 
         if where:
-            df = df.filter(compile_where(F.col("metadata"), where))
+            df = df.filter(
+                compile_where(F.col("metadata"), where, self._promoted_map())
+            )
         return df, is_search
+
+    def _promoted_map(self) -> dict | None:
+        """Promoted-key → (string, double) sidecar columns for
+        compile_where — predicates on these push to the parquet scan."""
+        keys = self.store.promoted_keys(self.name)
+        if not keys:
+            return None
+        return {
+            k: (F.col(f"_m_{k}"), F.col(f"_mn_{k}")) for k in keys
+        }
 
     def hybrid_query(
         self,
@@ -1800,6 +1822,7 @@ def Collection(
     vacuum_grace_seconds: float = 300.0,
     auto_compact_fold_bytes: int | None = None,
     index_positions: bool = False,
+    promote_metadata: list[str] | None = None,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -1840,4 +1863,5 @@ def Collection(
         vacuum_grace_seconds=vacuum_grace_seconds,
         auto_compact_fold_bytes=auto_compact_fold_bytes,
         index_positions=index_positions,
+        promote_metadata=promote_metadata,
     )

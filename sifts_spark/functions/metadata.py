@@ -55,30 +55,52 @@ def _validate_key(key: str) -> None:
         raise WhereError(f"invalid metadata key: {key!r}")
 
 
-def _typed(extracted: Column, literal: Any) -> tuple[Column, Column]:
-    """Cast the extracted string per the literal's Python type."""
+def _typed(
+    extracted: Column, literal: Any, num: Column | None = None
+) -> tuple[Column, Column]:
+    """Cast the extracted string per the literal's Python type.
+    ``num`` is the pre-materialized double form when the key is
+    promoted (identical value to the inline try_cast)."""
     if isinstance(literal, bool):
         raise WhereError("boolean metadata comparisons are not supported")
     if isinstance(literal, numbers.Number):
-        return extracted.try_cast("double"), F.lit(float(literal))
+        n = extracted.try_cast("double") if num is None else num
+        return n, F.lit(float(literal))
     return extracted, F.lit(literal)
 
 
-def compile_where(metadata: Column, where: dict[str, Any]) -> Column:
-    """Fold a ``where`` dict into one conjunctive Column predicate."""
+def compile_where(
+    metadata: Column,
+    where: dict[str, Any],
+    promoted: dict[str, tuple[Column, Column]] | None = None,
+) -> Column:
+    """Fold a ``where`` dict into one conjunctive Column predicate.
+
+    ``promoted`` maps a key to its materialized ``(string, double)``
+    sidecar columns (the store's promoted-metadata layout, see
+    ``DocumentStore.promote_metadata``): predicates on those keys
+    compile against plain columns — parquet-pushable — instead of
+    ``get_json_object`` expressions. The sidecars are written as
+    exactly (raw token, raw token try_cast double), so the two forms
+    are value-identical by construction."""
     pred: Column | None = None
     for key, spec in where.items():
-        extracted = meta_get(metadata, key)
-        clause = _compile_one(extracted, spec)
+        if promoted and key in promoted:
+            extracted, num = promoted[key]
+        else:
+            extracted, num = meta_get(metadata, key), None
+        clause = _compile_one(extracted, spec, num)
         pred = clause if pred is None else (pred & clause)
     if pred is None:
         return F.lit(True)
     return pred
 
 
-def _compile_one(extracted: Column, spec: Any) -> Column:
+def _compile_one(
+    extracted: Column, spec: Any, num: Column | None = None
+) -> Column:
     if not isinstance(spec, dict):
-        col, lit = _typed(extracted, spec)
+        col, lit = _typed(extracted, spec, num)
         return col == lit
     clause: Column | None = None
     for op, value in spec.items():
@@ -96,7 +118,7 @@ def _compile_one(extracted: Column, spec: Any) -> Column:
             # matches neither $in nor $nin (test_sqlite.py:303-316).
             any_match: Column | None = None
             for v in value:
-                col, lit = _typed(extracted, v)
+                col, lit = _typed(extracted, v, num)
                 elem = F.coalesce(col == lit, F.lit(False))
                 any_match = elem if any_match is None else (any_match | elem)
             if any_match is None:  # empty list
@@ -107,7 +129,7 @@ def _compile_one(extracted: Column, spec: Any) -> Column:
                 else (extracted.isNotNull() & ~any_match)
             )
         else:
-            col, lit = _typed(extracted, value)
+            col, lit = _typed(extracted, value, num)
             c = {
                 "$eq": col == lit,
                 "$gt": col > lit,

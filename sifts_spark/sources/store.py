@@ -167,6 +167,9 @@ class DocumentStore:
             spark._jsc.hadoopConfiguration()
         )
         self._fs.mkdirs(self._Path(self.root))
+        # per-collection promoted-keys marker cache; external promoters
+        # are covered by the same refresh() contract as other sidecars
+        self._promoted_cache: dict[str, list[str]] = {}
 
     # ---- layout helpers (driver-side fs metadata ops, like a catalog) ----
     # All go through the Hadoop FileSystem API: object-store safe.
@@ -190,6 +193,11 @@ class DocumentStore:
 
     _BATCH_DIR_RE = re.compile(r"^batch=(\d+)$")
     _RESERVE_RE = re.compile(r"^\.reserve-batch-(\d+)$")
+    # provenance marker written by a FULL fold (compact with no byte
+    # cap / the promote_metadata rewrite): batch N holds exactly one
+    # non-tombstone version per id. Derivable by ANY manifest publisher
+    # from the listing, like everything else in the manifest.
+    _FULL_FOLD_RE = re.compile(r"^\.full-fold-(\d+)$")
 
     # ---- manifest: the collection's transactional metadata --------------
     #
@@ -523,7 +531,9 @@ class DocumentStore:
         claims the next number, so concurrent publishers serialize
         without a coordinator and every committed version reflects all
         batches materialized at its derivation."""
-        _STATE_KEYS = ("batches", "postings", "doclens", "superseded_at")
+        _STATE_KEYS = (
+            "batches", "postings", "doclens", "superseded_at", "full_fold"
+        )
         for _ in range(64):
             m = self._derive_manifest(name, superseded)
             prev = self.read_manifest(name)
@@ -574,6 +584,15 @@ class DocumentStore:
         part_names = self._ls_names(self._partition_dir(name))
         inflight = self._reserved_numbers(part_names)
         mat = _nums(part_names) - inflight
+        # full-fold provenance (see read()): highest marker whose batch
+        # is still materialized; derivable by every publisher, so the
+        # flag survives concurrent re-derivations like the batch lists
+        full_fold = None
+        for d in part_names:
+            fm = self._FULL_FOLD_RE.match(d)
+            if fm and int(fm.group(1)) in mat:
+                n = int(fm.group(1))
+                full_fold = n if full_fold is None else max(full_fold, n)
         # Same in-flight rule for the sidecars: a postings/doclen batch
         # under a live `.claim-N` marker is some sweeper's Spark job in
         # progress (dir exists, zero committed files). Listing it would
@@ -600,6 +619,7 @@ class DocumentStore:
             "postings": sorted(post - sup),
             "doclens": sorted(dl - sup),
             "superseded_at": sup_at,
+            "full_fold": full_fold,
         }
 
     def _reserved_numbers(self, part_names: list[str]) -> set[int]:
@@ -745,6 +765,11 @@ class DocumentStore:
             ):
                 continue  # live or crashed-partial write: keep the shield
             self._fs.delete(self._Path(f"{part}/{d}"), False)
+        for d in names:
+            m = self._FULL_FOLD_RE.match(d)
+            if m and f"batch={m.group(1)}" not in names:
+                # fold marker whose batch was vacuumed — stale
+                self._fs.delete(self._Path(f"{part}/{d}"), False)
 
     def collection_names(self) -> list[str]:
         return sorted(
@@ -754,6 +779,112 @@ class DocumentStore:
         )
 
     # ---- write path ----
+
+    # ---- promoted metadata columns (pushdown for JSON predicates) ------
+    #
+    # A `where` over schemaless JSON can never reach the parquet reader:
+    # get_json_object is an opaque expression, so every metadata filter
+    # scans every row group of every live batch — at 100 TB that is the
+    # whole collection's bytes for a 0.1%-selective predicate. Promotion
+    # materializes chosen keys as typed sidecar COLUMNS at write time
+    # (`_m_<key>` = the raw get_json_object token, `_mn_<key>` = its
+    # try_cast double — exactly the two shapes compile_where compares),
+    # so promoted predicates become plain column comparisons: pushed to
+    # PushedFilters, row groups skipped on min/max stats, the same plan
+    # a typed schema would get. The reference's analog is a PG
+    # expression index on (metadata->>'key'); Delta's is a generated
+    # column. Values are pure derivations of `metadata`, recomputed on
+    # every write path (append + compact), never carried by callers.
+
+    _PROMOTED_KEY_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+    def _promoted_marker(self, name: str) -> str:
+        return f"{self._partition_dir(name)}/_promoted"
+
+    def promoted_keys(self, name: str) -> list[str]:
+        """Keys promoted for this collection (sticky marker, sorted)."""
+        if name not in self._promoted_cache:
+            txt = self._read_small_text(self._promoted_marker(name))
+            self._promoted_cache[name] = sorted(json.loads(txt)) if txt else []
+        return self._promoted_cache[name]
+
+    @staticmethod
+    def promoted_fields(keys: list[str]) -> list[T.StructField]:
+        out: list[T.StructField] = []
+        for k in keys:
+            out.append(T.StructField(f"_m_{k}", T.StringType(), True))
+            out.append(T.StructField(f"_mn_{k}", T.DoubleType(), True))
+        return out
+
+    @staticmethod
+    def promote_columns(df: DataFrame, keys: list[str]) -> DataFrame:
+        """Recompute the promoted sidecar columns from ``metadata``."""
+        for k in keys:
+            raw = F.get_json_object(F.col("metadata"), f"$.{k}")
+            df = df.withColumn(f"_m_{k}", raw).withColumn(
+                f"_mn_{k}", raw.try_cast("double")
+            )
+        return df
+
+    def promote_metadata(self, name: str, keys: list[str]) -> list[str]:
+        """Promote ``keys`` (union with any existing promotion; sticky).
+
+        On a collection with live batches, the enable REWRITES the
+        current snapshot into one new batch (the full-compact path) so
+        every live row carries the columns — promoted reads are only
+        correct when every batch under the manifest has them (an old
+        batch would read NULL, not the extracted value). The marker is
+        written first; a concurrent reader that picks it up before the
+        rewrite publishes sees NULL promoted columns on old batches for
+        the gap — the same external-writer staleness window the
+        refresh() contract already documents. Time-travel snapshots
+        from before the promotion read NULL promoted columns; the
+        facade never compiles promoted predicates against them.
+
+        Returns the full promoted key list."""
+        clean = sorted(set(keys))
+        for k in clean:
+            if not self._PROMOTED_KEY_RE.match(k):
+                raise ValueError(
+                    f"promoted metadata key must match [A-Za-z0-9_]+: {k!r}"
+                )
+        cur = self.promoted_keys(name)
+        new = sorted(set(cur) | set(clean))
+        if new == cur:
+            return cur
+        self._fs.mkdirs(self._Path(self._partition_dir(name)))
+        self._write_small_text(self._promoted_marker(name), json.dumps(new))
+        self._promoted_cache[name] = new
+        old = self._batch_dirs(name)
+        if old:
+            # full rewrite (compact body without the <=1-batch no-op):
+            # newest-per-id, tombstones dropped, promoted cols computed
+            current = self.read(name)
+            batch = self.reserve_batch(name)
+            out = f"{self._partition_dir(name)}/batch={batch}"
+            body = current.select([f.name for f in DOC_SCHEMA.fields])
+            self.promote_columns(body, new).write.parquet(out)
+            self._fs.delete(
+                self._Path(
+                    f"{self._partition_dir(name)}/.reserve-batch-{batch}"
+                ),
+                False,
+            )
+            self._stamp_full_fold(name, batch)
+            old_nums = {int(d.split("=", 1)[1]) for d in old}
+            self._publish_manifest(name, superseded=old_nums)
+            self._gc_markers(name)
+        return new
+
+    def _stamp_full_fold(self, name: str, batch: int) -> None:
+        """Record that ``batch`` is a FULL fold (one non-tombstone
+        version per id) and retire older fold markers."""
+        part = self._partition_dir(name)
+        self._write_small_text(f"{part}/.full-fold-{batch}", "1")
+        for d in self._ls_names(part):
+            m = self._FULL_FOLD_RE.match(d)
+            if m and int(m.group(1)) < batch:
+                self._fs.delete(self._Path(f"{part}/{d}"), False)
 
     def append_batch(self, name: str, df: DataFrame) -> int:
         """Append one batch (columns of DOC_SCHEMA minus partition cols).
@@ -774,7 +905,11 @@ class DocumentStore:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
-        df.select(*cols).write.mode("errorifexists").parquet(out)
+        body = df.select(*cols)
+        pk = self.promoted_keys(name)
+        if pk:
+            body = self.promote_columns(body, pk)
+        body.write.mode("errorifexists").parquet(out)
         # Write committed: the dir itself now claims the number; the
         # marker's remaining job (shielding an in-flight write) is done.
         self._fs.delete(self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False)
@@ -858,10 +993,18 @@ class DocumentStore:
         # overwrite inputs mid-read), then flip the manifest.
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
-        current.select([f.name for f in DOC_SCHEMA.fields]).write.parquet(out)
+        body = current.select([f.name for f in DOC_SCHEMA.fields])
+        pk = self.promoted_keys(name)
+        if pk:
+            body = self.promote_columns(body, pk)
+        body.write.parquet(out)
         self._fs.delete(
             self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False
         )
+        if max_fold_bytes is None:
+            # full fold: batch holds one non-tombstone version per id —
+            # stamp the provenance the fast-path read() keys on
+            self._stamp_full_fold(name, batch)
         old_nums = {int(d.split("=", 1)[1]) for d in old}
         self._publish_manifest(name, superseded=old_nums)
         self._gc_markers(name)
@@ -940,23 +1083,56 @@ class DocumentStore:
     # ---- read path ----
 
     def read_raw(self, name: str, manifest=_UNSET) -> DataFrame:
-        """All batches of one collection, versions + tombstones included."""
+        """All batches of one collection, versions + tombstones included.
+
+        Promoted collections read the sidecar columns too (explicit
+        schema — a pre-promotion batch under a time-travel manifest
+        reads them as NULL; live manifests only reference rewritten
+        batches, see :meth:`promote_metadata`)."""
         dirs = self._batch_dirs(name, manifest)
+        pk = self.promoted_keys(name)
+        schema = (
+            T.StructType(list(DOC_SCHEMA.fields) + self.promoted_fields(pk))
+            if pk
+            else DOC_SCHEMA
+        )
         if not dirs:
-            return self.spark.createDataFrame([], DOC_SCHEMA).withColumn(
+            return self.spark.createDataFrame([], schema).withColumn(
                 "batch", F.lit(0).cast("long")
             )
         # basePath keeps the batch partition column; the name= filter is
         # done by path selection => partition pruning by construction.
-        return self.spark.read.schema(DOC_SCHEMA).option(
+        return self.spark.read.schema(schema).option(
             "basePath", self._partition_dir(name)
         ).parquet(
             *[f"{self._partition_dir(name)}/{d}" for d in dirs]
         )
 
     def read(self, name: str) -> DataFrame:
-        """Current snapshot: newest version per id, tombstones dropped."""
-        return resolve_snapshot(self.read_raw(name))
+        """Current snapshot: newest version per id, tombstones dropped.
+
+        **Compacted fast path**: when the manifest's only live batch IS
+        a full fold (``full_fold`` provenance, stamped by the complete
+        :meth:`compact` / :meth:`promote_metadata` rewrite — one
+        non-tombstone version per id by construction), the snapshot is
+        the raw scan itself: no id-keyed window, no shuffle — and,
+        crucially, FILTERS PUSH THROUGH to the parquet reader (a
+        predicate can never cross the newest-batch-wins window, because
+        an old version matching it must not resurrect a doc whose
+        current version doesn't). Post-OPTIMIZE reads at 100 TB are
+        pure pruned scans, exactly Delta's posture; any later append
+        falls back to the window path until the next full fold."""
+        m = self.read_manifest(name)
+        ff = None if m is None else m.get("full_fold")
+        if ff is not None and [int(b) for b in m.get("batches", [])] == [
+            int(ff)
+        ]:
+            return (
+                self.read_raw(name, m)
+                .filter(~F.col("deleted"))
+                .drop("batch")
+            )
+        return resolve_snapshot(self.read_raw(name, m))
 
     def live_versions(self, name: str, manifest=_UNSET) -> DataFrame:
         """(id, batch) of the winning non-deleted version per id — a

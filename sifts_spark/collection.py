@@ -35,7 +35,7 @@ import uuid
 from collections.abc import Callable, Sequence
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sifts_spark.functions.metadata import (
@@ -461,11 +461,13 @@ class SparkCollection:
 
     def refresh(self) -> None:
         """Invalidate cached per-snapshot query constants (BM25 corpus
-        stats, ANN index meta). Call after a DIFFERENT process/handle
-        wrote to this collection; your own writes through this facade
+        stats, ANN index meta, promoted-keys marker). Call after a
+        DIFFERENT process/handle wrote to (or promoted metadata on)
+        this collection; your own writes through this facade
         invalidate automatically."""
         self._docs_version += 1
         self._vecindex_meta_cache = _AUTO_METADATA
+        self.store.refresh_markers(self.name)
 
     def _maintain_index(self) -> None:
         """W3: derived-index maintenance on every write (reference
@@ -1480,6 +1482,7 @@ class SparkCollection:
         nprobe: int = 2,
         group_by_parent: bool = False,
         highlight: bool = False,
+        after: dict | None = None,
     ) -> dict:
         """Hybrid text+vector search fused by Reciprocal Rank Fusion
         (extension — the reference exposes FTS and vector search only
@@ -1517,12 +1520,24 @@ class SparkCollection:
         ``highlight=True``: per-result ``snippet`` over the TEXT leg's
         query terms (same contract as :meth:`query`; a vector-leg-only
         hit simply shows its unmarked leading window).
+
+        ``after=`` (extension): keyset cursor over the FUSED order
+        (rrf desc, id asc) — pass a result dict from the previous page
+        (it carries ``rank`` = the RRF score and ``id``); the next
+        page is the strictly-after filter + top-``k`` cut on the same
+        deterministic pool. ``total`` stays the full fused-candidate
+        count (total-before-cursor, matching offset semantics). The
+        pool must be the same (or wider) across pages — a cursor from
+        a wider pool may skip rows a narrower pool never ranked.
         """
         # Same error surface as query/query_df for the same misuse: a
         # whitespace-only query with highlight=True must raise the
         # _validate_highlight ValueError, not a downstream parser error
         # (vector_search never applies on the hybrid path).
         self._validate_highlight(highlight, query_string, False)
+        after_pred = (
+            None if after is None else _hybrid_after_pred(after)
+        )
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,
@@ -1533,8 +1548,13 @@ class SparkCollection:
                 parents = self._hybrid_parent_pool(fused).persist()
                 try:
                     total = parents.count()
+                    page = (
+                        parents
+                        if after_pred is None
+                        else parents.filter(after_pred)
+                    )
                     rows = (
-                        parents.orderBy(F.col("rrf").desc(), F.col("id"))
+                        page.orderBy(F.col("rrf").desc(), F.col("id"))
                         .limit(k)
                         .collect()
                     )
@@ -1542,7 +1562,12 @@ class SparkCollection:
                     parents.unpersist()
             else:
                 total = fused.count()
-                rows = self._hybrid_winners(fused, k).collect()
+                page = (
+                    fused
+                    if after_pred is None
+                    else fused.filter(after_pred)
+                )
+                rows = self._hybrid_winners(page, k).collect()
         finally:
             fused.unpersist()
         results = [
@@ -1574,6 +1599,7 @@ class SparkCollection:
         nprobe: int = 2,
         group_by_parent: bool = False,
         highlight: bool = False,
+        after: dict | None = None,
     ) -> DataFrame:
         """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
         winners as a lazy ``(id, content, metadata, rank)`` frame
@@ -1586,17 +1612,25 @@ class SparkCollection:
         two paths can never disagree; a vector-leg-only hit shows its
         unmarked leading window)."""
         self._validate_highlight(highlight, query_string, False)
+        after_pred = (
+            None if after is None else _hybrid_after_pred(after)
+        )
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe,
         )
         if group_by_parent:
+            parents = self._hybrid_parent_pool(fused)
+            if after_pred is not None:
+                parents = parents.filter(after_pred)
             winners = (
-                self._hybrid_parent_pool(fused)
+                parents
                 .orderBy(F.col("rrf").desc(), F.col("id"))
                 .limit(k)
             )
         else:
+            if after_pred is not None:
+                fused = fused.filter(after_pred)
             winners = self._hybrid_winners(fused, k)
         out = winners.select("id", "content", "metadata",
                              F.col("rrf").alias("rank"))
@@ -1757,8 +1791,19 @@ class SparkCollection:
                 pred = compile_keyset_after(
                     F.col("metadata"), order_by, meta_json, cur_id,
                     F.col("id"), numeric="auto",
+                    promoted=self._promoted_map(),
                 )
             elif is_search:
+                if "rank" not in after:
+                    # a missing rank would compile as a rank-NULL
+                    # cursor, which sorts after every ranked row —
+                    # silently returning zero results. Refuse instead
+                    # (mirrors the offset/after mutual-exclusion error).
+                    raise ValueError(
+                        "after= on a ranked search page requires the "
+                        "cursor dict to carry 'rank' (pass the result "
+                        "dict exactly as the previous page returned it)"
+                    )
                 # rank desc_nulls_last, id asc — as the default sort
                 rank = F.col("rank")
                 pred = lexicographic_after([
@@ -1783,6 +1828,35 @@ class SparkCollection:
         if limit:
             df = df.limit(limit)
         return df
+
+
+def _hybrid_after_pred(after: dict) -> Column:
+    """Strictly-after predicate over the hybrid fused order
+    (``rrf`` desc, ``id`` asc) from a previous page's result dict.
+    The RRF score is the cursor's ``rank`` (exactly as
+    :meth:`SparkCollection.hybrid_query` returns it) and is never NULL
+    on a fused row, so a missing/None rank is caller error, not a
+    NULL-cursor sort position — refuse it (same posture as the ranked
+    search cursor in ``_paginate``)."""
+    if (
+        not isinstance(after, dict)
+        or "id" not in after
+        or after.get("rank") is None
+    ):
+        raise ValueError(
+            "hybrid after= expects a result dict from a previous "
+            "hybrid page carrying 'id' and 'rank' (the RRF score)"
+        )
+    return lexicographic_after(
+        [
+            (
+                F.col("rrf"),
+                F.lit(float(after["rank"])).cast("double"),
+                True,
+            ),
+            (F.col("id"), F.lit(str(after["id"])), False),
+        ]
+    )
 
 
 def _keyset_cursor(after: dict) -> tuple[str | None, str, float | None]:

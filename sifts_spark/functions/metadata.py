@@ -29,6 +29,7 @@ the Python literal's type, exactly like the reference.
 
 from __future__ import annotations
 
+import json
 import numbers
 from typing import Any
 
@@ -187,7 +188,9 @@ def compile_order_by(
     return cols
 
 
-def _order_pieces(col: Column, numeric: bool | str) -> list[Column]:
+def _order_pieces(
+    col: Column, numeric: bool | str, num: Column | None = None
+) -> list[Column]:
     """One order key → the piece tuple whose plain lexicographic order
     (every piece in the KEY's direction) equals :func:`compile_order_by`'s
     sort for that key.
@@ -201,13 +204,19 @@ def _order_pieces(col: Column, numeric: bool | str) -> list[Column]:
     are cross-pinned against offset pagination by the cursor-walk
     equivalence tests, not by sharing code with ``compile_order_by``
     (whose single-column ``asc_nulls_last`` plans are byte-pinned
-    elsewhere)."""
+    elsewhere).
+
+    ``num`` is the pre-materialized double form when the key is
+    promoted (a ``_mn_<key>`` sidecar column — value-identical to the
+    inline try_cast by the store's write-path construction), so a
+    promoted cursor predicate stays a plain-column comparison that
+    reaches PushedFilters."""
     if numeric == "auto":
-        num = col.try_cast("double")
-        return [col.isNull(), num.isNull(), num, col]
+        n = col.try_cast("double") if num is None else num
+        return [col.isNull(), n.isNull(), n, col]
     if numeric is True:
-        num = col.try_cast("double")
-        return [num.isNull(), num]
+        n = col.try_cast("double") if num is None else num
+        return [n.isNull(), n]
     return [col.isNull(), col]
 
 
@@ -232,6 +241,88 @@ def lexicographic_after(pairs: list[tuple[Column, Column, bool]]) -> Column:
     return pred
 
 
+def _promoted_seek_guard(
+    pcol: Column, pnum: Column, desc: bool, cursor_metadata_json: str | None,
+    key: str,
+) -> Column | None:
+    """Value-REDUNDANT range guard on the LEADING promoted order key.
+
+    The exact strictly-after predicate (:func:`lexicographic_after`)
+    is a coalesce/eqNullSafe tree the parquet source cannot translate,
+    so on its own a promoted-key cursor page still scans every row
+    group. But lexicographic order implies every after-row is >= the
+    cursor on the FIRST key (in its direction), and under the "auto"
+    typed order (NULL < number < text, the piece tuple
+    ``[isNull, numIsNull, num, col]``) that containment compiles to a
+    disjunction/conjunction of plain IsNull/IsNotNull/range atoms over
+    the ``_m_``/``_mn_`` sidecars — all parquet-pushable, so row
+    groups wholly before the cursor skip on min/max stats (the seek
+    method's I/O win, not just its heap win).
+
+    The guard must be a SUPERSET of the after-set under the row-side
+    classing, which the driver cannot always reproduce exactly:
+    ``try_cast('double')`` puts numeric-LOOKING strings ("10") in the
+    number class, so a cursor string that Python can parse as a float
+    is AMBIGUOUS (Python ``float`` accepts a superset of Spark's cast
+    grammar, e.g. "1_0") — those get the guard that is a superset
+    under EITHER classing. Non-string non-numeric values (bools,
+    nested JSON) keep only the class-level guard — their serialized
+    spelling is not byte-pinned between Python and Spark. Returns None
+    when every row trivially satisfies the containment (e.g. desc from
+    a NULL cursor). ANDed with the exact predicate, never replacing it
+    — correctness never depends on this function."""
+    v = None
+    if cursor_metadata_json:
+        try:
+            d = json.loads(cursor_metadata_json)
+        except ValueError:
+            d = None
+        if isinstance(d, dict):
+            v = d.get(key)
+    if v is None:
+        # cursor in the NULL class: asc (nulls last) → only NULL rows
+        # remain; desc (nulls first) → everything may follow.
+        return pcol.isNull() if not desc else None
+    num: float | None = None
+    token: str | None = None
+    if isinstance(v, bool):
+        pass  # "true"/"false" tokens: class-level guard only
+    elif isinstance(v, numbers.Number):
+        num = float(v)  # a JSON number token always casts: exact class
+    elif isinstance(v, str):
+        token = v
+        try:
+            num = float(v)  # ambiguous: number class under try_cast
+        except ValueError:
+            num = None  # plain string class under both grammars
+    if num is not None and token is None:
+        # unambiguous number class
+        if desc:
+            return pnum.isNotNull() & (pnum <= F.lit(num))
+        return pcol.isNull() | pnum.isNull() | (pnum >= F.lit(num))
+    if token is not None and num is None:
+        # unambiguous string class
+        if desc:
+            # after a string: lesser/equal strings, then every number
+            return pcol.isNotNull() & (
+                pnum.isNotNull() | (pcol <= F.lit(token))
+            )
+        return pcol.isNull() | (pnum.isNull() & (pcol >= F.lit(token)))
+    if token is not None:
+        # ambiguous (numeric-looking string): superset under either
+        # classing — asc keeps the whole string+null classes, desc
+        # keeps the whole number class.
+        if desc:
+            return pcol.isNotNull() & (
+                pnum.isNotNull() | (pcol <= F.lit(token))
+            )
+        return pcol.isNull() | pnum.isNull() | (pnum >= F.lit(num))
+    # bool / nested JSON: class-level only (strings + nulls asc)
+    if desc:
+        return pcol.isNotNull()
+    return pcol.isNull() | pnum.isNull()
+
+
 def compile_keyset_after(
     metadata: Column,
     order_by: str | list[str] | None,
@@ -239,6 +330,7 @@ def compile_keyset_after(
     cursor_id: str,
     id_col: Column,
     numeric: bool | str = False,
+    promoted: dict[str, tuple[Column, Column]] | None = None,
 ) -> Column:
     """Keyset-pagination predicate: rows strictly AFTER the cursor row
     in ``compile_order_by(order_by)``'s total order (id ascending as
@@ -252,19 +344,42 @@ def compile_keyset_after(
     with the offset) with filter-then-top-``page`` — the seek method:
     the per-partition heap stays page-sized no matter how deep the
     walk is.
+
+    ``promoted`` (the facade's promoted-key → ``(_m_, _mn_)`` sidecar
+    map): the ROW side of a promoted key's pieces reads the
+    materialized columns instead of ``get_json_object``, so the seek
+    filter pushes to the parquet scan on exactly the collections that
+    opted into pushdown. The CURSOR side still extracts from the
+    literal JSON (constant-folded) — both sides compare identical
+    values by the write-path construction.
     """
     lit_meta = F.lit(cursor_metadata_json).cast("string")
     keys = (
         [order_by] if isinstance(order_by, str) else list(order_by or [])
     )
     pairs: list[tuple[Column, Column, bool]] = []
-    for raw in keys:
+    guard: Column | None = None
+    for i, raw in enumerate(keys):
         desc = raw.startswith("-")
         key = raw.lstrip("+-")
-        row_pieces = _order_pieces(meta_get(metadata, key), numeric)
+        if promoted and key in promoted:
+            pcol, pnum = promoted[key]
+            row_pieces = _order_pieces(pcol, numeric, num=pnum)
+            if i == 0 and numeric == "auto":
+                # leading-key containment: every after-row is >= the
+                # cursor on the first key, and over sidecar columns
+                # that compiles to parquet-pushable atoms (the exact
+                # predicate below is a coalesce tree the source cannot
+                # translate). Redundant by construction.
+                guard = _promoted_seek_guard(
+                    pcol, pnum, desc, cursor_metadata_json, key
+                )
+        else:
+            row_pieces = _order_pieces(meta_get(metadata, key), numeric)
         cur_pieces = _order_pieces(meta_get(lit_meta, key), numeric)
         pairs.extend(
             (r, c, desc) for r, c in zip(row_pieces, cur_pieces)
         )
     pairs.append((id_col, F.lit(cursor_id), False))
-    return lexicographic_after(pairs)
+    pred = lexicographic_after(pairs)
+    return pred if guard is None else (guard & pred)

@@ -801,12 +801,25 @@ class DocumentStore:
     def _promoted_marker(self, name: str) -> str:
         return f"{self._partition_dir(name)}/_promoted"
 
-    def promoted_keys(self, name: str) -> list[str]:
-        """Keys promoted for this collection (sticky marker, sorted)."""
-        if name not in self._promoted_cache:
+    def promoted_keys(self, name: str, refresh: bool = False) -> list[str]:
+        """Keys promoted for this collection (sticky marker, sorted).
+
+        ``refresh=True`` re-reads the marker — the WRITE paths always
+        pass it so a handle whose cache was warmed before ANOTHER
+        handle promoted still materializes the sidecar columns on its
+        next append/compact (a stale [] here would write a batch whose
+        promoted columns read NULL, silently dropping rows from every
+        promoted predicate until the next full fold)."""
+        if refresh or name not in self._promoted_cache:
             txt = self._read_small_text(self._promoted_marker(name))
             self._promoted_cache[name] = sorted(json.loads(txt)) if txt else []
         return self._promoted_cache[name]
+
+    def refresh_markers(self, name: str) -> None:
+        """Drop cached per-collection markers (promoted keys) so the
+        next access re-reads storage — the store-level piece of the
+        facade's external-writer ``refresh()`` contract."""
+        self._promoted_cache.pop(name, None)
 
     @staticmethod
     def promoted_fields(keys: list[str]) -> list[T.StructField]:
@@ -859,11 +872,14 @@ class DocumentStore:
         if old:
             # full rewrite (compact body without the <=1-batch no-op):
             # newest-per-id, tombstones dropped, promoted cols computed
+            had_postings = bool(self._postings_batch_dirs(name))
             current = self.read(name)
             batch = self.reserve_batch(name)
             out = f"{self._partition_dir(name)}/batch={batch}"
             body = current.select([f.name for f in DOC_SCHEMA.fields])
-            self.promote_columns(body, new).write.parquet(out)
+            self.promote_columns(body, new).write.mode(
+                "errorifexists"
+            ).parquet(out)
             self._fs.delete(
                 self._Path(
                     f"{self._partition_dir(name)}/.reserve-batch-{batch}"
@@ -874,6 +890,14 @@ class DocumentStore:
             old_nums = {int(d.split("=", 1)[1]) for d in old}
             self._publish_manifest(name, superseded=old_nums)
             self._gc_markers(name)
+            if had_postings:
+                # the rewrite superseded every old batch AND its
+                # postings/doclen sidecars; without this, a use_fts
+                # collection rebuilds whole-corpus postings lazily on
+                # every text query until the next write sweeps them.
+                # positions=None honors the collection's _positions
+                # marker (same as compact's facade wrapper).
+                self.maintain_postings(name)
         return new
 
     def _stamp_full_fold(self, name: str, batch: int) -> None:
@@ -906,7 +930,7 @@ class DocumentStore:
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
         body = df.select(*cols)
-        pk = self.promoted_keys(name)
+        pk = self.promoted_keys(name, refresh=True)
         if pk:
             body = self.promote_columns(body, pk)
         body.write.mode("errorifexists").parquet(out)
@@ -994,10 +1018,10 @@ class DocumentStore:
         batch = self.reserve_batch(name)
         out = f"{self._partition_dir(name)}/batch={batch}"
         body = current.select([f.name for f in DOC_SCHEMA.fields])
-        pk = self.promoted_keys(name)
+        pk = self.promoted_keys(name, refresh=True)
         if pk:
             body = self.promote_columns(body, pk)
-        body.write.parquet(out)
+        body.write.mode("errorifexists").parquet(out)
         self._fs.delete(
             self._Path(f"{self._partition_dir(name)}/.reserve-batch-{batch}"), False
         )

@@ -172,3 +172,32 @@ def test_hybrid_mmr_validations(mmr_col):
         mmr_col.hybrid_mmr_query("apple pie", lambda_=-0.1)
     with pytest.raises(ValueError, match="fetch_k"):
         mmr_col.hybrid_mmr_query("apple pie", k=5, fetch_k=2)
+
+
+def test_hybrid_cursor_walk_equals_single_page(col):
+    """after= keyset cursor over the fused order (rrf desc, id asc):
+    walking page-by-page must reproduce the one-shot top-k exactly —
+    same ids, same RRF scores — and total stays the full fused count."""
+    full = col.hybrid_query("apple", k=10)
+    want = [(r["id"], r["rank"]) for r in full["results"]]
+    walked, after = [], None
+    for _ in range(10):
+        page = col.hybrid_query("apple", k=2, after=after)
+        if not page["results"]:
+            break
+        assert page["total"] == full["total"]  # total-before-cursor
+        walked.extend((r["id"], r["rank"]) for r in page["results"])
+        after = page["results"][-1]
+    else:
+        raise AssertionError("cursor walk did not terminate")
+    assert [(i, pytest.approx(s)) for i, s in want] == walked
+    # df variant pages identically
+    df_page = col.hybrid_query_df("apple", k=2, after=full["results"][1])
+    assert [r["id"] for r in df_page.collect()] == [i for i, _ in want[2:4]]
+
+
+def test_hybrid_cursor_validations(col):
+    with pytest.raises(ValueError, match="hybrid after="):
+        col.hybrid_query("apple", after={"id": "pie"})  # no rank
+    with pytest.raises(ValueError, match="hybrid after="):
+        col.hybrid_query("apple", after={"rank": 0.1})  # no id

@@ -138,6 +138,11 @@ def test_cursor_validation(col):
         col.query(limit=3, after={"metadata": {"k": 1}}, order_by="k")
     with pytest.raises(ValueError, match="metadata"):
         col.query(limit=3, after={"id": "d01", "metadata": 7}, order_by="k")
+    # a ranked-search cursor without 'rank' would compile as a
+    # rank-NULL cursor (sorts after every ranked row → silently empty
+    # pages); it must refuse instead (ADVICE r12).
+    with pytest.raises(ValueError, match="requires the cursor"):
+        col.query("shared", limit=3, after={"id": "d01"})
 
 
 def test_cursor_page_plan_is_top_k_not_global_sort(col, spark):

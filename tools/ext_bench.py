@@ -416,6 +416,53 @@ def main() -> None:
 
     QUERIES["page_keyset_deep"] = _page_keyset_deep
 
+    # r13: promoted-metadata contrast — the same selective `where` over
+    # (a) schemaless JSON (get_json_object is opaque to the source:
+    # every row group read AND parsed) vs (b) promoted typed sidecar
+    # columns (predicate in PushedFilters; row groups/files skipped on
+    # min/max stats). Both tables hold identical rows, both written
+    # clustered by the key (the realistic layout promotion exploits);
+    # predicate selects ~1% of rows.
+    from sifts_spark.functions.metadata import compile_where
+    from sifts_spark.sources.store import DocumentStore
+
+    wdir_json = tempfile.mkdtemp(prefix="ext_bench_wjson_")
+    wdir_prom = tempfile.mkdtemp(prefix="ext_bench_wprom_")
+    _wbase = sdocs.withColumn(
+        "metadata", F.to_json(F.struct(F.length("content").alias("len")))
+    ).sort(F.length("content"))
+
+    def _build_where_tables():
+        _wbase.write.mode("overwrite").parquet(wdir_json)
+        DocumentStore.promote_columns(_wbase, ["len"]).write.mode(
+            "overwrite"
+        ).parquet(wdir_prom)
+
+    timed_setup("where_tables_build", _build_where_tables)
+    _thr = float(
+        pframe.selectExpr(
+            "percentile_approx(length(content), 0.99) AS p"
+        ).collect()[0]["p"]
+    )
+    _WHERE = {"len": {"$gt": _thr}}
+
+    QUERIES["meta_where_json_scan"] = lambda: (
+        spark.read.parquet(wdir_json)
+        .filter(compile_where(F.col("metadata"), _WHERE))
+        .select("id")
+    )
+    QUERIES["meta_where_promoted_scan"] = lambda: (
+        spark.read.parquet(wdir_prom)
+        .filter(
+            compile_where(
+                F.col("metadata"),
+                _WHERE,
+                {"len": (F.col("_m_len"), F.col("_mn_len"))},
+            )
+        )
+        .select("id")
+    )
+
     def steal_jiffies() -> int:
         # /proc/stat cpu line, field 8 = steal — every (sec, steal)
         # sample makes host-contention poisoning auditable (SURVEY §6.1,

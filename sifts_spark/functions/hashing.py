@@ -41,7 +41,10 @@ def _py_tokenize(text: str) -> list[str]:
 
 
 def _py_shingles(toks: list[str], n: int) -> list[str]:
-    """Python twin of functions.text.shingles (distinct set)."""
+    """Python twin of functions.text.shingles (distinct set; zero
+    tokens → zero shingles, see shingles' docstring)."""
+    if not toks:
+        return []
     if len(toks) >= n:
         return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
     return [" ".join(toks)]

@@ -41,31 +41,43 @@ def tokenize_sql(text_expr: str) -> str:
 def shingles(tokens: Column, n: int = 3) -> Column:
     """tokens ARRAY<STRING> → word n-gram shingles ARRAY<STRING>.
 
-    A document shorter than ``n`` tokens yields its whole token string as
-    the single shingle (so every non-empty doc has ≥1 shingle — required
+    A document with 1..n-1 tokens yields its whole token string as the
+    single shingle (so every TOKENIZABLE doc has ≥1 shingle — required
     by MinHash, mirroring the convention in classic near-dup pipelines).
-    """
+    A document with ZERO tokens yields NO shingles (changed r13): the
+    ``[^a-z0-9]+`` tokenizer extracts nothing from non-Latin-script or
+    punctuation-only content, and the old single-``""``-shingle
+    fallback gave every such doc an IDENTICAL shingle set — Jaccard 1.0
+    between, say, any two Russian documents, which near-dup dedup then
+    collapsed to one survivor per corpus (observed: a 3-language
+    curation run silently deduplicating two entire languages down to
+    one doc each). "Nothing extracted" must mean "cannot participate
+    in token-shingle dedup", never "identical"."""
+    empty = F.array().cast("array<string>")
     joined_all = F.array(F.array_join(tokens, " "))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - n),
         lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
     )
-    return F.when(F.size(tokens) >= n, grams).otherwise(joined_all)
+    return (
+        F.when(F.size(tokens) >= n, grams)
+        .when(F.size(tokens) > 0, joined_all)
+        .otherwise(empty)
+    )
 
 
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:
-    """DuckDB SQL twin of :func:`shingles` (1-based inclusive list slices)."""
+    """DuckDB SQL twin of :func:`shingles` (1-based inclusive list
+    slices; same zero-token → zero-shingles convention)."""
     t = tokens_expr
     grams = (
         f"list_transform(generate_series(1, len({t}) - {n} + 1),"
         f" _i -> array_to_string({t}[_i:_i+{n - 1}], ' '))"
     )
-    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
-    # array_join([]) is '' — without it an empty-token doc's whole-text
-    # shingle diverges from the Spark twin (md5(NULL) is NULL).
     return (
         f"CASE WHEN len({t}) >= {n} THEN {grams}"
-        f" ELSE [coalesce(array_to_string({t}, ' '), '')] END"
+        f" WHEN len({t}) > 0 THEN [array_to_string({t}, ' ')]"
+        f" ELSE CAST([] AS VARCHAR[]) END"
     )
 
 

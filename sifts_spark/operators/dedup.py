@@ -217,6 +217,17 @@ def minhash_banded_sketches(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
         ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # zero-shingle docs (nothing tokenizable: non-Latin-script or
+    # punctuation-only content under the [^a-z0-9]+ tokenizer) cannot
+    # participate in shingle dedup: their all-NULL signatures would
+    # otherwise band-join into ONE constant-key mega-bucket (md5 of the
+    # null-skipping array_join) and dedup whole scripts down to a
+    # single survivor (see shingles()). Their band KEY is nulled in the
+    # same projection — null keys never match an equi-join, and a
+    # row-dropping filter on the kernel's output column would make
+    # Catalyst re-evaluate the Arrow kernel once for the predicate and
+    # once for the projection (plan-pinned by
+    # test_minhash_sketches_computed_once_per_query).
     return base.select(
         "id",
         "sh",
@@ -225,11 +236,18 @@ def minhash_banded_sketches(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            "|",
-                        )
+                    F.when(
+                        F.size(F.col("sh")) > 0,
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                "|",
+                            )
+                        ),
                     ).alias("key"),
                 ),
             )

@@ -44,8 +44,18 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     scrub: bool = True,
     soft_dedup: bool = False,
+    langid_model: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ ``(curated, report)``.
+
+    ``langid_model`` (a :func:`~sifts_spark.operators.textanalysis.
+    train_langid` artifact): the language gate scores with the trained
+    hashed-char-n-gram classifier (:func:`~sifts_spark.operators.
+    textanalysis.langid_score` — one broadcast-matrix Arrow scan)
+    instead of the 5-language marker lexicon, so a multilingual
+    curation run can gate on any label set the model was trained
+    over. Same ``(id, pred_lang)`` contract either way; attrition
+    report keys are unchanged.
 
     ``curated``: (id, text, pred_lang, quality, n_tokens) — documents
     that pass language + quality gates AND are their near-dup cluster's
@@ -68,7 +78,12 @@ def curate_corpus(
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
-    langs = language_id(base, id_col="id", text_col="text")
+    if langid_model is not None:
+        from sifts_spark.operators.textanalysis import langid_score
+
+        langs = langid_score(base, langid_model, id_col="id", text_col="text")
+    else:
+        langs = language_id(base, id_col="id", text_col="text")
     qual = quality_score(base, id_col="id", text_col="text")
 
     # near-dup canonical flag over the whole corpus (dedup BEFORE the
@@ -165,6 +180,7 @@ def prepare_training_data(
     semantic_dedup_eps: float | None = None,
     render_sequence_text: bool = False,
     sequence_sep: str = "\n\n",
+    langid_model: dict | None = None,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 
@@ -371,9 +387,12 @@ def prepare_training_data(
         docs, id_col=id_col, text_col=text_col,
         allowed_langs=allowed_langs, min_quality=min_quality,
         jaccard_threshold=jaccard_threshold, scrub=scrub,
-        soft_dedup=soft_dedup,
+        soft_dedup=soft_dedup, langid_model=langid_model,
     )
     manifest["dedup_mode"] = "soft" if soft_dedup else "hard"
+    # which classifier gated the language stage (provenance, like
+    # token_counter / sequence_token_ids)
+    manifest["langid"] = "model" if langid_model is not None else "marker"
     curated = curated.persist()
     manifest["stages"]["curated"] = curated.count()
     manifest["attrition"] = [r.asDict() for r in report.collect()]

@@ -473,3 +473,35 @@ class TestDuplicateWeights:
         n_cluster = sum(1 for i in picked if i.startswith("c"))
         # expected cluster picks ~ 20 * (10*0.1) / (30 + 1) ≈ 0.6
         assert n_cluster <= 4
+
+
+def test_untokenizable_docs_never_near_dup(spark):
+    """r13 regression: the [^a-z0-9]+ tokenizer extracts NOTHING from
+    non-Latin-script or punctuation-only content; the old zero-token
+    whole-doc shingle fallback ([""]) gave every such doc an IDENTICAL
+    one-element shingle set — Jaccard 1.0 between any two Russian
+    documents, so near-dup dedup collapsed entire scripts to one
+    survivor. Zero tokens now means zero shingles and a NULL band key:
+    no candidates, no pairs, every such doc its own canonical."""
+    rows = [
+        (1, "и в не на что он как это по но они мы"),
+        (2, "уже для вот меня только она было если"),
+        (3, "και το να του με την από είναι που"),
+        (4, "!!! ... ??? *** ---"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "the quick brown fox jumps over the lazy cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(5, 6)}, got  # only the real near-dup pair
+    # ngram-jaccard blocking path: same invariant
+    ng = D.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ng} == {(5, 6)}
+    # clusters: every untokenizable doc is its own canonical
+    clusters = D.duplicate_clusters(
+        docs, D.minhash_lsh_pairs(docs, jaccard_threshold=0.5), id_col="doc_id"
+    ).collect()
+    cid = {r["id"]: r["cluster_id"] for r in clusters}
+    assert cid[1] == 1 and cid[2] == 2 and cid[3] == 3 and cid[4] == 4
+    release_all()

@@ -101,3 +101,56 @@ def test_recipe_soft_dedup_exports_weights(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out" / "docs"))
     got = {r["id"]: r["dup_weight"] for r in out.collect()}
     assert got == {"a": 0.5, "b": 0.5, "c": 1.0, "d": 1.0}
+
+
+def test_recipe_gates_with_trained_langid_model(spark, tmp_path):
+    """VERDICT r12 item 3: `langid_model=` threads through the recipe —
+    the trained classifier (not the 5-language marker lexicon) gates
+    the language stage, so a multilingual run can keep scripts the
+    markers cannot label. Attrition keys unchanged."""
+    import random
+
+    from sifts_spark.operators import textanalysis as TA
+    from sifts_spark.pipelines.curation import prepare_training_data
+
+    pools = {
+        "en": "the and of to in is that it was for on with as his they be at one have this".split(),
+        "ru": "и в не на что он как это по но они мы из его все так она было если уже".split(),
+        "el": "και το να του με την από είναι που δεν για στο μια τον οι αυτό όπως θα".split(),
+    }
+    rng = random.Random(3)
+    rows = [
+        (f"{lang}{i}", " ".join(rng.choices(pool, k=25)), lang)
+        for lang, pool in sorted(pools.items())
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    model = TA.train_langid(docs, sample_per_lang=100, dim=2**10)
+
+    m = prepare_training_data(
+        docs, str(tmp_path / "out"), min_quality=0.0, ppl_band=None,
+        allowed_langs=("en", "ru"), langid_model=model,
+    )
+    assert m["langid"] == "model"
+    # attrition keys are the unchanged tag trio
+    assert all(
+        set(r) == {"lang_ok", "quality_ok", "canonical", "n", "tokens"}
+        for r in m["attrition"]
+    )
+    out = spark.read.parquet(str(tmp_path / "out" / "docs"))
+    got = out.select("id", "pred_lang").collect()
+    kept_langs = {r["pred_lang"] for r in got}
+    assert kept_langs <= {"en", "ru"} and "ru" in kept_langs
+    # the marker lexicon cannot label Cyrillic/Greek: the same recipe
+    # without the model drops every ru doc (pred 'und'), proving the
+    # trained model is what gated here
+    assert all(not r["id"].startswith("el") for r in got)
+    m2 = prepare_training_data(
+        docs, str(tmp_path / "out2"), min_quality=0.0, ppl_band=None,
+        allowed_langs=("en", "ru"),
+    )
+    assert m2["langid"] == "marker"
+    out2 = spark.read.parquet(str(tmp_path / "out2" / "docs"))
+    assert all(
+        not r["id"].startswith(("ru", "el")) for r in out2.select("id").collect()
+    )

@@ -185,6 +185,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_orders_revenue",
     "part_small_qty_revenue",
+    "page_keyset_deep",
 ]
 
 
@@ -204,7 +205,12 @@ def main() -> None:
 
     from sifts_spark.caching import release_all
     from sifts_spark.operators import search as S
-    from sifts_spark.plans.catalog import PREBUILT, QUERIES
+    from sifts_spark.plans.catalog import PREBUILT, QUERIES, top_orders_revenue
+
+    # r13 rotation: top_orders_revenue ceded its ORACLE slot to
+    # page_keyset_deep but stays a headline bench row (cross-round
+    # floor comparability); run it via direct import.
+    RUNNERS = {**QUERIES, "top_orders_revenue": top_orders_revenue}
     from sifts_spark.session import get_spark
     from sifts_spark.sources.tables import load_table
 
@@ -272,7 +278,7 @@ def main() -> None:
         t0 = time.perf_counter()
         for name in HEADLINE:
             try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                RUNNERS[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
             except Exception:
@@ -289,7 +295,7 @@ def main() -> None:
     t0 = time.perf_counter()
     for name in HEADLINE:
         try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            RUNNERS[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception:
@@ -330,7 +336,7 @@ def main() -> None:
         protocol could not honestly clear the suspect it re-judges."""
         s0 = steal_jiffies()
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        RUNNERS[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         dt = time.perf_counter() - t0

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sifts_spark.functions.metadata import compile_where
+from sifts_spark.functions.metadata import (
+    compile_keyset_after,
+    compile_order_by,
+    compile_where,
+)
 from sifts_spark.functions.text import tokenize, tokenize_sql, shingles, shingles_sql
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import dedup as D
@@ -1791,8 +1795,25 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
     )
 
 
-@_register(
-    "top_orders_revenue",
+# Oracle twin of page_keyset_deep. The "auto"-typed order over the
+# synthesized {"bucket": N} metadata reduces to (numeric bucket, string
+# id): bucket is always a castable JSON number token, never null — so
+# the strictly-after set from cursor ({"bucket": 3}, id "450") is
+# exactly bucket > 3 OR (bucket = 3 AND id > '450'), id in STRING
+# order on both sides ("46" > "450" > "4499").
+_PAGE_KEYSET_SQL = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CAST(floor(length(text) / 100) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT id, bucket FROM base
+WHERE bucket > 3 OR (bucket = 3 AND id > '450')
+ORDER BY bucket, id LIMIT 100
+"""
+
+# Retiree's oracle (r13 rotation) — kept for the pytest twin.
+_TOP_ORDERS_SQL = (
     "SELECT o.o_orderkey AS orderkey, "
     "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
     "o.o_orderdate AS orderdate "
@@ -1802,14 +1823,65 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
     "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
     "AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
     "GROUP BY o.o_orderkey, o.o_orderdate "
-    "ORDER BY revenue DESC, orderkey LIMIT 10",
+    "ORDER BY revenue DESC, orderkey LIMIT 10"
 )
+
+
+@_register(
+    "page_keyset_deep",
+    _PAGE_KEYSET_SQL,
+)
+def page_keyset_deep(spark, sf_dir) -> DataFrame:
+    """Keyset (seek-method) pagination page — the cursor-boundary
+    semantics under the typed "auto" order, DuckDB-re-proved per round
+    (r13 rotation: this row took ``top_orders_revenue``'s slot; see the
+    footer note). The bucketed length key forces REAL ties at the
+    cursor, so the strictly-after predicate's tie-break arm (equal key,
+    id strictly greater, STRING order) is what the oracle hash pins —
+    the exact edge an off-by-one in ``lexicographic_after`` or a typing
+    drift in ``compile_keyset_after``'s constant-folded cursor side
+    would corrupt. Plan shape: filter + page-sized TakeOrdered (the
+    whole point of the seek method at 100 TB; plan-pinned in
+    tests/test_keyset.py)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.to_json(
+            F.struct(
+                F.floor(F.length("text") / 100).cast("long").alias("bucket")
+            )
+        ).alias("metadata"),
+    )
+    pred = compile_keyset_after(
+        F.col("metadata"), "bucket", '{"bucket": 3}', "450",
+        F.col("id"), numeric="auto",
+    )
+    order = compile_order_by(F.col("metadata"), "bucket", numeric="auto")
+    return (
+        base.filter(pred)
+        .orderBy(*order, F.col("id"))
+        .limit(100)
+        .select(
+            "id",
+            F.get_json_object(F.col("metadata"), "$.bucket")
+            .try_cast("long")
+            .alias("bucket"),
+        )
+    )
+
+
 def top_orders_revenue(spark, sf_dir) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter → fact join → grouped
     revenue → top-10. Segment-filtered customer keys broadcast into
     orders (date filter pushed to the parquet scan), ONE fact shuffle
     (lineitem ⋈ filtered orders on orderkey), TakeOrdered final —
-    never a full sort."""
+    never a full sort.
+
+    De-registered in r13 (row ceded to ``page_keyset_deep``): the
+    join+agg+TakeOrdered family stays covered by ``revenue_by_nation``
+    and ``part_small_qty_revenue``; pinned by
+    tests/test_plans.py::test_top_orders_revenue_matches_oracle."""
     _prep(spark)
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -2214,7 +2286,10 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # fts_not (string-predicate family stays covered by meta_where_numeric
 # / meta_where_nin, map-regexp family by text_stats / script_stats;
 # retirees pinned by test_meta_where_string_matches_oracle /
-# test_text_token_count_matches_oracle).
+# test_text_token_count_matches_oracle); in r13 top_orders_revenue
+# ceded its row to page_keyset_deep (join+agg+TakeOrdered family stays
+# covered by revenue_by_nation / part_small_qty_revenue; retiree pinned
+# by test_top_orders_revenue_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -199,3 +199,37 @@ def test_text_token_count_matches_oracle(spark):
     )
     want = {r[0]: r[1] for r in con.sql(_TOKEN_COUNT_SQL).fetchall()}
     assert got == want and len(got) == 500
+
+
+def test_top_orders_revenue_matches_oracle(spark):
+    # de-registered in r13 (row ceded to page_keyset_deep); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _TOP_ORDERS_SQL, top_orders_revenue
+
+    got = [
+        (r["orderkey"], round(r["revenue"], 4))
+        for r in top_orders_revenue(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    want = [(r[0], round(r[1], 4)) for r in con.sql(_TOP_ORDERS_SQL).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_page_keyset_deep_is_seek_not_offset(spark):
+    """The new catalog row must plan filter + page-sized TakeOrdered —
+    no global sort, no offset; and its cursor tie-arm must bite (rows
+    AT the cursor bucket with id <= '450' excluded, > '450' included)."""
+    from sifts_spark.plans.catalog import page_keyset_deep
+
+    df = page_keyset_deep(spark, SF_DIR)
+    plan = _formatted(spark, df)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert rows and all(
+        r["bucket"] > 3 or (r["bucket"] == 3 and r["id"] > "450")
+        for r in rows
+    )

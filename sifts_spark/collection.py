@@ -74,22 +74,35 @@ class SparkCollection:
         auto_compact_batches: int | None = None,
         vacuum_grace_seconds: float = 300.0,
         auto_compact_fold_bytes: int | None = None,
-        index_positions: bool = False,
+        index_positions: bool | None = None,
         promote_metadata: list[str] | None = None,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
         self.use_fts = use_fts
+        self.spark = spark or get_spark()
+        self.store = DocumentStore(self.spark, root)
         # Positional postings (term positions in the index): phrase
         # queries verify adjacency index-side instead of re-tokenizing
         # every candidate's content — the FTS5-parity path
-        # (core.py:460-462 gets positions free from FTS5). Opt-in
-        # because positions grow the index; STICKY once enabled (the
-        # store remembers via its _positions marker, so reopening with
-        # the default flag keeps the layout).
+        # (core.py:460-462 gets positions free from FTS5; Lucene/ES
+        # also index positions for text fields by default). DEFAULT ON
+        # for NEW collections since r13 — measured overhead is ~0%
+        # build time and ~2x the postings sidecar (the sidecar is
+        # corpus-comparable, not corpus-dominating), vs a 29x phrase
+        # cliff at sf1 for users who never learn the flag exists.
+        # ``None`` (the default) = positional for a collection with no
+        # batches yet, honor the sticky ``_positions`` marker for an
+        # existing one (reopening never converts a layout); ``False``
+        # keeps the plain layout for new collections (still sticky-
+        # upgradeable later); ``True`` forces the upgrade on an
+        # existing plain collection (new batches positional, old ones
+        # re-verify soundly via the ``_pending`` 3-valued path).
+        if index_positions is None:
+            index_positions = use_fts and not self.store._batch_dirs(
+                self.name
+            )
         self.index_positions = index_positions
-        self.spark = spark or get_spark()
-        self.store = DocumentStore(self.spark, root)
         # Promoted metadata columns: `where` predicates on these keys
         # compile against typed sidecar columns materialized at write
         # (parquet-pushable, row-group skipping) instead of
@@ -1895,7 +1908,7 @@ def Collection(
     auto_compact_batches: int | None = None,
     vacuum_grace_seconds: float = 300.0,
     auto_compact_fold_bytes: int | None = None,
-    index_positions: bool = False,
+    index_positions: bool | None = None,
     promote_metadata: list[str] | None = None,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).

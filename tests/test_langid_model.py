@@ -160,3 +160,83 @@ class TestLangidModel:
         )
         with pytest.raises(ValueError, match=">=2"):
             TA.train_langid(df)
+
+
+class TestLangid50:
+    """r12 verdict item 8 (stretch): the architecture scales with labels
+    by construction — pin it at REAL L: 53 languages across 13 scripts
+    (tools/langid50.py pools), per-script held-out floors, and the
+    broadcast stays megabyte-sized (the 1000-executor shape claim:
+    one (L, dim) float32 matrix rides one broadcast, scoring is still
+    a single Arrow matmul scan)."""
+
+    @pytest.fixture(scope="class")
+    def corpus50(self, spark):
+        from tools.langid50 import corpus_rows
+
+        rows = corpus_rows()
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        return df.filter(F.col("doc_id") % 5 < 3), df.filter(F.col("doc_id") % 5 >= 3)
+
+    @pytest.fixture(scope="class")
+    def model50(self, corpus50):
+        train, _ = corpus50
+        return TA.train_langid(train, sample_per_lang=200, dim=2**13)
+
+    def test_label_count_and_broadcast_size(self, model50):
+        from tools.langid50 import N_LANGS
+
+        assert N_LANGS >= 50
+        assert len(model50["langs"]) == N_LANGS
+        # (L, dim) float32 + bias: still broadcast-trivial at real L
+        approx = len(model50["langs"]) * model50["dim"] * 4
+        assert approx < 8 * 2**20, approx  # < 8 MiB
+
+    def test_per_script_heldout_floors(self, spark, corpus50, model50):
+        from tools.langid50 import SCRIPT_OF
+
+        _, test = corpus50
+        pred = TA.langid_score(test, model50)
+        joined = pred.join(
+            test.select(F.col("doc_id").alias("id"), "lang"), "id"
+        ).collect()
+        tot: dict[str, int] = {}
+        ok: dict[str, int] = {}
+        for r in joined:
+            s = SCRIPT_OF[r["lang"]]
+            tot[s] = tot.get(s, 0) + 1
+            ok[s] = ok.get(s, 0) + int(r["pred_lang"] == r["lang"])
+        overall = sum(ok.values()) / sum(tot.values())
+        # measured 0.9705 overall / 0.954 latin / >=0.979 elsewhere;
+        # floors leave seed-robust margin. Latin's misses are the
+        # linguistically-real pairs (id<->ms, no<->da).
+        assert overall >= 0.93, overall
+        for s, n in tot.items():
+            acc = ok[s] / n
+            floor = 0.90 if s == "latin" else 0.95
+            assert acc >= floor, (s, acc)
+
+    def test_gates_multiscript_curation(self, spark, corpus50, model50):
+        # the recipe integration at real L: allow one language per
+        # script family and confirm only those survive the gate
+        from sifts_spark.pipelines.curation import curate_corpus
+
+        _, test = corpus50
+        allowed = ("en", "ru", "ar", "zh", "hi", "th")
+        cur, _ = curate_corpus(
+            test, allowed_langs=allowed, min_quality=0.0,
+            langid_model=model50,
+        )
+        got = cur.join(
+            test.select(F.col("doc_id").cast("string").alias("id"), "lang"),
+            "id",
+        ).collect()
+        assert len(got) > 0
+        kept_true_langs = {r["lang"] for r in got}
+        # everything kept truly belongs to an allowed language (the
+        # gate runs on predictions; held-out accuracy floors above
+        # bound the leakage — assert none HERE for these far scripts)
+        assert kept_true_langs <= set(allowed), kept_true_langs
+        from sifts_spark.caching import release_all
+
+        release_all()

@@ -194,21 +194,40 @@ class TestCollectionPositional:
     def _fill(self, col):
         col.add([t for _, t in self.CORPUS], ids=[i for i, _ in self.CORPUS])
 
-    def test_e2e_matches_default_layout(self, store_root, spark):
-        pos_col = Collection(
-            store_root, "pos", spark=spark, index_positions=True
+    def test_e2e_matches_plain_layout(self, store_root, spark):
+        # r13: positional is the DEFAULT for new collections (Lucene/ES
+        # posture; measured ~0% build overhead, ~2x postings bytes);
+        # plain is now the explicit opt-out.
+        pos_col = Collection(store_root, "pos", spark=spark)
+        plain_col = Collection(
+            store_root, "plain", spark=spark, index_positions=False
         )
-        plain_col = Collection(store_root, "plain", spark=spark)
         self._fill(pos_col)
         self._fill(plain_col)
         for q in ['"new york"', 'haven NOT "new york"', '"new york" or line']:
             a = {r["id"] for r in pos_col.query(q)["results"]}
             b = {r["id"] for r in plain_col.query(q)["results"]}
             assert a == b, q
-        # the positional store's on-disk postings really carry pos
+        # the default store's on-disk postings really carry pos
         assert pos_col.store.postings_positions("pos")
         assert "pos" in pos_col.store.read_postings("pos").columns
         assert "pos" not in plain_col.store.read_postings("plain").columns
+
+    def test_default_honors_existing_plain_layout(self, store_root, spark):
+        # reopening an EXISTING plain collection with the default flag
+        # must NOT convert its layout (None = honor the marker)
+        plain = Collection(
+            store_root, "keep", spark=spark, index_positions=False
+        )
+        self._fill(plain)
+        re = Collection(store_root, "keep", spark=spark)
+        assert re.index_positions is False
+        re.add(["another new york line"], ids=["z"])
+        assert not re.store.postings_positions("keep")
+        assert "pos" not in re.store.read_postings("keep").columns
+        # phrase results still correct via the content-verify fallback
+        got = {r["id"] for r in re.query('"new york"')["results"]}
+        assert "z" in got
 
     def test_layout_sticky_across_reopen_and_compact(self, store_root, spark):
         col = Collection(store_root, "st", spark=spark, index_positions=True)

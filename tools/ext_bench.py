@@ -305,6 +305,19 @@ def main() -> None:
         ),
     )
     release_all()
+
+    def _dir_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
+    # size side of the index_positions default decision (r12 item 6):
+    # the positional layout's on-disk overhead vs the plain postings,
+    # published at both scales next to the build-time rows above
+    setup["plain_postings_bytes"] = _dir_bytes(plain_idx)
+    setup["positional_postings_bytes"] = _dir_bytes(pos_idx)
     _PHRASE = parse_query('"hash join"')  # ~6% of docs match the run,
     # ~63% contain both (individually common) words — the 11x candidate
     # gap the positional index exists to avoid re-reading as text
@@ -378,6 +391,28 @@ def main() -> None:
         lambda: train_langid(docs, lang_col="lang", sample_per_lang=1000),
     )
     QUERIES["langid_model_score"] = lambda: langid_score(docs, lid_model)
+
+    # r13: the same one-broadcast one-matmul-scan shape at REAL L —
+    # 53 languages / 13 scripts (tools/langid50.py). The model trains
+    # on the synthetic multiscript corpus (setup; label count is what
+    # matters, not the corpus), then scores THIS sf's documents: the
+    # per-row cost scales with L only through the (L, dim) matmul
+    # width, and the broadcast stays megabyte-sized.
+    from tools.langid50 import corpus_rows
+
+    def _train_lid50():
+        rows50 = corpus_rows()
+        df50 = spark.createDataFrame(
+            rows50, "doc_id long, text string, lang string"
+        )
+        return train_langid(df50, sample_per_lang=200, dim=2**13)
+
+    lid50 = timed_setup("langid50_train", _train_lid50)
+    setup["langid50_labels"] = len(lid50["langs"])
+    setup["langid50_broadcast_bytes"] = (
+        len(lid50["langs"]) * int(lid50["dim"]) * 4
+    )
+    QUERIES["langid50_model_score"] = lambda: langid_score(docs, lid50)
 
     # r12: deep-pagination contrast — OFFSET N (every partition holds
     # an N+page TakeOrdered heap) vs the keyset seek filter (page-sized

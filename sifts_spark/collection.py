@@ -91,18 +91,28 @@ class SparkCollection:
         # build time and ~2x the postings sidecar (the sidecar is
         # corpus-comparable, not corpus-dominating), vs a 29x phrase
         # cliff at sf1 for users who never learn the flag exists.
-        # ``None`` (the default) = positional for a collection with no
-        # batches yet, honor the sticky ``_positions`` marker for an
-        # existing one (reopening never converts a layout); ``False``
-        # keeps the plain layout for new collections (still sticky-
-        # upgradeable later); ``True`` forces the upgrade on an
-        # existing plain collection (new batches positional, old ones
-        # re-verify soundly via the ``_pending`` 3-valued path).
+        # ``None`` (the default) = honor the collection's pinned layout
+        # when one exists, else positional for a collection with no
+        # batches yet (reopening never converts a layout); ``False``
+        # pins the plain layout for new collections (recorded in the
+        # two-valued ``_positions`` marker so a later default-flag
+        # reopen of the still-empty collection cannot convert it;
+        # still sticky-upgradeable later); ``True`` forces the upgrade
+        # on an existing plain collection (new batches positional, old
+        # ones re-verify soundly via the ``_pending`` 3-valued path).
         if index_positions is None:
-            index_positions = use_fts and not self.store._batch_dirs(
-                self.name
-            )
+            pinned = self.store.positions_layout(self.name)
+            if pinned is not None:
+                index_positions = pinned
+            else:
+                index_positions = use_fts and not self.store._batch_dirs(
+                    self.name
+                )
         self.index_positions = index_positions
+        if use_fts:
+            # create-time DDL: record the layout choice before any
+            # write (no-op when a marker already exists)
+            self.store.pin_positions_layout(self.name, index_positions)
         # Promoted metadata columns: `where` predicates on these keys
         # compile against typed sidecar columns materialized at write
         # (parquet-pushable, row-group skipping) instead of

@@ -116,8 +116,19 @@ def cap_buckets(
     and voids its row."""
     if max_bucket_size is None:
         return df
+    # NULL keys never match the candidate equi-join (they exist to
+    # EXCLUDE rows — e.g. zero-shingle docs' nulled band keys), so they
+    # are not buckets: counting them here would raise false hot-bucket
+    # alarms and inflate dropped_rows with rows that were never
+    # candidates, and the null-unsafe left_anti below could not drop
+    # them anyway.
+    nn = None
+    for k in key_cols:
+        c = F.col(k).isNotNull()
+        nn = c if nn is None else (nn & c)
     hot = (
-        df.groupBy(*key_cols)
+        df.filter(nn)
+        .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_cap_bn"))
         .filter(F.col("_cap_bn") > max_bucket_size)
     )
@@ -626,8 +637,20 @@ def simhash_fingerprints(
     ``impl="arrow"`` (default) computes the fingerprint in one Arrow
     batch per partition (functions/hashing.py — identical md5-derived
     bits, ~10x less CPU); ``impl="hof"`` keeps the pure-JVM nested-HOF
-    fold. Both are map-side, shuffle-free."""
+    fold. Both are map-side, shuffle-free.
+
+    Zero-token docs (non-Latin-script or punctuation-only content
+    under the ``[^a-z0-9]+`` tokenizer) are EXCLUDED (r13): every one
+    of them would vote the identical all-zero fingerprint, so
+    ``simhash_pairs`` declared any two of them hamming-0 near-dups and
+    collapsed entire scripts to one survivor — the same hazard the
+    minhash path closes via empty shingle sets. The filter is a cheap
+    codegen'd pre-kernel predicate (a post-kernel filter on the Arrow
+    output column would make Catalyst evaluate the kernel twice). The
+    DuckDB oracle twin already omits these docs — its unnest(tokens)
+    produces no rows for them."""
     toks = tokenize(F.col(text_col))
+    docs = docs.filter(F.size(tokenize(F.col(text_col))) > 0)
     if impl == "arrow":
         fp = simhash64_arrow(toks)
         return ensure_min_parallelism(docs).select(

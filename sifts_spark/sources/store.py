@@ -861,7 +861,10 @@ class DocumentStore:
                 raise ValueError(
                     f"promoted metadata key must match [A-Za-z0-9_]+: {k!r}"
                 )
-        cur = self.promoted_keys(name)
+        # refresh: unioning against a stale cache would OVERWRITE a
+        # cross-handle promotion out of the sticky marker (the same
+        # stale-cache class append/compact re-read for)
+        cur = self.promoted_keys(name, refresh=True)
         new = sorted(set(cur) | set(clean))
         if new == cur:
             return cur
@@ -1250,17 +1253,43 @@ class DocumentStore:
 
     def postings_positions(self, name: str) -> bool:
         """Whether this collection's postings index carries term
-        positions (the ``_positions`` marker, written by the first
-        positional :meth:`maintain_postings`). Sticky: once positional,
+        positions (the ``_positions`` marker: ``"1"`` positional —
+        written by the first positional :meth:`maintain_postings` —
+        ``"0"`` plain-pinned, absent = plain). Sticky: once positional,
         every later batch — including compaction rebuilds — is built
         with positions, so the index converges to fully positional as
         batches fold. Pre-marker batches read with ``pos = null``,
         which the phrase evaluator treats as inconclusive → content
         verify, so correctness never depends on the layout."""
+        return self.positions_layout(name) is True
+
+    def positions_layout(self, name: str) -> bool | None:
+        """The pinned postings layout: True positional, False
+        plain-pinned (an explicit ``index_positions=False`` opt-out,
+        r13), None = no pin recorded (legacy plain store)."""
         try:
-            return self._fs.exists(self._Path(self._positions_marker(name)))
+            txt = self._read_small_text(self._positions_marker(name))
         except Exception:
-            return False
+            return None
+        if txt is None:
+            return None
+        return txt.strip() == "1"
+
+    def pin_positions_layout(self, name: str, positional: bool) -> None:
+        """Record the layout choice for a collection that has no marker
+        yet (the facade's create-time DDL: without this, an explicit
+        plain opt-out on a still-empty collection would be forgotten —
+        the next default-flag reopen would resolve 'new collection →
+        positional' and convert it on first write). Never downgrades:
+        an existing marker wins; a later ``maintain_postings(
+        positions=True)`` still upgrades a plain pin."""
+        if self.positions_layout(name) is not None:
+            return
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        self._write_small_text(
+            self._positions_marker(name), "1" if positional else "0"
+        )
 
     def maintain_postings(
         self,

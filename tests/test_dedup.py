@@ -505,3 +505,45 @@ def test_untokenizable_docs_never_near_dup(spark):
     cid = {r["id"]: r["cluster_id"] for r in clusters}
     assert cid[1] == 1 and cid[2] == 2 and cid[3] == 3 and cid[4] == 4
     release_all()
+
+
+def test_untokenizable_docs_excluded_from_simhash(spark):
+    """r13 code-review fix: zero-token docs all vote the identical
+    all-zero simhash — every pair of them read as hamming-0 near-dups.
+    They are now excluded from fingerprinting (matching the DuckDB
+    twin, whose unnest(tokens) yields no rows for them)."""
+    rows = [
+        (1, "и в не на что он как это по но они мы"),
+        (2, "уже для вот меня только она было если"),
+        (3, "!!! ... ??? *** ---"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("arrow", "hof"):
+        fps = D.simhash_fingerprints(docs, impl=impl).collect()
+        assert sorted(r["id"] for r in fps) == [4, 5], impl
+    pairs = D.simhash_pairs(docs, max_hamming=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+    release_all()
+
+
+def test_cap_buckets_ignores_null_keys(spark):
+    """NULL band keys (zero-shingle docs) are exclusions, not buckets:
+    the skew guard must neither flag them hot nor count their rows as
+    dropped — they were never candidates."""
+    from sifts_spark.operators.dedup import report_dropped_buckets
+
+    report_dropped_buckets()  # drain pending inspections
+    rows = [(i, "؟؟؟ ؟؟؟ ؟؟؟") for i in range(30)] + [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket_size=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(100, 101)}
+    reports = [r for r in report_dropped_buckets() if r["op"] == "minhash_lsh_pairs"]
+    assert all(r["hot_buckets"] == 0 for r in reports), reports
+    release_all()

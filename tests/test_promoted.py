@@ -342,3 +342,20 @@ def test_promoted_cursor_walk_with_where(twins):
     want = [r["id"] for r in _cursor_walk(plain, 2, **kw)]
     got = [r["id"] for r in _cursor_walk(promo, 2, **kw)]
     assert got == want and len(got) > 0
+
+
+def test_cross_handle_promote_union_not_lost(store_root, spark):
+    """r13 code-review fix: promote_metadata unions against a REFRESHED
+    marker read — a handle with a stale [] cache must not overwrite a
+    cross-handle promotion out of the sticky marker."""
+    a = Collection(store_root, "pu", spark=spark, use_fts=False)
+    _fill(a)
+    assert a.store.promoted_keys("pu") == []  # warm stale cache
+    b = Collection(store_root, "pu", spark=spark, use_fts=False)
+    b.store.promote_metadata("pu", ["score"])
+    a.store.promote_metadata("pu", ["cat"])  # stale handle promotes too
+    fresh = Collection(store_root, "pu", spark=spark, use_fts=False)
+    assert fresh.store.promoted_keys("pu") == ["cat", "score"]
+    # both keys' sidecars filter correctly on the rewritten snapshot
+    assert _ids(fresh, where={"score": {"$gte": 9}}) == ["p03", "p04", "p06"]
+    assert _ids(fresh, where={"cat": "c"}) == ["p12"]

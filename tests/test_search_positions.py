@@ -262,3 +262,19 @@ class TestCollectionPositional:
         )
         rows = res.collect()
         assert rows and all(r["_pending"] is False for r in rows)
+
+
+def test_plain_optout_pinned_before_first_write(store_root, spark):
+    """r13 code-review fix: an explicit index_positions=False on a
+    still-EMPTY collection is recorded (two-valued _positions marker),
+    so a default-flag reopen before the first write cannot convert it."""
+    Collection(store_root, "pin", spark=spark, index_positions=False)
+    re = Collection(store_root, "pin", spark=spark)  # default flag
+    assert re.index_positions is False
+    re.add(["first new york doc"], ids=["a"])
+    assert not re.store.postings_positions("pin")
+    assert "pos" not in re.store.read_postings("pin").columns
+    # the pin is an opt-out, not a cage: explicit True still upgrades
+    up = Collection(store_root, "pin", spark=spark, index_positions=True)
+    up.add(["second new york doc"], ids=["b"])
+    assert up.store.postings_positions("pin")

@@ -1,11 +1,11 @@
-"""Synthetic 52-language / 13-script corpus for language-ID evaluation.
+"""Synthetic 53-language / 13-script corpus for language-ID evaluation.
 
 Word pools are common/function words per language (public knowledge —
 the classic closed-class vocabulary every langid paper samples from).
 Docs are seeded-random draws from ONE pool each, so the task is real
 (heavily shared orthography inside the Latin and Cyrillic blocks) but
 fully reproducible. Shared by tests/test_langid_model.py's 50-language
-floors and tools/ext_bench.py's L=52 broadcast/score row.
+floors and tools/ext_bench.py's L=53 broadcast/score row.
 """
 
 from __future__ import annotations

@@ -266,14 +266,21 @@ def fingerprint(
     ``exact_md5``: md5 of whitespace-normalized lowercase text (exact-dup
     key). ``winnow_fp``: md5 over the k smallest shingle hashes — a
     winnowing-style locality-sensitive sketch: docs differing by a few
-    words usually share it.
+    words usually share it. Zero-shingle docs (nothing tokenizable,
+    see ``shingles()``) get a NULL ``winnow_fp`` (r13): a constant
+    sketch would declare every non-Latin-script doc a near-dup of
+    every other — ``exact_md5`` still keys them, and THAT compares
+    real content. Matches the DuckDB twin, where the empty list
+    aggregates to NULL.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     toks = tokenize(F.col(text_col))
     hashes = F.array_sort(
         F.transform(F.array_distinct(shingles(toks, shingle_size)), lambda s: F.md5(s))
     )
-    winnow = F.md5(F.array_join(F.slice(hashes, 1, k), "|"))
+    winnow = F.when(
+        F.size(hashes) > 0, F.md5(F.array_join(F.slice(hashes, 1, k), "|"))
+    )
     return docs.select(
         F.col(id_col).alias("id"),
         F.md5(norm).alias("exact_md5"),

@@ -1802,7 +1802,10 @@ class SparkCollection:
         pagination that survives a 100 TB corpus. Mutually exclusive
         with ``offset``; a cursor over an UNORDERED plain scan walks in
         id order (an explicit order is what makes a seek meaningful)."""
-        sort_cols = compile_order_by(F.col("metadata"), order_by, numeric="auto")
+        sort_cols = compile_order_by(
+            F.col("metadata"), order_by, numeric="auto",
+            promoted=self._promoted_map(),
+        )
         if after is not None:
             if offset:
                 raise ValueError(

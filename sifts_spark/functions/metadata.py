@@ -148,8 +148,16 @@ def compile_order_by(
     metadata: Column,
     order_by: str | list[str] | None,
     numeric: bool | str = False,
+    promoted: dict[str, tuple[Column, Column]] | None = None,
 ) -> list[Column]:
     """order_by spec → list of sort Columns (reference core.py:302-317).
+
+    ``promoted`` (the facade's promoted-key → ``(_m_, _mn_)`` sidecar
+    map): a promoted key's sort expressions read the materialized
+    columns instead of parsing the metadata JSON per row — the sort
+    order is identical by the write-path construction (the sidecars
+    ARE the extracted token and its try_cast double), the per-row
+    get_json_object evaluation just disappears from the sort stage.
 
     ``numeric``:
 
@@ -174,16 +182,19 @@ def compile_order_by(
     for raw in keys:
         desc = raw.startswith("-")
         key = raw.lstrip("+-")
-        col = meta_get(metadata, key)
+        if promoted and key in promoted:
+            col, pnum = promoted[key]
+        else:
+            col, pnum = meta_get(metadata, key), None
         if numeric == "auto":
-            num = col.try_cast("double")
+            num = col.try_cast("double") if pnum is None else pnum
             # (missing, typeclass, numeric value, string value) — each
             # piece directed together so the whole key reverses cleanly.
             pieces = [col.isNull(), num.isNull(), num, col]
             cols.extend(p.desc() if desc else p.asc() for p in pieces)
             continue
         if numeric is True:
-            col = col.try_cast("double")
+            col = col.try_cast("double") if pnum is None else pnum
         cols.append(col.desc_nulls_first() if desc else col.asc_nulls_last())
     return cols
 

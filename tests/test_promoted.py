@@ -359,3 +359,14 @@ def test_cross_handle_promote_union_not_lost(store_root, spark):
     # both keys' sidecars filter correctly on the rewritten snapshot
     assert _ids(fresh, where={"score": {"$gte": 9}}) == ["p03", "p04", "p06"]
     assert _ids(fresh, where={"cat": "c"}) == ["p12"]
+
+
+def test_promoted_order_by_skips_json_parse(twins):
+    """Sorting on a promoted key reads the materialized sidecars — no
+    get_json_object of the order key in the plan's sort stage (the
+    value-level ordering equivalence is pinned by the cursor/offset
+    walk tests above, which route through the same compile)."""
+    _, promo = twins
+    plan = _formatted(promo.query_df(order_by="-score", limit=5))
+    assert "_mn_score" in plan
+    assert "get_json_object" not in plan, plan

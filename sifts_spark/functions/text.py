@@ -38,6 +38,46 @@ def tokenize_sql(text_expr: str) -> str:
     )
 
 
+# ---- unicode tokenizer (OPT-IN groundwork, r13 — see SURVEY §7
+# "Known limitation") -------------------------------------------------
+#
+# The ASCII family above is Latin-script-only; the reference's FTS5
+# unicode61 / PG to_tsvector are unicode-aware. Flipping the default
+# must land in ONE round across all three engines, so these twins
+# exist FIRST, equivalence-tested (tests/test_unicode_tokenize.py):
+# over the 53-language corpus + ASCII punctuation the three engines
+# tokenize byte-identically; the two known case-mapping divergences
+# (Turkish dotted İ, Greek capital final-sigma position — DuckDB's
+# utf8proc lower() differs from the JVM's and CPython's) are pinned
+# as documented edges the flip must either normalize away or declare
+# out of the supported alphabet. NOTHING routes through these yet.
+
+# Java regex (Spark), RE2 (DuckDB): letters + numbers of any script.
+TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{N}]+"
+# Python stdlib re has no \p{L}: [\W_]+ splits on non-word + underscore,
+# and Python's \w is the unicode alphanumeric set + underscore — the
+# [\W_] complement equals \p{L}\p{N} on every code point the
+# equivalence test covers (combining marks are excluded by all three).
+TOKEN_SPLIT_RE_UNICODE_PY = r"[\W_]+"
+
+
+def tokenize_unicode(text: Column | str) -> Column:
+    """content STRING → tokens ARRAY<STRING>, any script (opt-in)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE_UNICODE),
+        lambda t: t != F.lit(""),
+    )
+
+
+def tokenize_unicode_sql(text_expr: str) -> str:
+    """DuckDB SQL twin of :func:`tokenize_unicode`."""
+    return (
+        "list_filter(string_split_regex(lower("
+        f"{text_expr}), '{TOKEN_SPLIT_RE_UNICODE}'), _t -> _t <> '')"
+    )
+
+
 def shingles(tokens: Column, n: int = 3) -> Column:
     """tokens ARRAY<STRING> → word n-gram shingles ARRAY<STRING>.
 

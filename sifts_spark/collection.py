@@ -100,6 +100,7 @@ class SparkCollection:
         # still sticky-upgradeable later); ``True`` forces the upgrade
         # on an existing plain collection (new batches positional, old
         # ones re-verify soundly via the ``_pending`` 3-valued path).
+        explicit = index_positions is not None
         if index_positions is None:
             pinned = self.store.positions_layout(self.name)
             if pinned is not None:
@@ -108,10 +109,16 @@ class SparkCollection:
                 index_positions = use_fts and not self.store._batch_dirs(
                     self.name
                 )
+                # no marker written here: the DEFAULT path must stay
+                # read-only (legacy collections open fine on read-only
+                # mounts); a default-created new collection gets its
+                # "1" marker from the first maintain_postings.
         self.index_positions = index_positions
-        if use_fts:
-            # create-time DDL: record the layout choice before any
-            # write (no-op when a marker already exists)
+        if use_fts and explicit:
+            # explicit flag = DDL intent: record it before any write so
+            # a default-flag reopen of a still-empty collection cannot
+            # flip an explicit plain opt-out (no-op when a marker
+            # already exists)
             self.store.pin_positions_layout(self.name, index_positions)
         # Promoted metadata columns: `where` predicates on these keys
         # compile against typed sidecar columns materialized at write
@@ -1802,9 +1809,9 @@ class SparkCollection:
         pagination that survives a 100 TB corpus. Mutually exclusive
         with ``offset``; a cursor over an UNORDERED plain scan walks in
         id order (an explicit order is what makes a seek meaningful)."""
+        pm = self._promoted_map()
         sort_cols = compile_order_by(
-            F.col("metadata"), order_by, numeric="auto",
-            promoted=self._promoted_map(),
+            F.col("metadata"), order_by, numeric="auto", promoted=pm,
         )
         if after is not None:
             if offset:
@@ -1816,8 +1823,7 @@ class SparkCollection:
             if sort_cols:
                 pred = compile_keyset_after(
                     F.col("metadata"), order_by, meta_json, cur_id,
-                    F.col("id"), numeric="auto",
-                    promoted=self._promoted_map(),
+                    F.col("id"), numeric="auto", promoted=pm,
                 )
             elif is_search:
                 if "rank" not in after:

@@ -651,8 +651,10 @@ def simhash_fingerprints(
     >=1 [a-z0-9] char" (tokens are exactly the [a-z0-9]+ runs of the
     lowercased text), so rlike stops at the first hit instead of
     materializing the full token array — a full tokenize here measured
-    ~2x on the sf1 bench row. The DuckDB oracle twin already omits
-    these docs — its unnest(tokens) produces no rows for them."""
+    ~2x on the sf1 bench row. The DuckDB oracle twins were updated to
+    match (catalog r13): their fp CTEs aggregate only docs that
+    produced tokens — previously a LEFT JOIN + coalesce(...,0)
+    fabricated the all-zero fingerprint back in."""
     toks = tokenize(F.col(text_col))
     docs = docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
     if impl == "arrow":

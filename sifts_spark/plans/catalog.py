@@ -523,16 +523,20 @@ WITH tok AS (
                        THEN 1::BIGINT << (63 - b) ELSE 0 END) AS BIGINT) AS simhash_lo
   FROM votes GROUP BY doc_id
 )
-SELECT d.doc_id AS id,
-       coalesce(fp.simhash_hi, 0) AS simhash_hi,
-       coalesce(fp.simhash_lo, 0) AS simhash_lo
-FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+SELECT doc_id AS id, simhash_hi, simhash_lo FROM fp
 """
 
 
 @_register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir) -> DataFrame:
-    """64-bit SimHash fingerprints (Charikar), folded map-side."""
+    """64-bit SimHash fingerprints (Charikar), folded map-side.
+
+    Zero-token docs are excluded on BOTH sides (r13): Spark pre-filters
+    them (see simhash_fingerprints — an all-zero fingerprint made every
+    pair of them hamming-0 near-dups), and the oracle's fp CTE only
+    aggregates docs that produced tokens (the pre-r13 LEFT JOIN +
+    coalesce(...,0) fabricated the all-zero fingerprint for the rest —
+    a latent gate divergence on any corpus with untokenizable docs)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_fingerprints(docs)
@@ -558,8 +562,7 @@ WITH tok AS (
                        THEN 1::BIGINT << (63 - b) ELSE 0 END) AS BIGINT) AS lo
   FROM votes GROUP BY doc_id
 ), f AS (
-  SELECT d.doc_id AS id, coalesce(fp.hi, 0) AS hi, coalesce(fp.lo, 0) AS lo
-  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+  SELECT doc_id AS id, hi, lo FROM fp
 ), ck AS (
   SELECT id, hi, lo, _c.c AS c,
          CASE _c.c WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535

@@ -1266,23 +1266,33 @@ class DocumentStore:
     def positions_layout(self, name: str) -> bool | None:
         """The pinned postings layout: True positional, False
         plain-pinned (an explicit ``index_positions=False`` opt-out,
-        r13), None = no pin recorded (legacy plain store)."""
-        try:
-            txt = self._read_small_text(self._positions_marker(name))
-        except Exception:
-            return None
+        r13), None = no pin recorded (legacy plain store).
+        ``_read_small_text`` returns None on any read failure, so an
+        unreadable marker reads as unpinned. Fail-safe direction: only
+        an EXACT ``"0"`` means plain-pinned — any other content
+        (including a torn write during the positional upgrade) reads
+        POSITIONAL, the pre-r13 marker-existence semantics, so a crash
+        mid-upgrade can never silently downgrade a positional
+        collection into rebuilding plain batches forever."""
+        txt = self._read_small_text(self._positions_marker(name))
         if txt is None:
             return None
-        return txt.strip() == "1"
+        return txt.strip() != "0"
 
     def pin_positions_layout(self, name: str, positional: bool) -> None:
         """Record the layout choice for a collection that has no marker
-        yet (the facade's create-time DDL: without this, an explicit
-        plain opt-out on a still-empty collection would be forgotten —
-        the next default-flag reopen would resolve 'new collection →
-        positional' and convert it on first write). Never downgrades:
-        an existing marker wins; a later ``maintain_postings(
-        positions=True)`` still upgrades a plain pin."""
+        yet. Called by the facade ONLY on an EXPLICIT
+        ``index_positions=`` argument (an explicit flag is DDL intent,
+        so a write — and a write failure — is expected there; the
+        default-flag path never writes, so read-only opens of legacy
+        collections keep working): without this, an explicit plain
+        opt-out on a still-empty collection would be forgotten — the
+        next default-flag reopen would resolve 'new collection →
+        positional' and convert it on first write. Never downgrades: an
+        existing marker wins (best-effort under concurrent creates —
+        the check-then-write is not atomic, same as every marker here);
+        a later ``maintain_postings(positions=True)`` still upgrades a
+        plain pin."""
         if self.positions_layout(name) is not None:
             return
         pdir = self._postings_dir(name)

@@ -278,3 +278,46 @@ def test_plain_optout_pinned_before_first_write(store_root, spark):
     up = Collection(store_root, "pin", spark=spark, index_positions=True)
     up.add(["second new york doc"], ids=["b"])
     assert up.store.postings_positions("pin")
+
+
+def test_default_open_never_writes_markers(store_root, spark):
+    """r13 code-review fix: the DEFAULT-flag path stays read-only — a
+    legacy (unmarked) collection on a read-only mount must keep
+    opening. Only an explicit index_positions= writes the pin."""
+    import os
+
+    c = Collection(store_root, "legacy", spark=spark, index_positions=False)
+    self_fill = [("a", "new york doc one"), ("b", "plain doc two")]
+    c.add([t for _, t in self_fill], ids=[i for i, _ in self_fill])
+    marker = os.path.join(store_root, "_postings", "name=legacy", "_positions")
+    os.remove(marker)  # simulate a pre-r13 legacy plain store
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(store_root) for f in fs
+    }
+    re = Collection(store_root, "legacy", spark=spark)  # default flag
+    assert re.index_positions is False  # no marker, has batches → plain
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(store_root) for f in fs
+    }
+    assert after == before  # constructor wrote NOTHING
+
+
+def test_torn_positions_marker_reads_positional(store_root, spark):
+    """Fail-safe direction: any marker content other than exactly '0'
+    (e.g. a torn write during the positional upgrade) reads POSITIONAL
+    — a crash mid-upgrade must never downgrade the layout to plain
+    rebuilds forever."""
+    import os
+
+    c = Collection(store_root, "torn", spark=spark)  # positional default
+    c.add(["new york something"], ids=["a"])
+    marker = os.path.join(store_root, "_postings", "name=torn", "_positions")
+    with open(marker, "w") as f:
+        f.write("")  # torn/truncated write
+    assert c.store.positions_layout("torn") is True
+    re = Collection(store_root, "torn", spark=spark)
+    assert re.index_positions is True
+    re.add(["more new york text"], ids=["b"])
+    assert "pos" in re.store.read_postings("torn").columns

@@ -463,6 +463,20 @@ class SparkCollection:
         self.store.drop_collection(self.name)
         self._docs_version += 1
 
+    def promote_metadata(self, keys: list[str]) -> list[str]:
+        """Promote metadata ``keys`` to typed sidecar columns on the
+        LIVE collection (union with any existing promotion; sticky —
+        same semantics as the ``Collection(promote_metadata=)``
+        constructor kwarg, see that doc). On a non-empty collection
+        this rewrites the snapshot once into a full fold (postings
+        re-maintained for fts collections); subsequent ``where`` /
+        ``order_by`` / keyset-cursor work on these keys compiles
+        against the parquet-pushable sidecars. Returns the full
+        promoted key list."""
+        out = self.store.promote_metadata(self.name, keys)
+        self._docs_version += 1  # snapshot may have been rewritten
+        return out
+
     def compact(
         self, vacuum: bool = True, max_fold_bytes: int | None = None
     ) -> None:

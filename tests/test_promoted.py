@@ -370,3 +370,19 @@ def test_promoted_order_by_skips_json_parse(twins):
     plan = _formatted(promo.query_df(order_by="-score", limit=5))
     assert "_mn_score" in plan
     assert "get_json_object" not in plan, plan
+
+
+def test_facade_promote_metadata_verb(store_root, spark):
+    """The facade-level verb (r13): promote on a LIVE collection —
+    rewrite once, caches invalidated, pushdown active — no reopen or
+    store-level call needed."""
+    c = Collection(store_root, "verb", spark=spark, use_fts=False)
+    _fill(c)
+    got = c.promote_metadata(["score"])
+    assert got == ["score"]
+    assert _ids(c, where={"score": {"$gte": 9}}) == ["p03", "p04", "p06"]
+    plan = _formatted(c.query_df(where={"score": {"$gt": 5}}))
+    assert "GreaterThan(_mn_score,5.0)" in " ".join(_pushed_lines(plan))
+    # union semantics through the facade too
+    assert c.promote_metadata(["cat"]) == ["cat", "score"]
+    assert _ids(c, where={"cat": "c"}) == ["p12"]

@@ -472,9 +472,27 @@ class SparkCollection:
         re-maintained for fts collections); subsequent ``where`` /
         ``order_by`` / keyset-cursor work on these keys compiles
         against the parquet-pushable sidecars. Returns the full
-        promoted key list."""
+        promoted key list.
+
+        ANN-index interplay mirrors :meth:`compact`: the index is
+        brought up to date first, and the rewrite's fold is recorded as
+        covered — otherwise the next write's maintenance would
+        re-assign the ENTIRE rewritten corpus into the index for zero
+        new information (every id is already covered by construction)."""
+        meta = self._vector_index_meta()
+        if meta is not None and "built_through" in meta:
+            self.maintain_vector_index()
         out = self.store.promote_metadata(self.name, keys)
         self._docs_version += 1  # snapshot may have been rewritten
+        if meta is not None and "built_through" in meta:
+            m = self.store.read_manifest(self.name)
+            ff = None if m is None else m.get("full_fold")
+            if ff is not None and [
+                int(b) for b in m.get("batches", [])
+            ] == [int(ff)] and int(ff) > int(meta["built_through"]):
+                self.store.mark_vector_index_batch_covered(
+                    self.name, int(ff), meta
+                )
         return out
 
     def compact(

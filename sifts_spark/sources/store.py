@@ -855,6 +855,13 @@ class DocumentStore:
         facade never compiles promoted predicates against them.
 
         Returns the full promoted key list."""
+        if isinstance(keys, str):
+            # a str-for-list typo would otherwise promote each CHARACTER
+            # as a sticky key and rewrite the corpus with junk sidecars
+            raise ValueError(
+                "promote_metadata expects a list of keys, got a string "
+                f"({keys!r}) — pass [{keys!r}]"
+            )
         clean = sorted(set(keys))
         for k in clean:
             if not self._PROMOTED_KEY_RE.match(k):
@@ -1292,8 +1299,21 @@ class DocumentStore:
         existing marker wins (best-effort under concurrent creates —
         the check-then-write is not atomic, same as every marker here);
         a later ``maintain_postings(positions=True)`` still upgrades a
-        plain pin."""
-        if self.positions_layout(name) is not None:
+        plain pin.
+
+        A TORN marker (content neither "0" nor "1" — e.g. a crash
+        between the non-atomic create and write) is REPAIRED here: a
+        read-path ``positions_layout`` fail-safes torn content to
+        positional, so without this repair an explicit plain opt-out
+        hit by a torn write would be irreversibly flipped (the marker
+        exists, nothing would ever rewrite it). Residual window,
+        documented: a default-created positional collection carries no
+        marker until its first facade write stamps "1", so a
+        concurrent lazy postings build in that sub-second gap comes
+        out plain — sound (pos=null → content verify) and healed by
+        the next compaction rebuild."""
+        txt = self._read_small_text(self._positions_marker(name))
+        if txt is not None and txt.strip() in ("0", "1"):
             return
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))

@@ -386,3 +386,43 @@ def test_facade_promote_metadata_verb(store_root, spark):
     # union semantics through the facade too
     assert c.promote_metadata(["cat"]) == ["cat", "score"]
     assert _ids(c, where={"cat": "c"}) == ["p12"]
+
+
+def test_promote_metadata_rejects_bare_string(store_root, spark):
+    c = Collection(store_root, "strguard", spark=spark, use_fts=False)
+    with pytest.raises(ValueError, match="expects a list"):
+        c.promote_metadata("score")
+    with pytest.raises(ValueError, match="expects a list"):
+        Collection(
+            store_root, "strguard2", spark=spark, use_fts=False,
+            promote_metadata="score",
+        )
+
+
+def test_facade_promote_marks_ann_fold_covered(store_root, spark):
+    """r13 review fix: the live-collection promote rewrite records its
+    fold as covered in the ANN index (like compact) — the next write's
+    maintenance must not re-assign the whole rewritten corpus."""
+    lookup = {}
+    def embed(ts):
+        return [lookup.setdefault(t, [float(len(t) % 7), 1.0, 0.0]) for t in ts]
+    c = Collection(store_root, "annp", spark=spark, use_fts=False,
+                   embedding_function=embed)
+    _fill(c)
+    c.build_vector_index(n_cells=2)
+    meta = c.store.read_vector_index_meta("annp")
+    c.promote_metadata(["score"])
+    m = c.store.read_manifest("annp")
+    fold = int(m["full_fold"])
+    # covered = an EMPTY committed index layer for the fold (dir +
+    # _SUCCESS), exactly what compact records — the next maintenance
+    # then sees the batch as assigned and skips the corpus re-scan
+    import os
+
+    layer = os.path.join(
+        store_root, "_vecindex", "name=annp", meta["cells_dir"],
+        f"batch={fold}", "_SUCCESS",
+    )
+    assert os.path.exists(layer), layer
+    # and queries on the promoted key still work over the ANN facade
+    assert _ids(c, where={"score": {"$gte": 9}}) == ["p03", "p04", "p06"]

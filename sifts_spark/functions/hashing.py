@@ -29,14 +29,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from sifts_spark.functions.text import TOKEN_SPLIT_RE
+from sifts_spark.functions.text import TOKEN_SPLIT_RE_PY
 
-_SPLIT = re.compile(TOKEN_SPLIT_RE)
+_SPLIT = re.compile(TOKEN_SPLIT_RE_PY)
 
 
 def _py_tokenize(text: str) -> list[str]:
-    """Python twin of functions.text.tokenize — same split regex over
-    the lowercased text, empties dropped."""
+    """Python twin of functions.text.tokenize — same family (the
+    ``_PY`` regex: Python ``re`` has no ``\\p{L}``) over the lowercased
+    text, empties dropped."""
     return [t for t in _SPLIT.split(text.lower()) if t]
 
 

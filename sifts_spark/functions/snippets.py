@@ -19,7 +19,9 @@ import re
 
 from sifts_spark.queryparser import And, AndNot, Node, Or, Phrase, Prefix, Term
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+from sifts_spark.functions.text import token_match_re_py
+
+_TOKEN_RE = re.compile(token_match_re_py())  # default family
 
 
 def positive_leaves(ast: Node) -> tuple[set, set, list]:
@@ -55,19 +57,25 @@ def make_snippet(
     window: int = 16,
     mark: tuple = ("[", "]"),
     ellipsis: str = "…",
+    tokenizer: str | None = None,
 ) -> str:
     """The ``window``-token extract of ``text`` containing the MOST
     positive-match tokens (earliest window on ties), matched tokens
     wrapped in ``mark``, clipped edges flagged with ``ellipsis``.
-    Tokenization mirrors the index (lowercase ``[a-z0-9]+`` runs), and
-    marks wrap the ORIGINAL text spans, so casing/punctuation render
-    as written. Phrase matches highlight only true consecutive runs.
-    Matchless or empty text returns its plain leading window."""
+    Tokenization mirrors the index (the ``tokenizer`` family's
+    lowercase token runs — pass the collection's ``_tokenizer`` marker
+    so highlights agree with matches), and marks wrap the ORIGINAL
+    text spans, so casing/punctuation render as written. Phrase
+    matches highlight only true consecutive runs. Matchless or empty
+    text returns its plain leading window."""
     if not text:
         return ""
+    tok_re = (
+        _TOKEN_RE if tokenizer is None else re.compile(token_match_re_py(tokenizer))
+    )
     spans = [
         (m.group(), m.start(), m.end())
-        for m in _TOKEN_RE.finditer(text.lower())
+        for m in tok_re.finditer(text.lower())
     ]
     if not spans:
         return text
@@ -120,6 +128,7 @@ def snippet_column(
     window: int = 16,
     mark: tuple = ("[", "]"),
     ellipsis: str = "…",
+    tokenizer: str | None = None,
 ):
     """:func:`make_snippet` as a distributed column — ONE Arrow pass
     with the AST closure-shipped, for the bulk path
@@ -138,7 +147,7 @@ def snippet_column(
     @pandas_udf("string")
     def _snip(texts):
         return pd.Series(
-            [make_snippet(t, ast, window, mark, ellipsis) for t in texts]
+            [make_snippet(t, ast, window, mark, ellipsis, tokenizer) for t in texts]
         )
 
     return _snip(content_col)

@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sifts_spark.operators.textanalysis import TOKEN_COUNT_RE
+from sifts_spark.operators.textanalysis import TOKEN_COUNT_RE_PY
 
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
@@ -71,8 +71,9 @@ def chunk_text(
     if not (0 <= overlap_tokens < max_tokens):
         raise ValueError("overlap_tokens must be in [0, max_tokens)")
     # IGNORECASE instead of .lower(): lowering can change string LENGTH
-    # for some Unicode (e.g. 'İ'), which would corrupt char offsets
-    tok_re = re.compile(TOKEN_COUNT_RE, re.IGNORECASE)
+    # for some Unicode (e.g. 'İ'), which would corrupt char offsets.
+    # The _PY twin (stdlib re has no \p{..}) is case-closed by class.
+    tok_re = re.compile(TOKEN_COUNT_RE_PY, re.IGNORECASE)
 
     # sentence spans (begin, end) over the raw text
     spans: list[tuple[int, int]] = []

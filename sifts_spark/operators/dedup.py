@@ -228,8 +228,8 @@ def minhash_banded_sketches(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
         ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    # zero-shingle docs (nothing tokenizable: non-Latin-script or
-    # punctuation-only content under the [^a-z0-9]+ tokenizer) cannot
+    # zero-shingle docs (nothing tokenizable: punctuation-only content
+    # — pre-r14 also any non-Latin script — under the tokenizer) cannot
     # participate in shingle dedup: their all-NULL signatures would
     # otherwise band-join into ONE constant-key mega-bucket (md5 of the
     # null-skipping array_join) and dedup whole scripts down to a
@@ -639,24 +639,24 @@ def simhash_fingerprints(
     bits, ~10x less CPU); ``impl="hof"`` keeps the pure-JVM nested-HOF
     fold. Both are map-side, shuffle-free.
 
-    Zero-token docs (non-Latin-script or punctuation-only content
-    under the ``[^a-z0-9]+`` tokenizer) are EXCLUDED (r13): every one
-    of them would vote the identical all-zero fingerprint, so
+    Zero-token docs (punctuation-only content — pre-r14 also any
+    non-Latin script — under the default tokenizer) are EXCLUDED (r13):
+    every one of them would vote the identical all-zero fingerprint, so
     ``simhash_pairs`` declared any two of them hamming-0 near-dups and
     collapsed entire scripts to one survivor — the same hazard the
     minhash path closes via empty shingle sets. The filter is a cheap
     codegen'd pre-kernel predicate (a post-kernel filter on the Arrow
     output column would make Catalyst evaluate the kernel twice), and
-    it short-circuits: "has >=1 token" == "the lowercased text contains
-    >=1 [a-z0-9] char" (tokens are exactly the [a-z0-9]+ runs of the
-    lowercased text), so rlike stops at the first hit instead of
-    materializing the full token array — a full tokenize here measured
-    ~2x on the sf1 bench row. The DuckDB oracle twins were updated to
-    match (catalog r13): their fp CTEs aggregate only docs that
-    produced tokens — previously a LEFT JOIN + coalesce(...,0)
-    fabricated the all-zero fingerprint back in."""
+    it short-circuits: "has >=1 token" == "the text contains >=1
+    letter-or-digit char" (tokens are exactly the \\p{L}\\p{N} runs of
+    the lowercased text, and the class is case-closed), so rlike stops
+    at the first hit instead of materializing the full token array — a
+    full tokenize here measured ~2x on the sf1 bench row. The DuckDB
+    oracle twins were updated to match (catalog r13): their fp CTEs
+    aggregate only docs that produced tokens — previously a LEFT JOIN
+    + coalesce(...,0) fabricated the all-zero fingerprint back in."""
     toks = tokenize(F.col(text_col))
-    docs = docs.filter(F.lower(F.col(text_col)).rlike("[a-z0-9]"))
+    docs = docs.filter(F.col(text_col).rlike(r"[\p{L}\p{N}]"))
     if impl == "arrow":
         fp = simhash64_arrow(toks)
         return ensure_min_parallelism(docs).select(

@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_RE = "[a-z0-9]+"
+# Default-family token extraction, Python syntax (functions/text.py) —
+# NOTE: flipping this (r14 unicode flip) changes embedding values only
+# for texts containing non-ASCII tokens; pure-ASCII texts hash to
+# byte-identical vectors, so Latin-corpus stores need no backfill.
+from sifts_spark.functions.text import TOKEN_MATCH_RE_PY as _TOKEN_RE
 
 
 def _embed_texts(texts, dim: int, ngrams: tuple, seed: int):

@@ -48,9 +48,17 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def match_filter(df: DataFrame, ast: Node, content_col: str = "content") -> DataFrame:
-    """Strategy 1: boolean predicate over on-the-fly tokens."""
-    return df.filter(ast.to_column(tokenize(F.col(content_col))))
+def match_filter(
+    df: DataFrame,
+    ast: Node,
+    content_col: str = "content",
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Strategy 1: boolean predicate over on-the-fly tokens.
+
+    ``tokenizer`` must match the family the ``ast``'s words were split
+    with (parse_query's ``tokenizer=``) — default family for both."""
+    return df.filter(ast.to_column(tokenize(F.col(content_col), tokenizer)))
 
 
 # ---------------------------------------------------------------------------
@@ -64,8 +72,13 @@ def build_postings(
     content_col: str = "content",
     positions: bool = False,
     max_positions: int | None = None,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """documents → postings (term, id, tf, dl[, pos]).
+
+    ``tokenizer`` selects the token family (functions/text.py) — the
+    store passes its collection's sticky ``_tokenizer`` marker so an
+    index is never built under a different family than it is queried.
 
     ``dl`` (doc length in tokens) rides on every posting so scoring never
     joins back to the docs table. Map-side: explode is narrow; the single
@@ -88,7 +101,8 @@ def build_postings(
     never a silently dropped match.
     """
     toks = docs.select(
-        F.col(id_col).alias("id"), tokenize(F.col(content_col)).alias("tokens")
+        F.col(id_col).alias("id"),
+        tokenize(F.col(content_col), tokenizer).alias("tokens"),
     ).withColumn("dl", F.size("tokens"))
     if not positions:
         return (

@@ -60,7 +60,11 @@ from pyspark.sql.functions import pandas_udf
 
 from sifts_spark.functions.hashing import ensure_min_parallelism
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+")
+from sifts_spark.functions.text import TOKEN_MATCH_RE_PY
+
+# any-script token runs, original case kept (tokens are lowercased at
+# hash time in _token_hash) — [^\W_]+ is case-insensitive by nature
+_TOKEN_RE = re.compile(TOKEN_MATCH_RE_PY)
 # Rolling-hash base: odd 64-bit constant (first 16 hex digits of the
 # md5 of "sifts-spark-winnow"); arithmetic wraps mod 2^64 via uint64.
 _ROLL_BASE = np.uint64(int(hashlib.md5(b"sifts-spark-winnow").hexdigest()[:16], 16) | 1)

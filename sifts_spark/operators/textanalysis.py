@@ -12,7 +12,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sifts_spark.functions.text import tokenize, shingles
+from sifts_spark.functions.text import (
+    TOKEN_MATCH_RE,
+    TOKEN_MATCH_RE_PY,
+    tokenize,
+    shingles,
+)
 
 # Tiny per-language marker lexicons (top function words). Real pipelines
 # plug in fastText/CLD3 via mapInPandas (see operators/multimodal.py for
@@ -27,7 +32,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish surface tokenization: word pieces OR single non-space symbols.
-TOKEN_COUNT_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+# Java/RE2 syntax (Spark regexp_extract_all + the DuckDB oracle twin);
+# \p{L}\p{N} since the r14 unicode flip — the complement class makes
+# every non-space, non-alphanumeric char (any script's punctuation)
+# its own surface token, same as the old ASCII form did.
+TOKEN_COUNT_RE = rf"{TOKEN_MATCH_RE}|[^\p{{L}}\p{{N}}\s]"
+# Python twin (stdlib re has no \p{..}): [^\w\s] misses "_" (underscore
+# is in \w), so it is appended as an explicit alternative.
+TOKEN_COUNT_RE_PY = rf"{TOKEN_MATCH_RE_PY}|[^\w\s]|_"
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -661,8 +673,8 @@ def repetition_stats(
     An Arrow kernel by this module's measured crossover rule (counting
     n-gram multiplicities needs a hash map per doc — a JVM HOF twin
     would be an interpreted O(n²) mode computation); one pass per doc,
-    map-side, no shuffle. Rounded to 6 dp. Words = ``[a-z0-9]+`` on the
-    lowercased text (the tokenizer family used across this module)."""
+    map-side, no shuffle. Rounded to 6 dp. Words = the default
+    token family's runs on the lowercased text (functions/text.py)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(REPETITION_SCHEMA)
@@ -671,7 +683,7 @@ def repetition_stats(
         from collections import Counter
 
         rows = []
-        word_re = re.compile(r"[a-z0-9]+")
+        word_re = re.compile(TOKEN_MATCH_RE_PY)
         for t in texts:
             if t is None:
                 rows.append((0.0, 0.0, 0.0, 0.0))
@@ -765,7 +777,7 @@ def gopher_repetition(
 
     ``thresholds`` overrides any subset of
     :data:`GOPHER_REPETITION_THRESHOLDS` (unknown keys raise). Word =
-    ``[a-z0-9]+`` on the lowercased text and gram chars = sum of word
+    the default token family's runs on the lowercased text and gram chars = sum of word
     lengths (separators excluded) — the tokenizer family used across
     this module; the char denominator is the RAW text length, floored
     at 1. Empty/None docs score 0 everywhere and PASS — emptiness is
@@ -794,7 +806,7 @@ def gopher_repetition(
         import re
         from collections import Counter
 
-        word_re = re.compile(r"[a-z0-9]+")
+        word_re = re.compile(TOKEN_MATCH_RE_PY)
         para_re = re.compile(r"\n\s*\n")
 
         def dup_fracs(elems: list[str], denom: float):
@@ -956,7 +968,7 @@ def perplexity_score(
 
         lp = bc_model.value["lp"]
         oov = bc_model.value["oov"]
-        word_re = re.compile(r"[a-z0-9]+")
+        word_re = re.compile(TOKEN_MATCH_RE_PY)
         rows = []
         for t in texts:
             words = word_re.findall(t.lower()) if t else []
@@ -1008,7 +1020,7 @@ def find_contaminated(
     full token string (a contained QA answer still flags its host
     doc): the eval set is collected driver-side — benchmark-sized by
     definition — its grams computed per-item at ``min(n, item_len)``.
-    Tokenization is this module's ``[a-z0-9]+`` lowercase family on
+    Tokenization is the default lowercase token family on
     BOTH sides (contamination checks must share one normalization or
     they silently under-detect).
 
@@ -1031,7 +1043,7 @@ def find_contaminated(
 
     if isinstance(eval_texts, DataFrame):
         eval_texts = [r[eval_text_col] for r in eval_texts.collect()]
-    word_re = _re.compile(r"[a-z0-9]+")
+    word_re = _re.compile(TOKEN_MATCH_RE_PY)
     by_len: dict[int, set[str]] = {}
     for t in eval_texts:
         toks = word_re.findall((t or "").lower())
@@ -1061,7 +1073,7 @@ def find_contaminated(
             import hashlib
             import re
 
-            wre = re.compile(r"[a-z0-9]+")
+            wre = re.compile(TOKEN_MATCH_RE_PY)
             out = []
             for t in texts:
                 toks = wre.findall(t.lower()) if t else []
@@ -1216,7 +1228,7 @@ def _py_gram_buckets(
     import hashlib
     import re
 
-    toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+    toks = re.findall(TOKEN_MATCH_RE_PY, (text or "").lower())
     if len(toks) < n:
         return []
     if cache is None:

@@ -27,7 +27,13 @@ from sifts_spark.functions.metadata import (
     compile_order_by,
     compile_where,
 )
-from sifts_spark.functions.text import tokenize, tokenize_sql, shingles, shingles_sql
+from sifts_spark.functions.text import (
+    TOKEN_MATCH_RE,
+    tokenize,
+    tokenize_sql,
+    shingles,
+    shingles_sql,
+)
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import dedup as D
 from sifts_spark.operators import relational as R
@@ -839,9 +845,12 @@ def text_langid(spark, sf_dir) -> DataFrame:
 # pinned by the DuckDB twin in tests/test_textanalysis.py.
 
 
+# DuckDB twin of textanalysis.TOKEN_COUNT_RE (RE2 and Java share the
+# \p{L}\p{N} syntax, so the SAME constant feeds both engines — the r14
+# unicode flip cannot diverge the twins).
 _TOKEN_COUNT_SQL = (
     "SELECT doc_id AS id, CAST(len(regexp_extract_all(lower(text),"
-    " '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens FROM documents"
+    f" '{TA.TOKEN_COUNT_RE}')) AS INT) AS n_bpe_tokens FROM documents"
 )
 
 
@@ -1923,7 +1932,7 @@ qual AS ({_QUALITY_SQL}),
 clus AS (SELECT * FROM ({_CLUSTERS_SQL}) _clus),
 tok AS (
   SELECT doc_id AS id,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens
+         len(regexp_extract_all(lower(text), '{TA.TOKEN_COUNT_RE}')) AS n_tokens
   FROM documents
 )
 SELECT (lang.pred_lang = 'en') AS lang_ok,
@@ -2031,7 +2040,7 @@ _DSIR_NB = 1 << 16
 _DSIR_SQL = f"""
 WITH toks AS (
   SELECT doc_id AS id,
-         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_MATCH_RE}') AS t
   FROM documents
 ), grams AS (
   SELECT id,
@@ -2103,8 +2112,8 @@ _SPAN_K = 12
 _SPAN_SQL = f"""
 WITH canon AS (
   SELECT doc_id AS id,
-         array_to_string(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'), ' ') AS txt,
-         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS t
+         array_to_string(regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_MATCH_RE}'), ' ') AS txt,
+         regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_MATCH_RE}') AS t
   FROM documents
 ), grams AS (
   SELECT id, array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS g,

@@ -195,9 +195,10 @@ class QueryParser:
     (SURVEY.md §2.4); we reject instead.
     """
 
-    def __init__(self, query: str):
+    def __init__(self, query: str, tokenizer: str | None = None):
         self._words = _TOKEN_RE.findall(query.strip())
         self._pos = 0
+        self._tokenizer = tokenizer
 
     def parse(self) -> Node:
         if not self._words:
@@ -247,7 +248,7 @@ class QueryParser:
         if word.startswith('"'):
             if len(word) < 2 or not word.endswith('"'):
                 raise ParseError(f"unterminated quote in {word!r}")
-            parts = _split_like_tokenizer(word[1:-1])
+            parts = _split_like_tokenizer(word[1:-1], self._tokenizer)
             if not parts:
                 raise ParseError(f"no searchable characters in {word!r}")
             if len(parts) == 1:
@@ -261,7 +262,7 @@ class QueryParser:
         # a punctuated query word becomes the conjunction of its token
         # parts and can actually match. Stripping punctuation instead
         # (round-1 behavior) produced the unmatchable term "dont".
-        parts = _split_like_tokenizer(word)
+        parts = _split_like_tokenizer(word, self._tokenizer)
         if not parts:
             raise ParseError(f"no searchable characters in {word!r}")
         leaves: list[Node] = [Term(p) for p in parts[:-1]]
@@ -272,14 +273,20 @@ class QueryParser:
         return node
 
 
-def _split_like_tokenizer(word: str) -> list[str]:
+def _split_like_tokenizer(word: str, tokenizer: str | None = None) -> list[str]:
     """Query-side twin of functions.text.tokenize: lowercase, split on
-    non-alphanumerics, drop empties ('simple'-config parity)."""
-    return [p for p in re.split(r"[^a-z0-9]+", word.lower()) if p]
+    non-alphanumerics, drop empties ('simple'-config parity). The
+    ``tokenizer`` family must match the INDEX the query runs against
+    (a unicode query word against an ascii-built postings index would
+    silently never match) — Collection passes its ``_tokenizer``
+    marker; free-standing callers get the default family."""
+    from sifts_spark.functions.text import py_tokenize
+
+    return py_tokenize(word, tokenizer)
 
 
-def parse_query(query: str) -> Node:
-    return QueryParser(query).parse()
+def parse_query(query: str, tokenizer: str | None = None) -> Node:
+    return QueryParser(query, tokenizer).parse()
 
 
 def has_phrase(ast: Node) -> bool:

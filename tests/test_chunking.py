@@ -18,9 +18,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from sifts_spark.operators.chunking import chunk_documents, chunk_text
-from sifts_spark.operators.textanalysis import TOKEN_COUNT_RE
+from sifts_spark.operators.textanalysis import TOKEN_COUNT_RE_PY
 
-TOK = re.compile(TOKEN_COUNT_RE, re.IGNORECASE)
+TOK = re.compile(TOKEN_COUNT_RE_PY, re.IGNORECASE)
 
 text_strategy = st.text(
     alphabet="ab c.!? d\n", min_size=0, max_size=400

@@ -1,13 +1,15 @@
-"""Unicode tokenizer groundwork (r13) — the three-engine equivalence
-evidence the next-round default flip depends on.
+"""Unicode tokenizer equivalence suite (groundwork r13, DEFAULT since
+the r14 flip).
 
-The committed tokenizer family is ASCII-only (SURVEY §7 "Known
-limitation"); `tokenize_unicode`/`tokenize_unicode_sql` are the opt-in
-twins. The flip is only safe if Spark (Java regex + JVM lower), DuckDB
-(RE2 + utf8proc lower) and the Python kernels (stdlib re + str.lower)
+`tokenize`'s default family is now the `\\p{L}\\p{N}` class; the flip
+is only safe because Spark (Java regex + JVM lower), DuckDB (RE2 +
+utf8proc lower) and the Python kernels (stdlib re + str.lower)
 tokenize IDENTICALLY on the corpora the oracle gate runs over — this
 module pins that over the 53-language corpus plus ASCII punctuation,
-and pins the two KNOWN case-mapping divergences as documented edges.
+pins the two KNOWN case-mapping divergences as documented edges
+(Turkish dotted İ, Greek capital final sigma — declared OUT of the
+supported alphabet), and pins that the default family IS unicode so
+an accidental revert fails loudly.
 """
 
 from __future__ import annotations
@@ -93,6 +95,40 @@ def test_known_case_mapping_divergences_documented(spark):
     # ...Greek capital sigma: JVM/CPython apply the contextual final
     # form (…ος), utf8proc maps Σ→σ position-blind (…οσ)
     assert sp[1][0].endswith("ος") and dk[1][0].endswith("οσ")
+
+
+def test_default_family_is_unicode(spark):
+    """The r14 flip pin: bare `tokenize`/`tokenize_sql`/`py_tokenize`
+    (no tokenizer arg) ARE the unicode family, and the whole query
+    path round-trips a non-Latin term."""
+    from sifts_spark.functions.text import (
+        DEFAULT_TOKENIZER,
+        TOKEN_SPLIT_RE,
+        TOKEN_SPLIT_RE_UNICODE,
+        py_tokenize,
+        tokenize,
+        tokenize_sql,
+    )
+    from sifts_spark.operators.search import match_filter
+    from sifts_spark.queryparser import parse_query
+
+    assert DEFAULT_TOKENIZER == "unicode"
+    assert TOKEN_SPLIT_RE == TOKEN_SPLIT_RE_UNICODE
+    assert py_tokenize("Привет, 中文!") == ["привет", "中文"]
+    con = duckdb.connect()
+    assert con.sql(
+        f"SELECT {tokenize_sql('?')}", params=["Привет, 中文!"]
+    ).fetchone()[0] == ["привет", "中文"]
+    df = spark.createDataFrame(
+        [(1, "Привет мир"), (2, "hello world"), (3, "中文文档 例子")],
+        "id long, content string",
+    )
+    got = df.select("id", tokenize(F.col("content")).alias("t")).collect()
+    assert {r["id"]: r["t"] for r in got} == {
+        1: ["привет", "мир"], 2: ["hello", "world"], 3: ["中文文档", "例子"],
+    }
+    hits = match_filter(df, parse_query("привет OR 例子")).collect()
+    assert sorted(r["id"] for r in hits) == [1, 3]
 
 
 @pytest.mark.parametrize(

@@ -74,7 +74,9 @@ def main() -> None:
     )
     planted: dict[float, set] = {}
     plants = []
-    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    from sifts_spark.functions.text import TOKEN_SPLIT_RE
+
+    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
     for rate in RATES:
         tag = f"dup{int(rate * 100)}-"
         # md5-keyed token drop: keep token i iff

@@ -76,6 +76,7 @@ class SparkCollection:
         auto_compact_fold_bytes: int | None = None,
         index_positions: bool | None = None,
         promote_metadata: list[str] | None = None,
+        tokenizer: str | None = None,
     ):
         self.name = validate_name(name)
         self.embedding_function = embedding_function
@@ -120,6 +121,18 @@ class SparkCollection:
             # flip an explicit plain opt-out (no-op when a marker
             # already exists)
             self.store.pin_positions_layout(self.name, index_positions)
+        # Token family (r14 unicode flip): queries MUST tokenize with
+        # the family the postings index was built with — the sticky
+        # ``_tokenizer`` store marker records it (absent marker +
+        # existing sidecars = pre-flip ascii index; fresh collections
+        # get the unicode default). The query paths read the marker
+        # per call (``_tok_family``), so a cross-handle retokenize/
+        # compact-upgrade is honored without reopening. An explicit
+        # ``tokenizer=`` is DDL intent: pinned, and a mismatch against
+        # an existing index RAISES (store.pin_tokenizer) instead of
+        # silently dropping matches.
+        if tokenizer is not None:
+            self.store.pin_tokenizer(self.name, tokenizer)
         # Promoted metadata columns: `where` predicates on these keys
         # compile against typed sidecar columns materialized at write
         # (parquet-pushable, row-group skipping) instead of
@@ -520,6 +533,17 @@ class SparkCollection:
             self.store.mark_vector_index_batch_covered(self.name, folded, meta)
         if vacuum:
             self.store.vacuum(self.name, self.vacuum_grace_seconds)
+
+    def retokenize(self, tokenizer: str | None = None) -> str:
+        """Rebuild the FTS sidecars under ``tokenizer`` (default: the
+        engine's current default family) and re-stamp the sticky
+        ``_tokenizer`` marker — the explicit upgrade verb for
+        collections indexed pre-r14 under the ascii family (a FULL
+        ``compact()`` performs the same upgrade implicitly, but
+        no-ops on single-batch collections). Queries on any handle
+        pick the new family up immediately (the marker is read per
+        query). Returns the new family name."""
+        return self.store.retokenize(self.name, tokenizer)
 
     def refresh(self) -> None:
         """Invalidate cached per-snapshot query constants (BM25 corpus
@@ -1100,9 +1124,14 @@ class SparkCollection:
         if highlight:
             from sifts_spark.functions.snippets import snippet_column
 
+            fam = self._tok_family()
             out = out.withColumn(
                 "snippet",
-                snippet_column(parse_query(query_string), F.col("content")),
+                snippet_column(
+                    parse_query(query_string, tokenizer=fam),
+                    F.col("content"),
+                    tokenizer=fam,
+                ),
             )
         return out
 
@@ -1204,11 +1233,13 @@ class SparkCollection:
             df.unpersist()
 
         snip_ast = None
+        snip_fam = None
         # _validate_highlight guarantees a parseable text query here
         if highlight:
             from sifts_spark.functions.snippets import make_snippet
 
-            snip_ast = parse_query(query_string)
+            snip_fam = self._tok_family()
+            snip_ast = parse_query(query_string, tokenizer=snip_fam)
         results = []
         for r in rows:
             d: dict[str, Any] = {
@@ -1219,7 +1250,9 @@ class SparkCollection:
             if is_search:
                 d["rank"] = r["rank"]
             if snip_ast is not None:
-                d["snippet"] = make_snippet(r["content"], snip_ast)
+                d["snippet"] = make_snippet(
+                    r["content"], snip_ast, tokenizer=snip_fam
+                )
             results.append(d)
         # PG semantics: empty page reports total=0 (core.py:341-344).
         return {"total": total if results else 0, "results": results}
@@ -1477,7 +1510,8 @@ class SparkCollection:
             # aggregation over the postings index (FTS5/GIN keep these
             # stats materialized; at 100 TB a per-query index-stats scan
             # is the difference between an index probe and a table scan).
-            ast = parse_query(query_string)
+            fam = self._tok_family()
+            ast = parse_query(query_string, tokenizer=fam)
             n_docs, avgdl = self._corpus_stats()
             # search_postings' default pool=None: no operator-internal
             # persist, so the serving path never leaks CacheManager
@@ -1505,7 +1539,7 @@ class SparkCollection:
             if has_phrase(ast):
                 from sifts_spark.functions.text import tokenize as _tok
 
-                verify = ast.to_column(_tok(F.col("content")))
+                verify = ast.to_column(_tok(F.col("content"), fam))
                 if "_pending" in scored.columns:
                     df = df.filter(
                         F.when(F.col("_pending"), verify).otherwise(
@@ -1644,9 +1678,10 @@ class SparkCollection:
         if highlight:
             from sifts_spark.functions.snippets import make_snippet
 
-            snip_ast = parse_query(query_string)
+            fam = self._tok_family()
+            snip_ast = parse_query(query_string, tokenizer=fam)
             for d in results:
-                d["snippet"] = make_snippet(d["content"], snip_ast)
+                d["snippet"] = make_snippet(d["content"], snip_ast, tokenizer=fam)
         return {"total": total if results else 0, "results": results}
 
     def hybrid_query_df(
@@ -1699,9 +1734,14 @@ class SparkCollection:
         if highlight:
             from sifts_spark.functions.snippets import snippet_column
 
+            fam = self._tok_family()
             out = out.withColumn(
                 "snippet",
-                snippet_column(parse_query(query_string), F.col("content")),
+                snippet_column(
+                    parse_query(query_string, tokenizer=fam),
+                    F.col("content"),
+                    tokenizer=fam,
+                ),
             )
         return out
 
@@ -1806,6 +1846,14 @@ class SparkCollection:
             .withColumn("id", F.col("__parent"))
             .drop("__rn", "__parent")
         )
+
+    def _tok_family(self) -> str:
+        """The INDEX's token family (sticky ``_tokenizer`` marker) —
+        read fresh per query so a cross-handle retokenize/compact
+        upgrade is honored immediately (one driver-side small-file
+        read; the same cost class as the manifest read every query
+        already pays)."""
+        return self.store.postings_tokenizer(self.name)
 
     def _corpus_stats(self) -> tuple[int, float]:
         """Memoized (N, avgdl) for BM25 — recomputed when THIS facade
@@ -1961,6 +2009,7 @@ def Collection(
     auto_compact_fold_bytes: int | None = None,
     index_positions: bool | None = None,
     promote_metadata: list[str] | None = None,
+    tokenizer: str | None = None,
 ) -> SparkCollection:
     """Factory with reference-shaped URL-scheme dispatch (core.py:714-737).
 
@@ -2002,4 +2051,5 @@ def Collection(
         auto_compact_fold_bytes=auto_compact_fold_bytes,
         index_positions=index_positions,
         promote_metadata=promote_metadata,
+        tokenizer=tokenizer,
     )

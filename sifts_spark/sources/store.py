@@ -900,6 +900,9 @@ class DocumentStore:
             old_nums = {int(d.split("=", 1)[1]) for d in old}
             self._publish_manifest(name, superseded=old_nums)
             self._gc_markers(name)
+            # same full-fold retokenize point as compact(): all old
+            # sidecars just got superseded with the batches
+            self._upgrade_tokenizer_after_full_fold(name)
             if had_postings:
                 # the rewrite superseded every old batch AND its
                 # postings/doclen sidecars; without this, a use_fts
@@ -1042,6 +1045,11 @@ class DocumentStore:
         old_nums = {int(d.split("=", 1)[1]) for d in old}
         self._publish_manifest(name, superseded=old_nums)
         self._gc_markers(name)
+        if max_fold_bytes is None:
+            # every pre-fold batch (and its sidecars) is now
+            # superseded; the whole-corpus sidecar rebuild that follows
+            # (here or lazily on read) is the free retokenize point
+            self._upgrade_tokenizer_after_full_fold(name)
         if postings:
             self.maintain_postings(name)
         return batch
@@ -1245,14 +1253,23 @@ class DocumentStore:
         )
 
     def _build_batch_postings(
-        self, name: str, batch_dir: str, positions: bool = False
+        self,
+        name: str,
+        batch_dir: str,
+        positions: bool = False,
+        tokenizer: str | None = None,
     ) -> DataFrame:
         from sifts_spark.operators.search import build_postings
 
         batch = int(batch_dir.split("=", 1)[1])
         docs = self._read_batch_docs(name, batch_dir).filter(~F.col("deleted"))
+        if tokenizer is None:
+            # lazy read-path builds resolve the collection's pinned
+            # family; maintain_postings passes it explicitly (stamped
+            # once per pass, not re-read per batch)
+            tokenizer = self.postings_tokenizer(name)
         return build_postings(
-            docs, "id", "content", positions=positions
+            docs, "id", "content", positions=positions, tokenizer=tokenizer
         ).withColumn("batch", F.lit(batch).cast("long"))
 
     def _positions_marker(self, name: str) -> str:
@@ -1321,6 +1338,146 @@ class DocumentStore:
             self._positions_marker(name), "1" if positional else "0"
         )
 
+    # ---- sticky tokenizer marker (r14 unicode flip) ------------------
+    #
+    # A postings index only answers correctly when the QUERY side
+    # tokenizes with the family the INDEX was built with — a unicode
+    # query term against ascii-built postings silently never matches.
+    # The family is therefore a pinned property of the collection (the
+    # ``_positions`` pattern): the ``_tokenizer`` marker records it,
+    # reopen honors it, and the query path (Collection) compiles with
+    # the INDEX's family, never the session default.
+
+    def _tokenizer_marker(self, name: str) -> str:
+        return f"{self._postings_dir(name)}/_tokenizer"
+
+    def _tokenizer_marker_value(self, name: str) -> tuple[str | None, bool]:
+        """(family, explicitly_pinned) from the marker, or (None, False)
+        when absent or torn. ``pin:`` prefix = explicit DDL intent
+        (facade ``tokenizer=`` argument) — full-fold upgrades skip it."""
+        txt = self._read_small_text(self._tokenizer_marker(name))
+        if txt is None:
+            return None, False
+        v = txt.strip()
+        pinned = v.startswith("pin:")
+        if pinned:
+            v = v[4:]
+        from sifts_spark.functions.text import _SPLIT_RES
+
+        return (v, pinned) if v in _SPLIT_RES else (None, False)
+
+    def postings_tokenizer(self, name: str) -> str:
+        """The token family this collection's postings are (or will be)
+        built with. Marker wins; an absent/torn marker resolves by
+        provenance: sidecar batches already on disk predate the marker
+        (pre-r14 stores — every one of those was built ascii), a
+        collection with no sidecars yet gets the current default.
+        Fail-safe direction of the torn-marker case: a legacy index
+        misread as unicode would silently drop EVERY non-exact match
+        for punctuated queries; misreading a unicode index as ascii
+        only costs non-Latin recall until the next maintenance
+        re-stamps — so provenance, not the default, breaks ties."""
+        v, _ = self._tokenizer_marker_value(name)
+        if v is not None:
+            return v
+        if self._postings_batch_dirs(name) or self._doclen_batch_dirs(name):
+            from sifts_spark.functions.text import TOKENIZER_ASCII
+
+            return TOKENIZER_ASCII
+        from sifts_spark.functions.text import DEFAULT_TOKENIZER
+
+        return DEFAULT_TOKENIZER
+
+    def pin_tokenizer(self, name: str, tokenizer: str) -> None:
+        """Record an EXPLICIT family choice (facade ``tokenizer=`` —
+        DDL intent, mirroring :meth:`pin_positions_layout`). Against an
+        index already resolved to a DIFFERENT family this raises
+        instead of silently serving the old index with new-family
+        query tokens (the drop-every-match failure the marker exists
+        to prevent); rebuild first via :meth:`retokenize` or a full
+        :meth:`compact`. Same-family requests upgrade a sticky marker
+        to a pin (full-fold auto-upgrades then leave it alone)."""
+        from sifts_spark.functions.text import resolve_tokenizer
+
+        t = resolve_tokenizer(tokenizer)
+        cur, _ = self._tokenizer_marker_value(name)
+        if cur is None and not (
+            self._postings_batch_dirs(name) or self._doclen_batch_dirs(name)
+        ):
+            # nothing indexed yet: the request simply becomes the pin
+            cur = t
+        elif cur is None:
+            cur = self.postings_tokenizer(name)  # legacy sidecars: ascii
+        if cur != t:
+            raise ValueError(
+                f"collection {name!r} postings are tokenized {cur!r}; "
+                f"rebuild them (retokenize/compact) before opening with "
+                f"tokenizer={t!r} — honoring the new family against the "
+                f"old index would silently drop matches"
+            )
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        self._write_small_text(self._tokenizer_marker(name), f"pin:{t}")
+
+    def _stamp_tokenizer_if_unset(self, name: str) -> str:
+        """Make the resolved family sticky before the first sidecar
+        write of a maintenance pass (so batch N+1 can never resolve
+        differently than batch N did). Returns the family to build
+        with."""
+        tok = self.postings_tokenizer(name)
+        v, _ = self._tokenizer_marker_value(name)
+        if v is None:
+            pdir = self._postings_dir(name)
+            self._fs.mkdirs(self._Path(pdir))
+            self._write_small_text(self._tokenizer_marker(name), tok)
+        return tok
+
+    def _upgrade_tokenizer_after_full_fold(self, name: str) -> None:
+        """A FULL fold superseded every old batch — the rebuilt
+        sidecars cover the whole corpus, so this is the one moment a
+        legacy ascii family can flip to the current default for free.
+        Explicit pins (``pin:`` marker) are the user's choice and are
+        left alone; so are markers already at the default."""
+        from sifts_spark.functions.text import DEFAULT_TOKENIZER
+
+        cur, pinned = self._tokenizer_marker_value(name)
+        if pinned or cur == DEFAULT_TOKENIZER:
+            return
+        if cur is None and self.postings_tokenizer(name) == DEFAULT_TOKENIZER:
+            return  # fresh store: maintenance will stamp the default
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        self._write_small_text(self._tokenizer_marker(name), DEFAULT_TOKENIZER)
+
+    def retokenize(self, name: str, tokenizer: str | None = None) -> str:
+        """Rebuild EVERY postings/doclen sidecar under ``tokenizer``
+        (default: the current default family) and re-stamp the marker —
+        the explicit upgrade path for collections the full-fold
+        upgrade doesn't reach (e.g. a single-batch legacy store, which
+        ``compact`` no-ops on). Marker is stamped FIRST so lazy
+        readers racing the rebuild already resolve the new family;
+        single concurrent DDL writer assumed (same contract as
+        promote_metadata). Returns the new family."""
+        from sifts_spark.functions.text import resolve_tokenizer
+
+        t = resolve_tokenizer(tokenizer)
+        _, pinned = self._tokenizer_marker_value(name)
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        self._write_small_text(
+            self._tokenizer_marker(name), f"pin:{t}" if pinned else t
+        )
+        for d in self._batch_dirs(name):
+            self._delete_dir(f"{pdir}/{d}")
+            self._delete_dir(f"{self._doclen_dir(name)}/{d}")
+        # re-publish BEFORE maintaining: the manifest still lists the
+        # just-deleted sidecar batches, and maintain_postings trusts the
+        # manifest's `postings`/`doclens` lists when deciding what's
+        # missing — without this it would rebuild nothing
+        self._publish_manifest(name)
+        self.maintain_postings(name)
+        return t
+
     def maintain_postings(
         self,
         name: str,
@@ -1358,6 +1515,7 @@ class DocumentStore:
         use_pos = (
             self.postings_positions(name) if positions is None else positions
         )
+        tok = self._stamp_tokenizer_if_unset(name)
         mf = self.read_manifest(name)
         have = set(self._postings_batch_dirs(name, mf))
         have_dl = set(self._doclen_batch_dirs(name, mf))
@@ -1372,7 +1530,9 @@ class DocumentStore:
             )
             try:
                 if d not in have:
-                    p = self._build_batch_postings(name, d, positions=use_pos)
+                    p = self._build_batch_postings(
+                        name, d, positions=use_pos, tokenizer=tok
+                    )
                     # term-sorted within files => parquet min/max
                     # row-group skipping turns a term lookup into an
                     # index probe; the term bloom filter additionally

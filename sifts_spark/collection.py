@@ -1267,6 +1267,7 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         group_by_parent: bool = False,
+        after: dict | str | None = None,
     ) -> dict:
         """Diversified vector search via Maximal Marginal Relevance
         (extension; Carbonell & Goldstein, SIGIR 1998 — the standard
@@ -1291,6 +1292,20 @@ class SparkCollection:
         cosine to the query — never the blended score, mirroring the
         approx path's scores-are-always-exact contract) and
         ``mmr_position`` (its pick order).
+
+        ``after`` — seek-method cursor (r14; the last paginated
+        surface without one): pass the previous page's last ``id`` (or
+        ``{"id": ...}``) with the SAME query/fetch_k/lambda_ and the
+        next ``k`` picks of the deterministic greedy selection come
+        back, ``mmr_position`` continuing absolutely. Unlike the
+        keyset cursors on ``query``/``hybrid_query`` this does NOT
+        shrink the distributed read — MMR's order is defined by the
+        greedy recurrence, not a sortable key, so each page re-pools
+        and re-runs the (pool-bounded, driver-side, ~fetch_k² dot
+        products) selection and slices after the cursor. Flat cost
+        per page in CORPUS terms — the pool cut stays TakeOrdered —
+        just not decreasing in pool terms. A cursor id that the
+        selection never picked raises (stale cursor / changed params).
         """
         if not 0.0 <= lambda_ <= 1.0:
             raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
@@ -1311,14 +1326,17 @@ class SparkCollection:
         )
         from sifts_spark.operators.vector_search import mmr_select
 
-        picks = mmr_select(
+        picks, base = self._mmr_page(
+            pool,
             [r["rank"] for r in pool],
             [r["embedding"] for r in pool],
             k,
             lambda_,
+            after,
+            mmr_select,
         )
         results = []
-        for pos, i in enumerate(picks):
+        for pos, i in enumerate(picks, start=base):
             r = pool[i]
             results.append(
                 {
@@ -1333,6 +1351,32 @@ class SparkCollection:
             )
         return {"total": len(pool) if results else 0, "results": results}
 
+    @staticmethod
+    def _mmr_page(pool, rel, embs, k, lambda_, after, mmr_select):
+        """(pick indices for this page, absolute position of the first)
+        — the shared cursor slice for :meth:`mmr_query` /
+        :meth:`hybrid_mmr_query`. No cursor: plain first-k selection.
+        With a cursor: the FULL pool selection order is computed (the
+        greedy is deterministic — rank desc, id asc pool order + first-
+        argmax tie-break — so every page sees the identical sequence)
+        and sliced strictly after the cursor id."""
+        if after is None:
+            return mmr_select(rel, embs, k, lambda_), 0
+        after_id = after.get("id") if isinstance(after, dict) else after
+        if after_id is None:
+            raise ValueError("after must be an id string or {'id': ...}")
+        order = mmr_select(rel, embs, len(pool), lambda_)
+        ids = [pool[i]["id"] for i in order]
+        try:
+            pos = ids.index(str(after_id))
+        except ValueError:
+            raise ValueError(
+                f"after id {after_id!r} is not in this query's selection "
+                "order — stale cursor, or query/fetch_k/lambda_ changed "
+                "between pages"
+            ) from None
+        return order[pos + 1 : pos + 1 + k], pos + 1
+
     def hybrid_mmr_query(
         self,
         query_string: str,
@@ -1345,6 +1389,7 @@ class SparkCollection:
         approx: bool = False,
         nprobe: int = 2,
         group_by_parent: bool = False,
+        after: dict | str | None = None,
     ) -> dict:
         """MMR diversification over the HYBRID (BM25×vector RRF) pool —
         :meth:`hybrid_query`'s retrieval with :meth:`mmr_query`'s
@@ -1373,7 +1418,9 @@ class SparkCollection:
         score and ``mmr_position``; ``total`` = pool size, as in
         :meth:`mmr_query`. ``group_by_parent=True`` collapses chunks
         to parents before the pool cut (best fused chunk carries its
-        embedding into the diversity term).
+        embedding into the diversity term). ``after`` — the same
+        pool-bounded seek cursor as :meth:`mmr_query` (last consumed
+        ``id``, same query/fetch_k/lambda_ per walk).
         """
         if not 0.0 <= lambda_ <= 1.0:
             raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
@@ -1412,9 +1459,11 @@ class SparkCollection:
             else [0.0] * dim
             for r in pool
         ]
-        picks = mmr_select(rel, embs, k, lambda_)
+        picks, base = self._mmr_page(
+            pool, rel, embs, k, lambda_, after, mmr_select
+        )
         results = []
-        for pos, i in enumerate(picks):
+        for pos, i in enumerate(picks, start=base):
             r = pool[i]
             results.append(
                 {

@@ -201,3 +201,47 @@ def test_hybrid_cursor_validations(col):
         col.hybrid_query("apple", after={"id": "pie"})  # no rank
     with pytest.raises(ValueError, match="hybrid after="):
         col.hybrid_query("apple", after={"rank": 0.1})  # no id
+
+
+# ------------------------------------------- MMR seek cursors (r14)
+
+
+def test_mmr_cursor_walk_equals_single_selection(mmr_col):
+    """after= on mmr_query: page-by-page walk reproduces the one-shot
+    selection order exactly (ids, ranks, ABSOLUTE mmr_position) — the
+    greedy is deterministic, so re-running it per page and slicing
+    after the cursor is exact, not approximate."""
+    walked, cursor = [], None
+    for _ in range(4):
+        page = mmr_col.mmr_query("apple pie", k=1, fetch_k=16,
+                                 lambda_=0.5, after=cursor)
+        if not page["results"]:
+            break
+        walked.extend(page["results"])
+        cursor = {"id": page["results"][-1]["id"]}
+    # one-shot with the same pool size for an apples-to-apples order
+    single = mmr_col.mmr_query("apple pie", k=4, fetch_k=16, lambda_=0.5)
+    assert [r["id"] for r in walked] == [r["id"] for r in single["results"]]
+    assert [r["mmr_position"] for r in walked] == [0, 1, 2, 3]
+    for a, b in zip(walked, single["results"]):
+        assert a["rank"] == pytest.approx(b["rank"])
+
+
+def test_hybrid_mmr_cursor_walk_equals_single_selection(mmr_col):
+    single = mmr_col.hybrid_mmr_query("apple pie", k=4, fetch_k=16,
+                                      lambda_=0.5)
+    walked, cursor = [], None
+    for _ in range(2):
+        page = mmr_col.hybrid_mmr_query("apple pie", k=2, fetch_k=16,
+                                        lambda_=0.5, after=cursor)
+        walked.extend(page["results"])
+        cursor = page["results"][-1]["id"]  # bare-string cursor form
+    assert [r["id"] for r in walked] == [r["id"] for r in single["results"]]
+    assert [r["mmr_position"] for r in walked] == [0, 1, 2, 3]
+
+
+def test_mmr_stale_cursor_raises(mmr_col):
+    with pytest.raises(ValueError, match="selection order"):
+        mmr_col.mmr_query("apple pie", k=2, after={"id": "no-such-doc"})
+    with pytest.raises(ValueError, match="after must be"):
+        mmr_col.mmr_query("apple pie", k=2, after={"rank": 1.0})

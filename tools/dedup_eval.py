@@ -22,6 +22,16 @@ jaccard>=0.5 tolerates ~10% token drops; SimHash at hamming<=8 is
 stricter; the 128-dim hashing embedding at cosine>=0.9 sits between).
 The artifact records the thresholds with the numbers so the claim is
 auditable.
+
+Multiscript plants (r14, post-unicode-flip): the corpus is Latin-only,
+so per-script recall is measured on deterministic char-translated
+twins — each sampled original is mapped a->Cyrillic and a->CJK
+letter-for-letter (pure ``F.translate``: token structure, lengths and
+the md5 drop keys are preserved exactly), planted alongside a 10%%
+token-drop mutation of the SAME translated text. Pre-flip these docs
+tokenized to NOTHING (excluded from the finders); the per-script
+recall rows pin that non-Latin scripts now dedup at parity with the
+Latin rows.
 """
 
 from __future__ import annotations
@@ -35,6 +45,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RATES = (0.05, 0.10, 0.20)
 N_PLANT = 200  # planted originals per rate (md5-order sample)
+
+# letter-for-letter script maps (26 targets each, F.translate-ready);
+# CJK chars are \p{L}, so space-separated token structure survives
+_LATIN = "abcdefghijklmnopqrstuvwxyz"
+_SCRIPTS = {
+    "cyrillic": "абвгдежзийклмнопрстуфхцчшщъыьэюя"[:26],
+    "cjk": "一二三四五六七八九十百千万上下左右中大小山水火木金土",
+}
+_SCRIPT_RATE = 0.10  # one mutation rate per script keeps runtime bounded
 
 
 def main() -> None:
@@ -72,16 +91,15 @@ def main() -> None:
         .limit(N_PLANT)
         .persist()
     )
-    planted: dict[float, set] = {}
+    planted: dict[str, set] = {}
     plants = []
     from sifts_spark.functions.text import TOKEN_SPLIT_RE
 
-    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
-    for rate in RATES:
-        tag = f"dup{int(rate * 100)}-"
+    def dropped_text(rate: float) -> F.Column:
         # md5-keyed token drop: keep token i iff
         # unit_hash(doc_id:rate:i) >= rate — deterministic, position-
         # keyed, engine-replayable
+        toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
         kept = F.filter(
             toks,
             lambda t, i: (
@@ -106,16 +124,41 @@ def main() -> None:
             )
             & (t != F.lit("")),
         )
+        return F.array_join(kept, " ")
+
+    orig_ids = [r["doc_id"] for r in originals.select("doc_id").collect()]
+    for rate in RATES:
+        tag = f"dup{int(rate * 100)}-"
         plants.append(
             originals.select(
                 F.concat(F.lit(tag), F.col("doc_id")).alias("doc_id"),
-                F.array_join(kept, " ").alias("text"),
+                dropped_text(rate).alias("text"),
             )
         )
-        planted[rate] = {
-            (r["doc_id"], f"{tag}{r['doc_id']}")
-            for r in originals.select("doc_id").collect()
+        planted[f"at_{rate}"] = {(i, f"{tag}{i}") for i in orig_ids}
+
+    # multiscript plants: char-translated originals + one 10%-drop twin
+    # each (see module docstring). BOTH sides of each planted pair are
+    # non-Latin — pre-flip the finders excluded them as zero-token.
+    for script, alphabet in _SCRIPTS.items():
+        trans = originals.select(
+            F.concat(F.lit(f"{script}-"), F.col("doc_id")).alias("doc_id"),
+            F.translate(F.lower(F.col("text")), _LATIN, alphabet).alias(
+                "text"
+            ),
+        )
+        dup = trans.select(
+            F.concat(F.lit(f"dup-{script}-"), F.col("doc_id")).alias(
+                "doc_id"
+            ),
+            dropped_text(_SCRIPT_RATE).alias("text"),
+        )
+        plants.append(trans)
+        plants.append(dup)
+        planted[script] = {
+            (f"{script}-{i}", f"dup-{script}-{i}") for i in orig_ids
         }
+
     corpus = docs
     for p in plants:
         corpus = corpus.unionByName(p)
@@ -131,11 +174,11 @@ def main() -> None:
         sec = time.perf_counter() - t0
         found = {tuple(sorted((r["id_a"], r["id_b"]))) for r in rows}
         out = {"sec": round(sec, 3), "pairs_found": len(found)}
-        for rate, want in planted.items():
+        for key, want in planted.items():
             hit = sum(
                 1 for a, b in want if tuple(sorted((a, b))) in found
             )
-            out[f"recall_at_{rate}"] = round(hit / len(want), 4)
+            out[f"recall_{key}"] = round(hit / len(want), 4)
         return out
 
     results: dict[str, dict] = {}
@@ -166,6 +209,8 @@ def main() -> None:
                 "corpus_rows": n_corpus,
                 "planted_per_rate": N_PLANT,
                 "rates": list(RATES),
+                "scripts": sorted(_SCRIPTS),
+                "script_rate": _SCRIPT_RATE,
                 "methods": results,
             }
         )

@@ -114,16 +114,87 @@ _AST_TERM = parse_query("data")
 # (the catalog is capped at the driver's 50-entry check window).
 _AST_BOOL = parse_query("data and quer* or mer* small")
 
+# Retiree's oracle (r14 rotation) — kept for the pytest twin.
+_FTS_TERM_SQL = f"SELECT doc_id FROM documents WHERE {_AST_TERM.to_sql(TOKS)}"
 
-@_register(
-    "fts_term",
-    f"SELECT doc_id FROM documents WHERE {_AST_TERM.to_sql(TOKS)}",
-)
+
 def fts_term(spark, sf_dir) -> DataFrame:
-    """Single-term match — R2/R3 analog (ref core.py:408-414)."""
+    """Single-term match — R2/R3 analog (ref core.py:408-414).
+
+    De-registered in r14 (row ceded to ``fts_multiscript``): the
+    single-term scan predicate is strictly contained in ``fts_bool``'s
+    compound query and in ``fts_multiscript``'s OR-of-terms; pinned by
+    tests/test_plans.py::test_fts_term_matches_oracle."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return S.match_filter(docs, _AST_TERM, "text").select("doc_id")
+
+
+# ---- multiscript FTS (r14, post-unicode-flip gate row) --------------
+#
+# The sf corpora are Latin-only, so before this row NOTHING in the
+# 50-row driver gate could catch a unicode-tokenization regression (the
+# r13 minhash mega-cluster bug survived the gate for exactly this
+# reason). Non-ASCII text is synthesized IN-QUERY, deterministically,
+# identically in both engines: each doc gets a script suffix keyed by
+# doc_id % 5 (Cyrillic / lowercase Greek / a CJK run / Latin-extended
+# Polish / none), then one compound match runs over the derived text —
+# implicit AND over Cyrillic terms, a Greek quoted PHRASE (unicode
+# adjacency), a whole-run CJK token (the unicode61-parity behavior: an
+# unsegmented CJK run is ONE token), and a Latin-extended term under
+# OR. The suffix strings avoid the two documented case-mapping edges
+# (no Turkish dotted İ, no capital Greek sigma — lowercase already).
+_MS_SUFFIXES = (
+    "быстрая лиса прыгает через ленивую собаку",
+    "γρηγορη αλεπου τρεχει μεσα στο δεντρο",
+    "敏捷狐狸跳过懒狗",
+    "szybki rudy lis skacze przez płot",
+    "",
+)
+_AST_MULTI = parse_query(
+    'лиса собаку OR "αλεπου τρεχει" OR 敏捷狐狸跳过懒狗 OR płot'
+)
+_MS_CASE_SQL = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_MS_SUFFIXES[:4])
+    )
+    + " ELSE '' END"
+)
+_MS_SQL = f"""
+WITH ms AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), ' ', {_MS_CASE_SQL}) AS mtext
+  FROM documents
+)
+SELECT doc_id FROM ms WHERE {_AST_MULTI.to_sql(tokenize_sql('mtext'))}
+"""
+
+
+@_register("fts_multiscript", _MS_SQL)
+def fts_multiscript(spark, sf_dir) -> DataFrame:
+    """Mixed Latin/Cyrillic/Greek/CJK term+phrase match over derived
+    multiscript text — the oracle row that makes a unicode-tokenizer
+    regression impossible to miss (r14 rotation: this row took
+    ``fts_term``'s slot; see the footer note). Reference parity target:
+    FTS5 unicode61 (core.py:460-462) / PG to_tsvector('simple',…)
+    (core.py:555), both unicode-aware by construction. Plan shape:
+    same codegen'd scan predicate as every match_filter row — the
+    suffix synthesis is two narrow expressions (pmod + element_at),
+    no shuffle, no UDF."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _MS_SUFFIXES]),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    ms = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.coalesce(F.col("text"), F.lit("")), suffix
+        ).alias("mtext"),
+    )
+    return S.match_filter(ms, _AST_MULTI, "mtext").select("doc_id")
 
 
 @_register(
@@ -2301,7 +2372,10 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # test_text_token_count_matches_oracle); in r13 top_orders_revenue
 # ceded its row to page_keyset_deep (join+agg+TakeOrdered family stays
 # covered by revenue_by_nation / part_small_qty_revenue; retiree pinned
-# by test_top_orders_revenue_matches_oracle).
+# by test_top_orders_revenue_matches_oracle); in r14 fts_term ceded its
+# row to fts_multiscript (single-term scan predicate stays covered by
+# fts_bool's compound query and the new row's OR-of-terms; retiree
+# pinned by test_fts_term_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

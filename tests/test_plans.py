@@ -233,3 +233,19 @@ def test_page_keyset_deep_is_seek_not_offset(spark):
         r["bucket"] > 3 or (r["bucket"] == 3 and r["id"] > "450")
         for r in rows
     )
+
+
+def test_fts_term_matches_oracle(spark):
+    # de-registered in r14 (row ceded to fts_multiscript); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _FTS_TERM_SQL, fts_term
+
+    got = sorted(r["doc_id"] for r in fts_term(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(r[0] for r in con.sql(_FTS_TERM_SQL).fetchall())
+    assert got == want and len(got) > 0

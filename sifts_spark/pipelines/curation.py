@@ -44,18 +44,21 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     scrub: bool = True,
     soft_dedup: bool = False,
-    langid_model: dict | None = None,
+    langid_model: dict | str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ ``(curated, report)``.
 
     ``langid_model`` (a :func:`~sifts_spark.operators.textanalysis.
-    train_langid` artifact): the language gate scores with the trained
-    hashed-char-n-gram classifier (:func:`~sifts_spark.operators.
-    textanalysis.langid_score` — one broadcast-matrix Arrow scan)
-    instead of the 5-language marker lexicon, so a multilingual
-    curation run can gate on any label set the model was trained
-    over. Same ``(id, pred_lang)`` contract either way; attrition
-    report keys are unchanged.
+    train_langid` artifact dict, or a PATH to one persisted with
+    :func:`~sifts_spark.functions.artifacts.save_artifact` — e.g. the
+    shipped 53-language ``artifacts/langid53.json``): the language
+    gate scores with the trained hashed-char-n-gram classifier
+    (:func:`~sifts_spark.operators.textanalysis.langid_score` — one
+    broadcast-matrix Arrow scan) instead of the 5-language marker
+    lexicon, so a multilingual curation run can gate on any label set
+    the model was trained over — one kwarg, no training step. Same
+    ``(id, pred_lang)`` contract either way; attrition report keys
+    are unchanged.
 
     ``curated``: (id, text, pred_lang, quality, n_tokens) — documents
     that pass language + quality gates AND are their near-dup cluster's
@@ -81,6 +84,10 @@ def curate_corpus(
     if langid_model is not None:
         from sifts_spark.operators.textanalysis import langid_score
 
+        if isinstance(langid_model, str):
+            from sifts_spark.functions.artifacts import load_artifact
+
+            langid_model = load_artifact(docs.sparkSession, langid_model)
         langs = langid_score(base, langid_model, id_col="id", text_col="text")
     else:
         langs = language_id(base, id_col="id", text_col="text")
@@ -180,7 +187,7 @@ def prepare_training_data(
     semantic_dedup_eps: float | None = None,
     render_sequence_text: bool = False,
     sequence_sep: str = "\n\n",
-    langid_model: dict | None = None,
+    langid_model: dict | str | None = None,
 ) -> dict:
     """Raw docs → training shards, end-to-end → manifest dict.
 

@@ -20,7 +20,6 @@ by the sketch; nothing extra crosses the JVM<->Python boundary.
 
 from __future__ import annotations
 
-import re
 from hashlib import md5
 
 import numpy as np
@@ -29,16 +28,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from sifts_spark.functions.text import TOKEN_SPLIT_RE_PY
-
-_SPLIT = re.compile(TOKEN_SPLIT_RE_PY)
-
-
-def _py_tokenize(text: str) -> list[str]:
-    """Python twin of functions.text.tokenize — same family (the
-    ``_PY`` regex: Python ``re`` has no ``\\p{L}``) over the lowercased
-    text, empties dropped."""
-    return [t for t in _SPLIT.split(text.lower()) if t]
+# THE canonical Python twin of functions.text.tokenize — re-exported
+# here for the Arrow kernels (and bpe/classifier, which import it from
+# this module); one implementation, not two to keep in sync (r14
+# review). `re`'s internal pattern cache makes the per-call compile a
+# dict hit, so the old module-level precompile bought nothing.
+from sifts_spark.functions.text import py_tokenize as _py_tokenize
 
 
 def _py_shingles(toks: list[str], n: int) -> list[str]:

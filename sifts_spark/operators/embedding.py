@@ -31,20 +31,31 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Default-family token extraction, Python syntax (functions/text.py) —
-# NOTE: flipping this (r14 unicode flip) changes embedding values only
-# for texts containing non-ASCII tokens; pure-ASCII texts hash to
-# byte-identical vectors, so Latin-corpus stores need no backfill.
-from sifts_spark.functions.text import TOKEN_MATCH_RE_PY as _TOKEN_RE
+# Default-family token extraction, Python syntax (functions/text.py).
+# r14 unicode flip — embedding/family coupling, stated precisely:
+# vectors are a pure function of the extracted tokens, so any text
+# containing a non-[a-z0-9] character that the unicode family now
+# keeps ('café', 'naïve', any accented Latin — not only non-Latin
+# scripts) embeds DIFFERENTLY than it did pre-flip. Pure-ASCII text is
+# byte-identical. A pre-flip collection with such content should
+# re-embed (`Collection.backfill_embeddings`) or pin the old behavior
+# via `tokenizer="ascii"` on hashing_embedder/embed_hashing below —
+# unlike postings there is no store marker here, because the embedding
+# function's identity is the USER's contract with the store (the
+# reference has the same property for its user-supplied
+# embedding_function, core.py:78-96); these params make that contract
+# expressible.
+from sifts_spark.functions.text import token_match_re_py
 
 
-def _embed_texts(texts, dim: int, ngrams: tuple, seed: int):
+def _embed_texts(texts, dim: int, ngrams: tuple, seed: int,
+                 tokenizer: str | None = None):
     """The shared kernel: list[str|None] -> list[list[float]].
     Pure Python+hashlib so the facade callable, the Arrow kernel and
     test references are ONE implementation, not three."""
     import re
 
-    word_re = re.compile(_TOKEN_RE)
+    word_re = re.compile(token_match_re_py(tokenizer))
     out = []
     for t in texts:
         toks = word_re.findall(t.lower()) if t else []
@@ -66,7 +77,8 @@ def _embed_texts(texts, dim: int, ngrams: tuple, seed: int):
 
 
 def hashing_embedder(
-    dim: int = 256, ngrams: tuple = (1, 2), seed: int = 1
+    dim: int = 256, ngrams: tuple = (1, 2), seed: int = 1,
+    tokenizer: str | None = None,
 ):
     """A ready-made ``embedding_function`` for the Collection facade:
     ``texts -> [[float, ...], ...]`` by feature hashing. A CLOSURE so
@@ -74,7 +86,7 @@ def hashing_embedder(
     (the facade's W4 path) without importing this module there."""
 
     def embed(texts):
-        return _embed_texts(texts, dim, ngrams, seed)
+        return _embed_texts(texts, dim, ngrams, seed, tokenizer)
 
     return embed
 
@@ -86,6 +98,7 @@ def embed_hashing(
     dim: int = 256,
     ngrams: tuple = (1, 2),
     seed: int = 1,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Bulk embedding: (id, embedding array<double>) for every row —
     the DataFrame twin of :func:`hashing_embedder` (same kernel, so a
@@ -111,7 +124,7 @@ def embed_hashing(
     @pandas_udf("array<double>")
     def _emb(texts: pd.Series) -> pd.Series:
         return pd.Series(
-            _embed_texts(list(texts), dim, ngrams, seed)
+            _embed_texts(list(texts), dim, ngrams, seed, tokenizer)
         )
 
     out = ensure_min_parallelism(

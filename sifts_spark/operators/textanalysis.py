@@ -36,10 +36,29 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # \p{L}\p{N} since the r14 unicode flip — the complement class makes
 # every non-space, non-alphanumeric char (any script's punctuation)
 # its own surface token, same as the old ASCII form did.
+#
+# CJK is counted PER CHARACTER (r14 review fix): these scripts have no
+# word separators, so a run-level count under-counts a Chinese doc
+# ~20x against what any real subword tokenizer produces — chunk/pack
+# budgets sized on it would overshoot by the same factor. Identical
+# literal ranges in all three engines (Han + CJK-ext-A, Hiragana,
+# Katakana, Hangul syllables); kana per-char is the conservative
+# choice, documented. The Spark/DuckDB forms pre-separate CJK chars
+# with spaces (regexp_replace) before the run-form count — alternation
+# alone cannot stop `[\p{L}\p{N}]+` from swallowing a mixed "abc中"
+# run, and RE2 has no class subtraction; the Python span form (used
+# where char OFFSETS matter, so no pre-separation: chunking) instead
+# excludes the ranges from the run class, which plain `re` supports.
+CJK_CHAR_CLASS = (
+    "一-鿿㐀-䶿぀-ヿ가-힯"
+)
+CJK_SEP_RE = f"([{CJK_CHAR_CLASS}])"
 TOKEN_COUNT_RE = rf"{TOKEN_MATCH_RE}|[^\p{{L}}\p{{N}}\s]"
 # Python twin (stdlib re has no \p{..}): [^\w\s] misses "_" (underscore
 # is in \w), so it is appended as an explicit alternative.
-TOKEN_COUNT_RE_PY = rf"{TOKEN_MATCH_RE_PY}|[^\w\s]|_"
+TOKEN_COUNT_RE_PY = (
+    rf"[{CJK_CHAR_CLASS}]|[^\W_{CJK_CHAR_CLASS}]+|[^\w\s]|_"
+)
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -60,8 +79,19 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Surface token count with a BPE-ish regex (words + symbols)."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_COUNT_RE), 0))
+    """Surface token count with a BPE-ish regex (words + symbols;
+    CJK per character — see TOKEN_COUNT_RE's rationale)."""
+    seped = F.regexp_replace(F.lower(text), CJK_SEP_RE, " $1 ")
+    return F.size(F.regexp_extract_all(seped, F.lit(TOKEN_COUNT_RE), 0))
+
+
+def token_count_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_ish_token_count` (shared constants —
+    the two engines cannot diverge)."""
+    seped = (
+        f"regexp_replace(lower({text_expr}), '{CJK_SEP_RE}', ' \\1 ', 'g')"
+    )
+    return f"len(regexp_extract_all({seped}, '{TOKEN_COUNT_RE}'))"
 
 
 def quality_score(

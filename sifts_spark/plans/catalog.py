@@ -916,12 +916,13 @@ def text_langid(spark, sf_dir) -> DataFrame:
 # pinned by the DuckDB twin in tests/test_textanalysis.py.
 
 
-# DuckDB twin of textanalysis.TOKEN_COUNT_RE (RE2 and Java share the
-# \p{L}\p{N} syntax, so the SAME constant feeds both engines — the r14
-# unicode flip cannot diverge the twins).
+# DuckDB twin built from the shared constants (textanalysis.
+# token_count_sql — RE2 and Java share the \p{L}\p{N} syntax and the
+# literal CJK ranges, so the r14 unicode flip cannot diverge the twins).
 _TOKEN_COUNT_SQL = (
-    "SELECT doc_id AS id, CAST(len(regexp_extract_all(lower(text),"
-    f" '{TA.TOKEN_COUNT_RE}')) AS INT) AS n_bpe_tokens FROM documents"
+    "SELECT doc_id AS id, "
+    f"CAST({TA.token_count_sql('text')} AS INT) AS n_bpe_tokens "
+    "FROM documents"
 )
 
 
@@ -2003,7 +2004,7 @@ qual AS ({_QUALITY_SQL}),
 clus AS (SELECT * FROM ({_CLUSTERS_SQL}) _clus),
 tok AS (
   SELECT doc_id AS id,
-         len(regexp_extract_all(lower(text), '{TA.TOKEN_COUNT_RE}')) AS n_tokens
+         {TA.token_count_sql('text')} AS n_tokens
   FROM documents
 )
 SELECT (lang.pred_lang = 'en') AS lang_ok,

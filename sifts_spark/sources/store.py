@@ -277,6 +277,42 @@ class DocumentStore:
         finally:
             out.close()
 
+    def _write_small_text_atomic(self, path: str, text: str) -> None:
+        """Overwrite a small file via temp + rename so a reader (or a
+        crash) can never observe a truncated/torn write — the
+        functions/artifacts.py dance: rename-over where the FS allows
+        it, else move the old file aside, rename in, drop the aside
+        (either the old or the new content stays readable throughout).
+        Used for markers whose TORN state would be resolved WRONG by
+        fail-safe rules (the ``_tokenizer`` marker: torn reads as
+        legacy-ascii by provenance, which on a unicode-built index
+        would lock in the wrong family at the next sticky re-stamp)."""
+        p = self._Path(path)
+        parent = p.getParent()
+        tmp = self._Path(f"{parent}/.{p.getName()}.tmp-{uuid.uuid4().hex[:8]}")
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.rename(tmp, p):
+            return
+        aside = None
+        if self._fs.exists(p):
+            aside = self._Path(
+                f"{parent}/.{p.getName()}.old-{uuid.uuid4().hex[:8]}"
+            )
+            if not self._fs.rename(p, aside):
+                self._fs.delete(tmp, False)
+                raise IOError(f"could not move old marker aside for {path}")
+        if not self._fs.rename(tmp, p):
+            if aside is not None:
+                self._fs.rename(aside, p)
+            self._fs.delete(tmp, False)
+            raise IOError(f"rename into place failed for {path}")
+        if aside is not None:
+            self._fs.delete(aside, False)
+
     @staticmethod
     def _valid_manifest(m: dict | None) -> bool:
         return m is not None and isinstance(m.get("batches"), list)
@@ -1368,15 +1404,21 @@ class DocumentStore:
 
     def postings_tokenizer(self, name: str) -> str:
         """The token family this collection's postings are (or will be)
-        built with. Marker wins; an absent/torn marker resolves by
+        built with. Marker wins; an ABSENT marker resolves by
         provenance: sidecar batches already on disk predate the marker
         (pre-r14 stores — every one of those was built ascii), a
         collection with no sidecars yet gets the current default.
-        Fail-safe direction of the torn-marker case: a legacy index
-        misread as unicode would silently drop EVERY non-exact match
-        for punctuated queries; misreading a unicode index as ascii
-        only costs non-Latin recall until the next maintenance
-        re-stamps — so provenance, not the default, breaks ties."""
+        Torn markers are prevented at the source rather than guessed
+        around: every ``_tokenizer`` write goes through
+        :meth:`_write_small_text_atomic` (temp + rename), so a reader
+        observes either the previous or the new content, never a
+        truncated one — a provenance mis-read of a unicode-built index
+        as ascii would otherwise become STICKY at the next maintenance
+        re-stamp and lock in a mixed-family index (r14 review). The
+        residual invalid-content case (manual tampering) still falls
+        back to provenance: ascii for a store with sidecars — wrong
+        for a tampered unicode store, but failing toward the reading
+        that keeps every pre-flip store correct."""
         v, _ = self._tokenizer_marker_value(name)
         if v is not None:
             return v
@@ -1417,7 +1459,7 @@ class DocumentStore:
             )
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
-        self._write_small_text(self._tokenizer_marker(name), f"pin:{t}")
+        self._write_small_text_atomic(self._tokenizer_marker(name), f"pin:{t}")
 
     def _stamp_tokenizer_if_unset(self, name: str) -> str:
         """Make the resolved family sticky before the first sidecar
@@ -1429,7 +1471,7 @@ class DocumentStore:
         if v is None:
             pdir = self._postings_dir(name)
             self._fs.mkdirs(self._Path(pdir))
-            self._write_small_text(self._tokenizer_marker(name), tok)
+            self._write_small_text_atomic(self._tokenizer_marker(name), tok)
         return tok
 
     def _upgrade_tokenizer_after_full_fold(self, name: str) -> None:
@@ -1447,35 +1489,64 @@ class DocumentStore:
             return  # fresh store: maintenance will stamp the default
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
-        self._write_small_text(self._tokenizer_marker(name), DEFAULT_TOKENIZER)
+        self._write_small_text_atomic(self._tokenizer_marker(name), DEFAULT_TOKENIZER)
 
     def retokenize(self, name: str, tokenizer: str | None = None) -> str:
-        """Rebuild EVERY postings/doclen sidecar under ``tokenizer``
-        (default: the current default family) and re-stamp the marker —
-        the explicit upgrade path for collections the full-fold
-        upgrade doesn't reach (e.g. a single-batch legacy store, which
-        ``compact`` no-ops on). Marker is stamped FIRST so lazy
-        readers racing the rebuild already resolve the new family;
-        single concurrent DDL writer assumed (same contract as
-        promote_metadata). Returns the new family."""
+        """Rebuild the collection under ``tokenizer`` (default: the
+        current default family) — the explicit upgrade verb for
+        collections the full-fold upgrade doesn't reach (e.g. a
+        single-batch legacy store, which ``compact`` no-ops on).
+
+        Implemented AS a forced full fold (the compact body without the
+        <=1-batch no-op), not a sidecar delete-in-place: the live
+        snapshot is rewritten into a NEW batch, the manifest flips to
+        it, and the new batch's sidecars build under the new family —
+        so a concurrent reader planned against the pre-retokenize
+        manifest keeps its (old-family) files until :meth:`vacuum`
+        reclaims them, exactly the compact-vs-reader contract. (An
+        earlier delete-in-place draft crashed such readers with
+        FileNotFound and, on a crash between delete and re-publish,
+        left a manifest pointing at vanished sidecars — r14 review.)
+        The marker is stamped AFTER the manifest flip: a crash before
+        the stamp leaves a fully consistent old-family collection (the
+        new fold's sidecars just build old-family lazily — the verb
+        simply didn't happen yet); a crash after it leaves the new
+        manifest whose only live batch has no sidecars, so everything
+        builds new-family. Single concurrent DDL WRITER assumed (the
+        promote_metadata contract); readers need nothing. Returns the
+        new family."""
         from sifts_spark.functions.text import resolve_tokenizer
 
         t = resolve_tokenizer(tokenizer)
         _, pinned = self._tokenizer_marker_value(name)
+        old = self._batch_dirs(name)
+        if old:
+            had_postings = bool(self._postings_batch_dirs(name))
+            current = self.read(name)
+            batch = self.reserve_batch(name)
+            out = f"{self._partition_dir(name)}/batch={batch}"
+            body = current.select([f.name for f in DOC_SCHEMA.fields])
+            pk = self.promoted_keys(name, refresh=True)
+            if pk:
+                body = self.promote_columns(body, pk)
+            body.write.mode("errorifexists").parquet(out)
+            self._fs.delete(
+                self._Path(
+                    f"{self._partition_dir(name)}/.reserve-batch-{batch}"
+                ),
+                False,
+            )
+            self._stamp_full_fold(name, batch)
+            old_nums = {int(d.split("=", 1)[1]) for d in old}
+            self._publish_manifest(name, superseded=old_nums)
+            self._gc_markers(name)
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
-        self._write_small_text(
+        self._write_small_text_atomic(
             self._tokenizer_marker(name), f"pin:{t}" if pinned else t
         )
-        for d in self._batch_dirs(name):
-            self._delete_dir(f"{pdir}/{d}")
-            self._delete_dir(f"{self._doclen_dir(name)}/{d}")
-        # re-publish BEFORE maintaining: the manifest still lists the
-        # just-deleted sidecar batches, and maintain_postings trusts the
-        # manifest's `postings`/`doclens` lists when deciding what's
-        # missing — without this it would rebuild nothing
-        self._publish_manifest(name)
-        self.maintain_postings(name)
+        if old and had_postings:
+            self.maintain_postings(name)
         return t
 
     def maintain_postings(
@@ -1742,8 +1813,16 @@ class DocumentStore:
                 .parquet(*[f"{self._postings_dir(name)}/{d}" for d in on_disk])
                 .select(*cols, F.col("batch").cast("long"))
             )
+        # one marker resolution for ALL lazy builds (a use_fts=False
+        # store with N batches would otherwise pay N marker reads +
+        # 2N sidecar-dir listings per query plan)
+        tok = self.postings_tokenizer(name) if missing else None
         for d in missing:
-            parts.append(self._build_batch_postings(name, d, positions=use_pos))
+            parts.append(
+                self._build_batch_postings(
+                    name, d, positions=use_pos, tokenizer=tok
+                )
+            )
         p = parts[0]
         for more in parts[1:]:
             p = p.unionByName(more)
@@ -1775,15 +1854,18 @@ class DocumentStore:
                 self.spark.read.schema(DL_SCHEMA)
                 .parquet(*[f"{self._doclen_dir(name)}/{d}" for d in on_disk])
             )
+        tok = None  # resolved once, at the first lazy postings build
         for d in docs_dirs:
             if d in have:
                 continue
             if d in have_postings:
                 parts.append(self._batch_doclens_from_postings(name, d))
             else:
+                if tok is None:
+                    tok = self.postings_tokenizer(name)
                 batch = int(d.split("=", 1)[1])
                 parts.append(
-                    self._build_batch_postings(name, d)
+                    self._build_batch_postings(name, d, tokenizer=tok)
                     .groupBy("id")
                     .agg(F.first("dl").alias("dl"))
                     .withColumn("batch", F.lit(batch).cast("long"))

@@ -1081,3 +1081,57 @@ def test_text_scrub_matches_oracle(spark):
     )
     want = {r[0]: r[1] for r in con.sql(_scrub_sql()).fetchall()}
     assert got == want and len(got) == 500
+
+
+def test_bpe_ish_token_count_cjk_per_char_three_engines(spark):
+    """r14 review fix: unsegmented CJK counts per CHARACTER (a run-level
+    count under-counts ~20x vs any real subword tokenizer — chunk/pack
+    budgets would overshoot by the same factor). Spark, DuckDB and the
+    Python span form (chunking) must agree on mixed-script text,
+    including the mixed-run edge ('abc中def' = 3, not 1)."""
+    import re
+
+    import duckdb
+
+    from sifts_spark.operators.textanalysis import (
+        TOKEN_COUNT_RE_PY,
+        bpe_ish_token_count,
+        token_count_sql,
+    )
+
+    texts = [
+        "abc中def",
+        "敏捷狐狸跳过懒狗",
+        "こんにちは 世界",
+        "한국어 문서 예시",
+        "hello, world_x 123",
+        "中、中。",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got_spark = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_ish_token_count(F.col("t")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    got_duck = {
+        i: n
+        for i, n in con.sql(
+            f"SELECT i, {token_count_sql('txt')} FROM t"
+        ).fetchall()
+    }
+    got_py = {
+        i: len(re.findall(TOKEN_COUNT_RE_PY, t.lower()))
+        for i, t in enumerate(texts)
+    }
+    assert got_spark == got_duck == got_py, (got_spark, got_duck, got_py)
+    assert got_spark[0] == 3      # abc / 中 / def — the mixed-run edge
+    assert got_spark[1] == 8      # one per Han char
+    assert got_spark[2] == 7      # 5 kana + 2 Han
+    assert got_spark[5] == 4      # 中 、 中 。

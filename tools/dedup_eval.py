@@ -147,10 +147,10 @@ def main() -> None:
                 "text"
             ),
         )
+        # trans.doc_id is ALREADY '{script}-{orig}' — prefix only 'dup-'
+        # (a second script prefix would break the pair bookkeeping below)
         dup = trans.select(
-            F.concat(F.lit(f"dup-{script}-"), F.col("doc_id")).alias(
-                "doc_id"
-            ),
+            F.concat(F.lit("dup-"), F.col("doc_id")).alias("doc_id"),
             dropped_text(_SCRIPT_RATE).alias("text"),
         )
         plants.append(trans)

@@ -163,6 +163,7 @@ def calibration_sec() -> float:
 
 HEADLINE = [
     "fts_term",
+    "fts_multiscript",
     "fts_bool",
     "fts_bm25",
     "meta_where_numeric",
@@ -205,12 +206,22 @@ def main() -> None:
 
     from sifts_spark.caching import release_all
     from sifts_spark.operators import search as S
-    from sifts_spark.plans.catalog import PREBUILT, QUERIES, top_orders_revenue
+    from sifts_spark.plans.catalog import (
+        PREBUILT,
+        QUERIES,
+        fts_term,
+        top_orders_revenue,
+    )
 
-    # r13 rotation: top_orders_revenue ceded its ORACLE slot to
-    # page_keyset_deep but stays a headline bench row (cross-round
-    # floor comparability); run it via direct import.
-    RUNNERS = {**QUERIES, "top_orders_revenue": top_orders_revenue}
+    # Rotation retirees keep their headline bench rows (cross-round
+    # floor comparability) via direct import: top_orders_revenue ceded
+    # its oracle slot in r13, fts_term in r14 (to fts_multiscript,
+    # which joins HEADLINE with its own floor).
+    RUNNERS = {
+        **QUERIES,
+        "top_orders_revenue": top_orders_revenue,
+        "fts_term": fts_term,
+    }
     from sifts_spark.session import get_spark
     from sifts_spark.sources.tables import load_table
 

@@ -280,11 +280,14 @@ def minhash_lsh_pairs(
     """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard).
 
     1. signature (map-side), 2. band keys md5(sig slice) (map-side),
-    3. explode bands + self-join on (band_idx, band_key) → candidates,
-    4. exact Jaccard verify on distinct shingle sets, threshold filter.
-    The self-join is the only corpus-wide shuffle and its key space is
-    the band buckets — collision-proportional, the standard LSH scale
-    argument (SNIPPETS/PAPERS: classic MMDS construction).
+    3. explode bands + (id, band, key)-only self-join → candidate id
+    pairs, 4. shingle fetch by id from the persisted sketch (AQE
+    broadcasts the candidate set when small), 5. exact Jaccard verify
+    on distinct shingle sets, threshold filter. The band self-join is
+    the only corpus-wide shuffle, it carries no shingle payload, and
+    its key space is the band buckets — collision-proportional, the
+    standard LSH scale argument (SNIPPETS/PAPERS: classic MMDS
+    construction).
 
     ``impl="arrow"`` computes signatures in an Arrow-batched kernel
     (functions/hashing.py — same md5 values, ~10x less CPU than the
@@ -309,31 +312,49 @@ def minhash_lsh_pairs(
         )
     )
 
+    # The band self-join moves ONLY (id, band, key): the shingle arrays
+    # stay out of the banded exchange (pre-r14 each doc's full shingle
+    # set crossed it `bands` times per side — the dominant exchange
+    # bytes of an unbucketed first build). Candidates are id pairs;
+    # shingles are fetched afterwards from the persisted sketch via two
+    # id-equi-joins, where AQE broadcasts the (collision-proportional,
+    # usually tiny) candidate set so the shingle side never shuffles at
+    # all. The persisted-INDEX layout (minhash_banded_sketches, sh
+    # riding along bucketed by (band, key)) is unchanged — this is the
+    # one-shot build path only.
+    keys = banded.select("id", "band", "key")
     if max_bucket_size is not None:
-        # cache the CAPPED frame too: both self-join sides and the
-        # verify stage read it, and without the cache each branch
-        # re-runs the guard's aggregation + anti-join per action
-        banded = track(
-            cap_buckets(banded, ["band", "key"], max_bucket_size,
+        # cache the CAPPED frame too: both self-join sides read it, and
+        # without the cache each branch re-runs the guard's aggregation
+        # + anti-join per action
+        keys = track(
+            cap_buckets(keys, ["band", "key"], max_bucket_size,
                         "minhash_lsh_pairs")
         )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
+    cand_ids = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # One sketch row per doc per band, unconditionally (the band explode
+    # emits every band index; only `key` can be NULL) — band 0 is a
+    # shuffle-free one-row-per-doc shingle sidecar. Taken PRE-cap so a
+    # doc whose band-0 bucket was capped but whose other-band candidacy
+    # survived still verifies.
+    sh_tbl = banded.filter(F.col("band") == 0).select("id", "sh")
+    cand = cand_ids.join(
+        sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     return _verify_jaccard(cand, jaccard_threshold)
 
@@ -548,22 +569,34 @@ def ngram_jaccard_pairs(
         # Materialized once — both self-join branches read the sketch, not
         # the shingle-expression subtree (see minhash_lsh_pairs note).
         base = track(docs.select(*cols))
-    base = cap_buckets(
-        base,
+    # Same exchange discipline as minhash_lsh_pairs: the blocking
+    # self-join moves only (id, key[, blk]); shingle arrays are fetched
+    # afterwards by id from the persisted sketch (candidate set is
+    # collision-proportional, so AQE broadcasts it and the shingle side
+    # never shuffles).
+    keys = base.select(*(["id", "key", "blk"] if block_col else ["id", "key"]))
+    keys = cap_buckets(
+        keys,
         ["key", "blk"] if block_col else ["key"],
         max_bucket_size,
         "ngram_jaccard_pairs",
     )
     if max_bucket_size is not None:
-        base = track(base)  # guard computes once, not per join side
+        keys = track(keys)  # guard computes once, not per join side
     join_cond = (F.col("l.key") == F.col("r.key")) & (F.col("l.id") < F.col("r.id"))
     if block_col:
         join_cond = join_cond & (F.col("l.blk") == F.col("r.blk"))
-    cand = base.alias("l").join(base.alias("r"), join_cond).select(
+    cand_ids = keys.alias("l").join(keys.alias("r"), join_cond).select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),
-        F.col("l.sh").alias("sh_a"),
-        F.col("r.sh").alias("sh_b"),
+    )
+    sh_tbl = base.select("id", "sh")
+    cand = cand_ids.join(
+        sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter

@@ -548,6 +548,51 @@ def main() -> None:
     )
     setup["sketch_compact_per_batch_max"] = round(max(compact_times), 3)
 
+    # Exchange-bytes audit (r14, r13 verdict "what's wrong" #2): total
+    # shuffle-WRITE bytes of one full minhash_lsh_pairs run — the
+    # deterministic, epoch-independent witness that the band self-join
+    # no longer carries shingle payloads (each doc's shingle set used
+    # to cross the banded exchange `bands`× per side). Read from the
+    # Spark UI REST API, summed over exactly the stages of the jobs
+    # this action schedules.
+    from sifts_spark.operators.dedup import minhash_lsh_pairs
+
+    def shuffle_write_bytes(fn) -> int:
+        import urllib.request
+
+        sc = spark.sparkContext
+        group = f"xbytes-{time.time_ns()}"
+        sc.setJobGroup(group, "exchange-bytes audit")
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("", "")
+        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        with urllib.request.urlopen(f"{base}/jobs") as r:
+            jobs = json.load(r)
+        stage_ids = set()
+        for j in jobs:
+            if j.get("jobGroup") == group:
+                stage_ids.update(j["stageIds"])
+        with urllib.request.urlopen(f"{base}/stages") as r:
+            stages = json.load(r)
+        return sum(
+            s.get("shuffleWriteBytes", 0)
+            for s in stages
+            if s["stageId"] in stage_ids
+        )
+
+    try:
+        setup["minhash_pairs_shuffle_write_bytes"] = shuffle_write_bytes(
+            lambda: minhash_lsh_pairs(docs)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as e:  # REST surface off (spark.ui.enabled=false)
+        setup["minhash_pairs_shuffle_write_bytes"] = f"unavailable: {e}"
+    release_all()
+
     # WET → curation → export in ONE composition (r8 item 8): every
     # stage above is measured in isolation; this row measures what a
     # real crawl-to-training-shards job pays end to end, including the

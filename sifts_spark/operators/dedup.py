@@ -414,10 +414,14 @@ def minhash_lsh_pairs_incremental(
        collapses to the touched buckets BEFORE any shuffle (persist
        the index bucketed by ``(band, key)`` and even this read is
        layout-aligned);
-    3. one candidate join over the combined touched buckets, keeping
-       only pairs with ≥1 new side (base∖base pairs were already found
-       when the base was deduped);
-    4. the usual exact-Jaccard verify.
+    3. one candidate join over the combined touched buckets — keys
+       only, no shingle payload (r14, same discipline as
+       :func:`minhash_lsh_pairs`) — keeping only pairs with ≥1 new
+       side (base∖base pairs were already found when the base was
+       deduped);
+    4. shingle fetch by id from a one-row-per-id sidecar (new-batch
+       sketch preferred for re-sent ids), then the usual exact-Jaccard
+       verify.
 
     Equivalence contract (pytest-pinned): ``pairs(base ∪ new) ==
     pairs(base) ∪ incremental(new, index(base))`` under the same
@@ -448,36 +452,37 @@ def minhash_lsh_pairs_incremental(
         if include_new_new
         else (F.col("l._new") != F.col("r._new"))
     )
-    cand = combined.alias("l").join(
-        combined.alias("r"),
+    # Same exchange discipline as minhash_lsh_pairs (r14): the band
+    # self-join moves only (id, band, key, _new); shingles rejoin the
+    # candidate id pairs afterwards from a one-row-per-id sidecar.
+    # The sidecar's max_by picks the verify sketch DETERMINISTICALLY:
+    # preferring the NEW-batch row means a re-sent id with changed
+    # content always scores against the content being ingested — with
+    # F.first, near-threshold admission would flap run-to-run
+    # (r7 ADVICE).
+    keys = combined.select("id", "band", "key", "_new")
+    cand = keys.alias("l").join(
+        keys.alias("r"),
         (F.col("l.band") == F.col("r.band"))
         & (F.col("l.key") == F.col("r.key"))
         & (F.col("l.id") < F.col("r.id"))
         & new_flag,
     )
+    cand_ids = cand.select(
+        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+    ).dropDuplicates(["id_a", "id_b"])
+    sidecar = combined.groupBy("id").agg(
+        F.max_by("sh", "_new").alias("sh")
+    )
+    cand = cand_ids.join(
+        sidecar.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sidecar.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
     if include_origin:
-        # Verify sketch picked DETERMINISTICALLY: max_by on the row
-        # origin prefers the NEW-batch sketch — a re-sent id with
-        # changed content contributes both its old (index) and new
-        # sketches to the same pair, and F.first would score against
-        # either run-to-run, making near-threshold admission flap
-        # (r7 ADVICE). Admission is judged on the content being
-        # ingested, i.e. the new sketch.
-        agg = (
-            cand.select(
-                F.col("l.id").alias("id_a"),
-                F.col("r.id").alias("id_b"),
-                F.col("l.sh").alias("sh_a"),
-                F.col("r.sh").alias("sh_b"),
-                F.col("l._new").alias("_ra"),
-                F.col("r._new").alias("_rb"),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(
-                F.max_by("sh_a", "_ra").alias("sh_a"),
-                F.max_by("sh_b", "_rb").alias("sh_b"),
-            )
-        )
+        agg = cand
         # Pair-level a_new/b_new from ID MEMBERSHIP in the index, not
         # min over SURVIVING candidate rows: index-x-index rows are
         # excluded by new_flag, so a re-sent accepted id paired with a
@@ -512,12 +517,6 @@ def minhash_lsh_pairs_incremental(
             .drop("_a_only_new", "_b_only_new")
         )
         return _verify_jaccard(agg, jaccard_threshold, ("a_new", "b_new"))
-    cand = cand.select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.col("l.sh").alias("sh_a"),
-        F.col("r.sh").alias("sh_b"),
-    ).dropDuplicates(["id_a", "id_b"])
     return _verify_jaccard(cand, jaccard_threshold)
 
 

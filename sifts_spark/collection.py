@@ -586,6 +586,9 @@ class SparkCollection:
         methods: ``exact`` (normalized-text digest; score 1.0),
         ``minhash`` (LSH + exact-Jaccard verify; kwargs like
         ``jaccard_threshold``/``bands`` pass through),
+        ``ngram`` (exact word-n-gram Jaccard over rarest-shingle
+        blocked candidates; kwargs like ``threshold``/
+        ``shingle_size``),
         ``simhash`` (hamming ≤ ``max_hamming``; score = 1 - h/64),
         ``embedding`` (cosine within IVF cells; requires stored
         embeddings; kwargs like ``threshold``/``centroids``)."""
@@ -604,6 +607,10 @@ class SparkCollection:
             )
         if method == "minhash":
             return _D.minhash_lsh_pairs(
+                docs, id_col="id", text_col="content", **kwargs
+            ).withColumnRenamed("jaccard", "score")
+        if method == "ngram":
+            return _D.ngram_jaccard_pairs(
                 docs, id_col="id", text_col="content", **kwargs
             ).withColumnRenamed("jaccard", "score")
         if method == "simhash":

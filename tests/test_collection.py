@@ -422,6 +422,26 @@ def test_collection_dedup_minhash_near_dups(store_root, spark):
     assert {r["id"] for r in col.docs().collect()} == {"1", "3"}
 
 
+def test_collection_dedup_ngram_near_dups(store_root, spark):
+    # identical text ⇒ identical shingle set ⇒ the rarest-shingle block
+    # is shared BY CONSTRUCTION (the 1-hash LSH blocking only finds a
+    # pair with probability ~J otherwise — operator-level recall is
+    # pinned in test_dedup.py; this test pins the facade dispatch)
+    base = "word" + " word".join(str(i) for i in range(30))
+    col = Collection(store_root, "ddn", spark=spark)
+    col.add(
+        [base, base, "totally unrelated short doc here"],
+        ids=["1", "2", "3"],
+    )
+    pairs = col.find_duplicates("ngram", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"], p["score"]) for p in pairs] == [
+        ("1", "2", 1.0)
+    ]
+    n = col.dedup("ngram", threshold=0.5)
+    assert n == 1
+    assert {r["id"] for r in col.docs().collect()} == {"1", "3"}
+
+
 def test_collection_dedup_semantic(store_root, spark):
     """dedup('semantic'): SemDeDup decisions drive the tombstones —
     one survivor per eps-component, embeddings required."""

@@ -19,9 +19,34 @@ import re
 
 from sifts_spark.queryparser import And, AndNot, Node, Or, Phrase, Prefix, Term
 
-from sifts_spark.functions.text import token_match_re_py
+from sifts_spark.functions.text import CJK_RUN_CHARS, token_match_re_py
 
 _TOKEN_RE = re.compile(token_match_re_py())  # default family
+_HAS_CJK_RE = re.compile(f"[{CJK_RUN_CHARS}]")
+
+
+def _reconstruct_cjk_chains(words: tuple) -> list:
+    """Collapse a phrase's consecutive OVERLAPPING bigrams back to the
+    written run: ('中文','文字','spark') → ['中文字', 'spark']. Two
+    adjacent words chain when the first ends with the char the second
+    starts with and both are CJK bigrams — exactly how the cjk_bigram
+    family expanded the run, so the reconstruction is lossless for
+    chains the tokenizer produced."""
+    segs: list = []
+    cur = words[0]
+    for w in words[1:]:
+        if (
+            len(w) == 2
+            and cur[-1] == w[0]
+            and _HAS_CJK_RE.search(w)
+            and _HAS_CJK_RE.search(cur[-1])
+        ):
+            cur += w[1]
+        else:
+            segs.append(cur)
+            cur = w
+    segs.append(cur)
+    return segs
 
 
 def positive_leaves(ast: Node) -> tuple[set, set, list]:
@@ -81,14 +106,44 @@ def make_snippet(
         return text
     terms, prefixes, phrases = positive_leaves(ast)
     matched: set = set()
-    for i, (tok, _, _) in enumerate(spans):
-        if tok in terms or any(tok.startswith(p) for p in prefixes):
-            matched.add(i)
-    for words in phrases:
-        n = len(words)
-        for i in range(len(spans) - n + 1):
-            if all(spans[i + j][0] == words[j] for j in range(n)):
-                matched.update(range(i, i + n))
+    if tokenizer == "cjk_bigram":
+        # Run-granular highlighting: the AST's CJK leaves are bigrams,
+        # whose content spans OVERLAP by one char — wrapping each would
+        # duplicate text. Spans here are whole unicode runs (the match
+        # regex is the unicode family's); a run is marked when it
+        # CONTAINS a positive needle: a CJK term as a substring, a
+        # phrase's overlapping bigram chain reconstructed back to the
+        # written string, or a CJK prefix (the lone-char query) at any
+        # position. Non-CJK phrase remnants mark word-level (cross-run
+        # adjacency is not re-verified here — the MATCH already
+        # verified it; a snippet is a decoration).
+        cjk_needles = {t for t in terms if _HAS_CJK_RE.search(t)}
+        plain_words: set = set()
+        for words in phrases:
+            for seg in _reconstruct_cjk_chains(words):
+                if _HAS_CJK_RE.search(seg):
+                    cjk_needles.add(seg)
+                else:
+                    plain_words.add(seg)
+        cjk_prefixes = {p for p in prefixes if _HAS_CJK_RE.search(p)}
+        for i, (tok, _, _) in enumerate(spans):
+            if (
+                tok in terms
+                or tok in plain_words
+                or any(tok.startswith(p) for p in prefixes)
+                or any(nd in tok for nd in cjk_needles)
+                or any(p in tok for p in cjk_prefixes)
+            ):
+                matched.add(i)
+    else:
+        for i, (tok, _, _) in enumerate(spans):
+            if tok in terms or any(tok.startswith(p) for p in prefixes):
+                matched.add(i)
+        for words in phrases:
+            n = len(words)
+            for i in range(len(spans) - n + 1):
+                if all(spans[i + j][0] == words[j] for j in range(n)):
+                    matched.update(range(i, i + n))
 
     flags = [1 if i in matched else 0 for i in range(len(spans))]
     pre = [0]

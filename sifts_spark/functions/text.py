@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 TOKENIZER_ASCII = "ascii"
 TOKENIZER_UNICODE = "unicode"
+TOKENIZER_CJK = "cjk_bigram"
 #: the family new collections and free-standing operators use
 DEFAULT_TOKENIZER = TOKENIZER_UNICODE
 
@@ -57,6 +58,38 @@ TOKEN_SPLIT_RE_UNICODE_PY = r"[\W_]+"
 TOKEN_MATCH_RE_UNICODE = r"[\p{L}\p{N}]+"
 TOKEN_MATCH_RE_UNICODE_PY = r"[^\W_]+"
 
+# ---- "cjk_bigram" family (r14): unicode61-style tokenization leaves an
+# unspaced CJK sentence as ONE token per run, so a two-character query
+# word never matches inside a longer run — the same weakness FTS5 ships
+# its `trigram` tokenizer to fix (the reference's unicode61/'simple'
+# configs share it, core.py:460-462/555). This family splits exactly
+# like "unicode", then expands each token that is a pure CJK run of ≥2
+# chars into its character BIGRAMS (the classic CJK-IR unit — Lucene's
+# CJKAnalyzer posture). Bigram positions are consecutive, so with the
+# positional postings default a multi-bigram query verifies adjacency
+# index-side, giving true SUBSTRING match semantics over CJK runs.
+#
+# The run class is an EXPLICIT codepoint-range literal, not \p{script},
+# so the Java (Spark), RE2 (DuckDB) and CPython engines agree on every
+# code point regardless of each engine's Unicode table version: Han
+# (unified U+4E00–9FFF, ext A U+3400–4DBF, compat U+F900–FAFF),
+# Hiragana (U+3041–3096 + iteration marks U+309D–309F), Katakana
+# (U+30A1–30FA, U+30FC–30FF incl. the script-Common prolonged sound
+# mark ー, phonetic ext U+31F0–31FF), and the ideographic iteration
+# marks 々 U+3005 / 〇 U+3007. Hangul is EXCLUDED by design: Korean is
+# space-delimited, so whole words are the right unit (ES's CJK analyzer
+# makes the same call). Supplementary-plane Han (ext B+) is excluded;
+# a run containing one stays a whole token — degraded, never wrong.
+CJK_RUN_CHARS = (
+    "々〇"
+    "ぁ-ゖゝ-ゟ"
+    "ァ-ヺー-ヿㇰ-ㇿ"
+    "㐀-䶿一-鿿豈-﫿"
+)
+#: anchored full-match: a pure CJK run of ≥2 chars (the bigram unit).
+#: Literal codepoints → valid in Java, RE2 and Python `re` verbatim.
+CJK_RUN_RE = f"^[{CJK_RUN_CHARS}]{{2,}}$"
+
 # The default-family aliases most call sites import. TOKEN_SPLIT_RE /
 # TOKEN_MATCH_RE are Java/RE2 syntax — NOT valid in Python `re`; Python
 # kernels must use the `_PY` twins.
@@ -68,14 +101,17 @@ TOKEN_MATCH_RE_PY = TOKEN_MATCH_RE_UNICODE_PY
 _SPLIT_RES = {
     TOKENIZER_ASCII: TOKEN_SPLIT_RE_ASCII,
     TOKENIZER_UNICODE: TOKEN_SPLIT_RE_UNICODE,
+    TOKENIZER_CJK: TOKEN_SPLIT_RE_UNICODE,  # split like unicode, then expand
 }
 _SPLIT_RES_PY = {
     TOKENIZER_ASCII: TOKEN_SPLIT_RE_ASCII_PY,
     TOKENIZER_UNICODE: TOKEN_SPLIT_RE_UNICODE_PY,
+    TOKENIZER_CJK: TOKEN_SPLIT_RE_UNICODE_PY,
 }
 _MATCH_RES_PY = {
     TOKENIZER_ASCII: TOKEN_MATCH_RE_ASCII_PY,
     TOKENIZER_UNICODE: TOKEN_MATCH_RE_UNICODE_PY,
+    TOKENIZER_CJK: TOKEN_MATCH_RE_UNICODE_PY,
 }
 
 
@@ -113,23 +149,57 @@ def tokenize(text: Column | str, tokenizer: str | None = None) -> Column:
     coupled callers pass the collection's ``_tokenizer`` marker value so
     query-side tokenization matches the persisted postings."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(
+    base = F.filter(
         F.split(F.lower(col), token_split_re(tokenizer)),
         lambda t: t != F.lit(""),
+    )
+    if resolve_tokenizer(tokenizer) == TOKENIZER_CJK:
+        base = _cjk_bigram_expand(base)
+    return base
+
+
+def _cjk_bigram_expand(tokens: Column) -> Column:
+    """tokens ARRAY<STRING> → the cjk_bigram expansion: each pure CJK
+    run of ≥2 chars becomes its character bigrams (in order — positions
+    stay consecutive for the positional phrase verify); every other
+    token (latin words, single CJK chars, mixed runs) passes through
+    whole. Codegen'd higher-order functions — no UDF, map-side only."""
+    return F.flatten(
+        F.transform(
+            tokens,
+            lambda t: F.when(
+                t.rlike(CJK_RUN_RE),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substring(t, i, 2),
+                ),
+            ).otherwise(F.array(t)),
+        )
     )
 
 
 def tokenize_sql(text_expr: str, tokenizer: str | None = None) -> str:
     """DuckDB SQL twin of :func:`tokenize`."""
-    return (
+    base = (
         f"list_filter(string_split_regex(lower({text_expr}),"
         f" '{token_split_re(tokenizer)}'), _t -> _t <> '')"
+    )
+    if resolve_tokenizer(tokenizer) != TOKENIZER_CJK:
+        return base
+    return (
+        f"flatten(list_transform({base}, _tk ->"
+        f" CASE WHEN regexp_matches(_tk, '{CJK_RUN_RE}')"
+        f" THEN list_transform(generate_series(1, length(_tk) - 1),"
+        f" _i -> substr(_tk, _i, 2))"
+        f" ELSE [_tk] END))"
     )
 
 
 def py_tokenize(text: str | None, tokenizer: str | None = None) -> list[str]:
     """Python twin of :func:`tokenize` — same family, same lowercasing,
     empties dropped. The canonical kernel for Arrow/driver-side code."""
+    if resolve_tokenizer(tokenizer) == TOKENIZER_CJK:
+        return [t for g in py_tokenize_groups(text, tokenizer) for t in g]
     import re as _re
 
     if not text:
@@ -139,6 +209,51 @@ def py_tokenize(text: str | None, tokenizer: str | None = None) -> list[str]:
         for t in _re.split(token_split_re_py(tokenizer), text.lower())
         if t
     ]
+
+
+def py_tokenize_groups(
+    text: str | None, tokenizer: str | None = None
+) -> list[list[str]]:
+    """Python tokenize preserving EXPANSION GROUPS: the outer list is
+    the family's split parts in order; each inner list is the tokens
+    one part expanded to. For ascii/unicode every group is a singleton;
+    for cjk_bigram a CJK run's group is its bigrams IN ORDER. The query
+    parser consumes the grouping — a multi-token group means "these
+    came from one contiguous written run", so a query word compiles to
+    a consecutive Phrase over the group rather than a bag-of-words AND
+    (bigram conjunction alone would also match the run reversed)."""
+    import re as _re
+
+    if not text:
+        return []
+    fam = resolve_tokenizer(tokenizer)
+    parts = [
+        t for t in _re.split(token_split_re_py(tokenizer), text.lower()) if t
+    ]
+    if fam != TOKENIZER_CJK:
+        return [[p] for p in parts]
+    run = _re.compile(f"[{CJK_RUN_CHARS}]{{2,}}")
+    return [
+        (
+            [p[i : i + 2] for i in range(len(p) - 1)]
+            if run.fullmatch(p)
+            else [p]
+        )
+        for p in parts
+    ]
+
+
+def is_cjk_char(token: str) -> bool:
+    """True for a single code point in the cjk_bigram run class — the
+    query parser compiles such a lone query term to a Prefix match
+    (a bigrammed index stores no single-char tokens for runs ≥2, so an
+    exact Term would silently never match; prefix-over-bigrams finds
+    the char at every non-final run position plus standalone
+    occurrences — FTS5's trigram tokenizer hard-rejects sub-length
+    queries, we degrade to documented partial recall instead)."""
+    import re as _re
+
+    return bool(_re.fullmatch(f"[{CJK_RUN_CHARS}]", token))
 
 
 # Back-compat aliases for the r13 opt-in twins (now the default family).

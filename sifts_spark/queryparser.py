@@ -254,7 +254,9 @@ class QueryParser:
             if not parts:
                 raise ParseError(f"no searchable characters in {word!r}")
             if len(parts) == 1:
-                return Term(parts[0])  # one-word "phrase" is a term
+                # one-word "phrase" is a term (or the lone-CJK-char
+                # prefix degradation — same rule as the bare word)
+                return self._leaf(parts[0], is_prefix=False)
             return Phrase(tuple(parts))
         is_prefix = word.endswith("*") and len(word) > 1
         if is_prefix:
@@ -264,15 +266,46 @@ class QueryParser:
         # a punctuated query word becomes the conjunction of its token
         # parts and can actually match. Stripping punctuation instead
         # (round-1 behavior) produced the unmatchable term "dont".
-        parts = _split_like_tokenizer(word, self._tokenizer)
-        if not parts:
+        #
+        # Groups preserve the family's expansion structure: in the
+        # cjk_bigram family a CJK run expands to a multi-token group of
+        # consecutive bigrams, which MUST compile to a Phrase — a bag-
+        # of-words AND over the bigrams would also match the run
+        # written backwards ("文中" vs "中文"). Bigram-phrase matching
+        # is substring matching over runs, so a trailing `*` on a
+        # multi-bigram run is already implied and drops out.
+        from sifts_spark.functions.text import py_tokenize_groups
+
+        groups = py_tokenize_groups(word, self._tokenizer)
+        if not groups:
             raise ParseError(f"no searchable characters in {word!r}")
-        leaves: list[Node] = [Term(p) for p in parts[:-1]]
-        leaves.append(Prefix(parts[-1]) if is_prefix else Term(parts[-1]))
+        leaves: list[Node] = []
+        for gi, group in enumerate(groups):
+            if len(group) > 1:
+                leaves.append(Phrase(tuple(group)))
+            else:
+                last = gi == len(groups) - 1
+                leaves.append(self._leaf(group[0], is_prefix and last))
         node = leaves[0]
         for leaf in leaves[1:]:
             node = And(node, leaf)
         return node
+
+    def _leaf(self, token: str, is_prefix: bool) -> Node:
+        """One single-token leaf. In the cjk_bigram family a LONE CJK
+        character compiles to a Prefix over bigrams (an exact Term can
+        never hit a bigrammed index — runs ≥2 store no single-char
+        tokens; prefix finds the char at every non-final run position
+        plus standalone occurrences, a documented partial-recall
+        degradation where FTS5's trigram tokenizer rejects the query
+        outright)."""
+        if is_prefix:
+            return Prefix(token)
+        from sifts_spark.functions.text import TOKENIZER_CJK, is_cjk_char
+
+        if self._tokenizer == TOKENIZER_CJK and is_cjk_char(token):
+            return Prefix(token)
+        return Term(token)
 
 
 def _split_like_tokenizer(word: str, tokenizer: str | None = None) -> list[str]:

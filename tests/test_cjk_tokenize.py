@@ -1,0 +1,267 @@
+"""The ``cjk_bigram`` tokenizer family (r14).
+
+The unicode family (like the reference's FTS5 ``unicode61``,
+core.py:460-462, and PG ``to_tsvector('simple', …)``, core.py:555)
+leaves an unspaced CJK sentence as ONE token per run, so a two-char
+query word never matches inside a longer run. FTS5 ships a ``trigram``
+tokenizer for exactly this; our family splits like unicode then expands
+each pure CJK run of ≥2 chars into character BIGRAMS (Lucene
+CJKAnalyzer posture), giving substring-match semantics over runs via
+consecutive-phrase compilation.
+
+Pins here: three-engine tokenization equivalence (Spark Java regex /
+DuckDB RE2 / Python re over the shared explicit codepoint class),
+group-preserving query compilation (run → Phrase, never bag-of-words),
+scan-path match semantics, the Collection lifecycle under the sticky
+``_tokenizer`` marker, and run-granular snippet highlighting.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.collection import Collection
+from sifts_spark.functions.snippets import (
+    _reconstruct_cjk_chains,
+    make_snippet,
+)
+from sifts_spark.functions.text import (
+    TOKENIZER_CJK,
+    is_cjk_char,
+    py_tokenize,
+    py_tokenize_groups,
+    tokenize,
+    tokenize_sql,
+)
+from sifts_spark.operators.search import match_filter
+from sifts_spark.queryparser import (
+    And,
+    AndNot,
+    Phrase,
+    Prefix,
+    Term,
+    parse_query,
+)
+
+CORPUS = [
+    "中文文档 例子 test",          # Han runs expand; latin stays whole
+    "スパークの 例",               # Katakana incl. script-Common ー chains
+    "日本語のドキュメントです",      # one long mixed-kana/kanji run
+    "Привет 中文",                # Cyrillic whole-word + Han bigram
+    "한국어 문서 처리",             # Hangul: space-delimited → NO expansion
+    "don't stop 人々 〇",          # punctuation split; iteration marks 々〇
+    "spark中文 mixed run",         # mixed latin+CJK token stays WHOLE
+    "中",                          # single CJK char: no bigram possible
+    "ｆｕｌｌｗｉｄｔｈ 中文 ＡＢＣ",  # fullwidth latin is not in the run class
+    "",                            # empty
+    "、。！？",                     # punctuation-only → zero tokens
+]
+
+
+def _py(text):
+    return py_tokenize(text, TOKENIZER_CJK)
+
+
+class TestThreeEngineEquivalence:
+    def test_spark_duckdb_python_agree(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "id long, content string"
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", tokenize(F.col("content"), TOKENIZER_CJK).alias("t")
+            ).collect()
+        }
+        con = duckdb.connect()
+        sql = f"SELECT {tokenize_sql('?', TOKENIZER_CJK)}"
+        for i, text in enumerate(CORPUS):
+            dk = con.execute(sql, [text]).fetchone()[0]
+            assert got[i] == dk == _py(text), (text, got[i], dk, _py(text))
+
+    def test_expansion_shapes(self):
+        assert _py("中文文档") == ["中文", "文文", "文档"]
+        # ー (U+30FC, script Common) is IN the run class — a katakana
+        # loanword chains through its long vowel
+        assert _py("スパーク") == ["スパ", "パー", "ーク"]
+        # Hangul excluded by design: whole words
+        assert _py("한국어 문서") == ["한국어", "문서"]
+        # mixed latin+CJK token passes through whole
+        assert _py("spark中文") == ["spark中文"]
+        # single CJK char: no bigram to make
+        assert _py("中") == ["中"]
+        # iteration marks are part of runs
+        assert _py("人々") == ["人々"]
+        assert len(_py("人々")[0]) == 2
+
+    def test_groups_preserve_run_structure(self):
+        assert py_tokenize_groups("don't 中文字", TOKENIZER_CJK) == [
+            ["don"],
+            ["t"],
+            ["中文", "文字"],
+        ]
+        # non-cjk families: all singleton groups
+        assert py_tokenize_groups("don't 中文字", "unicode") == [
+            ["don"],
+            ["t"],
+            ["中文字"],
+        ]
+
+    def test_is_cjk_char(self):
+        assert is_cjk_char("中")
+        assert is_cjk_char("ー")
+        assert not is_cjk_char("a")
+        assert not is_cjk_char("中文")
+        assert not is_cjk_char("한")
+
+
+class TestQueryCompilation:
+    def test_run_compiles_to_phrase_not_and(self):
+        ast = parse_query("中文字", tokenizer=TOKENIZER_CJK)
+        assert ast == Phrase(words=("中文", "文字"))
+
+    def test_two_char_run_is_single_term(self):
+        assert parse_query("中文", tokenizer=TOKENIZER_CJK) == Term("中文")
+
+    def test_lone_cjk_char_degrades_to_prefix(self):
+        assert parse_query("中", tokenizer=TOKENIZER_CJK) == Prefix("中")
+        # quoted lone char takes the same rule
+        assert parse_query('"中"', tokenizer=TOKENIZER_CJK) == Prefix("中")
+
+    def test_mixed_word_and_operators(self):
+        ast = parse_query("中文字 AND test", tokenizer=TOKENIZER_CJK)
+        assert ast == And(Phrase(("中文", "文字")), Term("test"))
+        ast = parse_query("中文字 NOT 例子", tokenizer=TOKENIZER_CJK)
+        assert ast == AndNot(Phrase(("中文", "文字")), Term("例子"))
+
+    def test_quoted_phrase_flattens_bigrams_in_order(self):
+        ast = parse_query('"中文 例子"', tokenizer=TOKENIZER_CJK)
+        assert ast == Phrase(words=("中文", "例子"))
+        ast = parse_query('"中文字 spark"', tokenizer=TOKENIZER_CJK)
+        assert ast == Phrase(words=("中文", "文字", "spark"))
+
+    def test_trailing_star_on_run_is_redundant_phrase(self):
+        # bigram-phrase matching IS substring matching — `*` drops out
+        assert parse_query("中文字*", tokenizer=TOKENIZER_CJK) == Phrase(
+            ("中文", "文字")
+        )
+
+    def test_other_families_unaffected(self):
+        assert parse_query("中文字", tokenizer="unicode") == Term("中文字")
+
+
+class TestScanPathSemantics:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "これは中文文档のテストです"),
+                (2, "spark engine documentation"),
+                (3, "中文 例子 サンプル"),
+                (4, "档文 reversed order"),
+            ],
+            "id long, content string",
+        )
+
+    def _ids(self, docs, q):
+        ast = parse_query(q, tokenizer=TOKENIZER_CJK)
+        return sorted(
+            r["id"]
+            for r in match_filter(docs, ast, tokenizer=TOKENIZER_CJK).collect()
+        )
+
+    def test_substring_inside_long_run(self, docs):
+        assert self._ids(docs, "文档") == [1]
+        assert self._ids(docs, "中文文档") == [1]
+
+    def test_reversed_run_does_not_match(self, docs):
+        # bag-of-words AND over bigrams would wrongly hit doc 1 too
+        assert self._ids(docs, "档文") == [4]
+
+    def test_latin_words_unchanged(self, docs):
+        assert self._ids(docs, "documentation") == [2]
+
+    def test_phrase_across_adjacent_runs(self, docs):
+        assert self._ids(docs, '"中文 例子"') == [3]
+
+    def test_lone_char_prefix_recall(self, docs):
+        # 例 at non-final run positions (例子) and standalone — both hit
+        assert self._ids(docs, "例") == [3]
+
+
+class TestCollectionLifecycle:
+    def test_pin_query_reopen_mismatch(self, spark, tmp_path):
+        root = str(tmp_path / "s")
+        c = Collection(root, "docs", spark=spark, tokenizer=TOKENIZER_CJK)
+        c.add(
+            ids=["a", "b", "c"],
+            contents=[
+                "これは中文文档のテストです",
+                "spark engine documentation",
+                "中文 例子 サンプル",
+            ],
+        )
+        assert c._tok_family() == TOKENIZER_CJK
+        ids = lambda res: sorted(d["id"] for d in res["results"])  # noqa: E731
+        assert ids(c.query("文档")) == ["a"]
+        assert ids(c.query('"中文 例子"')) == ["c"]
+        assert ids(c.query("documentation")) == ["b"]
+        # bm25 rank present on the text path
+        res = c.query("文档")
+        assert res["results"][0].get("rank") is not None
+        # reopen WITHOUT the kwarg honors the sticky marker
+        c2 = Collection(root, "docs", spark=spark)
+        assert c2._tok_family() == TOKENIZER_CJK
+        assert ids(c2.query("テスト")) == ["a"]
+        # explicit mismatching pin raises instead of silently dropping
+        with pytest.raises(ValueError):
+            Collection(root, "docs", spark=spark, tokenizer="unicode")
+
+    def test_retokenize_into_cjk(self, spark, tmp_path):
+        root = str(tmp_path / "s2")
+        c = Collection(root, "docs", spark=spark)  # unicode default
+        c.add(ids=["a"], contents=["これは中文文档のテストです"])
+        assert c._tok_family() == "unicode"
+        # unicode family: the run is ONE token — substring query misses
+        assert c.query("文档")["results"] == []
+        c.retokenize(TOKENIZER_CJK)
+        assert c._tok_family() == TOKENIZER_CJK
+        assert [d["id"] for d in c.query("文档")["results"]] == ["a"]
+
+
+class TestSnippets:
+    def test_chain_reconstruction(self):
+        assert _reconstruct_cjk_chains(("中文", "文字", "spark")) == [
+            "中文字",
+            "spark",
+        ]
+        assert _reconstruct_cjk_chains(("hello", "world")) == [
+            "hello",
+            "world",
+        ]
+
+    def test_run_granular_marks(self):
+        fam = TOKENIZER_CJK
+        s = make_snippet(
+            "spark と 中文文档 のテスト",
+            parse_query("文档", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[中文文档]" in s
+        s = make_snippet(
+            "spark 例のドキュメント",
+            parse_query("例", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[例のドキュメント]" in s
+
+    def test_excluded_side_never_marked(self):
+        fam = TOKENIZER_CJK
+        s = make_snippet(
+            "中文 例子 both here",
+            parse_query("中文 NOT 例子", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[中文]" in s and "[例子]" not in s

@@ -591,9 +591,17 @@ class SparkCollection:
         ``shingle_size``),
         ``simhash`` (hamming ≤ ``max_hamming``; score = 1 - h/64),
         ``embedding`` (cosine within IVF cells; requires stored
-        embeddings; kwargs like ``threshold``/``centroids``)."""
+        embeddings; kwargs like ``threshold``/``centroids``).
+
+        Token-shingle methods (minhash/ngram/simhash) tokenize with
+        the COLLECTION's pinned family (the sticky ``_tokenizer``
+        marker) unless ``tokenizer=`` overrides — a cjk_bigram-pinned
+        collection near-dups at bigram granularity instead of treating
+        each unspaced run as one opaque token."""
         from sifts_spark.operators import dedup as _D
 
+        if method in ("minhash", "ngram", "simhash"):
+            kwargs.setdefault("tokenizer", self._tok_family())
         docs = self.docs()
         if method == "exact":
             dup = _D.exact_duplicates(docs, id_col="id", text_col="content")

@@ -106,7 +106,10 @@ def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column
 
 
 def shingle_minhash_arrow(
-    text_col: Column, num_hashes: int = 16, shingle_size: int = 3
+    text_col: Column,
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+    tokenizer: str | None = None,
 ) -> Column:
     """text -> STRUCT<sh ARRAY<STRING>, sig ARRAY<STRING>>: distinct word
     shingles AND their MinHash signature in ONE Arrow pass.
@@ -129,7 +132,7 @@ def shingle_minhash_arrow(
                 shs.append(None)
                 sigs.append(None)
                 continue
-            sh = _py_shingles(_py_tokenize(text), shingle_size)
+            sh = _py_shingles(_py_tokenize(text, tokenizer), shingle_size)
             mins: list[bytes | None] = [None] * num_hashes
             for s in sh:
                 base = s.encode()
@@ -145,7 +148,9 @@ def shingle_minhash_arrow(
     return _sk(text_col)
 
 
-def shingle_minkey_arrow(text_col: Column, shingle_size: int = 3) -> Column:
+def shingle_minkey_arrow(
+    text_col: Column, shingle_size: int = 3, tokenizer: str | None = None
+) -> Column:
     """text -> STRUCT<sh ARRAY<STRING>, key STRING>: distinct shingles
     plus the rarest-shingle block key (min md5 hex over shingles) — the
     Arrow twin of the n-gram-Jaccard blocking sketch."""
@@ -158,7 +163,7 @@ def shingle_minkey_arrow(text_col: Column, shingle_size: int = 3) -> Column:
                 shs.append(None)
                 keys.append(None)
                 continue
-            sh = _py_shingles(_py_tokenize(text), shingle_size)
+            sh = _py_shingles(_py_tokenize(text, tokenizer), shingle_size)
             keys.append(min(md5(s.encode()).digest() for s in sh).hex() if sh else None)
             shs.append(sh)
         return pd.DataFrame({"sh": shs, "key": keys})

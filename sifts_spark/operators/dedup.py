@@ -199,6 +199,7 @@ def minhash_banded_sketches(
     bands: int = 4,
     shingle_size: int = 3,
     impl: str = "arrow",
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """``(id, sh, band, key)`` — one row per doc per band: the
     PERSISTABLE half of MinHash-LSH dedup. All map-side (no shuffle).
@@ -214,7 +215,7 @@ def minhash_banded_sketches(
     if impl == "arrow":
         # Fused tokenize+shingle+signature Arrow kernel — one batch per
         # partition (spread first: one local file reads as one split).
-        sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size)
+        sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size, tokenizer)
         base = (
             ensure_min_parallelism(
                 docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
@@ -223,7 +224,7 @@ def minhash_banded_sketches(
             .select("id", F.col("_sk.sh").alias("sh"), F.col("_sk.sig").alias("sig"))
         )
     else:
-        toks = tokenize(F.col(text_col))
+        toks = tokenize(F.col(text_col), tokenizer)
         base = docs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
@@ -276,6 +277,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     impl: str = "arrow",
     max_bucket_size: int | None = 10_000,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline → (id_a, id_b, jaccard).
 
@@ -308,7 +310,8 @@ def minhash_lsh_pairs(
     # persists the (small) sketch table, never the corpus.
     banded = track(
         minhash_banded_sketches(
-            docs, id_col, text_col, num_hashes, bands, shingle_size, impl
+            docs, id_col, text_col, num_hashes, bands, shingle_size, impl,
+            tokenizer,
         )
     )
 
@@ -389,6 +392,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket_size: int | None = 10_000,
     include_new_new: bool = True,
     include_origin: bool = False,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an already-indexed corpus
     → (id_a, id_b, jaccard) — every pair involves ≥1 new doc.
@@ -432,7 +436,8 @@ def minhash_lsh_pairs_incremental(
     when the increment is deduped separately."""
     new_banded = track(
         minhash_banded_sketches(
-            new_docs, id_col, text_col, num_hashes, bands, shingle_size, impl
+            new_docs, id_col, text_col, num_hashes, bands, shingle_size, impl,
+            tokenizer,
         ).withColumn("_new", F.lit(True))
     )
     touched = new_banded.select("band", "key").distinct()
@@ -532,6 +537,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     impl: str = "arrow",
     max_bucket_size: int | None = 10_000,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs found by shared
     rarest-shingle blocking: each doc keys on its ``min`` md5 shingle, so
@@ -549,7 +555,7 @@ def ngram_jaccard_pairs(
     raise the cap or pass ``None`` for the pre-cap behavior (and accept
     the O(bucket²) join). See README "Near-dup candidate caps"."""
     if impl == "arrow":
-        sk = shingle_minkey_arrow(F.col("_t"), shingle_size)
+        sk = shingle_minkey_arrow(F.col("_t"), shingle_size, tokenizer)
         sel = [F.col(id_col).alias("id"), F.col(text_col).alias("_t")]
         if block_col:
             sel.append(F.col(block_col).alias("blk"))
@@ -559,7 +565,7 @@ def ngram_jaccard_pairs(
             cols.append(F.col("blk"))
         base = track(pre.select(*cols))
     else:
-        toks = tokenize(F.col(text_col))
+        toks = tokenize(F.col(text_col), tokenizer)
         sh = F.array_distinct(shingles(toks, shingle_size))
         key = F.array_min(F.transform(sh, lambda s: F.md5(s)))
         cols = [F.col(id_col).alias("id"), sh.alias("sh"), key.alias("key")]
@@ -662,7 +668,7 @@ def simhash64(digits_col: Column) -> tuple[Column, Column]:
 
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    impl: str = "arrow",
+    impl: str = "arrow", tokenizer: str | None = None,
 ) -> DataFrame:
     """→ (id, simhash_hi, simhash_lo).
 
@@ -687,7 +693,10 @@ def simhash_fingerprints(
     oracle twins were updated to match (catalog r13): their fp CTEs
     aggregate only docs that produced tokens — previously a LEFT JOIN
     + coalesce(...,0) fabricated the all-zero fingerprint back in."""
-    toks = tokenize(F.col(text_col))
+    # the zero-token pre-filter is family-independent: "has ≥1 token"
+    # ⟺ "contains ≥1 \p{L}\p{N} char" in every family (the cjk_bigram
+    # expansion preserves non-emptiness; CJK chars are \p{L})
+    toks = tokenize(F.col(text_col), tokenizer)
     docs = docs.filter(F.col(text_col).rlike(r"[\p{L}\p{N}]"))
     if impl == "arrow":
         fp = simhash64_arrow(toks)
@@ -711,6 +720,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 8,
     max_bucket_size: int | None = 10_000,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -726,7 +736,7 @@ def simhash_pairs(
     the pre-cap behavior. See README "Near-dup candidate caps"."""
     # Persisted: both self-join branches read the (narrow) fingerprint
     # table instead of re-running the sketch per side.
-    fp = track(simhash_fingerprints(docs, id_col, text_col))
+    fp = track(simhash_fingerprints(docs, id_col, text_col, tokenizer=tokenizer))
     return hamming_pairs(
         fp, max_hamming=max_hamming, max_bucket_size=max_bucket_size,
         op_name="simhash_pairs",

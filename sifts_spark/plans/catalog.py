@@ -29,6 +29,7 @@ from sifts_spark.functions.metadata import (
 )
 from sifts_spark.functions.text import (
     TOKEN_MATCH_RE,
+    TOKENIZER_CJK,
     tokenize,
     tokenize_sql,
     shingles,
@@ -195,6 +196,72 @@ def fts_multiscript(spark, sf_dir) -> DataFrame:
         ).alias("mtext"),
     )
     return S.match_filter(ms, _AST_MULTI, "mtext").select("doc_id")
+
+
+# ---- CJK substring FTS (r14, cjk_bigram family gate row) ------------
+#
+# fts_multiscript pins that an unsegmented CJK run is ONE unicode-family
+# token (unicode61 parity). This row pins the cjk_bigram family's
+# STRONGER semantics: a query word that is a SUBSTRING of a longer run
+# matches, because runs expand to character bigrams and the parser
+# compiles the query run to a consecutive Phrase over its bigrams.
+# Covers all three cjk leaf compilations — multi-bigram Phrase
+# (狐狸跳过 inside 敏捷的狐狸跳过懒狗, データベース inside a longer
+# katakana+han run with the script-Common ー chaining through), and the
+# lone-char Prefix degradation (例 via the 例子 bigram) — evaluated by
+# BOTH engines over the same expansion (tokenize_sql's cjk twin), so a
+# one-engine regression in the bigram expansion cannot pass the gate.
+_CJK_SUFFIXES = (
+    "敏捷的狐狸跳过懒狗",
+    "データベース検索エンジン",
+    "中文 例子",
+    "",
+)
+_AST_CJK = parse_query(
+    "狐狸跳过 OR データベース OR 例", tokenizer=TOKENIZER_CJK
+)
+_CJK_CASE_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CJK_SUFFIXES[:3])
+    )
+    + " ELSE '' END"
+)
+_CJK_SQL = f"""
+WITH ms AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), ' ', {_CJK_CASE_SQL}) AS mtext
+  FROM documents
+)
+SELECT doc_id FROM ms
+WHERE {_AST_CJK.to_sql(tokenize_sql('mtext', TOKENIZER_CJK))}
+"""
+
+
+@_register("fts_cjk_substr", _CJK_SQL)
+def fts_cjk_substr(spark, sf_dir) -> DataFrame:
+    """Substring match inside unspaced CJK runs under the cjk_bigram
+    tokenizer family (functions/text.py) — the capability FTS5 ships
+    its ``trigram`` tokenizer for and the reference's unicode61/
+    'simple' configs lack (core.py:460-462/555). Plan shape: identical
+    to every match_filter row — the bigram expansion is a nested
+    codegen'd higher-order transform inside the same scan predicate,
+    no shuffle, no UDF."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _CJK_SUFFIXES]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    ms = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.coalesce(F.col("text"), F.lit("")), suffix
+        ).alias("mtext"),
+    )
+    return S.match_filter(
+        ms, _AST_CJK, "mtext", tokenizer=TOKENIZER_CJK
+    ).select("doc_id")
 
 
 @_register(
@@ -653,10 +720,17 @@ WHERE CAST(bit_count(xor(l.hi, r.hi)) + bit_count(xor(l.lo, r.lo)) AS INT) <= 16
 """
 
 
-@_register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
 def dedup_simhash_pairs(spark, sf_dir) -> DataFrame:
     """SimHash near-dup pairs: 16-bit chunk pigeonhole candidates +
-    exact bit_count(xor) hamming ≤ 16."""
+    exact bit_count(xor) hamming ≤ 16.
+
+    De-registered in r14 (row ceded to ``fts_cjk_substr``): the simhash
+    family stays oracle-covered by ``dedup_simhash`` (same tokenize →
+    md5-bit vote → fingerprint pipeline, which is where every historical
+    divergence lived — the r13 zero-token fix touched the fingerprints,
+    not the pigeonhole join), and the pairs shape stays covered by the
+    banded ``dedup_minhash`` candidates; pinned by
+    tests/test_plans.py::test_dedup_simhash_pairs_matches_oracle."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     out = D.simhash_pairs(docs, max_hamming=16)
@@ -2376,7 +2450,10 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # by test_top_orders_revenue_matches_oracle); in r14 fts_term ceded its
 # row to fts_multiscript (single-term scan predicate stays covered by
 # fts_bool's compound query and the new row's OR-of-terms; retiree
-# pinned by test_fts_term_matches_oracle).
+# pinned by test_fts_term_matches_oracle), and dedup_simhash_pairs
+# ceded its row to fts_cjk_substr (simhash family stays covered by
+# dedup_simhash, pairs shape by dedup_minhash; retiree pinned by
+# test_dedup_simhash_pairs_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

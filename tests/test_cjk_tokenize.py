@@ -231,6 +231,47 @@ class TestCollectionLifecycle:
         assert [d["id"] for d in c.query("文档")["results"]] == ["a"]
 
 
+class TestDedupGranularity:
+    # Unspaced CJK docs: under the unicode family each doc is ONE token
+    # → one whole-run shingle → Jaccard 0 between any two non-identical
+    # runs; under cjk_bigram the shared bigram context dominates. All
+    # md5-derived (signatures, band keys, block keys) is deterministic,
+    # so these collide-or-not outcomes are stable, not flaky.
+    A = "机器学习是人工智能的分支"
+    B_APPEND = "机器学习是人工智能的分支了"   # J ≈ 0.9: LSH bands collide
+    B_INSERT = "机器学习是人工智能的重要分支"  # J ≈ 0.54: shared rarest shingle
+
+    def test_collection_family_governs_shingle_dedup(self, spark, tmp_path):
+        c = Collection(
+            str(tmp_path / "cjk"), "d", spark=spark, tokenizer=TOKENIZER_CJK
+        )
+        c.add(ids=["a", "b"], contents=[self.A, self.B_APPEND])
+        pairs = c.find_duplicates("minhash").collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [("a", "b")]
+        assert pairs[0]["score"] > 0.8
+
+        u = Collection(str(tmp_path / "uni"), "d", spark=spark)
+        u.add(ids=["a", "b"], contents=[self.A, self.B_APPEND])
+        assert u.find_duplicates("minhash").count() == 0
+        # explicit override beats the pinned family
+        assert (
+            u.find_duplicates("minhash", tokenizer=TOKENIZER_CJK).count() == 1
+        )
+
+    def test_operator_tokenizer_param(self, spark):
+        from sifts_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, self.A), (2, self.B_INSERT)], "doc_id long, text string"
+        )
+        got = ngram_jaccard_pairs(
+            docs, threshold=0.3, tokenizer=TOKENIZER_CJK
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+        assert abs(got[0]["jaccard"] - 0.538) < 0.01
+        assert ngram_jaccard_pairs(docs, threshold=0.3).count() == 0
+
+
 class TestSnippets:
     def test_chain_reconstruction(self):
         assert _reconstruct_cjk_chains(("中文", "文字", "spark")) == [

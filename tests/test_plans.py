@@ -249,3 +249,27 @@ def test_fts_term_matches_oracle(spark):
     )
     want = sorted(r[0] for r in con.sql(_FTS_TERM_SQL).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_dedup_simhash_pairs_matches_oracle(spark):
+    # de-registered in r14 (row ceded to fts_cjk_substr); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import (
+        _SIMHASH_PAIRS_SQL,
+        dedup_simhash_pairs,
+    )
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_simhash_pairs(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2]) for r in con.sql(_SIMHASH_PAIRS_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -164,6 +164,7 @@ def calibration_sec() -> float:
 HEADLINE = [
     "fts_term",
     "fts_multiscript",
+    "fts_cjk_substr",
     "fts_bool",
     "fts_bm25",
     "meta_where_numeric",

@@ -52,7 +52,8 @@ CORPUS = [
     "Привет 中文",                # Cyrillic whole-word + Han bigram
     "한국어 문서 처리",             # Hangul: space-delimited → NO expansion
     "don't stop 人々 〇",          # punctuation split; iteration marks 々〇
-    "spark中文 mixed run",         # mixed latin+CJK token stays WHOLE
+    "spark中文 mixed run",         # mixed token SEGMENTS: [spark][中文]
+    "中文2024年の記録",             # digits inside a run segment out
     "中",                          # single CJK char: no bigram possible
     "ｆｕｌｌｗｉｄｔｈ 中文 ＡＢＣ",  # fullwidth latin is not in the run class
     "",                            # empty
@@ -88,8 +89,12 @@ class TestThreeEngineEquivalence:
         assert _py("スパーク") == ["スパ", "パー", "ーク"]
         # Hangul excluded by design: whole words
         assert _py("한국어 문서") == ["한국어", "문서"]
-        # mixed latin+CJK token passes through whole
-        assert _py("spark中文") == ["spark中文"]
+        # mixed tokens SEGMENT into maximal CJK / non-CJK runs (real
+        # CJK text embeds digits and latin inside runs — digits are
+        # \p{N}, so the unicode split keeps them in one token); each
+        # CJK segment ≥2 bigrams, the rest pass whole
+        assert _py("spark中文") == ["spark", "中文"]
+        assert _py("中文2024年") == ["中文", "2024", "年"]
         # single CJK char: no bigram to make
         assert _py("中") == ["中"]
         # iteration marks are part of runs
@@ -189,6 +194,34 @@ class TestScanPathSemantics:
     def test_lone_char_prefix_recall(self, docs):
         # 例 at non-final run positions (例子) and standalone — both hit
         assert self._ids(docs, "例") == [3]
+
+    def test_mixed_run_with_digits(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "中文2024年の記録"), (2, "中文2023年の記録")],
+            "id long, content string",
+        )
+        ids = lambda q: sorted(  # noqa: E731
+            r["id"]
+            for r in match_filter(
+                docs,
+                parse_query(q, tokenizer=TOKENIZER_CJK),
+                tokenizer=TOKENIZER_CJK,
+            ).collect()
+        )
+        # the digit island is its own token; phrase adjacency crosses
+        # the CJK/digit boundary when the CJK side contributes a full
+        # bigram
+        assert ids("2024") == [1]
+        assert ids("2024年の") == [1]
+        assert ids("中文2023") == [2]
+        assert ids("の記録") == [1, 2]
+        # documented edge (same class as the lone-char query): a 1-char
+        # CJK segment inside a larger query word only matches where the
+        # doc has it as a standalone segment — segments never bigram
+        # ACROSS a boundary, so "…年" cannot anchor to the doc's 年の
+        # bigram; add the next char ("2024年の") for exact anchoring
+        # (the bigram-family analog of FTS5 trigram's 3-char minimum)
+        assert ids("2024年") == []
 
 
 class TestCollectionLifecycle:

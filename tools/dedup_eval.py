@@ -32,6 +32,14 @@ token-drop mutation of the SAME translated text. Pre-flip these docs
 tokenized to NOTHING (excluded from the finders); the per-script
 recall rows pin that non-Latin scripts now dedup at parity with the
 Latin rows.
+
+Unspaced-CJK plants (late r14): the spaced translation above keeps the
+Latin token structure, which real CJK text does not have. A second CJK
+plant family strips ALL whitespace after the 10%%-drop mutation, so the
+``recall_cjk_unspaced`` column contrasts the unicode family (whole-run
+tokens -> ~zero recall, the documented failure mode) against the
+``*_cjkbigram`` method rows (same finders under
+``tokenizer="cjk_bigram"`` -> bigram-granular recall).
 """
 
 from __future__ import annotations
@@ -159,6 +167,34 @@ def main() -> None:
             (f"{script}-{i}", f"dup-{script}-{i}") for i in orig_ids
         }
 
+    # unspaced-CJK plants (late r14, cjk_bigram family): real CJK text
+    # carries no spaces, so near-dup structure lives INSIDE one run per
+    # sentence. Translate → drop 10% tokens → strip ALL whitespace: the
+    # unicode family then sees a handful of giant run-tokens per doc
+    # (whole-run shingles → Jaccard ~0 between original and mutation —
+    # its recall_cjk_unspaced row IS the documented failure mode), while
+    # the cjk_bigram family recovers word-drop-scale overlap at bigram
+    # granularity (the *_cjkbigram method rows).
+    def despace(c):
+        return F.regexp_replace(c, r"\s+", "")
+
+    cjk_trans = originals.select(
+        F.concat(F.lit("cjku-"), F.col("doc_id")).alias("doc_id"),
+        F.translate(F.lower(F.col("text")), _LATIN, _SCRIPTS["cjk"]).alias(
+            "text"
+        ),
+    )
+    plants.append(cjk_trans.select("doc_id", despace(F.col("text")).alias("text")))
+    plants.append(
+        cjk_trans.select(
+            F.concat(F.lit("dup-"), F.col("doc_id")).alias("doc_id"),
+            despace(dropped_text(_SCRIPT_RATE)).alias("text"),
+        )
+    )
+    planted["cjk_unspaced"] = {
+        (f"cjku-{i}", f"dup-cjku-{i}") for i in orig_ids
+    }
+
     corpus = docs
     for p in plants:
         corpus = corpus.unionByName(p)
@@ -189,6 +225,18 @@ def main() -> None:
         lambda: ngram_jaccard_pairs(corpus, threshold=0.5)
     )
     results["simhash_h8"] = run(lambda: simhash_pairs(corpus, max_hamming=8))
+    from sifts_spark.functions.text import TOKENIZER_CJK
+
+    results["minhash_j0.5_16x4_cjkbigram"] = run(
+        lambda: minhash_lsh_pairs(
+            corpus, jaccard_threshold=0.5, tokenizer=TOKENIZER_CJK
+        )
+    )
+    results["ngram_jaccard_j0.5_cjkbigram"] = run(
+        lambda: ngram_jaccard_pairs(
+            corpus, threshold=0.5, tokenizer=TOKENIZER_CJK
+        )
+    )
     results["hash_embedding_cos0.9_ivf32"] = run(
         lambda: embedding_dup_pairs(
             embed_hashing(corpus, id_col="doc_id", dim=128)

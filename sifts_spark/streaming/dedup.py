@@ -263,6 +263,7 @@ def make_dedup_sink(
     shingle_size: int = 3,
     max_bucket_size: int | None = 10_000,
     compact_every: int | None = 16,
+    tokenizer: str | None = None,
 ):
     """foreachBatch sink: reject near-dups, append survivors, grow the
     index. Same durable-marker idempotency contract as
@@ -285,7 +286,15 @@ def make_dedup_sink(
     per-batch listing cost on long-running streams (None disables).
     ``index_dir`` is coupled to ``checkpoint_dir``'s lifetime: batch
     ids must stay monotone, so restarting with a FRESH checkpoint needs
-    a fresh index dir too."""
+    a fresh index dir too.
+
+    ``tokenizer`` defaults to the COLLECTION's pinned family (sticky
+    ``_tokenizer`` marker — the find_duplicates contract), so a
+    cjk_bigram collection's stream gate sketches at bigram granularity.
+    The sketch index inherits that family at first write; band keys
+    from different families never align, so ``retokenize()`` on a
+    streamed collection requires a fresh ``index_dir`` (and checkpoint)
+    — an old-family index would silently under-reject, never corrupt."""
     from sifts_spark.operators.dedup import (
         duplicate_clusters,
         minhash_banded_sketches,
@@ -297,6 +306,8 @@ def make_dedup_sink(
 
     spark = collection.store.spark
     seen, mark = durable_commit_markers(spark, checkpoint_dir)
+    if tokenizer is None:
+        tokenizer = collection._tok_family()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if seen(batch_id):
@@ -325,6 +336,7 @@ def make_dedup_sink(
                 jaccard_threshold=jaccard_threshold,
                 max_bucket_size=max_bucket_size,
                 include_origin=True,
+                tokenizer=tokenizer,
             ).withColumnRenamed("a_new", "_an").withColumnRenamed(
                 "b_new", "_bn"
             ).persist()
@@ -381,7 +393,7 @@ def make_dedup_sink(
                 minhash_banded_sketches(
                     survivors, id_col=id_col, text_col=content_col,
                     num_hashes=num_hashes, bands=bands,
-                    shingle_size=shingle_size,
+                    shingle_size=shingle_size, tokenizer=tokenizer,
                 ).write.mode("overwrite").parquet(
                     f"{index_dir.rstrip('/')}/batch={batch_id}"
                 )

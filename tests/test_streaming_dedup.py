@@ -281,3 +281,28 @@ def test_resent_id_keeps_accepted_precedence(col, spark, tmp_path):
     sink(_df(spark, [("resent", BASE), ("a0", BASE + " tail")]), 1)
     ids = {r["id"] for r in col.docs().collect()}
     assert ids == {"resent"}
+
+
+def test_sink_inherits_collection_tokenizer(store_root, spark, tmp_path):
+    # a cjk_bigram-pinned collection's stream gate sketches at bigram
+    # granularity: an unspaced CJK near-dup (one appended char — the
+    # deterministic md5 band collision pinned in test_cjk_tokenize) is
+    # rejected across batches, where the unicode family would see two
+    # unrelated whole-run tokens and admit it
+    cjk = Collection(store_root, "sdcjk", spark=spark, tokenizer="cjk_bigram")
+    sink = make_dedup_sink(
+        cjk, str(tmp_path / "ck1"), str(tmp_path / "ix1"),
+        jaccard_threshold=0.5,
+    )
+    sink(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
+    sink(_df(spark, [("b", "机器学习是人工智能的分支了")]), 1)
+    assert {r["id"] for r in cjk.docs().collect()} == {"a"}
+
+    uni = Collection(store_root, "sduni", spark=spark)
+    sink_u = make_dedup_sink(
+        uni, str(tmp_path / "ck2"), str(tmp_path / "ix2"),
+        jaccard_threshold=0.5,
+    )
+    sink_u(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
+    sink_u(_df(spark, [("b", "机器学习是人工智能的分支了")]), 1)
+    assert {r["id"] for r in uni.docs().collect()} == {"a", "b"}

@@ -343,6 +343,58 @@ def main() -> None:
 
     QUERIES["phrase_positional_index"] = _phrase_positional
     QUERIES["phrase_content_verify"] = _phrase_content_verify
+
+    # ---- cjk_bigram family at scale (r14): the honest cost/benefit of
+    # bigram expansion. Corpus: the documents table letter-translated to
+    # CJK and fully despaced (digits/punct stay and segment runs — the
+    # realistic shape), so every doc is a handful of long unspaced runs.
+    # Measured: positional bigram postings build + on-disk bytes (each
+    # CJK char lands in ~2 bigrams → rows scale with CHARS not words —
+    # the amplification a deployment sizes disks for), then the same
+    # substring query answered index-side vs by the scan predicate.
+    from sifts_spark.functions.text import TOKENIZER_CJK
+
+    _CJK26 = "一二三四五六七八九十百千万上下左右中大小山水火木金土"
+    _L26 = "abcdefghijklmnopqrstuvwxyz"
+    cdocs = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _L26, _CJK26),
+            r"\s+",
+            "",
+        ).alias("content"),
+    )
+    cjk_idx = tempfile.mkdtemp(prefix="ext_bench_cjk_postings_")
+    timed_setup(
+        "cjk_postings_build",
+        lambda: S_search.write_postings(
+            S_search.build_postings(
+                cdocs, positions=True, tokenizer=TOKENIZER_CJK
+            ),
+            cjk_idx,
+        ),
+    )
+    setup["cjk_postings_bytes"] = _dir_bytes(cjk_idx)
+    release_all()
+    # the same written phrase as _PHRASE, translated + despaced: a
+    # substring of longer runs, answerable ONLY under the bigram family
+    _CJK_Q = parse_query(
+        "hashjoin".translate(str.maketrans(_L26, _CJK26)),
+        tokenizer=TOKENIZER_CJK,
+    )
+
+    def _cjk_substr_postings():
+        return S_search.search_postings(
+            spark.read.parquet(cjk_idx), _CJK_Q
+        ).drop("_pending")
+
+    def _cjk_substr_scan():
+        return S_search.match_filter(
+            cdocs, _CJK_Q, "content", tokenizer=TOKENIZER_CJK
+        ).select("id")
+
+    QUERIES["cjk_substr_postings"] = _cjk_substr_postings
+    QUERIES["cjk_substr_scan"] = _cjk_substr_scan
     # one Arrow pass marking matched terms over the whole corpus (the
     # bulk highlight path, query_df(highlight=True))
     QUERIES["snippet_bulk"] = lambda: sdocs.select(

@@ -25,23 +25,25 @@ _TOKEN_RE = re.compile(token_match_re_py())  # default family
 _HAS_CJK_RE = re.compile(f"[{CJK_RUN_CHARS}]")
 
 
-def _reconstruct_cjk_chains(words: tuple) -> list:
-    """Collapse a phrase's consecutive OVERLAPPING bigrams back to the
-    written run: ('中文','文字','spark') → ['中文字', 'spark']. Two
-    adjacent words chain when the first ends with the char the second
-    starts with and both are CJK bigrams — exactly how the cjk_bigram
-    family expanded the run, so the reconstruction is lossless for
-    chains the tokenizer produced."""
+def _reconstruct_cjk_chains(words: tuple, n: int = 2, require_cjk: bool = True) -> list:
+    """Collapse a phrase's consecutive OVERLAPPING n-grams back to the
+    written run: bigrams ('中文','文字','spark') → ['中文字', 'spark'];
+    trigrams ('hel','ell','llo') → ['hello']. Two adjacent words chain
+    when the second is an n-gram overlapping the first by n-1 chars —
+    exactly how the expanding families produced them, so the
+    reconstruction is lossless for chains the tokenizer emitted
+    (``require_cjk`` keeps the bigram family from chaining accidental
+    2-char latin neighbours; the trigram family chains any script, and
+    an accidental cross-word overlap merely widens a highlight)."""
     segs: list = []
     cur = words[0]
     for w in words[1:]:
         if (
-            len(w) == 2
-            and cur[-1] == w[0]
-            and _HAS_CJK_RE.search(w)
-            and _HAS_CJK_RE.search(cur[-1])
+            len(w) == n
+            and cur[-(n - 1) :] == w[: n - 1]
+            and (not require_cjk or (_HAS_CJK_RE.search(w) and _HAS_CJK_RE.search(cur[-1])))
         ):
-            cur += w[1]
+            cur += w[n - 1]
         else:
             segs.append(cur)
             cur = w
@@ -106,33 +108,37 @@ def make_snippet(
         return text
     terms, prefixes, phrases = positive_leaves(ast)
     matched: set = set()
-    if tokenizer == "cjk_bigram":
-        # Run-granular highlighting: the AST's CJK leaves are bigrams,
-        # whose content spans OVERLAP by one char — wrapping each would
-        # duplicate text. Spans here are whole unicode runs (the match
-        # regex is the unicode family's); a run is marked when it
-        # CONTAINS a positive needle: a CJK term as a substring, a
-        # phrase's overlapping bigram chain reconstructed back to the
-        # written string, or a CJK prefix (the lone-char query) at any
-        # position. Non-CJK phrase remnants mark word-level (cross-run
-        # adjacency is not re-verified here — the MATCH already
-        # verified it; a snippet is a decoration).
-        cjk_needles = {t for t in terms if _HAS_CJK_RE.search(t)}
+    if tokenizer in ("cjk_bigram", "trigram"):
+        # Run-granular highlighting for the EXPANDING families: the
+        # AST's leaves are n-grams whose content spans OVERLAP by n-1
+        # chars — wrapping each would duplicate text. Spans here are
+        # whole unicode runs (the match regex is the unicode family's);
+        # a run is marked when it CONTAINS a positive needle: an n-gram
+        # term as a substring, a phrase's overlapping chain
+        # reconstructed back to the written string, or an in-word
+        # prefix (the sub-length query degradation) at any position.
+        # Word-granular remnants mark word-level (cross-run adjacency
+        # is not re-verified here — the MATCH already verified it; a
+        # snippet is a decoration).
+        cjk = tokenizer == "cjk_bigram"
+        n = 2 if cjk else 3
+        sub_ok = _HAS_CJK_RE.search if cjk else (lambda s: True)
+        needles = {t for t in terms if sub_ok(t)}
         plain_words: set = set()
         for words in phrases:
-            for seg in _reconstruct_cjk_chains(words):
-                if _HAS_CJK_RE.search(seg):
-                    cjk_needles.add(seg)
+            for seg in _reconstruct_cjk_chains(words, n, require_cjk=cjk):
+                if sub_ok(seg):
+                    needles.add(seg)
                 else:
                     plain_words.add(seg)
-        cjk_prefixes = {p for p in prefixes if _HAS_CJK_RE.search(p)}
+        sub_prefixes = {p for p in prefixes if sub_ok(p)}
         for i, (tok, _, _) in enumerate(spans):
             if (
                 tok in terms
                 or tok in plain_words
                 or any(tok.startswith(p) for p in prefixes)
-                or any(nd in tok for nd in cjk_needles)
-                or any(p in tok for p in cjk_prefixes)
+                or any(nd in tok for nd in needles)
+                or any(p in tok for p in sub_prefixes)
             ):
                 matched.add(i)
     else:

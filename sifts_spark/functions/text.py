@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 TOKENIZER_ASCII = "ascii"
 TOKENIZER_UNICODE = "unicode"
 TOKENIZER_CJK = "cjk_bigram"
+TOKENIZER_TRIGRAM = "trigram"
 #: the family new collections and free-standing operators use
 DEFAULT_TOKENIZER = TOKENIZER_UNICODE
 
@@ -109,16 +110,19 @@ _SPLIT_RES = {
     TOKENIZER_ASCII: TOKEN_SPLIT_RE_ASCII,
     TOKENIZER_UNICODE: TOKEN_SPLIT_RE_UNICODE,
     TOKENIZER_CJK: TOKEN_SPLIT_RE_UNICODE,  # split like unicode, then expand
+    TOKENIZER_TRIGRAM: TOKEN_SPLIT_RE_UNICODE,  # ditto
 }
 _SPLIT_RES_PY = {
     TOKENIZER_ASCII: TOKEN_SPLIT_RE_ASCII_PY,
     TOKENIZER_UNICODE: TOKEN_SPLIT_RE_UNICODE_PY,
     TOKENIZER_CJK: TOKEN_SPLIT_RE_UNICODE_PY,
+    TOKENIZER_TRIGRAM: TOKEN_SPLIT_RE_UNICODE_PY,
 }
 _MATCH_RES_PY = {
     TOKENIZER_ASCII: TOKEN_MATCH_RE_ASCII_PY,
     TOKENIZER_UNICODE: TOKEN_MATCH_RE_UNICODE_PY,
     TOKENIZER_CJK: TOKEN_MATCH_RE_UNICODE_PY,
+    TOKENIZER_TRIGRAM: TOKEN_MATCH_RE_UNICODE_PY,
 }
 
 
@@ -160,8 +164,11 @@ def tokenize(text: Column | str, tokenizer: str | None = None) -> Column:
         F.split(F.lower(col), token_split_re(tokenizer)),
         lambda t: t != F.lit(""),
     )
-    if resolve_tokenizer(tokenizer) == TOKENIZER_CJK:
+    fam = resolve_tokenizer(tokenizer)
+    if fam == TOKENIZER_CJK:
         base = _cjk_bigram_expand(base)
+    elif fam == TOKENIZER_TRIGRAM:
+        base = _trigram_expand(base)
     return base
 
 
@@ -203,13 +210,47 @@ def _cjk_bigram_expand(tokens: Column) -> Column:
     )
 
 
+def _trigram_expand(tokens: Column) -> Column:
+    """tokens ARRAY<STRING> → the "trigram" family expansion: every
+    token of ≥3 chars becomes its character trigrams IN ORDER (1-2 char
+    tokens pass whole — nothing shorter can anchor inside a longer
+    word). The universal-substring family (FTS5's ``trigram`` tokenizer
+    posture, script-blind): a query word matches INSIDE any word of any
+    script via consecutive-trigram phrases. Unlike FTS5's, trigrams
+    never span token boundaries — the split runs first, so substring
+    match is WITHIN-token ("ello" finds "hello"; "lo wo" cannot find
+    "hello world") — the price of keeping one postings/query machinery
+    across all families. Codegen'd HOFs, no UDF, map-side only."""
+    return F.flatten(
+        F.transform(
+            tokens,
+            lambda t: F.when(
+                F.length(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 2),
+                    lambda i: F.substring(t, i, 3),
+                ),
+            ).otherwise(F.array(t)),
+        )
+    )
+
+
 def tokenize_sql(text_expr: str, tokenizer: str | None = None) -> str:
     """DuckDB SQL twin of :func:`tokenize`."""
     base = (
         f"list_filter(string_split_regex(lower({text_expr}),"
         f" '{token_split_re(tokenizer)}'), _t -> _t <> '')"
     )
-    if resolve_tokenizer(tokenizer) != TOKENIZER_CJK:
+    fam = resolve_tokenizer(tokenizer)
+    if fam == TOKENIZER_TRIGRAM:
+        return (
+            f"flatten(list_transform({base}, _tk ->"
+            f" CASE WHEN length(_tk) >= 3"
+            f" THEN list_transform(generate_series(1, length(_tk) - 2),"
+            f" _i -> substr(_tk, _i, 3))"
+            f" ELSE [_tk] END))"
+        )
+    if fam != TOKENIZER_CJK:
         return base
     segs = (
         f"flatten(list_transform({base}, _tk ->"
@@ -227,7 +268,7 @@ def tokenize_sql(text_expr: str, tokenizer: str | None = None) -> str:
 def py_tokenize(text: str | None, tokenizer: str | None = None) -> list[str]:
     """Python twin of :func:`tokenize` — same family, same lowercasing,
     empties dropped. The canonical kernel for Arrow/driver-side code."""
-    if resolve_tokenizer(tokenizer) == TOKENIZER_CJK:
+    if resolve_tokenizer(tokenizer) in (TOKENIZER_CJK, TOKENIZER_TRIGRAM):
         return [t for g in py_tokenize_groups(text, tokenizer) for t in g]
     import re as _re
 
@@ -266,6 +307,15 @@ def py_tokenize_groups(
     parts = [
         t for t in _re.split(token_split_re_py(tokenizer), text.lower()) if t
     ]
+    if fam == TOKENIZER_TRIGRAM:
+        return [
+            (
+                [p[i : i + 3] for i in range(len(p) - 2)]
+                if len(p) >= 3
+                else [p]
+            )
+            for p in parts
+        ]
     if fam != TOKENIZER_CJK:
         return [[p] for p in parts]
     run = _re.compile(f"[{CJK_RUN_CHARS}]{{2,}}")
@@ -284,6 +334,22 @@ def py_tokenize_groups(
                 group.append(s)
         out.append(group)
     return out
+
+
+def prefix_degrades(token: str, tokenizer: str | None = None) -> bool:
+    """True when an exact ``Term`` over this single-token query leaf
+    could never hit the family's EXPANDED index — the parser compiles
+    such leaves to ``Prefix`` instead (documented partial recall):
+    cjk_bigram's lone CJK char (runs ≥2 store no single-char tokens),
+    and trigram's 1-2 char tokens (words ≥3 store only trigrams —
+    FTS5's trigram tokenizer hard-rejects sub-length queries, we
+    degrade instead)."""
+    fam = resolve_tokenizer(tokenizer)
+    if fam == TOKENIZER_CJK:
+        return is_cjk_char(token)
+    if fam == TOKENIZER_TRIGRAM:
+        return len(token) < 3
+    return False
 
 
 def is_cjk_char(token: str) -> bool:

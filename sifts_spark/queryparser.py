@@ -292,18 +292,18 @@ class QueryParser:
         return node
 
     def _leaf(self, token: str, is_prefix: bool) -> Node:
-        """One single-token leaf. In the cjk_bigram family a LONE CJK
-        character compiles to a Prefix over bigrams (an exact Term can
-        never hit a bigrammed index — runs ≥2 store no single-char
-        tokens; prefix finds the char at every non-final run position
-        plus standalone occurrences, a documented partial-recall
-        degradation where FTS5's trigram tokenizer rejects the query
-        outright)."""
+        """One single-token leaf. In the expanding families a query
+        token SHORTER than the expansion unit compiles to a Prefix (an
+        exact Term can never hit the expanded index: cjk_bigram's
+        lone CJK char, trigram's 1-2 char tokens); prefix-over-grams
+        finds it at every non-final in-word position plus standalone
+        occurrences — a documented partial-recall degradation where
+        FTS5's trigram tokenizer rejects the query outright."""
         if is_prefix:
             return Prefix(token)
-        from sifts_spark.functions.text import TOKENIZER_CJK, is_cjk_char
+        from sifts_spark.functions.text import prefix_degrades
 
-        if self._tokenizer == TOKENIZER_CJK and is_cjk_char(token):
+        if prefix_degrades(token, self._tokenizer):
             return Prefix(token)
         return Term(token)
 

@@ -1,0 +1,171 @@
+"""The ``trigram`` tokenizer family (late r14).
+
+The universal-substring family (FTS5 ``trigram`` tokenizer posture,
+script-blind): every token of ≥3 chars expands to its character
+trigrams, and the parser compiles a query word to a consecutive Phrase
+over its trigrams — so a query matches INSIDE any word of any script
+(code identifiers, URLs, agglutinated compounds). Unlike FTS5's,
+trigrams never span token boundaries (the unicode split runs first),
+so substring match is WITHIN-token — documented.
+
+Same machinery as cjk_bigram (`py_tokenize_groups` → Phrase; sticky
+``_tokenizer`` marker; Prefix degradation for sub-length queries), so
+these tests mirror tests/test_cjk_tokenize.py's structure.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sifts_spark.collection import Collection
+from sifts_spark.functions.snippets import make_snippet
+from sifts_spark.functions.text import (
+    TOKENIZER_TRIGRAM,
+    py_tokenize,
+    py_tokenize_groups,
+    tokenize,
+    tokenize_sql,
+)
+from sifts_spark.operators.search import match_filter
+from sifts_spark.queryparser import Phrase, Prefix, Term, parse_query
+
+CORPUS = [
+    "hello world",
+    "preprocessing pipeline configuration",
+    "to be or not",                 # 1-2 char tokens stay whole
+    "中文文档 example",              # CJK ≥3 trigrams too (script-blind)
+    "don't stop",
+    "",
+    "、。",                          # zero tokens
+]
+
+
+def _py(t):
+    return py_tokenize(t, TOKENIZER_TRIGRAM)
+
+
+class TestThreeEngineEquivalence:
+    def test_spark_duckdb_python_agree(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "id long, content string"
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id", tokenize(F.col("content"), TOKENIZER_TRIGRAM).alias("t")
+            ).collect()
+        }
+        con = duckdb.connect()
+        sql = f"SELECT {tokenize_sql('?', TOKENIZER_TRIGRAM)}"
+        for i, text in enumerate(CORPUS):
+            dk = con.execute(sql, [text]).fetchone()[0]
+            assert got[i] == dk == _py(text), (text, got[i], dk, _py(text))
+
+    def test_expansion_shapes(self):
+        assert _py("hello") == ["hel", "ell", "llo"]
+        assert _py("to be") == ["to", "be"]
+        assert _py("abc") == ["abc"]
+        # script-blind: a 4-char CJK run trigrams just like latin
+        assert _py("中文文档") == ["中文文", "文文档"]
+        assert py_tokenize_groups("ello x", TOKENIZER_TRIGRAM) == [
+            ["ell", "llo"],
+            ["x"],
+        ]
+
+
+class TestQueryCompilation:
+    def test_word_compiles_to_trigram_phrase(self):
+        assert parse_query("ello", tokenizer=TOKENIZER_TRIGRAM) == Phrase(
+            ("ell", "llo")
+        )
+        assert parse_query("abc", tokenizer=TOKENIZER_TRIGRAM) == Term("abc")
+
+    def test_sub_length_degrades_to_prefix(self):
+        assert parse_query("ab", tokenizer=TOKENIZER_TRIGRAM) == Prefix("ab")
+        assert parse_query("a", tokenizer=TOKENIZER_TRIGRAM) == Prefix("a")
+
+    def test_other_families_unaffected(self):
+        assert parse_query("ello", tokenizer="unicode") == Term("ello")
+
+
+class TestScanPathSemantics:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "say hello to the world"),
+                (2, "olleh reversed letters"),
+                (3, "preprocessing pipelines"),
+                (4, "to be or not to be"),
+            ],
+            "id long, content string",
+        )
+
+    def _ids(self, docs, q):
+        ast = parse_query(q, tokenizer=TOKENIZER_TRIGRAM)
+        return sorted(
+            r["id"]
+            for r in match_filter(
+                docs, ast, tokenizer=TOKENIZER_TRIGRAM
+            ).collect()
+        )
+
+    def test_substring_inside_word(self, docs):
+        assert self._ids(docs, "ello") == [1]
+        assert self._ids(docs, "process") == [3]
+
+    def test_reversed_does_not_match(self, docs):
+        assert self._ids(docs, "olle") == [2]  # only the literal one
+
+    def test_short_tokens_exact_and_prefix(self, docs):
+        # "to" is a standalone token in 1 and 4; Prefix also matches
+        # trigrams starting "to" (none here start with to except the
+        # token itself)
+        assert self._ids(docs, "to") == [1, 4]
+
+    def test_whole_word_still_matches(self, docs):
+        assert self._ids(docs, "hello") == [1]
+        assert self._ids(docs, "preprocessing") == [3]
+
+
+class TestCollectionLifecycle:
+    def test_pin_query_reopen(self, spark, tmp_path):
+        c = Collection(
+            str(tmp_path / "s"), "d", spark=spark, tokenizer=TOKENIZER_TRIGRAM
+        )
+        c.add(
+            ids=["a", "b"],
+            contents=["say hello to the world", "unrelated content here"],
+        )
+        assert c._tok_family() == TOKENIZER_TRIGRAM
+        ids = lambda res: sorted(d["id"] for d in res["results"])  # noqa: E731
+        assert ids(c.query("ello")) == ["a"]
+        c2 = Collection(str(tmp_path / "s"), "d", spark=spark)
+        assert c2._tok_family() == TOKENIZER_TRIGRAM
+        assert ids(c2.query("orld")) == ["a"]
+        with pytest.raises(ValueError):
+            Collection(
+                str(tmp_path / "s"), "d", spark=spark, tokenizer="unicode"
+            )
+
+
+class TestSnippets:
+    def test_in_word_highlight(self):
+        fam = TOKENIZER_TRIGRAM
+        s = make_snippet(
+            "say hello to the world",
+            parse_query("ello", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[hello]" in s
+
+    def test_excluded_side_never_marked(self):
+        fam = TOKENIZER_TRIGRAM
+        s = make_snippet(
+            "alpha beta both",
+            parse_query("alpha NOT beta", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[alpha]" in s and "[beta]" not in s

@@ -152,3 +152,29 @@ def test_cross_handle_retokenize_honored_without_reopen(store_root, spark):
     # handle `a` picks the new family up on its NEXT query — the marker
     # is read per query-plan build, no refresh()/reopen required
     assert _ids(a.query("привет")) == ["ru"]
+
+
+def test_retokenize_walks_all_four_families(store_root, spark):
+    # unicode (default) -> trigram -> cjk_bigram -> unicode: each hop
+    # rebuilds sidecars under the new family and the SAME query goes
+    # from miss to hit (or back) exactly as each family's unit implies
+    from sifts_spark.collection import Collection
+
+    c = Collection(store_root, "walk", spark=spark)
+    c.add(ids=["a"], contents=["preprocessing 中文文档のテスト"])
+    total = lambda q: c.query(q)["total"]  # noqa: E731
+    # unicode: whole words only
+    assert total("preprocessing") == 1
+    assert total("process") == 0 and total("文档") == 0
+    c.retokenize("trigram")
+    assert c._tok_family() == "trigram"
+    # trigram: within-word substring, any script (>=3 chars)
+    assert total("process") == 1 and total("文文档") == 1
+    c.retokenize("cjk_bigram")
+    assert c._tok_family() == "cjk_bigram"
+    # cjk_bigram: CJK substring at bigram granularity; latin whole-word
+    assert total("文档") == 1
+    assert total("process") == 0 and total("preprocessing") == 1
+    c.retokenize("unicode")
+    assert c._tok_family() == "unicode"
+    assert total("preprocessing") == 1 and total("文档") == 0

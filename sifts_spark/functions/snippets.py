@@ -133,12 +133,20 @@ def make_snippet(
                     plain_words.add(seg)
         sub_prefixes = {p for p in prefixes if sub_ok(p)}
         for i, (tok, _, _) in enumerate(spans):
+            # a MIXED run (contains CJK) holds its latin terms as
+            # segments, not whole tokens ("Spark中文入門" matched
+            # Term('spark') via segmentation) — substring-check every
+            # term against such runs so matched docs never render
+            # unmarked; pure-latin spans keep exact equality (r14
+            # review finding #6)
+            mixed = cjk and _HAS_CJK_RE.search(tok)
             if (
                 tok in terms
                 or tok in plain_words
                 or any(tok.startswith(p) for p in prefixes)
                 or any(nd in tok for nd in needles)
                 or any(p in tok for p in sub_prefixes)
+                or (mixed and any(t in tok for t in terms))
             ):
                 matched.add(i)
     else:

@@ -68,7 +68,13 @@ TOKEN_MATCH_RE_UNICODE_PY = r"[^\W_]+"
 # chars into its character BIGRAMS (the classic CJK-IR unit — Lucene's
 # CJKAnalyzer posture). Bigram positions are consecutive, so with the
 # positional postings default a multi-bigram query verifies adjacency
-# index-side, giving true SUBSTRING match semantics over CJK runs.
+# index-side, giving substring match semantics over CJK runs — up to
+# the classic CJK-bigram over-match: a query run ALSO matches its
+# exact gram chain split across adjacent written runs ("中文字"
+# matches the doc "中文 文字" — gram positions are consecutive across
+# token boundaries). Lucene's CJKAnalyzer phrase queries behave the
+# same way; FTS5's trigram avoids it only by including the separator
+# chars in its grams. Precision trade, pinned in tests.
 #
 # The run class is an EXPLICIT codepoint-range literal, not \p{script},
 # so the Java (Spark), RE2 (DuckDB) and CPython engines agree on every
@@ -350,6 +356,25 @@ def prefix_degrades(token: str, tokenizer: str | None = None) -> bool:
     if fam == TOKENIZER_TRIGRAM:
         return len(token) < 3
     return False
+
+
+def prefix_tail_needed(token: str, tokenizer: str | None = None) -> bool:
+    """For a query word with a trailing ``*`` whose expansion group is
+    multi-token: does the ``*`` still carry information when ``token``
+    is the group's LAST element? A tail that IS a complete n-gram of
+    the family means the star is implied (any longer written word
+    still contains the query's gram chain — substring semantics); a
+    NON-expanded tail (the latin/digit segment of a mixed word under
+    cjk_bigram, e.g. "中文spark*") would otherwise compile to an exact
+    Term and silently drop the prefix intent (r14 review finding #4)."""
+    fam = resolve_tokenizer(tokenizer)
+    if fam == TOKENIZER_CJK:
+        import re as _re
+
+        return not _re.fullmatch(f"[{CJK_RUN_CHARS}]{{2}}", token)
+    if fam == TOKENIZER_TRIGRAM:
+        return len(token) != 3
+    return True  # non-expanding families: groups are singletons
 
 
 def is_cjk_char(token: str) -> bool:

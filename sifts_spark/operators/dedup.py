@@ -706,11 +706,22 @@ def simhash_fingerprints(
     oracle twins were updated to match (catalog r13): their fp CTEs
     aggregate only docs that produced tokens — previously a LEFT JOIN
     + coalesce(...,0) fabricated the all-zero fingerprint back in."""
-    # the zero-token pre-filter is family-independent: "has ≥1 token"
-    # ⟺ "contains ≥1 \p{L}\p{N} char" in every family (the cjk_bigram
-    # expansion preserves non-emptiness; CJK chars are \p{L})
+    # zero-token pre-filter: "has ≥1 token" ⟺ "contains ≥1 \p{L}\p{N}
+    # char" for the unicode-split families (unicode/cjk_bigram/trigram
+    # — expansion preserves non-emptiness and CJK chars are \p{L}), so
+    # those keep the cheap short-circuiting rlike. The ASCII family is
+    # NOT equivalent (a Russian doc passes the unicode rlike but
+    # ascii-tokenizes to zero tokens — the all-zero-fingerprint
+    # mega-cluster r13 fixed would come back), so it pays the
+    # definitional size(tokenize)>0 check (r14 review finding #1;
+    # ascii is the legacy family, rarely on this path).
+    from sifts_spark.functions.text import TOKENIZER_ASCII, resolve_tokenizer
+
     toks = tokenize(F.col(text_col), tokenizer)
-    docs = docs.filter(F.col(text_col).rlike(r"[\p{L}\p{N}]"))
+    if resolve_tokenizer(tokenizer) == TOKENIZER_ASCII:
+        docs = docs.filter(F.size(toks) > 0)
+    else:
+        docs = docs.filter(F.col(text_col).rlike(r"[\p{L}\p{N}]"))
     if impl == "arrow":
         fp = simhash64_arrow(toks)
         return ensure_min_parallelism(docs).select(

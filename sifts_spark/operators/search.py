@@ -59,18 +59,23 @@ def match_filter(
     ``tokenizer`` must match the family the ``ast``'s words were split
     with (parse_query's ``tokenizer=``) — default family for both.
 
-    cjk_bigram predicates evaluate the tokenize expression ONCE per row
-    by binding it to a lambda variable (``exists`` over a one-element
-    array): codegen's subexpression elimination does not hoist the
-    shared tokenize subtree across a short-circuiting multi-leaf
-    boolean, and the bigram expansion is expensive enough that a
-    3-leaf query paid ~2× (measured 0.54s → 0.36s at sf0.1). The
-    ascii/unicode families keep the direct shape — their tokenize is
-    cheap and the pinned plans stay byte-identical."""
-    from sifts_spark.functions.text import TOKENIZER_CJK, resolve_tokenizer
+    The EXPANDING families (cjk_bigram, trigram) evaluate the tokenize
+    expression ONCE per row by binding it to a lambda variable
+    (``exists`` over a one-element array): codegen's subexpression
+    elimination does not hoist the shared tokenize subtree across a
+    short-circuiting multi-leaf boolean, and the n-gram expansion is
+    expensive enough that a 3-leaf query paid ~2× (measured 0.54s →
+    0.36s at sf0.1 for cjk). The ascii/unicode families keep the
+    direct shape — their tokenize is cheap and the pinned plans stay
+    byte-identical."""
+    from sifts_spark.functions.text import (
+        TOKENIZER_CJK,
+        TOKENIZER_TRIGRAM,
+        resolve_tokenizer,
+    )
 
     toks = tokenize(F.col(content_col), tokenizer)
-    if resolve_tokenizer(tokenizer) == TOKENIZER_CJK:
+    if resolve_tokenizer(tokenizer) in (TOKENIZER_CJK, TOKENIZER_TRIGRAM):
         return df.filter(F.exists(F.array(toks), lambda t: ast.to_column(t)))
     return df.filter(ast.to_column(toks))
 

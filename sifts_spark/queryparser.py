@@ -279,12 +279,32 @@ class QueryParser:
         groups = py_tokenize_groups(word, self._tokenizer)
         if not groups:
             raise ParseError(f"no searchable characters in {word!r}")
+        from sifts_spark.functions.text import prefix_tail_needed
+
         leaves: list[Node] = []
         for gi, group in enumerate(groups):
+            last = gi == len(groups) - 1
             if len(group) > 1:
-                leaves.append(Phrase(tuple(group)))
+                if (
+                    is_prefix
+                    and last
+                    and prefix_tail_needed(group[-1], self._tokenizer)
+                ):
+                    # "中文spark*": the group's tail is a NON-expanded
+                    # segment, so the star still matters — compile the
+                    # chain plus Prefix(tail). Adjacency between chain
+                    # and tail is relaxed to AND (no phrase-prefix
+                    # node) — recall-correct, documented over-match.
+                    head = group[:-1]
+                    leaves.append(
+                        Phrase(tuple(head))
+                        if len(head) > 1
+                        else self._leaf(head[0], False)
+                    )
+                    leaves.append(Prefix(group[-1]))
+                else:
+                    leaves.append(Phrase(tuple(group)))
             else:
-                last = gi == len(groups) - 1
                 leaves.append(self._leaf(group[0], is_prefix and last))
         node = leaves[0]
         for leaf in leaves[1:]:

@@ -1542,8 +1542,16 @@ class DocumentStore:
             self._gc_markers(name)
         pdir = self._postings_dir(name)
         self._fs.mkdirs(self._Path(pdir))
+        # An EXPLICIT tokenizer argument is DDL intent and always pins:
+        # an unpinned non-default marker would be silently re-stamped
+        # to the default by the next full fold's upgrade hook
+        # (_upgrade_tokenizer_after_full_fold), discarding the family
+        # the user just asked for (r14 review finding #3).
+        # retokenize() with NO argument keeps the prior pinnedness —
+        # it is "rebuild under the current default", not a pin.
+        pin = pinned or tokenizer is not None
         self._write_small_text_atomic(
-            self._tokenizer_marker(name), f"pin:{t}" if pinned else t
+            self._tokenizer_marker(name), f"pin:{t}" if pin else t
         )
         if old and had_postings:
             self.maintain_postings(name)

@@ -195,6 +195,35 @@ class TestScanPathSemantics:
         # 例 at non-final run positions (例子) and standalone — both hit
         assert self._ids(docs, "例") == [3]
 
+    def test_cross_run_overmatch_documented(self, spark):
+        # the classic CJK-bigram precision trade (r14 review #2,
+        # pinned as DOCUMENTED behavior): gram positions are
+        # consecutive across token boundaries, so a query run also
+        # matches its exact chain split across adjacent written runs —
+        # Lucene CJKAnalyzer phrase queries behave identically
+        docs = spark.createDataFrame(
+            [(1, "中文字 here"), (2, "中文 文字 split"), (3, "文字 中文")],
+            "id long, content string",
+        )
+        assert self._ids(docs, "中文字") == [1, 2]  # 3 (wrong order): no
+
+    def test_trailing_star_on_mixed_word_keeps_prefix(self, spark):
+        # "中文spark*": the group tail is a non-expanded latin segment,
+        # so the star compiles to Prefix(tail) AND the chain (adjacency
+        # between them relaxed — documented) instead of silently
+        # requiring the exact token "spark" (r14 review #4)
+        ast = parse_query("中文spark*", tokenizer=TOKENIZER_CJK)
+        assert ast == And(Term("中文"), Prefix("spark"))
+        docs = spark.createDataFrame(
+            [(1, "中文sparkle engine"), (2, "中文spa other")],
+            "id long, content string",
+        )
+        assert self._ids(docs, "中文spark*") == [1]
+        # a pure-CJK tail keeps the implied-star Phrase compile
+        assert parse_query("中文文档*", tokenizer=TOKENIZER_CJK) == Phrase(
+            ("中文", "文文", "文档")
+        )
+
     def test_mixed_run_with_digits(self, spark):
         docs = spark.createDataFrame(
             [(1, "中文2024年の記録"), (2, "中文2023年の記録")],
@@ -339,3 +368,14 @@ class TestSnippets:
             tokenizer=fam,
         )
         assert "[中文]" in s and "[例子]" not in s
+
+    def test_latin_term_inside_mixed_run_marked(self):
+        # Term('spark') matched via segmentation of the mixed run; the
+        # snippet must mark the run it matched in (r14 review #6)
+        fam = TOKENIZER_CJK
+        s = make_snippet(
+            "the Spark中文入門 guide",
+            parse_query("spark", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[Spark中文入門]" in s

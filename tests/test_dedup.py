@@ -581,3 +581,26 @@ def test_cap_buckets_ignores_null_keys(spark):
     reports = [r for r in report_dropped_buckets() if r["op"] == "minhash_lsh_pairs"]
     assert all(r["hot_buckets"] == 0 for r in reports), reports
     release_all()
+
+
+def test_simhash_ascii_family_excludes_zero_token_docs(spark):
+    # r14 review #1: the zero-token pre-filter must be family-aware —
+    # under tokenizer="ascii" a non-Latin doc passes the unicode
+    # \p{L}\p{N} rlike but tokenizes to NOTHING, and two such docs
+    # would share the all-zero fingerprint (hamming 0 — the r13
+    # mega-cluster hazard, resurrected for the legacy family)
+    from sifts_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "русский текст один"),
+            (2, "русский текст два совсем"),
+            (3, "plain latin text here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = simhash_fingerprints(docs, tokenizer="ascii").collect()
+    assert {r["id"] for r in fps} == {3}
+    assert simhash_pairs(docs, tokenizer="ascii").count() == 0
+    # the unicode default keeps them first-class
+    assert simhash_fingerprints(docs).count() == 3

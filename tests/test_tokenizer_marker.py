@@ -178,3 +178,19 @@ def test_retokenize_walks_all_four_families(store_root, spark):
     c.retokenize("unicode")
     assert c._tok_family() == "unicode"
     assert total("preprocessing") == 1 and total("文档") == 0
+
+
+def test_explicit_retokenize_pins_against_fold_revert(store_root, spark):
+    # r14 review #3: an explicit retokenize(family) is DDL intent — it
+    # must PIN, or the next full fold's upgrade hook re-stamps the
+    # default and the requested family silently evaporates
+    from sifts_spark.collection import Collection
+
+    c = Collection(store_root, "pinr", spark=spark)
+    c.add(ids=["a", "b"], contents=["これは中文文档のテストです", "second doc"])
+    c.retokenize("cjk_bigram")
+    assert c.query("文档")["total"] == 1
+    c.add(ids=["c"], contents=["third doc lands a new batch"])
+    c.compact()  # FULL fold — the free re-stamp point for unpinned markers
+    assert c._tok_family() == "cjk_bigram"
+    assert c.query("文档")["total"] == 1

@@ -395,6 +395,46 @@ def main() -> None:
 
     QUERIES["cjk_substr_postings"] = _cjk_substr_postings
     QUERIES["cjk_substr_scan"] = _cjk_substr_scan
+
+    # ---- trigram family on an ORDINARY latin corpus (late r14): the
+    # number a user choosing between unicode (word match) and trigram
+    # (universal within-word substring) needs — what the substring
+    # capability costs in index bytes/build on text that doesn't need
+    # CJK handling, and what it buys vs re-scanning.
+    from sifts_spark.functions.text import TOKENIZER_TRIGRAM
+
+    tri_idx = tempfile.mkdtemp(prefix="ext_bench_tri_postings_")
+    timed_setup(
+        "trigram_postings_build",
+        lambda: S_search.write_postings(
+            S_search.build_postings(
+                sdocs, positions=True, tokenizer=TOKENIZER_TRIGRAM
+            ),
+            tri_idx,
+        ),
+    )
+    setup["trigram_postings_bytes"] = _dir_bytes(tri_idx)
+    release_all()
+    # "ustome" = the in-word interior of "customer" (~77% of docs — the
+    # synthetic vocab is ~30 words, so in-word substrings are either
+    # rare-token-bound or common; the HIGH-selectivity case is the
+    # honest worst case for the index: candidate lists are
+    # corpus-sized, yet the postings path still avoids re-expanding
+    # every document's text per query)
+    _TRI_Q = parse_query("ustome", tokenizer=TOKENIZER_TRIGRAM)
+
+    def _trigram_substr_postings():
+        return S_search.search_postings(
+            spark.read.parquet(tri_idx), _TRI_Q
+        ).drop("_pending")
+
+    def _trigram_substr_scan():
+        return S_search.match_filter(
+            sdocs, _TRI_Q, "content", tokenizer=TOKENIZER_TRIGRAM
+        ).select("id")
+
+    QUERIES["trigram_substr_postings"] = _trigram_substr_postings
+    QUERIES["trigram_substr_scan"] = _trigram_substr_scan
     # one Arrow pass marking matched terms over the whole corpus (the
     # bulk highlight path, query_df(highlight=True))
     QUERIES["snippet_bulk"] = lambda: sdocs.select(

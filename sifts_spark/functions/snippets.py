@@ -108,7 +108,10 @@ def make_snippet(
         return text
     terms, prefixes, phrases = positive_leaves(ast)
     matched: set = set()
-    if tokenizer in ("cjk_bigram", "trigram"):
+    from sifts_spark.functions.text import TOKENIZER_CJK, gram_width
+
+    n_gram = gram_width(tokenizer)
+    if n_gram:
         # Run-granular highlighting for the EXPANDING families: the
         # AST's leaves are n-grams whose content spans OVERLAP by n-1
         # chars — wrapping each would duplicate text. Spans here are
@@ -120,8 +123,8 @@ def make_snippet(
         # Word-granular remnants mark word-level (cross-run adjacency
         # is not re-verified here — the MATCH already verified it; a
         # snippet is a decoration).
-        cjk = tokenizer == "cjk_bigram"
-        n = 2 if cjk else 3
+        cjk = tokenizer == TOKENIZER_CJK
+        n = n_gram
         sub_ok = _HAS_CJK_RE.search if cjk else (lambda s: True)
         needles = {t for t in terms if sub_ok(t)}
         plain_words: set = set()
@@ -133,12 +136,12 @@ def make_snippet(
                     plain_words.add(seg)
         sub_prefixes = {p for p in prefixes if sub_ok(p)}
         for i, (tok, _, _) in enumerate(spans):
-            # a MIXED run (contains CJK) holds its latin terms as
-            # segments, not whole tokens ("Spark中文入門" matched
-            # Term('spark') via segmentation) — substring-check every
-            # term against such runs so matched docs never render
-            # unmarked; pure-latin spans keep exact equality (r14
-            # review finding #6)
+            # a MIXED run (contains CJK) holds its latin terms AND
+            # prefixes as segments, not whole tokens ("Spark中文入門"
+            # matched Term('spark'); "中文spark…" matches
+            # Prefix('spark')) — substring-check both against such runs
+            # so matched docs never render unmarked; pure-latin spans
+            # keep exact equality (r14 review findings #6 + follow-up)
             mixed = cjk and _HAS_CJK_RE.search(tok)
             if (
                 tok in terms
@@ -146,7 +149,13 @@ def make_snippet(
                 or any(tok.startswith(p) for p in prefixes)
                 or any(nd in tok for nd in needles)
                 or any(p in tok for p in sub_prefixes)
-                or (mixed and any(t in tok for t in terms))
+                or (
+                    mixed
+                    and (
+                        any(t in tok for t in terms)
+                        or any(p in tok for p in prefixes)
+                    )
+                )
             ):
                 matched.add(i)
     else:

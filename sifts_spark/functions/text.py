@@ -132,6 +132,19 @@ _MATCH_RES_PY = {
 }
 
 
+#: the families whose tokens are character n-grams, → gram width. The
+#: single registry every consumer branches on (match_filter's
+#: forced-once binding, snippets' run-granular highlighter): adding an
+#: expanding family here wires all of them at once instead of leaving
+#: a string-literal copy to drift (r14 review finding).
+EXPANDING_FAMILIES = {TOKENIZER_CJK: 2, TOKENIZER_TRIGRAM: 3}
+
+
+def gram_width(tokenizer: str | None = None) -> int | None:
+    """The family's n-gram width, or None for word families."""
+    return EXPANDING_FAMILIES.get(resolve_tokenizer(tokenizer))
+
+
 def resolve_tokenizer(tokenizer: str | None) -> str:
     """None → the default family; validates the name (a typo'd
     tokenizer silently matching nothing is the failure mode the

@@ -68,14 +68,10 @@ def match_filter(
     0.36s at sf0.1 for cjk). The ascii/unicode families keep the
     direct shape — their tokenize is cheap and the pinned plans stay
     byte-identical."""
-    from sifts_spark.functions.text import (
-        TOKENIZER_CJK,
-        TOKENIZER_TRIGRAM,
-        resolve_tokenizer,
-    )
+    from sifts_spark.functions.text import gram_width
 
     toks = tokenize(F.col(content_col), tokenizer)
-    if resolve_tokenizer(tokenizer) in (TOKENIZER_CJK, TOKENIZER_TRIGRAM):
+    if gram_width(tokenizer):
         return df.filter(F.exists(F.array(toks), lambda t: ast.to_column(t)))
     return df.filter(ast.to_column(toks))
 

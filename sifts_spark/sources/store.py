@@ -1383,6 +1383,14 @@ class DocumentStore:
     # ``_positions`` pattern): the ``_tokenizer`` marker records it,
     # reopen honors it, and the query path (Collection) compiles with
     # the INDEX's family, never the session default.
+    #
+    # Contract: a family NAME freezes its tokenization definition. Any
+    # future change to what a family emits (the way cjk_bigram gained
+    # mixed-token segmentation during its own development round, before
+    # any store could exist under the old definition) must ship as a
+    # NEW family name — the marker can distinguish families but not
+    # versions of one, and a silent definition change would split a
+    # store's batches across two tokenizations under one marker value.
 
     def _tokenizer_marker(self, name: str) -> str:
         return f"{self._postings_dir(name)}/_tokenizer"

@@ -308,6 +308,34 @@ def make_dedup_sink(
     seen, mark = durable_commit_markers(spark, checkpoint_dir)
     if tokenizer is None:
         tokenizer = collection._tok_family()
+    # The sketch index is family-coupled exactly like postings sidecars
+    # (band keys from different families never align), so it carries
+    # its own `_tokenizer` marker — without one, a library upgrade or
+    # collection retokenize between restarts would silently sketch new
+    # batches under a family the persisted index wasn't built with,
+    # and the gate would stop rejecting (r14 review finding #2).
+    # Absent marker + existing batches = a pre-marker index, which was
+    # built under the then-hardwired default family.
+    from sifts_spark.functions.text import DEFAULT_TOKENIZER, resolve_tokenizer
+
+    tokenizer = resolve_tokenizer(tokenizer)
+    store = collection.store
+    _marker = f"{index_dir.rstrip('/')}/_tokenizer"
+    _on_disk = store._read_small_text(_marker)
+    _recorded = _on_disk
+    if _recorded is None and _live_index_paths(spark, index_dir):
+        _recorded = DEFAULT_TOKENIZER
+    if _recorded is not None and _recorded != tokenizer:
+        raise ValueError(
+            f"sketch index at {index_dir!r} was built under "
+            f"tokenizer={_recorded!r} but this sink would sketch with "
+            f"{tokenizer!r} — band keys from different families never "
+            "align, so the gate would silently stop rejecting. Start a "
+            "fresh index_dir (and checkpoint), or pass "
+            f"tokenizer={_recorded!r} explicitly."
+        )
+    if _on_disk is None:
+        store._write_small_text_atomic(_marker, tokenizer)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if seen(batch_id):

@@ -379,3 +379,17 @@ class TestSnippets:
             tokenizer=fam,
         )
         assert "[Spark中文入門]" in s
+
+
+def test_latin_prefix_inside_mixed_run_marked():
+    # follow-up to review #6: Prefix matches via segmentation must mark
+    # the mixed run too, not just Terms
+    from sifts_spark.functions.snippets import make_snippet
+    from sifts_spark.queryparser import parse_query
+
+    s = make_snippet(
+        "the 中文spark tool",
+        parse_query("spark*", tokenizer=TOKENIZER_CJK),
+        tokenizer=TOKENIZER_CJK,
+    )
+    assert "[中文spark]" in s

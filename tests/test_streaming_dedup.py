@@ -306,3 +306,26 @@ def test_sink_inherits_collection_tokenizer(store_root, spark, tmp_path):
     sink_u(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
     sink_u(_df(spark, [("b", "机器学习是人工智能的分支了")]), 1)
     assert {r["id"] for r in uni.docs().collect()} == {"a", "b"}
+
+
+def test_index_dir_family_marker_guards_mismatch(store_root, spark, tmp_path):
+    # the sketch index records its family at first write; a sink that
+    # would sketch under a different family refuses instead of silently
+    # under-rejecting (band keys from different families never align)
+    cjk = Collection(store_root, "mk1", spark=spark, tokenizer="cjk_bigram")
+    idx = str(tmp_path / "ix")
+    sink = make_dedup_sink(cjk, str(tmp_path / "ck"), idx)
+    sink(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
+    # same family reattaches fine (restart path)
+    make_dedup_sink(cjk, str(tmp_path / "ck"), idx)
+    # a different family against the same index_dir raises
+    uni = Collection(store_root, "mk2", spark=spark)
+    with pytest.raises(ValueError, match="built under"):
+        make_dedup_sink(uni, str(tmp_path / "ck2"), idx)
+    # legacy pre-marker dirs with existing batches resolve to the
+    # default family: strip the marker and reattach
+    import os
+    os.remove(os.path.join(idx, "_tokenizer"))
+    with pytest.raises(ValueError, match="built under"):
+        make_dedup_sink(cjk, str(tmp_path / "ck3"), idx)  # cjk vs default
+    make_dedup_sink(uni, str(tmp_path / "ck4"), idx)  # default ok

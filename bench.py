@@ -165,6 +165,7 @@ HEADLINE = [
     "fts_term",
     "fts_multiscript",
     "fts_cjk_substr",
+    "fts_trigram_substr",
     "fts_bool",
     "fts_bm25",
     "meta_where_numeric",

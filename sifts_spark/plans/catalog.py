@@ -30,6 +30,7 @@ from sifts_spark.functions.metadata import (
 from sifts_spark.functions.text import (
     TOKEN_MATCH_RE,
     TOKENIZER_CJK,
+    TOKENIZER_TRIGRAM,
     tokenize,
     tokenize_sql,
     shingles,
@@ -155,8 +156,11 @@ _MS_SUFFIXES = (
 _AST_MULTI = parse_query(
     'лиса собаку OR "αλεπου τρεχει" OR 敏捷狐狸跳过懒狗 OR płot'
 )
+# (doc_id % N + N) % N mirrors Spark's pmod for NEGATIVE doc_ids too —
+# SQL's % keeps the sign, so a bare doc_id % N would fall through to
+# the ELSE '' branch where Spark picks a suffix (r14 advice finding).
 _MS_CASE_SQL = (
-    "CASE CAST(doc_id % 5 AS INT) "
+    "CASE CAST((doc_id % 5 + 5) % 5 AS INT) "
     + " ".join(
         f"WHEN {i} THEN '{s}'" for i, s in enumerate(_MS_SUFFIXES[:4])
     )
@@ -221,7 +225,7 @@ _AST_CJK = parse_query(
     "狐狸跳过 OR データベース OR 例", tokenizer=TOKENIZER_CJK
 )
 _CJK_CASE_SQL = (
-    "CASE CAST(doc_id % 4 AS INT) "
+    "CASE CAST((doc_id % 4 + 4) % 4 AS INT) "  # pmod parity, see _MS_CASE_SQL
     + " ".join(
         f"WHEN {i} THEN '{s}'" for i, s in enumerate(_CJK_SUFFIXES[:3])
     )
@@ -261,6 +265,78 @@ def fts_cjk_substr(spark, sf_dir) -> DataFrame:
     )
     return S.match_filter(
         ms, _AST_CJK, "mtext", tokenizer=TOKENIZER_CJK
+    ).select("doc_id")
+
+
+# ---- trigram substring FTS (r15, trigram family gate row) -----------
+#
+# The trigram family is the universal within-word-substring family
+# (FTS5 ``trigram`` tokenizer posture, script-blind) — r14 shipped it
+# pinned by pytest alone; this row puts its SEPARATE DuckDB twin (the
+# width-3, no-segmentation branch of tokenize_sql,
+# functions/text.py:264-271) and its ≥3-length expansion gate under the
+# driver gate, mirroring fts_cjk_substr. Suffixes are the shapes users
+# actually substring-search: a snake_case code identifier, a URL
+# fragment, and a long word next to a sub-length token. The query
+# covers all three trigram leaf compilations — consecutive-trigram
+# Phrases of three different chain lengths ("ibuted" inside
+# "distributed", "yloph" inside "xylophone", "enipote" inside
+# "plenipotentiary") and the sub-length Prefix degradation ("qz" is
+# shorter than a trigram: words ≥3 chars store only trigrams, so the
+# parser compiles Prefix — matching the standalone token "qz" here) —
+# evaluated by BOTH engines over the same expansion, so a one-engine
+# regression in the trigram branch cannot pass the gate.
+_TRI_SUFFIXES = (
+    "distributed_tokenizer_pipeline",
+    "https://example.net/xylophone-catalog",
+    "qz plenipotentiary",
+    "",
+)
+_AST_TRI = parse_query(
+    "ibuted OR yloph OR qz OR enipote", tokenizer=TOKENIZER_TRIGRAM
+)
+_TRI_CASE_SQL = (
+    "CASE CAST((doc_id % 4 + 4) % 4 AS INT) "  # pmod parity, see _MS_CASE_SQL
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_TRI_SUFFIXES[:3])
+    )
+    + " ELSE '' END"
+)
+_TRI_SQL = f"""
+WITH ms AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), ' ', {_TRI_CASE_SQL}) AS mtext
+  FROM documents
+)
+SELECT doc_id FROM ms
+WHERE {_AST_TRI.to_sql(tokenize_sql('mtext', TOKENIZER_TRIGRAM))}
+"""
+
+
+@_register("fts_trigram_substr", _TRI_SQL)
+def fts_trigram_substr(spark, sf_dir) -> DataFrame:
+    """Within-word substring match in ANY script under the trigram
+    tokenizer family (functions/text.py) — FTS5's ``trigram`` tokenizer
+    capability, which the reference's unicode61/'simple' configs lack
+    (core.py:460-462/555). Plan shape: identical to every match_filter
+    row — the trigram expansion is a codegen'd higher-order transform
+    inside the same scan predicate, no shuffle, no UDF (r15 rotation:
+    this row took ``dedup_ngram_jaccard``'s slot; see the footer
+    note)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _TRI_SUFFIXES]),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    ms = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.coalesce(F.col("text"), F.lit("")), suffix
+        ).alias("mtext"),
+    )
+    return S.match_filter(
+        ms, _AST_TRI, "mtext", tokenizer=TOKENIZER_TRIGRAM
     ).select("doc_id")
 
 
@@ -639,9 +715,15 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
 
 
-@_register("dedup_ngram_jaccard", _NGRAM_SQL)
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.8 over rarest-shingle-blocked pairs."""
+    """Exact n-gram Jaccard ≥ 0.8 over rarest-shingle-blocked pairs.
+
+    De-registered in r15 (row ceded to ``fts_trigram_substr``): the
+    1-hash LSH blocking family is adjacent to ``dedup_minhash``'s
+    banded LSH (same shingle → hash → block-join → exact-Jaccard-verify
+    machinery, 1 band of 1 hash instead of 4×4), so the shape stays
+    driver-gated through that row; pinned by
+    tests/test_plans.py::test_dedup_ngram_jaccard_matches_oracle."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.8)
@@ -2453,7 +2535,11 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # pinned by test_fts_term_matches_oracle), and dedup_simhash_pairs
 # ceded its row to fts_cjk_substr (simhash family stays covered by
 # dedup_simhash, pairs shape by dedup_minhash; retiree pinned by
-# test_dedup_simhash_pairs_matches_oracle).
+# test_dedup_simhash_pairs_matches_oracle); in r15 dedup_ngram_jaccard
+# ceded its row to fts_trigram_substr (the 1-hash-LSH block-join +
+# exact-Jaccard-verify shape stays covered by dedup_minhash's banded
+# variant; retiree pinned by
+# test_dedup_ngram_jaccard_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

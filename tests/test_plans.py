@@ -251,6 +251,28 @@ def test_fts_term_matches_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_dedup_ngram_jaccard_matches_oracle(spark):
+    # de-registered in r15 (row ceded to fts_trigram_substr); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _NGRAM_SQL, dedup_ngram_jaccard
+
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 6))
+        for r in con.sql(_NGRAM_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_dedup_simhash_pairs_matches_oracle(spark):
     # de-registered in r14 (row ceded to fts_cjk_substr); original
     # SQL twin kept here

@@ -250,6 +250,93 @@ def compact_sketch_index(
     return out
 
 
+def retokenize_sketch_index(
+    collection: SparkCollection,
+    index_dir: str,
+    tokenizer: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> dict:
+    """Rebuild the streaming sketch index under a new tokenizer family
+    — the :meth:`Collection.retokenize` verb for the
+    :func:`stream_dedup_ingest` sidecar (r14 shipped the mismatch
+    RAISE; without this verb a collection retokenize stranded its
+    streaming dedup index permanently).
+
+    Re-sketches the collection's LIVE snapshot (the accepted docs —
+    rejected docs never entered the index) under ``tokenizer``
+    (default: the collection's pinned ``_tokenizer`` marker, i.e. what
+    a post-``retokenize()`` collection now uses) into ONE fold covering
+    every live batch/fold range, reclaims the old-family dirs, and
+    re-stamps the index marker — so the SAME ``index_dir`` and
+    checkpoint keep working: the next micro-batch id is greater than
+    every id the fold covers (batch ids are monotone per checkpoint),
+    so it is never masked by the rebuild fold.
+
+    Crash-safe by sentinel: the marker is first set to
+    ``rebuilding:<family>`` (atomic), then the fold is written
+    (overwrite + ``_SUCCESS``), stale sources reclaimed, and only then
+    the final family stamped — an interruption anywhere leaves a
+    marker no sink family can match, so the next
+    :func:`make_dedup_sink` raises loudly and re-running this verb
+    (idempotent: snapshot re-read, fold overwritten, marker re-stamped)
+    completes the upgrade. Sketch params must match the sink's
+    (``num_hashes``/``bands``/``shingle_size`` — band keys are
+    positional).
+
+    Returns ``{"tokenizer": family, "resketched": n_docs,
+    "fold": "lo-hi" | None, "reclaimed": [dir, ...]}``.
+    """
+    from sifts_spark.functions.text import resolve_tokenizer
+    from sifts_spark.operators.dedup import minhash_banded_sketches
+
+    store = collection.store
+    spark = store.spark
+    if tokenizer is None:
+        tokenizer = collection._tok_family()
+    tokenizer = resolve_tokenizer(tokenizer)
+    marker = f"{index_dir.rstrip('/')}/_tokenizer"
+    jvm, fs, _root = _index_fs(spark, index_dir)
+    folds, batches, _stale = _index_layout(spark, index_dir)
+    if not folds and not batches:
+        # Nothing ever committed — only the marker (if any) moves.
+        store._write_small_text_atomic(marker, tokenizer)
+        return {
+            "tokenizer": tokenizer, "resketched": 0,
+            "fold": None, "reclaimed": [],
+        }
+    lo = min([f[0] for f in folds] + list(batches))
+    hi = max([f[1] for f in folds] + list(batches))
+    store._write_small_text_atomic(marker, f"rebuilding:{tokenizer}")
+    docs = collection.docs().select("id", "content").persist()
+    try:
+        n = docs.count()
+        minhash_banded_sketches(
+            docs, id_col="id", text_col="content",
+            num_hashes=num_hashes, bands=bands,
+            shingle_size=shingle_size, tokenizer=tokenizer,
+        ).write.mode("overwrite").parquet(f"{index_dir}/fold={lo}-{hi}")
+    finally:
+        docs.unpersist()
+    # The covering fold is live (its _SUCCESS landed), so every other
+    # batch/fold dir inside [lo, hi] is now a stale compaction source.
+    reclaimed: list[str] = []
+    Path = jvm.org.apache.hadoop.fs.Path
+    _f, _b, stale = _index_layout(spark, index_dir)
+    for name in stale:
+        try:
+            fs.delete(Path(f"{index_dir}/{name}"), True)
+            reclaimed.append(name)
+        except Exception:  # pragma: no cover - best-effort cleanup
+            logger.warning("sketch-index reclaim failed for %s", name)
+    store._write_small_text_atomic(marker, tokenizer)
+    return {
+        "tokenizer": tokenizer, "resketched": n,
+        "fold": f"{lo}-{hi}", "reclaimed": reclaimed,
+    }
+
+
 def make_dedup_sink(
     collection: SparkCollection,
     checkpoint_dir: str,
@@ -293,8 +380,10 @@ def make_dedup_sink(
     cjk_bigram collection's stream gate sketches at bigram granularity.
     The sketch index inherits that family at first write; band keys
     from different families never align, so ``retokenize()`` on a
-    streamed collection requires a fresh ``index_dir`` (and checkpoint)
-    — an old-family index would silently under-reject, never corrupt."""
+    streamed collection must be followed by
+    :func:`retokenize_sketch_index` on its ``index_dir`` (an old-family
+    index would silently under-reject, never corrupt — the family
+    marker below makes the mismatch a loud raise instead)."""
     from sifts_spark.operators.dedup import (
         duplicate_clusters,
         minhash_banded_sketches,
@@ -315,26 +404,39 @@ def make_dedup_sink(
     # batches under a family the persisted index wasn't built with,
     # and the gate would stop rejecting (r14 review finding #2).
     # Absent marker + existing batches = a pre-marker index, which was
-    # built under the then-hardwired default family.
+    # built under the then-hardwired default family. The STRICT read
+    # distinguishes absent from unreadable — a transient FS failure
+    # must propagate, not masquerade as "pre-marker" and let a
+    # default-family sink clobber a real marker (r14 advice #1).
     from sifts_spark.functions.text import DEFAULT_TOKENIZER, resolve_tokenizer
 
     tokenizer = resolve_tokenizer(tokenizer)
     store = collection.store
     _marker = f"{index_dir.rstrip('/')}/_tokenizer"
-    _on_disk = store._read_small_text(_marker)
+    _on_disk = store._read_small_text_strict(_marker)
+    _live = _live_index_paths(spark, index_dir)
     _recorded = _on_disk
-    if _recorded is None and _live_index_paths(spark, index_dir):
+    if _recorded is None and _live:
         _recorded = DEFAULT_TOKENIZER
     if _recorded is not None and _recorded != tokenizer:
-        raise ValueError(
-            f"sketch index at {index_dir!r} was built under "
-            f"tokenizer={_recorded!r} but this sink would sketch with "
-            f"{tokenizer!r} — band keys from different families never "
-            "align, so the gate would silently stop rejecting. Start a "
-            "fresh index_dir (and checkpoint), or pass "
-            f"tokenizer={_recorded!r} explicitly."
-        )
-    if _on_disk is None:
+        if _live:
+            raise ValueError(
+                f"sketch index at {index_dir!r} was built under "
+                f"tokenizer={_recorded!r} but this sink would sketch "
+                f"with {tokenizer!r} — band keys from different "
+                "families never align, so the gate would silently stop "
+                "rejecting. Rebuild it under the new family "
+                "(streaming.dedup.retokenize_sketch_index), start a "
+                "fresh index_dir (and checkpoint), or pass "
+                f"tokenizer={_recorded!r} explicitly."
+            )
+        # Marker stamped at an earlier sink's construction (or by an
+        # interrupted retokenize_sketch_index) but ZERO batches ever
+        # committed: nothing is mis-sketched — adopt this sink's
+        # family instead of demanding a manual delete of an empty
+        # index_dir (r14 advice #2).
+        store._write_small_text_atomic(_marker, tokenizer)
+    elif _on_disk is None:
         store._write_small_text_atomic(_marker, tokenizer)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

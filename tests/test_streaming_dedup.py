@@ -329,3 +329,82 @@ def test_index_dir_family_marker_guards_mismatch(store_root, spark, tmp_path):
     with pytest.raises(ValueError, match="built under"):
         make_dedup_sink(cjk, str(tmp_path / "ck3"), idx)  # cjk vs default
     make_dedup_sink(uni, str(tmp_path / "ck4"), idx)  # default ok
+
+
+def test_retokenize_sketch_index_lifecycle(store_root, spark, tmp_path):
+    # r15: collection retokenize() must not strand the streaming dedup
+    # index — the rebuild verb re-sketches the live snapshot under the
+    # new family into one covering fold, reclaims old-family dirs, and
+    # the resumed stream accepts/rejects correctly under the new family
+    from sifts_spark.streaming.dedup import retokenize_sketch_index
+
+    col = Collection(store_root, "rtk1", spark=spark)  # unicode default
+    idx = str(tmp_path / "ix")
+    sink = make_dedup_sink(col, str(tmp_path / "ck"), idx)
+    # under unicode, the one-char-appended CJK near-dup is two
+    # unrelated whole-run tokens → both accepted
+    sink(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
+    sink(_df(spark, [("b", "机器学习是人工智能的分支了")]), 1)
+    assert {r["id"] for r in col.docs().collect()} == {"a", "b"}
+
+    col.retokenize("cjk_bigram")
+    # the stranded-index state the verb exists for: family mismatch
+    with pytest.raises(ValueError, match="built under"):
+        make_dedup_sink(col, str(tmp_path / "ck"), idx)
+
+    out = retokenize_sketch_index(col, idx)
+    assert out["tokenizer"] == "cjk_bigram"
+    assert out["resketched"] == 2
+    assert out["fold"] == "0-1"
+    assert sorted(out["reclaimed"]) == ["batch=0", "batch=1"]
+
+    # resumed stream (same index_dir, monotone batch ids): a near-dup
+    # of an ACCEPTED doc is now rejected at bigram granularity, a
+    # genuinely new doc still lands
+    sink2 = make_dedup_sink(col, str(tmp_path / "ck"), idx)
+    sink2(
+        _df(
+            spark,
+            [
+                ("c", "机器学习是人工智能的分支的"),  # ~a under cjk_bigram
+                ("d", "完全不同的另一篇文档内容在这里"),
+            ],
+        ),
+        2,
+    )
+    assert {r["id"] for r in col.docs().collect()} == {"a", "b", "d"}
+
+
+def test_retokenize_sketch_index_empty_and_interrupted(
+    store_root, spark, tmp_path
+):
+    from sifts_spark.streaming.dedup import retokenize_sketch_index
+
+    # empty index (nothing committed): only the marker moves
+    col = Collection(store_root, "rtk2", spark=spark, tokenizer="cjk_bigram")
+    idx = str(tmp_path / "ix")
+    out = retokenize_sketch_index(col, idx)
+    assert out == {
+        "tokenizer": "cjk_bigram", "resketched": 0,
+        "fold": None, "reclaimed": [],
+    }
+    # r14 advice #2: marker present but zero committed batches — a
+    # different-family sink adopts its own family instead of raising
+    uni = Collection(store_root, "rtk3", spark=spark)
+    make_dedup_sink(uni, str(tmp_path / "ck"), idx)
+    with open(f"{idx}/_tokenizer") as f:
+        assert f.read() == "unicode"
+
+    # interrupted rebuild: the sentinel marker makes every sink raise
+    # until the verb is re-run (idempotent completion)
+    sink = make_dedup_sink(uni, str(tmp_path / "ck"), idx)
+    sink(_df(spark, [("a", "alpha beta gamma delta")]), 0)
+    uni.store._write_small_text_atomic(
+        f"{idx}/_tokenizer", "rebuilding:cjk_bigram"
+    )
+    with pytest.raises(ValueError, match="built under"):
+        make_dedup_sink(uni, str(tmp_path / "ck2"), idx)
+    uni.retokenize("cjk_bigram")
+    out = retokenize_sketch_index(uni, idx)
+    assert out["tokenizer"] == "cjk_bigram" and out["resketched"] == 1
+    make_dedup_sink(uni, str(tmp_path / "ck3"), idx)  # reattaches clean

@@ -135,6 +135,22 @@ def make_snippet(
                 else:
                     plain_words.add(seg)
         sub_prefixes = {p for p in prefixes if sub_ok(p)}
+
+        def _pref_hit(tok: str) -> bool:
+            """In-word prefix marking, index-faithful: under trigram a
+            prefix only matches where a STORED gram starts with it, so
+            it must sit at a position with ≥ n chars remaining —
+            plain containment would mark 'sushi' for query 'hi*'
+            (the 'hi' sits in the final two chars; no trigram starts
+            with it — r14 advice #3). cjk keeps containment: its
+            sub-length Prefix is a single run char, and mixed-run
+            latin prefixes are checked separately below."""
+            if cjk:
+                return any(p in tok for p in sub_prefixes)
+            return any(
+                0 <= tok.find(p) <= len(tok) - n for p in sub_prefixes
+            )
+
         for i, (tok, _, _) in enumerate(spans):
             # a MIXED run (contains CJK) holds its latin terms AND
             # prefixes as segments, not whole tokens ("Spark中文入門"
@@ -148,7 +164,7 @@ def make_snippet(
                 or tok in plain_words
                 or any(tok.startswith(p) for p in prefixes)
                 or any(nd in tok for nd in needles)
-                or any(p in tok for p in sub_prefixes)
+                or _pref_hit(tok)
                 or (
                     mixed
                     and (

@@ -161,6 +161,21 @@ class TestSnippets:
         )
         assert "[hello]" in s
 
+    def test_prefix_marks_only_anchorable_positions(self):
+        # r14 advice #3: a sub-length prefix in the FINAL n-1 chars of
+        # a word yields no stored trigram starting with it, so the
+        # index-side Prefix leaf cannot match there — the highlighter
+        # must not mark such words ('hi*' must not mark 'sushi')
+        fam = TOKENIZER_TRIGRAM
+        s = make_snippet(
+            "sushi hill hi",
+            parse_query("hi*", tokenizer=fam),
+            tokenizer=fam,
+        )
+        assert "[hill]" in s  # 'hi' anchors a gram ('hil')
+        assert "[hi]" in s  # standalone short token, startswith
+        assert "[sushi]" not in s  # 'hi' in the final 2 chars: no gram
+
     def test_excluded_side_never_marked(self):
         fam = TOKENIZER_TRIGRAM
         s = make_snippet(

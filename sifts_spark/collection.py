@@ -46,7 +46,7 @@ from sifts_spark.functions.metadata import (
 )
 from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import search as _search
-from sifts_spark.queryparser import has_phrase, parse_query
+from sifts_spark.queryparser import has_phrase, has_run_phrase, parse_query
 from sifts_spark.session import get_spark
 from sifts_spark.sources.store import DOC_SCHEMA, DocumentStore, validate_name
 
@@ -1110,6 +1110,7 @@ class SparkCollection:
         group_by_parent: bool = False,
         highlight: bool = False,
         after: dict | None = None,
+        exact_runs: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
@@ -1129,6 +1130,7 @@ class SparkCollection:
             # score every probed candidate exactly when collapsing
             adc_limit=None if group_by_parent else limit,
             refine=refine,
+            exact_runs=exact_runs,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -1164,6 +1166,7 @@ class SparkCollection:
         group_by_parent: bool = False,
         highlight: bool = False,
         after: dict | None = None,
+        exact_runs: bool = False,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -1216,6 +1219,18 @@ class SparkCollection:
         walks in id order — start such a walk from the empty-id cursor
         ``after={"id": ""}`` (the cursorless first page keeps the
         legacy storage-order contract).
+
+        ``exact_runs=True`` (extension; expanding tokenizer families):
+        adds the exact run-boundary verify — a query word an expanding
+        family compiled to a gram-chain phrase must also occur as a
+        written substring of the content, killing the documented
+        cross-boundary gram-chain over-match ("中文字" matching
+        "中文 文字"; measured rates in CJK_FP_EVAL.json — 0% of natural
+        within-run query matches, ~10% of boundary-spanning query
+        matches on a maximally-spaced corpus). Costs a content
+        re-verify over the candidate pool (the positions-free phrase
+        cost class); a no-op for queries without a synthesized
+        gram-chain phrase.
         """
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
@@ -1224,6 +1239,7 @@ class SparkCollection:
             # below a parent collapse
             adc_limit=None if group_by_parent else limit,
             refine=refine,
+            exact_runs=exact_runs,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -1527,6 +1543,7 @@ class SparkCollection:
         nprobe: int = 2,
         adc_limit: int | None = None,
         refine: int = 4,
+        exact_runs: bool = False,
     ) -> tuple[DataFrame, bool]:
         """Validate + build the pre-pagination plan (match ∧ where, with
         rank column for searches).
@@ -1600,7 +1617,28 @@ class SparkCollection:
             # plans stay byte-identical. BM25 rank for a phrase is the
             # sum of its words' contributions (the positions-free
             # approximation) on either layout.
-            if has_phrase(ast):
+            if exact_runs and has_run_phrase(ast):
+                # opt-in EXACT RUN-BOUNDARY verify (expanding families):
+                # index-side adjacency CONFIRMS a gram-chain match, so
+                # _pending=False does not prove run-exactness — every
+                # candidate re-verifies on content with the synthesized
+                # phrases' written words substring-anchored
+                # (search.exact_runs_column; rates in CJK_FP_EVAL.json).
+                # Candidate-pool-sized, same cost class as the
+                # positions-free phrase verify below.
+                from sifts_spark.functions.text import tokenize as _tok
+                from sifts_spark.operators.search import exact_runs_column
+
+                df = df.filter(
+                    exact_runs_column(
+                        ast,
+                        _tok(F.col("content"), fam),
+                        F.lower(F.col("content")),
+                    )
+                )
+                if "_pending" in df.columns:
+                    df = df.drop("_pending")
+            elif has_phrase(ast):
                 from sifts_spark.functions.text import tokenize as _tok
 
                 verify = ast.to_column(_tok(F.col("content"), fam))

@@ -300,6 +300,32 @@ def py_tokenize(text: str | None, tokenizer: str | None = None) -> list[str]:
     ]
 
 
+def py_tokenize_parts_groups(
+    text: str | None, tokenizer: str | None = None
+) -> list[tuple[str, list[str]]]:
+    """:func:`py_tokenize_groups` plus provenance: ``[(part, group)]``
+    where ``part`` is the written (lowercased) split part the group
+    expanded from. The query parser stamps ``part`` as
+    ``Phrase.source`` on synthesized gram-chain phrases so the opt-in
+    ``exact_runs`` verify can substring-check the written word."""
+    return [
+        (p, g)
+        for p, g in zip(
+            _py_parts(text, tokenizer), py_tokenize_groups(text, tokenizer)
+        )
+    ]
+
+
+def _py_parts(text: str | None, tokenizer: str | None = None) -> list[str]:
+    import re as _re
+
+    if not text:
+        return []
+    return [
+        t for t in _re.split(token_split_re_py(tokenizer), text.lower()) if t
+    ]
+
+
 def py_tokenize_groups(
     text: str | None, tokenizer: str | None = None
 ) -> list[list[str]]:

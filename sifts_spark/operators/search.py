@@ -48,16 +48,60 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def exact_runs_column(ast: Node, tokens: Column, raw_lower: Column) -> Column:
+    """The AST's boolean column with the opt-in EXACT RUN-BOUNDARY
+    verify folded in: every synthesized gram-chain :class:`Phrase`
+    (``source`` set — one written query word expanded by the
+    cjk_bigram/trigram family) additionally requires its written word
+    as a raw substring of the lowered content, killing the documented
+    cross-boundary gram-chain over-match ("中文字" matching the doc
+    "中文 文字"; measured rates in CJK_FP_EVAL.json — 0% on natural
+    within-run queries, ~10% of matches for boundary-spanning query
+    strings on a maximally-spaced corpus). Sound because a query run's
+    chars are contiguous, so it occurs inside ONE written run iff it
+    occurs contiguously in raw text at all. User-quoted phrases
+    (``source=None``) keep index semantics — their cross-word
+    adjacency is what quoting asks for. Structural recursion so OR
+    branches verify independently. Codegen'd Contains — no UDF."""
+    if isinstance(ast, Phrase) and ast.source is not None:
+        return ast.to_column(tokens) & F.coalesce(
+            raw_lower.contains(ast.source), F.lit(False)
+        )
+    if isinstance(ast, And):
+        return exact_runs_column(
+            ast.left, tokens, raw_lower
+        ) & exact_runs_column(ast.right, tokens, raw_lower)
+    if isinstance(ast, Or):
+        return exact_runs_column(
+            ast.left, tokens, raw_lower
+        ) | exact_runs_column(ast.right, tokens, raw_lower)
+    if isinstance(ast, AndNot):
+        # negation stays RECALL-faithful: the excluded side keeps index
+        # semantics (tightening it with the verify would RESURRECT docs
+        # the index excluded, surprising for an opt-in precision knob)
+        return exact_runs_column(ast.left, tokens, raw_lower) & ~F.coalesce(
+            ast.right.to_column(tokens), F.lit(False)
+        )
+    return ast.to_column(tokens)
+
+
 def match_filter(
     df: DataFrame,
     ast: Node,
     content_col: str = "content",
     tokenizer: str | None = None,
+    exact_runs: bool = False,
 ) -> DataFrame:
     """Strategy 1: boolean predicate over on-the-fly tokens.
 
     ``tokenizer`` must match the family the ``ast``'s words were split
     with (parse_query's ``tokenizer=``) — default family for both.
+
+    ``exact_runs`` (expanding families only): fold in the exact
+    run-boundary verify (:func:`exact_runs_column`) — FTS5-trigram-
+    grade precision for gram-chain phrases, at the cost of one raw
+    Contains per synthesized phrase (measured +10-25% on the scan
+    predicate, CJK_FP_EVAL.json).
 
     The EXPANDING families (cjk_bigram, trigram) evaluate the tokenize
     expression ONCE per row by binding it to a lambda variable
@@ -72,6 +116,14 @@ def match_filter(
 
     toks = tokenize(F.col(content_col), tokenizer)
     if gram_width(tokenizer):
+        if exact_runs:
+            raw = F.lower(F.col(content_col))
+            return df.filter(
+                F.exists(
+                    F.array(toks),
+                    lambda t: exact_runs_column(ast, t, raw),
+                )
+            )
         return df.filter(F.exists(F.array(toks), lambda t: ast.to_column(t)))
     return df.filter(ast.to_column(toks))
 

@@ -29,7 +29,7 @@ For the DuckDB correctness oracle the same AST compiles to ANSI SQL via
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -82,9 +82,21 @@ class Phrase(Node):
     work on the FTS5 backend but break the PG rewriter — backend-
     divergent, so the reference effectively has no phrase semantics;
     we define them properly instead). Words are tokenizer-split, so
-    ``"don't stop"`` matches the token run [don, t, stop]."""
+    ``"don't stop"`` matches the token run [don, t, stop].
+
+    ``source`` (metadata, excluded from equality/hash): the original
+    written query word this phrase was SYNTHESIZED from when an
+    expanding family compiled one word to its consecutive gram chain
+    (e.g. cjk_bigram "中文字" → Phrase(中文, 文字, source="中文字")).
+    Gram positions are consecutive across written token boundaries, so
+    such a phrase can over-match a doc where the chain spans adjacent
+    runs (CJK_FP_EVAL.json measures the rate) — ``source`` is what the
+    opt-in ``exact_runs`` verify substring-checks against raw lowered
+    content to remove those. None for user-quoted phrases, whose
+    cross-word adjacency is intended semantics."""
 
     words: tuple
+    source: "str | None" = field(default=None, compare=False)
 
     def to_column(self, tokens: Column) -> Column:
         # Adjacency as a SUBSTRING match on the space-joined tokens:
@@ -274,17 +286,19 @@ class QueryParser:
         # written backwards ("文中" vs "中文"). Bigram-phrase matching
         # is substring matching over runs, so a trailing `*` on a
         # multi-bigram run is already implied and drops out.
-        from sifts_spark.functions.text import py_tokenize_groups
+        from sifts_spark.functions.text import py_tokenize_parts_groups
 
-        groups = py_tokenize_groups(word, self._tokenizer)
+        groups = py_tokenize_parts_groups(word, self._tokenizer)
         if not groups:
             raise ParseError(f"no searchable characters in {word!r}")
         from sifts_spark.functions.text import prefix_tail_needed
 
         leaves: list[Node] = []
-        for gi, group in enumerate(groups):
+        for gi, (part, group) in enumerate(groups):
             last = gi == len(groups) - 1
             if len(group) > 1:
+                # synthesized gram-chain phrases carry their written
+                # part as ``source`` — the exact_runs verify anchor
                 if (
                     is_prefix
                     and last
@@ -297,13 +311,13 @@ class QueryParser:
                     # node) — recall-correct, documented over-match.
                     head = group[:-1]
                     leaves.append(
-                        Phrase(tuple(head))
+                        Phrase(tuple(head), source=part)
                         if len(head) > 1
                         else self._leaf(head[0], False)
                     )
                     leaves.append(Prefix(group[-1]))
                 else:
-                    leaves.append(Phrase(tuple(group)))
+                    leaves.append(Phrase(tuple(group), source=part))
             else:
                 leaves.append(self._leaf(group[0], is_prefix and last))
         node = leaves[0]
@@ -342,6 +356,18 @@ def _split_like_tokenizer(word: str, tokenizer: str | None = None) -> list[str]:
 
 def parse_query(query: str, tokenizer: str | None = None) -> Node:
     return QueryParser(query, tokenizer).parse()
+
+
+def has_run_phrase(ast: Node) -> bool:
+    """True when the AST contains a SYNTHESIZED gram-chain
+    :class:`Phrase` (``source`` set) — the only node shape the opt-in
+    ``exact_runs`` verify applies to; queries without one make the
+    flag a no-op (plans stay byte-identical)."""
+    if isinstance(ast, Phrase):
+        return ast.source is not None
+    if isinstance(ast, (And, Or, AndNot)):
+        return has_run_phrase(ast.left) or has_run_phrase(ast.right)
+    return False
 
 
 def has_phrase(ast: Node) -> bool:

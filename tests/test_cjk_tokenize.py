@@ -393,3 +393,77 @@ def test_latin_prefix_inside_mixed_run_marked():
         tokenizer=TOKENIZER_CJK,
     )
     assert "[中文spark]" in s
+
+
+class TestExactRuns:
+    """r15: the opt-in exact run-boundary verify (the measured
+    cross-run over-match, CJK_FP_EVAL.json: 0% of natural within-run
+    query matches, ~10% of boundary-spanning query matches on a
+    maximally-spaced corpus)."""
+
+    def test_source_stamped_and_equality_unchanged(self):
+        ast = parse_query("中文字", tokenizer=TOKENIZER_CJK)
+        assert ast == Phrase(words=("中文", "文字"))  # compare=False
+        assert ast.source == "中文字"
+        from sifts_spark.queryparser import has_run_phrase
+
+        assert has_run_phrase(ast)
+        quoted = parse_query('"中文 文字"', tokenizer=TOKENIZER_CJK)
+        assert quoted.source is None and not has_run_phrase(quoted)
+
+    def test_scan_path_default_overmatches_exact_does_not(self, spark):
+        from sifts_spark.operators.search import match_filter
+
+        ast = parse_query("中文字", tokenizer=TOKENIZER_CJK)
+        df = spark.createDataFrame(
+            [("a", "前缀中文字后缀"), ("b", "中文 文字"), ("c", "毫无关联")],
+            "id string, content string",
+        )
+        got = {
+            r["id"]
+            for r in match_filter(df, ast, tokenizer=TOKENIZER_CJK).collect()
+        }
+        assert got == {"a", "b"}  # the documented Lucene-parity over-match
+        got = {
+            r["id"]
+            for r in match_filter(
+                df, ast, tokenizer=TOKENIZER_CJK, exact_runs=True
+            ).collect()
+        }
+        assert got == {"a"}
+
+    def test_postings_path_collection_query(self, store_root, spark):
+        from sifts_spark.collection import Collection
+
+        col = Collection(store_root, "xr", spark=spark, tokenizer="cjk_bigram")
+        col.add(["前缀中文字后缀", "中文 文字", "毫无关联"], ids=["a", "b", "c"])
+        r = col.query("中文字")
+        assert sorted(x["id"] for x in r["results"]) == ["a", "b"]
+        r = col.query("中文字", exact_runs=True)
+        assert [x["id"] for x in r["results"]] == ["a"] and r["total"] == 1
+        # user-quoted phrases keep index semantics under the flag
+        # (adjacency of the quoted gram chains — satisfied both by the
+        # written pair and within a longer run, the family's posture)
+        r = col.query('"中文 文字"', exact_runs=True)
+        assert sorted(x["id"] for x in r["results"]) == ["a", "b"]
+        # no-op for queries without a synthesized gram-chain phrase
+        r = col.query("例", exact_runs=True)
+        assert r["total"] == 0
+
+    def test_exact_runs_mixed_word_and_or(self, spark):
+        from sifts_spark.operators.search import match_filter
+
+        # OR branches verify independently: a doc matching only the
+        # clean disjunct must survive the other's failed verify
+        ast = parse_query("中文字 OR 数据库", tokenizer=TOKENIZER_CJK)
+        df = spark.createDataFrame(
+            [("a", "中文 文字"), ("b", "大型数据库系统"), ("c", "无关")],
+            "id string, content string",
+        )
+        got = {
+            r["id"]
+            for r in match_filter(
+                df, ast, tokenizer=TOKENIZER_CJK, exact_runs=True
+            ).collect()
+        }
+        assert got == {"b"}

@@ -184,3 +184,30 @@ class TestSnippets:
             tokenizer=fam,
         )
         assert "[alpha]" in s and "[beta]" not in s
+
+
+class TestExactRunsTrigram:
+    def test_cross_token_chain_overmatch_and_verify(self, spark):
+        # trigram cross-token FP needs t1's last 2 chars == t2's first
+        # 2 chars ("hello lol" vs query "hellol"); exact_runs kills it
+        from sifts_spark.operators.search import match_filter
+
+        ast = parse_query("hellol", tokenizer=TOKENIZER_TRIGRAM)
+        assert ast.source == "hellol"
+        df = spark.createDataFrame(
+            [("a", "say hellol now"), ("b", "hello lol"), ("c", "other")],
+            "id string, content string",
+        )
+        fam = TOKENIZER_TRIGRAM
+        got = {
+            r["id"]
+            for r in match_filter(df, ast, tokenizer=fam).collect()
+        }
+        assert got == {"a", "b"}
+        got = {
+            r["id"]
+            for r in match_filter(
+                df, ast, tokenizer=fam, exact_runs=True
+            ).collect()
+        }
+        assert got == {"a"}

@@ -60,6 +60,12 @@ _LATIN = "abcdefghijklmnopqrstuvwxyz"
 _SCRIPTS = {
     "cyrillic": "абвгдежзийклмнопрстуфхцчшщъыьэюя"[:26],
     "cjk": "一二三四五六七八九十百千万上下左右中大小山水火木金土",
+    # Hangul (r15): Korean is SPACE-delimited, so it is deliberately
+    # excluded from the cjk_bigram run class (ES's analyzer makes the
+    # same call) — the recall_korean rows MEASURE that scope decision:
+    # spaced-Hangul near-dups must recall at parity with the Cyrillic
+    # rows under the plain unicode family, with no bigram family needed
+    "korean": "가나다라마바사아자차카타파하거너더러머버서어저처커터퍼허"[:26],
 }
 _SCRIPT_RATE = 0.10  # one mutation rate per script keeps runtime bounded
 

@@ -270,6 +270,40 @@ class QueryParser:
                 # prefix degradation — same rule as the bare word)
                 return self._leaf(parts[0], is_prefix=False)
             return Phrase(tuple(parts))
+        if word.startswith("*") and len(word) > 1:
+            # Leading wildcard (r15): a SUBSTRING ask. The expanding
+            # families grant it by construction — every plain word
+            # already compiles to its consecutive gram chain, which is
+            # in-word substring match, so `*ello*`/`*ello` ≡ `ello`
+            # there (FTS5's trigram tokenizer exists for exactly this)
+            # — strip and continue. The word families can only match
+            # whole stored tokens; silently stripping the star (the
+            # pre-r15 behavior, the star is a tokenizer delimiter)
+            # turned a substring ask into an exact-term match — reject
+            # loudly with the remedy instead.
+            from sifts_spark.functions.text import (
+                CJK_RUN_CHARS,
+                TOKENIZER_CJK,
+                gram_width,
+                resolve_tokenizer,
+            )
+
+            fam = resolve_tokenizer(self._tokenizer)
+            grantable = bool(gram_width(fam)) and not (
+                # cjk_bigram expands CJK runs ONLY — a latin word's
+                # substring ask still can't be granted there
+                fam == TOKENIZER_CJK
+                and not re.search(f"[{CJK_RUN_CHARS}]", word)
+            )
+            if not grantable:
+                raise ParseError(
+                    f"leading '*' in {word!r}: substring match needs a "
+                    "substring-indexed family for this script — pin the "
+                    "collection to tokenizer='trigram' (any script; "
+                    "cjk_bigram covers CJK runs only); word families "
+                    "match whole tokens only"
+                )
+            word = word.lstrip("*")
         is_prefix = word.endswith("*") and len(word) > 1
         if is_prefix:
             word = word[:-1]

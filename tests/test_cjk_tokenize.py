@@ -467,3 +467,36 @@ class TestExactRuns:
             ).collect()
         }
         assert got == {"b"}
+
+
+class TestBM25GramStatistics:
+    """r15 stretch: BM25 under an expanding family ranks by GRAM
+    statistics (tf/idf/dl counted over bigrams), not word statistics —
+    a documented deviation. The pin: ranking stays sane — a doc
+    repeating the exact query run outranks a single-occurrence doc,
+    and a doc holding the grams scattered (non-consecutive) is not a
+    hit AT ALL (the gram-chain Phrase excludes it index-side), which
+    is stronger than being outranked."""
+
+    def test_repeat_run_outranks_and_scattered_is_excluded(
+        self, store_root, spark
+    ):
+        from sifts_spark.collection import Collection
+
+        col = Collection(
+            store_root, "bm", spark=spark, tokenizer="cjk_bigram"
+        )
+        col.add(
+            [
+                "报告提到中文字编码和中文字历史",  # run twice
+                "某处提到中文字编码而已",          # run once
+                "中文 在前 文字 在后 没有连续",      # grams scattered
+            ],
+            ids=["twice", "once", "scattered"],
+        )
+        r = col.query("中文字")
+        ids = [x["id"] for x in r["results"]]
+        assert "scattered" not in ids
+        assert ids.index("twice") < ids.index("once")
+        ranks = {x["id"]: x["rank"] for x in r["results"]}
+        assert ranks["twice"] > ranks["once"]

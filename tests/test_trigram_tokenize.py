@@ -211,3 +211,46 @@ class TestExactRunsTrigram:
             ).collect()
         }
         assert got == {"a"}
+
+
+class TestLeadingWildcard:
+    """r15 stretch: a leading '*' is a SUBSTRING ask — implied (and
+    granted) by the expanding families, rejected loudly with the
+    remedy by the word families (pre-r15 the star was silently
+    tokenizer-stripped, turning the ask into an exact-term match)."""
+
+    def test_implied_under_trigram(self):
+        fam = TOKENIZER_TRIGRAM
+        assert parse_query("*ello*", tokenizer=fam) == parse_query(
+            "ello", tokenizer=fam
+        )
+        assert parse_query("*ello", tokenizer=fam) == Phrase(("ell", "llo"))
+
+    def test_rejected_under_word_families(self):
+        from sifts_spark.queryparser import ParseError
+
+        for fam in ("unicode", "ascii"):
+            with pytest.raises(ParseError, match="trigram"):
+                parse_query("*ello", tokenizer=fam)
+
+    def test_cjk_bigram_grants_cjk_only(self):
+        from sifts_spark.queryparser import ParseError
+
+        got = parse_query("*中文字", tokenizer="cjk_bigram")
+        assert got == parse_query("中文字", tokenizer="cjk_bigram")
+        with pytest.raises(ParseError, match="trigram"):
+            parse_query("*ello", tokenizer="cjk_bigram")
+
+    def test_lone_star_still_rejected(self):
+        from sifts_spark.queryparser import ParseError
+
+        with pytest.raises(ParseError):
+            parse_query("*", tokenizer=TOKENIZER_TRIGRAM)
+
+    def test_e2e_collection(self, spark, tmp_path):
+        c = Collection(
+            str(tmp_path / "w"), "d", spark=spark, tokenizer=TOKENIZER_TRIGRAM
+        )
+        c.add(ids=["a", "b"], contents=["say hello world", "nothing here"])
+        ids = sorted(d["id"] for d in c.query("*ello*")["results"])
+        assert ids == ["a"]

@@ -334,9 +334,20 @@ def main() -> None:
     # throughput a long-running cluster job pays, which is the quantity
     # this bench exists to track. ``runs`` carries every (sec, steal)
     # sample so the best-of selection is auditable after the fact.
+    # Floor-file per scale (r15): BENCH_EXPECTED.json carries the sf0.1
+    # floors; other scales get a mechanical deviation guard too when a
+    # BENCH_EXPECTED_sf{sf}.json exists (sf1 shipped r15 — before it,
+    # sf1 regressions were only prose-audited in SURVEY §6.1; the r14
+    # minhash 6.3→11.2s regression was caught only because the builder
+    # chose to re-measure). load_expected still sf-gates the content,
+    # so a mismatched file degrades to no-op rather than mis-flagging.
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _exp_path = os.path.join(_here, "BENCH_EXPECTED.json")
+    _alt = os.path.join(_here, f"BENCH_EXPECTED_sf{sf}.json")
+    if os.path.exists(_alt):
+        _exp_path = _alt
     expected = load_expected(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_EXPECTED.json"),
+        _exp_path,
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     calib = calibration_sec()

@@ -165,3 +165,27 @@ class TestDeferredRemeasure:
             lambda name: vals[name],
         )
         assert still == ["b"] and cleared == ["a"]
+
+
+class TestSf1Floors:
+    # r15: sf1 gets the same mechanical deviation guard as sf0.1
+    def test_sf1_file_covers_every_headline_query(self):
+        import bench
+
+        exp = bench.load_expected(
+            os.path.join(REPO, "BENCH_EXPECTED_sf1.json"), sf=1.0
+        )
+        missing = [q for q in bench.HEADLINE if q not in exp]
+        assert not missing, f"BENCH_EXPECTED_sf1.json lacks {missing}"
+        assert all(v > 0 for v in exp.values())
+
+    def test_sf_gate_rejects_mismatched_scale(self):
+        import bench
+
+        # an sf0.1 run must NOT consume the sf1 floors
+        assert (
+            bench.load_expected(
+                os.path.join(REPO, "BENCH_EXPECTED_sf1.json"), sf=0.1
+            )
+            == {}
+        )

@@ -1421,6 +1421,7 @@ class SparkCollection:
         nprobe: int = 2,
         group_by_parent: bool = False,
         after: dict | str | None = None,
+        exact_runs: bool = False,
     ) -> dict:
         """MMR diversification over the HYBRID (BM25×vector RRF) pool —
         :meth:`hybrid_query`'s retrieval with :meth:`mmr_query`'s
@@ -1459,7 +1460,8 @@ class SparkCollection:
         if pool_n < k:
             raise ValueError(f"fetch_k ({pool_n}) must be >= k ({k})")
         fused = self._hybrid_fused(
-            query_string, where, rrf_k, pool_n, weights, approx, nprobe
+            query_string, where, rrf_k, pool_n, weights, approx, nprobe,
+            exact_runs=exact_runs,
         )
         joined = fused.join(
             self.docs().select("id", "content", "metadata", "embedding"),
@@ -1681,6 +1683,7 @@ class SparkCollection:
         group_by_parent: bool = False,
         highlight: bool = False,
         after: dict | None = None,
+        exact_runs: bool = False,
     ) -> dict:
         """Hybrid text+vector search fused by Reciprocal Rank Fusion
         (extension — the reference exposes FTS and vector search only
@@ -1738,7 +1741,7 @@ class SparkCollection:
         )
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
-            weights, approx, nprobe,
+            weights, approx, nprobe, exact_runs=exact_runs,
         ).persist()  # pool-sized; without it the count + collect each
         # re-run BOTH retrieval legs over the corpus
         try:
@@ -1799,6 +1802,7 @@ class SparkCollection:
         group_by_parent: bool = False,
         highlight: bool = False,
         after: dict | None = None,
+        exact_runs: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
         winners as a lazy ``(id, content, metadata, rank)`` frame
@@ -1816,7 +1820,7 @@ class SparkCollection:
         )
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
-            weights, approx, nprobe,
+            weights, approx, nprobe, exact_runs=exact_runs,
         )
         if group_by_parent:
             parents = self._hybrid_parent_pool(fused)
@@ -1856,8 +1860,10 @@ class SparkCollection:
         weights: tuple[float, float],
         approx: bool,
         nprobe: int,
+        exact_runs: bool = False,
     ) -> DataFrame:
-        """(id, rrf) for every candidate either leg retrieved."""
+        """(id, rrf) for every candidate either leg retrieved.
+        ``exact_runs`` applies to the TEXT leg (see :meth:`query`)."""
         if not self.use_fts:
             raise ValueError("hybrid_query requires use_fts=True")
         if self.embedding_function is None:
@@ -1867,7 +1873,8 @@ class SparkCollection:
         w_t, w_v = (float(weights[0]), float(weights[1]))
 
         text_leg, _ = self._query_plan(
-            query_string, where, None, vector_search=False
+            query_string, where, None, vector_search=False,
+            exact_runs=exact_runs,
         )
         vec_leg, _ = self._query_plan(
             query_string, where, None, vector_search=True,

@@ -500,3 +500,29 @@ class TestBM25GramStatistics:
         assert ids.index("twice") < ids.index("once")
         ranks = {x["id"]: x["rank"] for x in r["results"]}
         assert ranks["twice"] > ranks["once"]
+
+
+def test_exact_runs_threads_through_hybrid_text_leg(store_root, spark):
+    # exact_runs trims the TEXT leg only: the cross-run doc loses its
+    # BM25 contribution but can still enter through the vector leg
+    from sifts_spark.collection import Collection
+
+    def embed(texts):
+        return [
+            [1.0, 0.0] if "中" in (t or "") else [0.0, 1.0] for t in texts
+        ]
+
+    col = Collection(
+        store_root, "hxr", spark=spark, tokenizer="cjk_bigram",
+        embedding_function=embed,
+    )
+    col.add(["前缀中文字后缀", "中文 文字", "毫无关联"], ids=["a", "b", "c"])
+    base = {x["id"]: x["rank"] for x in col.hybrid_query("中文字")["results"]}
+    exact = {
+        x["id"]: x["rank"]
+        for x in col.hybrid_query("中文字", exact_runs=True)["results"]
+    }
+    assert exact["b"] < base["b"]  # lost the text-leg RRF term
+    # the clean doc can only GAIN (the dropped doc vacates a text-leg
+    # position above it — BM25 favored the shorter cross-run doc)
+    assert exact["a"] >= base["a"]

@@ -393,8 +393,41 @@ def main() -> None:
             cdocs, _CJK_Q, "content", tokenizer=TOKENIZER_CJK
         ).select("id")
 
+    # exact run-boundary verify cost (r15): both physical strategies
+    # with the opt-in precision knob on — the scan folds one raw
+    # Contains per gram-chain phrase into the predicate; the postings
+    # path pays the Collection.query(exact_runs=True) serving shape
+    # (candidates joined to content, structural re-verify — the
+    # positions-free verify cost class)
+    def _cjk_substr_scan_exact():
+        return S_search.match_filter(
+            cdocs, _CJK_Q, "content", tokenizer=TOKENIZER_CJK,
+            exact_runs=True,
+        ).select("id")
+
+    def _cjk_substr_postings_exact():
+        from sifts_spark.functions.text import tokenize as _tok
+        from sifts_spark.operators.search import exact_runs_column
+
+        cand = S_search.search_postings(
+            spark.read.parquet(cjk_idx), _CJK_Q
+        ).drop("_pending")
+        return (
+            cand.join(cdocs, "id")
+            .filter(
+                exact_runs_column(
+                    _CJK_Q,
+                    _tok(F.col("content"), TOKENIZER_CJK),
+                    F.lower(F.col("content")),
+                )
+            )
+            .select("id")
+        )
+
     QUERIES["cjk_substr_postings"] = _cjk_substr_postings
     QUERIES["cjk_substr_scan"] = _cjk_substr_scan
+    QUERIES["cjk_substr_postings_exact"] = _cjk_substr_postings_exact
+    QUERIES["cjk_substr_scan_exact"] = _cjk_substr_scan_exact
 
     # ---- trigram family on an ORDINARY latin corpus (late r14): the
     # number a user choosing between unicode (word match) and trigram

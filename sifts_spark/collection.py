@@ -1622,24 +1622,15 @@ class SparkCollection:
             if exact_runs and has_run_phrase(ast):
                 # opt-in EXACT RUN-BOUNDARY verify (expanding families):
                 # index-side adjacency CONFIRMS a gram-chain match, so
-                # _pending=False does not prove run-exactness — every
-                # candidate re-verifies on content with the synthesized
-                # phrases' written words substring-anchored
-                # (search.exact_runs_column; rates in CJK_FP_EVAL.json).
-                # Candidate-pool-sized, same cost class as the
-                # positions-free phrase verify below.
-                from sifts_spark.functions.text import tokenize as _tok
-                from sifts_spark.operators.search import exact_runs_column
+                # _pending=False does not prove run-exactness — the
+                # residual verify anchors the synthesized phrases'
+                # written words in raw content (rates in
+                # CJK_FP_EVAL.json; cost tiering in exact_runs_verify —
+                # conjunctive spines pay one Contains per phrase, no
+                # content re-tokenize).
+                from sifts_spark.operators.search import exact_runs_verify
 
-                df = df.filter(
-                    exact_runs_column(
-                        ast,
-                        _tok(F.col("content"), fam),
-                        F.lower(F.col("content")),
-                    )
-                )
-                if "_pending" in df.columns:
-                    df = df.drop("_pending")
+                df = exact_runs_verify(df, ast, "content", fam)
             elif has_phrase(ast):
                 from sifts_spark.functions.text import tokenize as _tok
 

@@ -85,6 +85,47 @@ def exact_runs_column(ast: Node, tokens: Column, raw_lower: Column) -> Column:
     return ast.to_column(tokens)
 
 
+def exact_runs_verify(
+    df: DataFrame,
+    ast: Node,
+    content_col: str = "content",
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """Apply the exact run-boundary residual verify to an INDEX-
+    CANDIDATE frame joined with its content — the
+    ``Collection.query(exact_runs=True)`` serving shape. Consumes (and
+    drops) a ``_pending`` column when present.
+
+    Cost tiering (measured, EXT_BENCH ``cjk_substr_postings_exact``):
+    a candidate already passed the full AST index-side (boolean +
+    gram-chain adjacency), so on a purely conjunctive positive spine
+    the residual is ONE raw Contains per sourced phrase — no content
+    re-tokenize (the full structural re-eval cost ~3× the index probe;
+    the Contains residual is nearly free). Queries whose ``Or`` spans
+    a sourced phrase fall back to the full
+    :func:`exact_runs_column` re-eval; ``_pending=True`` rows (capped
+    positions / pre-positions batches) always take the full re-eval —
+    their adjacency was never proven."""
+    from sifts_spark.functions.text import tokenize as _tok
+    from sifts_spark.queryparser import conjunctive_sources
+
+    raw = F.lower(F.col(content_col))
+    srcs = conjunctive_sources(ast)
+    full = None
+    if srcs is None or "_pending" in df.columns:
+        full = exact_runs_column(ast, _tok(F.col(content_col), tokenizer), raw)
+    if srcs is None:
+        cond = full
+    else:
+        cond = F.lit(True)
+        for s in srcs:
+            cond = cond & F.coalesce(raw.contains(s), F.lit(False))
+        if "_pending" in df.columns:
+            cond = F.when(F.col("_pending"), full & cond).otherwise(cond)
+    out = df.filter(cond)
+    return out.drop("_pending") if "_pending" in df.columns else out
+
+
 def match_filter(
     df: DataFrame,
     ast: Node,

@@ -404,6 +404,33 @@ def has_run_phrase(ast: Node) -> bool:
     return False
 
 
+def conjunctive_sources(ast: Node) -> "list[str] | None":
+    """The sourced-phrase written words when the POSITIVE spine is
+    purely conjunctive — the cheap ``exact_runs`` residual: an index
+    candidate already passed the FULL AST (boolean + gram-chain
+    adjacency), so in a conjunction the only residual between index
+    truth and exact-run truth is one raw Contains per sourced phrase
+    (no content re-tokenize). Returns None when an ``Or`` subtree
+    CONTAINS a sourced phrase (we can't know which disjunct admitted
+    the candidate — the caller falls back to the full structural
+    re-eval); an Or subtree without one contributes no residual. An
+    ``AndNot`` right side keeps index semantics (see
+    :func:`~sifts_spark.operators.search.exact_runs_column`)."""
+    if isinstance(ast, Or):
+        return None if has_run_phrase(ast) else []
+    if isinstance(ast, AndNot):
+        return conjunctive_sources(ast.left)
+    if isinstance(ast, And):
+        left = conjunctive_sources(ast.left)
+        right = conjunctive_sources(ast.right)
+        if left is None or right is None:
+            return None
+        return left + right
+    if isinstance(ast, Phrase) and ast.source is not None:
+        return [ast.source]
+    return []
+
+
 def has_phrase(ast: Node) -> bool:
     """True when the AST contains a :class:`Phrase` — callers on the
     postings path use this to add the adjacency verify only when one

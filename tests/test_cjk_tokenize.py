@@ -526,3 +526,59 @@ def test_exact_runs_threads_through_hybrid_text_leg(store_root, spark):
     # the clean doc can only GAIN (the dropped doc vacates a text-leg
     # position above it — BM25 favored the shorter cross-run doc)
     assert exact["a"] >= base["a"]
+
+
+def test_conjunctive_sources_tiering():
+    # the exact_runs residual-verify cost tier: conjunctive spines →
+    # Contains-only list; an Or spanning a sourced phrase → None
+    # (full re-eval); Or subtrees without one contribute no residual
+    from sifts_spark.queryparser import conjunctive_sources
+
+    fam = TOKENIZER_CJK
+    assert conjunctive_sources(parse_query("中文字", tokenizer=fam)) == [
+        "中文字"
+    ]
+    assert conjunctive_sources(
+        parse_query("中文字 数据库", tokenizer=fam)
+    ) == ["中文字", "数据库"]
+    assert (
+        conjunctive_sources(parse_query("中文字 OR 数据库", tokenizer=fam))
+        is None
+    )
+    # Or of plain terms under AND with a run phrase (programmatic AST —
+    # the grammar itself always roots at Or): cheap path holds because
+    # the Or subtree carries no sourced phrase
+    from sifts_spark.queryparser import And, Or, Term
+
+    ast = And(
+        Or(Term("alpha"), Term("beta")),
+        parse_query("中文字", tokenizer=fam),
+    )
+    assert conjunctive_sources(ast) == ["中文字"]
+    # but any Or CONTAINING a sourced phrase bails to full re-eval
+    assert conjunctive_sources(
+        parse_query("alpha OR beta 中文字", tokenizer=fam)
+    ) is None
+    # negated side keeps index semantics — no residual from it
+    assert conjunctive_sources(
+        parse_query("中文字 NOT 数据库", tokenizer=fam)
+    ) == ["中文字"]
+
+
+def test_exact_runs_or_fallback_and_conjunctive_paths(store_root, spark):
+    from sifts_spark.collection import Collection
+
+    col = Collection(store_root, "xor", spark=spark, tokenizer="cjk_bigram")
+    col.add(
+        ["前缀中文字后缀", "中文 文字", "大型数据库系统", "数据 据库"],
+        ids=["a", "b", "c", "d"],
+    )
+    # OR spanning sourced phrases → full re-eval kills both cross-run
+    # docs while each clean disjunct survives independently
+    r = col.query("中文字 OR 数据库", exact_runs=True)
+    assert sorted(x["id"] for x in r["results"]) == ["a", "c"]
+    r = col.query("中文字 OR 数据库")
+    assert sorted(x["id"] for x in r["results"]) == ["a", "b", "c", "d"]
+    # conjunctive spine → the cheap Contains residual
+    r = col.query("中文字 前缀", exact_runs=True)
+    assert sorted(x["id"] for x in r["results"]) == ["a"]

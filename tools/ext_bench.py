@@ -406,23 +406,14 @@ def main() -> None:
         ).select("id")
 
     def _cjk_substr_postings_exact():
-        from sifts_spark.functions.text import tokenize as _tok
-        from sifts_spark.operators.search import exact_runs_column
+        from sifts_spark.operators.search import exact_runs_verify
 
         cand = S_search.search_postings(
             spark.read.parquet(cjk_idx), _CJK_Q
         ).drop("_pending")
-        return (
-            cand.join(cdocs, "id")
-            .filter(
-                exact_runs_column(
-                    _CJK_Q,
-                    _tok(F.col("content"), TOKENIZER_CJK),
-                    F.lower(F.col("content")),
-                )
-            )
-            .select("id")
-        )
+        return exact_runs_verify(
+            cand.join(cdocs, "id"), _CJK_Q, "content", TOKENIZER_CJK
+        ).select("id")
 
     QUERIES["cjk_substr_postings"] = _cjk_substr_postings
     QUERIES["cjk_substr_scan"] = _cjk_substr_scan

@@ -126,6 +126,47 @@ def exact_runs_verify(
     return out.drop("_pending") if "_pending" in df.columns else out
 
 
+def necessary_contains(ast: Node, raw_lower: Column) -> Column:
+    """A CHEAP NECESSARY condition for an expanding-family match,
+    evaluated on raw lowered text: every token or gram a leaf can
+    match is a contiguous substring of the lowered content (grams are
+    substrings of one segment; whole tokens are substrings by
+    construction), so
+
+    * ``Term(w)`` / ``Prefix(p)`` → ``contains(w)`` / ``contains(p)``
+    * ``Phrase(ws)`` → AND of ``contains(w)`` (each word matched
+      SOMEWHERE, adjacency not pre-checked)
+    * ``And``/``Or`` map structurally; ``AndNot`` keeps only its
+      positive side (a negation cannot prefilter).
+
+    match ⇒ necessary_contains, never the converse — callers AND it in
+    FRONT of the real predicate so whole-stage codegen's short-circuit
+    skips the n-gram expansion HOFs on rows that cannot match (the
+    Lucene cheap-first-pass posture; the DB-classic LIKE-before-regex).
+    Measured in EXT_BENCH ``cjk_substr_scan``/``trigram_substr_scan``."""
+    if isinstance(ast, Term):
+        return raw_lower.contains(ast.word)
+    if isinstance(ast, Prefix):
+        return raw_lower.contains(ast.prefix)
+    if isinstance(ast, Phrase):
+        cond = None
+        for w in ast.words:
+            c = raw_lower.contains(w)
+            cond = c if cond is None else cond & c
+        return cond
+    if isinstance(ast, And):
+        return necessary_contains(ast.left, raw_lower) & necessary_contains(
+            ast.right, raw_lower
+        )
+    if isinstance(ast, Or):
+        return necessary_contains(ast.left, raw_lower) | necessary_contains(
+            ast.right, raw_lower
+        )
+    if isinstance(ast, AndNot):
+        return necessary_contains(ast.left, raw_lower)
+    raise TypeError(f"unknown AST node {ast!r}")
+
+
 def match_filter(
     df: DataFrame,
     ast: Node,
@@ -157,15 +198,25 @@ def match_filter(
 
     toks = tokenize(F.col(content_col), tokenizer)
     if gram_width(tokenizer):
+        # necessary-contains prefilter (r15): the expansion HOFs are
+        # the expensive part of this predicate; ANDing a cheap raw
+        # Contains necessary condition in front lets codegen's
+        # short-circuit skip them on rows that cannot match — sound
+        # because every matchable token/gram is a contiguous substring
+        # of the lowered content (see necessary_contains)
+        raw = F.lower(F.col(content_col))
+        pre = necessary_contains(ast, raw)
         if exact_runs:
-            raw = F.lower(F.col(content_col))
             return df.filter(
-                F.exists(
+                pre
+                & F.exists(
                     F.array(toks),
                     lambda t: exact_runs_column(ast, t, raw),
                 )
             )
-        return df.filter(F.exists(F.array(toks), lambda t: ast.to_column(t)))
+        return df.filter(
+            pre & F.exists(F.array(toks), lambda t: ast.to_column(t))
+        )
     return df.filter(ast.to_column(toks))
 
 

@@ -254,3 +254,58 @@ class TestLeadingWildcard:
         c.add(ids=["a", "b"], contents=["say hello world", "nothing here"])
         ids = sorted(d["id"] for d in c.query("*ello*")["results"])
         assert ids == ["a"]
+
+
+def test_necessary_contains_prefilter_soundness(spark):
+    # the r15 scan prefilter is a NECESSARY condition: structural map
+    # of every leaf to raw Contains; a match without it would be a
+    # wrong-answer bug, so pin the mapping on each node type
+    from pyspark.sql import functions as F
+
+    from sifts_spark.operators.search import necessary_contains
+    from sifts_spark.queryparser import parse_query
+
+    fam = TOKENIZER_TRIGRAM
+    # rendered expression references Contains and never the expansion
+    ast = parse_query('"hash join" OR ello NOT qz', tokenizer=fam)
+    col = necessary_contains(ast, F.lower(F.lit("x")))
+    s = str(col._jc)
+    assert "CONTAINS" in s.upper()
+    assert "transform" not in s  # no HOF in the cheap pass
+
+
+def test_prefilter_preserves_match_semantics(spark):
+    # prefilter && predicate ≡ predicate — exhaustive over the corpus
+    # shapes for both expanding families and all node types
+    from sifts_spark.operators.search import match_filter, necessary_contains
+    from sifts_spark.functions.text import TOKENIZER_CJK, tokenize
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "say hello to the world"),
+        (2, "hello lol cross chain"),
+        (3, "中文 文字"),
+        (4, "前缀中文字后缀"),
+        (5, None),
+        (6, ""),
+        (7, "qz plenipotentiary"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string")
+    for fam, qs in (
+        (TOKENIZER_TRIGRAM, ["ello", "hellol", "qz", '"hash join"',
+                             "ello NOT world", "ello OR enipote"]),
+        (TOKENIZER_CJK, ["中文字", "例 OR 中文字", "中文字 NOT 后缀"]),
+    ):
+        for q in qs:
+            ast = parse_query(q, tokenizer=fam)
+            with_pre = {
+                r["id"] for r in match_filter(df, ast, tokenizer=fam).collect()
+            }
+            toks = tokenize(F.col("content"), fam)
+            bare = {
+                r["id"]
+                for r in df.filter(
+                    F.exists(F.array(toks), lambda t: ast.to_column(t))
+                ).collect()
+            }
+            assert with_pre == bare, (fam, q, with_pre, bare)

@@ -105,12 +105,32 @@ def exact_runs_verify(
     a sourced phrase fall back to the full
     :func:`exact_runs_column` re-eval; ``_pending=True`` rows (capped
     positions / pre-positions batches) always take the full re-eval —
-    their adjacency was never proven."""
+    their adjacency was never proven.
+
+    A ``_pending``-FREE frame is only "index proved the full AST" on a
+    POSITIONAL layout; a positions-free index returns the all-words-
+    present superset with no ``_pending`` column at all. There the
+    Contains residual covers SOURCED phrases (a raw substring hit is
+    stronger than gram-chain adjacency) but nothing verifies an
+    unsourced (user-quoted) phrase's adjacency or re-applies a
+    negation the prefilter dropped — such ASTs
+    (:func:`~sifts_spark.queryparser.has_unverified_phrase`) take the
+    full re-eval (r16; previously the fast path silently skipped the
+    quoted-phrase verify on positions-free collections)."""
     from sifts_spark.functions.text import tokenize as _tok
-    from sifts_spark.queryparser import conjunctive_sources
+    from sifts_spark.queryparser import (
+        conjunctive_sources,
+        has_unverified_phrase,
+    )
 
     raw = F.lower(F.col(content_col))
     srcs = conjunctive_sources(ast)
+    if (
+        srcs is not None
+        and "_pending" not in df.columns
+        and has_unverified_phrase(ast)
+    ):
+        srcs = None
     full = None
     if srcs is None or "_pending" in df.columns:
         full = exact_runs_column(ast, _tok(F.col(content_col), tokenizer), raw)

@@ -440,3 +440,32 @@ def has_phrase(ast: Node) -> bool:
     if isinstance(ast, (And, Or, AndNot)):
         return has_phrase(ast.left) or has_phrase(ast.right)
     return False
+
+
+def has_unverified_phrase(ast: Node) -> bool:
+    """True when a POSITIONS-FREE all-words-present candidate set plus
+    the conjunctive Contains residual would NOT prove the AST exactly:
+
+    * an UNSOURCED (user-quoted) :class:`Phrase` anywhere — its
+      cross-word adjacency was never index-verified and
+      :func:`conjunctive_sources` gives it no residual;
+    * ANY phrase on an ``AndNot`` right side — the positions-free
+      prefilter (:func:`~sifts_spark.operators.search._retag`) DROPPED
+      the negation (excluding an over-approximation would drop real
+      matches), so candidates still include docs matching it.
+
+    ``exact_runs_verify`` uses this to gate its Contains-only fast
+    path: on a ``_pending``-free frame (positions-free index or
+    pre-positions batches read without the 3-valued path) such an AST
+    must take the full structural re-eval — a sourced gram-chain
+    phrase alone is fine (its Contains residual is STRONGER than
+    gram-chain adjacency)."""
+    if isinstance(ast, Phrase):
+        return ast.source is None
+    if isinstance(ast, (And, Or)):
+        return has_unverified_phrase(ast.left) or has_unverified_phrase(
+            ast.right
+        )
+    if isinstance(ast, AndNot):
+        return has_unverified_phrase(ast.left) or has_phrase(ast.right)
+    return False

@@ -450,6 +450,69 @@ class TestExactRuns:
         r = col.query("例", exact_runs=True)
         assert r["total"] == 0
 
+    def test_positions_free_quoted_phrase_still_verified(
+        self, store_root, spark
+    ):
+        # ADVICE r16 (high): on a POSITIONS-FREE index search_postings
+        # returns the all-words-present superset with no _pending
+        # column; the conjunctive Contains fast path must NOT treat
+        # that as "index proved the AST" — a user-quoted phrase's
+        # adjacency still needs the full re-eval, else exact_runs=True
+        # is strictly WORSE than the default has_phrase verify.
+        from sifts_spark.collection import Collection
+
+        col = Collection(
+            store_root, "xpf", spark=spark, tokenizer="cjk_bigram",
+            index_positions=False,
+        )
+        col.add(
+            [
+                "foo bar 前缀中文字后缀",      # quoted pair adjacent + run
+                "foo baz bar 前缀中文字后缀",  # words scattered + run
+                "foo bar 中文 文字",           # adjacent pair, cross-run
+            ],
+            ids=["adj", "scat", "xrun"],
+        )
+        q = '"foo bar" 中文字'
+        r = col.query(q)
+        assert sorted(x["id"] for x in r["results"]) == ["adj", "xrun"]
+        r = col.query(q, exact_runs=True)
+        assert [x["id"] for x in r["results"]] == ["adj"]
+        # negated quoted phrase: the positions-free prefilter DROPPED
+        # the negation — exact_runs must re-apply it, not fast-path
+        # past it
+        r = col.query('中文字 NOT "foo bar"', exact_runs=True)
+        assert sorted(x["id"] for x in r["results"]) == ["scat"]
+
+    def test_has_unverified_phrase(self):
+        from sifts_spark.queryparser import (
+            AndNot,
+            has_unverified_phrase,
+        )
+
+        fam = TOKENIZER_CJK
+        # sourced-only conjunction: Contains residual suffices
+        assert not has_unverified_phrase(
+            parse_query("中文字 数据库", tokenizer=fam)
+        )
+        # user-quoted phrase anywhere: needs the full re-eval
+        assert has_unverified_phrase(
+            parse_query('"中文 文字" 数据库', tokenizer=fam)
+        )
+        # ANY phrase under a negation (prefilter dropped it)
+        assert has_unverified_phrase(
+            AndNot(
+                parse_query("alpha", tokenizer=fam),
+                parse_query("中文字", tokenizer=fam),
+            )
+        )
+        assert not has_unverified_phrase(
+            AndNot(
+                parse_query("中文字", tokenizer=fam),
+                parse_query("alpha", tokenizer=fam),
+            )
+        )
+
     def test_exact_runs_mixed_word_and_or(self, spark):
         from sifts_spark.operators.search import match_filter
 

@@ -1111,6 +1111,7 @@ class SparkCollection:
         highlight: bool = False,
         after: dict | None = None,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`query` — the requested page as a
         DataFrame ``(id, content, metadata[, rank])``, fully lazy, for
@@ -1119,7 +1120,8 @@ class SparkCollection:
         ``snippet`` column via one distributed Arrow pass
         (:func:`~sifts_spark.functions.snippets.snippet_column` — the
         same kernel :meth:`query` uses driver-side, for building
-        search-results DATASETS). ``after=`` is the keyset cursor
+        search-results DATASETS). ``after=`` is the keyset cursor,
+        ``substring_scan=`` the leading-``*`` scan opt-in
         (see :meth:`query`)."""
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
@@ -1131,6 +1133,7 @@ class SparkCollection:
             adc_limit=None if group_by_parent else limit,
             refine=refine,
             exact_runs=exact_runs,
+            substring_scan=substring_scan,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -1145,7 +1148,10 @@ class SparkCollection:
             out = out.withColumn(
                 "snippet",
                 snippet_column(
-                    parse_query(query_string, tokenizer=fam),
+                    parse_query(
+                        query_string, tokenizer=fam,
+                        substring_scan=substring_scan,
+                    ),
                     F.col("content"),
                     tokenizer=fam,
                 ),
@@ -1167,6 +1173,7 @@ class SparkCollection:
         highlight: bool = False,
         after: dict | None = None,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> dict:
         """The unified query pipeline (core.py:190-364).
 
@@ -1231,6 +1238,21 @@ class SparkCollection:
         re-verify over the candidate pool (the positions-free phrase
         cost class); a no-op for queries without a synthesized
         gram-chain phrase.
+
+        ``substring_scan=True`` (extension): grants leading-``*``
+        terms the collection's index family CANNOT serve — word-family
+        tokens, latin segments under cjk_bigram, sub-gram-width
+        needles — by compiling them to scan-only suffix/contains
+        leaves and serving the whole query via ONE codegen'd scan
+        predicate over the snapshot (raw-Contains prefiltered). The
+        reference's SQLite backend documents ``*`` anywhere in a term
+        (README.md:69); FTS5 cannot actually index-serve a leading
+        star either, so scan cost is the honest floor. Results take
+        the PLAIN-SCAN shape (storage order, no ``rank``) — exactly
+        the reference's observable behavior, which never orders by
+        rank; BM25 is a postings-path feature. Off by default: the
+        parse-time ``ParseError`` with the retokenize-to-trigram
+        remedy remains the index-path posture.
         """
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
@@ -1240,6 +1262,7 @@ class SparkCollection:
             adc_limit=None if group_by_parent else limit,
             refine=refine,
             exact_runs=exact_runs,
+            substring_scan=substring_scan,
         )
         if group_by_parent:
             df = self._collapse_parents(df, is_search)
@@ -1270,7 +1293,10 @@ class SparkCollection:
             from sifts_spark.functions.snippets import make_snippet
 
             snip_fam = self._tok_family()
-            snip_ast = parse_query(query_string, tokenizer=snip_fam)
+            snip_ast = parse_query(
+                query_string, tokenizer=snip_fam,
+                substring_scan=substring_scan,
+            )
         results = []
         for r in rows:
             d: dict[str, Any] = {
@@ -1546,6 +1572,7 @@ class SparkCollection:
         adc_limit: int | None = None,
         refine: int = 4,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> tuple[DataFrame, bool]:
         """Validate + build the pre-pagination plan (match ∧ where, with
         rank column for searches).
@@ -1594,7 +1621,32 @@ class SparkCollection:
             # stats materialized; at 100 TB a per-query index-stats scan
             # is the difference between an index probe and a table scan).
             fam = self._tok_family()
-            ast = parse_query(query_string, tokenizer=fam)
+            ast = parse_query(
+                query_string, tokenizer=fam, substring_scan=substring_scan
+            )
+            from sifts_spark.queryparser import has_scan_only
+
+            if has_scan_only(ast):
+                # substring_scan route: scan-only leaves (leading-*
+                # asks the index family cannot serve) make the whole
+                # query ONE codegen'd scan predicate over the snapshot
+                # — match_filter's raw-Contains prefilter shape. The
+                # result takes the PLAIN-SCAN contract (storage order,
+                # no rank): BM25 needs postings stats the scan never
+                # touches, and the reference itself returns storage
+                # order (its QUERY_SEARCH has no ORDER BY).
+                from sifts_spark.operators.search import match_filter
+
+                df = match_filter(
+                    df, ast, "content", fam, exact_runs=exact_runs
+                )
+                if where:
+                    df = df.filter(
+                        compile_where(
+                            F.col("metadata"), where, self._promoted_map()
+                        )
+                    )
+                return df, False
             n_docs, avgdl = self._corpus_stats()
             # search_postings' default pool=None: no operator-internal
             # persist, so the serving path never leaks CacheManager

@@ -51,19 +51,28 @@ def _reconstruct_cjk_chains(words: tuple, n: int = 2, require_cjk: bool = True) 
     return segs
 
 
-def positive_leaves(ast: Node) -> tuple[set, set, list]:
-    """(terms, prefixes, phrases) occurring in POSITIVE positions —
-    the right side of ``AndNot`` is excluded (a term the user excluded
-    must never be highlighted as a match)."""
+def positive_leaves(ast: Node) -> tuple[set, set, list, set]:
+    """(terms, prefixes, phrases, scans) occurring in POSITIVE
+    positions — the right side of ``AndNot`` is excluded (a term the
+    user excluded must never be highlighted as a match). ``scans``
+    holds the scan-only leaves of ``substring_scan`` queries as
+    ``("suffix" | "contains", needle)`` pairs."""
+    from sifts_spark.queryparser import Substring, Suffix
+
     terms: set = set()
     prefixes: set = set()
     phrases: list = []
+    scans: set = set()
 
     def walk(node: Node) -> None:
         if isinstance(node, Term):
             terms.add(node.word)
         elif isinstance(node, Prefix):
             prefixes.add(node.prefix)
+        elif isinstance(node, Suffix):
+            scans.add(("suffix", node.suffix))
+        elif isinstance(node, Substring):
+            scans.add(("contains", node.sub))
         elif isinstance(node, Phrase):
             phrases.append(tuple(node.words))
         elif isinstance(node, (And, Or)):
@@ -75,7 +84,7 @@ def positive_leaves(ast: Node) -> tuple[set, set, list]:
             raise TypeError(f"unknown AST node {node!r}")
 
     walk(ast)
-    return terms, prefixes, phrases
+    return terms, prefixes, phrases, scans
 
 
 def make_snippet(
@@ -106,8 +115,14 @@ def make_snippet(
     ]
     if not spans:
         return text
-    terms, prefixes, phrases = positive_leaves(ast)
+    terms, prefixes, phrases, scans = positive_leaves(ast)
     matched: set = set()
+
+    def _scan_hit(tok: str) -> bool:
+        return any(
+            tok.endswith(nd) if kind == "suffix" else nd in tok
+            for kind, nd in scans
+        )
     from sifts_spark.functions.text import TOKENIZER_CJK, gram_width
 
     n_gram = gram_width(tokenizer)
@@ -165,6 +180,7 @@ def make_snippet(
                 or any(tok.startswith(p) for p in prefixes)
                 or any(nd in tok for nd in needles)
                 or _pref_hit(tok)
+                or _scan_hit(tok)
                 or (
                     mixed
                     and (
@@ -176,7 +192,11 @@ def make_snippet(
                 matched.add(i)
     else:
         for i, (tok, _, _) in enumerate(spans):
-            if tok in terms or any(tok.startswith(p) for p in prefixes):
+            if (
+                tok in terms
+                or any(tok.startswith(p) for p in prefixes)
+                or _scan_hit(tok)
+            ):
                 matched.add(i)
         for words in phrases:
             n = len(words)

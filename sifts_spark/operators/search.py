@@ -39,6 +39,8 @@ from sifts_spark.queryparser import (
     Or,
     Phrase,
     Prefix,
+    Substring,
+    Suffix,
     Term,
     has_phrase,
 )
@@ -168,6 +170,10 @@ def necessary_contains(ast: Node, raw_lower: Column) -> Column:
         return raw_lower.contains(ast.word)
     if isinstance(ast, Prefix):
         return raw_lower.contains(ast.prefix)
+    if isinstance(ast, Suffix):
+        return raw_lower.contains(ast.suffix)
+    if isinstance(ast, Substring):
+        return raw_lower.contains(ast.sub)
     if isinstance(ast, Phrase):
         cond = None
         for w in ast.words:
@@ -236,6 +242,19 @@ def match_filter(
             )
         return df.filter(
             pre & F.exists(F.array(toks), lambda t: ast.to_column(t))
+        )
+    from sifts_spark.queryparser import has_scan_only
+
+    if has_scan_only(ast):
+        # scan-only leaves (substring_scan queries) pay an exists()
+        # HOF per leaf — the same cheap raw-Contains prefilter the
+        # expanding families use short-circuits it on rows that
+        # cannot match (sound: every token is a substring of the
+        # lowered content, so a suffix/substring hit inside one
+        # implies raw containment)
+        return df.filter(
+            necessary_contains(ast, F.lower(F.col(content_col)))
+            & ast.to_column(toks)
         )
     return df.filter(ast.to_column(toks))
 
@@ -325,6 +344,14 @@ def _collect_leaves(ast: Node, negative: bool = False) -> list:
     survive)."""
     if isinstance(ast, (Term, Prefix)):
         return [(ast, negative)]
+    if isinstance(ast, (Suffix, Substring)):
+        raise ValueError(
+            f"{type(ast).__name__} is a scan-only leaf: no postings "
+            "layout keys tokens by suffix/substring — serve this query "
+            "via the scan strategy (Collection.query routes "
+            "substring_scan ASTs there automatically; operator callers "
+            "use match_filter)"
+        )
     if isinstance(ast, Phrase):
         # the postings index carries no positions: a phrase's candidate
         # set is the AND of its words (a superset); the caller verifies

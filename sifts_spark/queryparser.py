@@ -75,6 +75,50 @@ class Prefix(Node):
 
 
 @dataclass(frozen=True)
+class Suffix(Node):
+    """Token-suffix match (``*ello`` → tokens ending in "ello") — a
+    SCAN-ONLY leaf produced by ``parse_query(substring_scan=True)``
+    when a leading ``*`` lands on a token the family stores WHOLE
+    (word families always; a latin segment under cjk_bigram). No
+    postings layout can serve it (word postings key on whole tokens),
+    so :func:`~sifts_spark.operators.search.search_postings` rejects
+    ASTs containing it and ``Collection.query`` routes them to the
+    scan strategy (storage-order plain-scan result shape — exactly
+    the reference's observable behavior, which never orders by rank;
+    README.md:69 documents ``*`` anywhere-in-term on SQLite)."""
+
+    suffix: str
+
+    def to_column(self, tokens: Column) -> Column:
+        return F.exists(tokens, lambda t: t.endswith(self.suffix))
+
+    def to_sql(self, tokens_sql: str) -> str:
+        s = _sql_quote(self.suffix)
+        return (
+            f"len(list_filter({tokens_sql}, _t -> ends_with(_t, '{s}'))) > 0"
+        )
+
+
+@dataclass(frozen=True)
+class Substring(Node):
+    """Token-substring match (``*ello*`` → tokens containing "ello";
+    also ``*中`` under cjk_bigram, where run-granular substring is the
+    family's own posture and grams make contains-in-token ⟺
+    contains-in-run). Scan-only, same routing as :class:`Suffix`."""
+
+    sub: str
+
+    def to_column(self, tokens: Column) -> Column:
+        return F.exists(tokens, lambda t: t.contains(self.sub))
+
+    def to_sql(self, tokens_sql: str) -> str:
+        s = _sql_quote(self.sub)
+        return (
+            f"len(list_filter({tokens_sql}, _t -> contains(_t, '{s}'))) > 0"
+        )
+
+
+@dataclass(frozen=True)
 class Phrase(Node):
     """Quoted-phrase match: the words occur CONSECUTIVELY in token
     order — an EXTENSION past the reference's documented surface
@@ -209,10 +253,16 @@ class QueryParser:
     (SURVEY.md §2.4); we reject instead.
     """
 
-    def __init__(self, query: str, tokenizer: str | None = None):
+    def __init__(
+        self,
+        query: str,
+        tokenizer: str | None = None,
+        substring_scan: bool = False,
+    ):
         self._words = _TOKEN_RE.findall(query.strip())
         self._pos = 0
         self._tokenizer = tokenizer
+        self._substring_scan = substring_scan
 
     def parse(self) -> Node:
         if not self._words:
@@ -270,39 +320,23 @@ class QueryParser:
                 # prefix degradation — same rule as the bare word)
                 return self._leaf(parts[0], is_prefix=False)
             return Phrase(tuple(parts))
-        if word.startswith("*") and len(word) > 1:
-            # Leading wildcard (r15): a SUBSTRING ask. The expanding
-            # families grant it by construction — every plain word
-            # already compiles to its consecutive gram chain, which is
-            # in-word substring match, so `*ello*`/`*ello` ≡ `ello`
-            # there (FTS5's trigram tokenizer exists for exactly this)
-            # — strip and continue. The word families can only match
-            # whole stored tokens; silently stripping the star (the
-            # pre-r15 behavior, the star is a tokenizer delimiter)
-            # turned a substring ask into an exact-term match — reject
-            # loudly with the remedy instead.
-            from sifts_spark.functions.text import (
-                CJK_RUN_CHARS,
-                TOKENIZER_CJK,
-                gram_width,
-                resolve_tokenizer,
-            )
-
-            fam = resolve_tokenizer(self._tokenizer)
-            grantable = bool(gram_width(fam)) and not (
-                # cjk_bigram expands CJK runs ONLY — a latin word's
-                # substring ask still can't be granted there
-                fam == TOKENIZER_CJK
-                and not re.search(f"[{CJK_RUN_CHARS}]", word)
-            )
-            if not grantable:
-                raise ParseError(
-                    f"leading '*' in {word!r}: substring match needs a "
-                    "substring-indexed family for this script — pin the "
-                    "collection to tokenizer='trigram' (any script; "
-                    "cjk_bigram covers CJK runs only); word families "
-                    "match whole tokens only"
-                )
+        # Leading wildcard (r15, reworked r16): a SUBSTRING ask. The
+        # expanding families grant it by construction WHEN the head
+        # segment gram-expands — every plain word already compiles to
+        # its consecutive gram chain, which is in-word substring
+        # match, so `*ello*`/`*ello` ≡ `ello` there (FTS5's trigram
+        # tokenizer exists for exactly this) — strip and continue,
+        # then validate the HEAD after the family split (below): a
+        # head the family stores whole (any word-family token, a
+        # latin segment under cjk_bigram) or sub-gram-length (lone
+        # CJK char, 1-2 char trigram token — whose Prefix degradation
+        # would miss word-final positions, ADVICE r16) is NOT
+        # index-servable. Such asks raise with the remedy, or — with
+        # ``substring_scan=True`` — compile to the scan-only
+        # :class:`Suffix`/:class:`Substring` leaves.
+        leading = word.startswith("*") and len(word) > 1
+        orig_word = word
+        if leading:
             word = word.lstrip("*")
         is_prefix = word.endswith("*") and len(word) > 1
         if is_prefix:
@@ -354,6 +388,50 @@ class QueryParser:
                     leaves.append(Phrase(tuple(group), source=part))
             else:
                 leaves.append(self._leaf(group[0], is_prefix and last))
+        if leading:
+            head_part, head_group = groups[0]
+            from sifts_spark.functions.text import (
+                prefix_degrades,
+                prefix_tail_needed,
+                resolve_tokenizer,
+            )
+
+            # A multi-token head group is a gram chain — substring
+            # semantics by construction, the star is implied. A
+            # single-token head that IS a complete family gram
+            # (prefix_tail_needed False) likewise. Anything else —
+            # word-family tokens, latin segments under cjk_bigram,
+            # sub-gram needles ('*中', trigram '*ab') — the index
+            # cannot serve: scan leaf under substring_scan, loud
+            # rejection otherwise (never the silent Prefix
+            # degradation, which misses word-final positions).
+            if len(head_group) == 1 and prefix_tail_needed(
+                head_group[0], self._tokenizer
+            ):
+                fam = resolve_tokenizer(self._tokenizer)
+                if not self._substring_scan:
+                    raise ParseError(
+                        f"leading '*' in {orig_word!r}: substring match "
+                        f"for this term is not index-servable under "
+                        f"tokenizer={fam!r} — pass substring_scan=True "
+                        "(query/query_df/parse_query) to serve it as a "
+                        "scan predicate, or pin the collection to "
+                        "tokenizer='trigram' (substring-indexes any "
+                        "script; cjk_bigram covers CJK runs of >=2 "
+                        "chars only); word families match whole stored "
+                        "tokens"
+                    )
+                head = head_group[0]
+                if prefix_degrades(head, self._tokenizer) or (
+                    len(groups) == 1 and is_prefix
+                ):
+                    # sub-gram needles take run-granular containment
+                    # (the expanding families' own posture: `*x` ≡
+                    # `*x*` there); a lone whole-token part with both
+                    # stars is containment by request
+                    leaves[0] = Substring(head)
+                else:
+                    leaves[0] = Suffix(head)
         node = leaves[0]
         for leaf in leaves[1:]:
             node = And(node, leaf)
@@ -388,8 +466,32 @@ def _split_like_tokenizer(word: str, tokenizer: str | None = None) -> list[str]:
     return py_tokenize(word, tokenizer)
 
 
-def parse_query(query: str, tokenizer: str | None = None) -> Node:
-    return QueryParser(query, tokenizer).parse()
+def parse_query(
+    query: str,
+    tokenizer: str | None = None,
+    substring_scan: bool = False,
+) -> Node:
+    """Parse the documented query surface under ``tokenizer``'s family.
+
+    ``substring_scan=True`` (extension knob): leading-``*`` terms the
+    family's index cannot serve — word-family tokens, latin segments
+    under cjk_bigram, sub-gram-width needles — compile to the
+    scan-only :class:`Suffix`/:class:`Substring` leaves instead of
+    raising; callers must route such ASTs (:func:`has_scan_only`) to
+    the scan strategy, never the postings index."""
+    return QueryParser(query, tokenizer, substring_scan).parse()
+
+
+def has_scan_only(ast: Node) -> bool:
+    """True when the AST contains a scan-only leaf
+    (:class:`Suffix`/:class:`Substring`) — no postings layout serves
+    these; ``Collection.query`` routes such ASTs to the scan
+    strategy (:func:`~sifts_spark.operators.search.match_filter`)."""
+    if isinstance(ast, (Suffix, Substring)):
+        return True
+    if isinstance(ast, (And, Or, AndNot)):
+        return has_scan_only(ast.left) or has_scan_only(ast.right)
+    return False
 
 
 def has_run_phrase(ast: Node) -> bool:

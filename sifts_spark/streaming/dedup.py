@@ -285,6 +285,17 @@ def retokenize_sketch_index(
     (``num_hashes``/``bands``/``shingle_size`` — band keys are
     positional).
 
+    **STOP the stream first.** A sink micro-batch committed between
+    the layout snapshot and the final marker stamp gets a batch id
+    above the rebuild fold's ``hi`` — it survives reclaim carrying
+    OLD-family sketches, and the final stamp would make the mix
+    invisible (silent under-reject, the exact failure the marker
+    exists to prevent). The verb guards this mechanically: after the
+    fold lands it re-lists the layout and RAISES — leaving the
+    ``rebuilding:`` sentinel in place, so sinks keep failing loudly —
+    if any batch/fold id beyond ``hi`` appeared mid-rebuild; stop the
+    writer and re-run the verb to recover (ADVICE r16).
+
     Returns ``{"tokenizer": family, "resketched": n_docs,
     "fold": "lo-hi" | None, "reclaimed": [dir, ...]}``.
     """
@@ -323,7 +334,23 @@ def retokenize_sketch_index(
     # batch/fold dir inside [lo, hi] is now a stale compaction source.
     reclaimed: list[str] = []
     Path = jvm.org.apache.hadoop.fs.Path
-    _f, _b, stale = _index_layout(spark, index_dir)
+    new_folds, new_batches, stale = _index_layout(spark, index_dir)
+    # Concurrent-writer guard: ids beyond the snapshot's hi mean a sink
+    # committed OLD-family sketches mid-rebuild. Raise BEFORE the final
+    # stamp — the rebuilding: sentinel stays, sinks keep failing loudly,
+    # and re-running the verb (with the stream stopped) recovers.
+    late = sorted(
+        {h for _lo, h in new_folds if h > hi}
+        | {b for b in new_batches if b > hi}
+    )
+    if late:
+        raise RuntimeError(
+            f"sketch index {index_dir!r} gained batch ids {late} during "
+            f"retokenize (snapshot covered <= {hi}): a dedup sink is "
+            "still writing old-family sketches. Stop the stream, then "
+            "re-run retokenize_sketch_index; the index marker stays "
+            f"'rebuilding:{tokenizer}' so sinks fail loudly until then."
+        )
     for name in stale:
         try:
             fs.delete(Path(f"{index_dir}/{name}"), True)

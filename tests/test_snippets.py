@@ -47,10 +47,11 @@ class TestMakeSnippet:
         assert "[quick] red" not in snip and " quick red" in snip
 
     def test_negated_terms_never_highlight(self):
-        terms, prefixes, phrases = positive_leaves(
+        terms, prefixes, phrases, scans = positive_leaves(
             parse_query('apples NOT oranges')
         )
-        assert terms == {"apples"} and not prefixes and not phrases
+        assert terms == {"apples"}
+        assert not prefixes and not phrases and not scans
         snip = make_snippet(
             "apples and oranges", parse_query("apples NOT bananas"), window=8
         )

@@ -375,6 +375,49 @@ def test_retokenize_sketch_index_lifecycle(store_root, spark, tmp_path):
     assert {r["id"] for r in col.docs().collect()} == {"a", "b", "d"}
 
 
+def test_retokenize_sketch_index_concurrent_writer_guard(
+    store_root, spark, tmp_path, monkeypatch
+):
+    # ADVICE r16: a sink micro-batch committed between the layout
+    # snapshot and the final marker stamp carries OLD-family sketches
+    # with an id above the rebuild fold's hi — the verb must raise and
+    # leave the rebuilding: sentinel (sinks keep failing loudly)
+    # instead of stamping the mixed index clean.
+    import os
+
+    import sifts_spark.operators.dedup as dedup_ops
+    from sifts_spark.streaming.dedup import retokenize_sketch_index
+
+    col = Collection(store_root, "rtk4", spark=spark)
+    idx = str(tmp_path / "ix")
+    sink = make_dedup_sink(col, str(tmp_path / "ck"), idx)
+    sink(_df(spark, [("a", "机器学习是人工智能的分支")]), 0)
+    col.retokenize("cjk_bigram")
+
+    real = dedup_ops.minhash_banded_sketches
+
+    def racing(*args, **kw):
+        # simulate a still-running sink committing batch 5 mid-rebuild
+        os.makedirs(f"{idx}/batch=5", exist_ok=True)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(dedup_ops, "minhash_banded_sketches", racing)
+    with pytest.raises(RuntimeError, match="still writing"):
+        retokenize_sketch_index(col, idx)
+    monkeypatch.undo()
+    # sentinel stays: sinks raise until the verb completes
+    with open(f"{idx}/_tokenizer") as f:
+        assert f.read() == "rebuilding:cjk_bigram"
+    with pytest.raises(ValueError, match="built under"):
+        make_dedup_sink(col, str(tmp_path / "ck2"), idx)
+    # re-run with the writer stopped: the new snapshot covers the late
+    # batch (hi=5), the rebuild completes, and the stamp lands
+    out = retokenize_sketch_index(col, idx)
+    assert out["tokenizer"] == "cjk_bigram" and out["fold"] == "0-5"
+    with open(f"{idx}/_tokenizer") as f:
+        assert f.read() == "cjk_bigram"
+
+
 def test_retokenize_sketch_index_empty_and_interrupted(
     store_root, spark, tmp_path
 ):

@@ -247,6 +247,96 @@ class TestLeadingWildcard:
         with pytest.raises(ParseError):
             parse_query("*", tokenizer=TOKENIZER_TRIGRAM)
 
+    def test_sub_gram_needle_rejected_not_degraded(self):
+        # ADVICE r16: '*ab' under trigram / '*中' under cjk_bigram used
+        # to be "granted" then silently compiled through the sub-length
+        # Prefix degradation (missing word-final positions) — a silent
+        # partial-substring semantics. Now they fail loudly like every
+        # other non-index-servable star, with the scan opt-in named.
+        from sifts_spark.queryparser import ParseError
+
+        for q, fam in (("*ab", TOKENIZER_TRIGRAM), ("*中", "cjk_bigram")):
+            with pytest.raises(ParseError, match="substring_scan"):
+                parse_query(q, tokenizer=fam)
+
+    def test_substring_scan_parse_shapes(self):
+        from sifts_spark.queryparser import (
+            And,
+            Substring,
+            Suffix,
+            Term,
+            has_scan_only,
+        )
+
+        assert parse_query(
+            "*ello", tokenizer="unicode", substring_scan=True
+        ) == Suffix("ello")
+        assert parse_query(
+            "*ello*", tokenizer="unicode", substring_scan=True
+        ) == Substring("ello")
+        # sub-gram needles take run-granular containment (the
+        # expanding families' own `*x` ≡ `*x*` posture)
+        assert parse_query(
+            "*中", tokenizer="cjk_bigram", substring_scan=True
+        ) == Substring("中")
+        assert parse_query(
+            "*ab", tokenizer=TOKENIZER_TRIGRAM, substring_scan=True
+        ) == Substring("ab")
+        # multi-part word: the star binds the head segment
+        assert parse_query(
+            "*don't", tokenizer="unicode", substring_scan=True
+        ) == And(Suffix("don"), Term("t"))
+        # index-servable stars never produce scan leaves, even with
+        # the flag on
+        assert not has_scan_only(
+            parse_query("*ello", tokenizer=TOKENIZER_TRIGRAM,
+                        substring_scan=True)
+        )
+        assert not has_scan_only(
+            parse_query("ello*", tokenizer="unicode", substring_scan=True)
+        )
+
+    def test_substring_scan_e2e_word_family(self, spark, tmp_path):
+        c = Collection(str(tmp_path / "w"), "d", spark=spark)  # unicode
+        c.add(
+            ids=["a", "b", "c", "d"],
+            contents=[
+                "say hello world",
+                "cello solo",
+                "nothing here",
+                "yellow jello",
+            ],
+        )
+        from sifts_spark.queryparser import ParseError
+
+        with pytest.raises(ParseError, match="substring_scan"):
+            c.query("*ello")
+        r = c.query("*ello", substring_scan=True)
+        assert sorted(x["id"] for x in r["results"]) == ["a", "b", "d"]
+        assert r["total"] == 3
+        # plain-scan shape: no rank key (reference storage-order
+        # contract; BM25 is a postings-path feature)
+        assert "rank" not in r["results"][0]
+        # token-suffix, not containment: 'yellow' does not end in ello
+        r = c.query("*ello*", substring_scan=True)
+        assert sorted(x["id"] for x in r["results"]) == ["a", "b", "d"]
+        # composes with terms, where, and postings-servable queries
+        # stay on the postings path (rank present)
+        r = c.query("*ello world", substring_scan=True)
+        assert [x["id"] for x in r["results"]] == ["a"]
+        r = c.query("hello", substring_scan=True)
+        assert r["results"][0]["rank"] is not None
+
+    def test_substring_scan_postings_rejects_scan_leaf(self, spark):
+        from sifts_spark.operators.search import search_postings
+        from sifts_spark.queryparser import Suffix
+
+        postings = spark.createDataFrame(
+            [("hello", "a", 1, 2)], "term string, id string, tf long, dl long"
+        )
+        with pytest.raises(ValueError, match="scan-only"):
+            search_postings(postings, Suffix("ello"))
+
     def test_e2e_collection(self, spark, tmp_path):
         c = Collection(
             str(tmp_path / "w"), "d", spark=spark, tokenizer=TOKENIZER_TRIGRAM

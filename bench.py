@@ -161,6 +161,57 @@ def calibration_sec() -> float:
     return round(dt, 3)
 
 
+def _calib_worker(_i: int) -> float:
+    """Per-process slice of the parallel probe: HALF the single-probe
+    op count of the SAME pinned-seed kernel (module-level so the fork
+    pool can pickle it)."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.standard_normal(4_000_000)
+    b = rng.standard_normal(4_000_000)
+    acc = 0.0
+    for _ in range(30):
+        acc += float(np.sum(a * a + b))
+        a, b = b, a
+    return acc
+
+
+def _calib_noop(_i: int) -> int:
+    return 0
+
+
+def calibration_parallel_sec(workers: int | None = None) -> float:
+    """The SAME calibration kernel on every core at once (one forked
+    process per CPU, half the single-probe op count each) → wall
+    seconds for all workers to finish.
+
+    Exists because the single-process stamp is blind to a whole host
+    dimension (r15 postmortem): ``fts_cjk_substr`` — a 32-thread
+    regex-heavy scan — ran 1.7× apart across two epochs whose
+    single-thread calibrations read EQUAL (0.58 vs 0.573), proven
+    code-equal by a same-epoch A/B. All-core frequency scaling, SMT
+    contention, memory-bandwidth saturation and co-tenant load move
+    multi-thread throughput independently of single-thread speed; this
+    probe makes that term mechanically visible in every artifact.
+    The number is an EPOCH INDEX, not a scaling efficiency (worker
+    array generation sits inside the timing; the probe is deliberately
+    bandwidth-saturating — ~7s on a quiet 32-core epoch): cross-round
+    comparisons of 32-thread query rows are only valid between
+    artifacts whose BOTH stamps agree. A tiny no-op map warms the
+    pool first so fork/import cost stays outside the timing."""
+    import multiprocessing as mp
+
+    n = workers or (os.cpu_count() or 1)
+    ctx = mp.get_context("fork")
+    with ctx.Pool(n) as pool:
+        pool.map(_calib_noop, range(n))
+        t0 = time.perf_counter()
+        pool.map(_calib_worker, range(n))
+        dt = time.perf_counter() - t0
+    return round(dt, 3)
+
+
 HEADLINE = [
     "fts_term",
     "fts_multiscript",
@@ -351,6 +402,8 @@ def main() -> None:
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
     )
     calib = calibration_sec()
+    calib_par = calibration_parallel_sec()
+    calib_workers = os.cpu_count() or 1
 
     def measure(name):
         """One timed noop-sink run of a headline query → (sec, steal
@@ -427,6 +480,8 @@ def main() -> None:
                 "suspect_artifact": drift is not None,
                 "drift": drift,
                 "calibration_sec": calib,
+                "calibration_parallel_sec": calib_par,
+                "calibration_workers": calib_workers,
                 "steal_jiffies_total": steal_total,
                 "steal_available": steal_available,
                 "setup": setup,

@@ -65,6 +65,13 @@ class TestCalibration:
         # host epoch, the test only pins that it runs and is sane
         assert 0.05 < dt < 60.0
 
+    def test_parallel_probe_runs_and_is_positive(self):
+        # r16: the all-core epoch stamp (the r15 fts_cjk_substr
+        # postmortem dimension). 2 workers keeps the test cheap; the
+        # artifact path uses os.cpu_count().
+        dt = bench.calibration_parallel_sec(workers=2)
+        assert 0.05 < dt < 120.0
+
 
 class TestScaleGate:
     def test_mismatched_sf_disables_guard(self, tmp_path):

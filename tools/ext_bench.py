@@ -25,6 +25,15 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
 
+    # Host-epoch stamps (r16): single-thread AND all-core probes —
+    # cross-round ext rows are only comparable between artifacts whose
+    # BOTH stamps agree (the r15 fts_cjk_substr postmortem: equal
+    # single-thread stamps, 1.7x apart on 32 threads).
+    import bench as _bench
+
+    calib = _bench.calibration_sec()
+    calib_par = _bench.calibration_parallel_sec()
+
     from pyspark.sql import functions as F
 
     from sifts_spark.caching import release_all
@@ -750,6 +759,9 @@ def main() -> None:
                 "runs": runs,
                 "setup": setup,
                 "e2e": e2e,
+                "calibration_sec": calib,
+                "calibration_parallel_sec": calib_par,
+                "calibration_workers": os.cpu_count() or 1,
                 "sf_dir": sf_dir,
             }
         )

@@ -191,29 +191,47 @@ def make_snippet(
             ):
                 matched.add(i)
     else:
-        for i, (tok, _, _) in enumerate(spans):
-            if (
-                tok in terms
-                or any(tok.startswith(p) for p in prefixes)
-                or _scan_hit(tok)
-            ):
-                matched.add(i)
-        for words in phrases:
-            n = len(words)
-            for i in range(len(spans) - n + 1):
-                if all(spans[i + j][0] == words[j] for j in range(n)):
-                    matched.update(range(i, i + n))
+        # per-leaf-kind short-circuits (r16 snippet_bulk audit): the
+        # bulk path runs this kernel over EVERY corpus row, most of
+        # which match nothing — empty leaf kinds must not pay a
+        # per-token Python genexp, and a phrase whose words aren't all
+        # present must not pay the O(tokens × len) window walk
+        if terms and not prefixes and not scans:
+            matched.update(i for i, s in enumerate(spans) if s[0] in terms)
+        elif terms or prefixes or scans:
+            for i, (tok, _, _) in enumerate(spans):
+                if (
+                    tok in terms
+                    or any(tok.startswith(p) for p in prefixes)
+                    or _scan_hit(tok)
+                ):
+                    matched.add(i)
+        if phrases:
+            token_set = {s[0] for s in spans}
+            for words in phrases:
+                if not all(w in token_set for w in words):
+                    continue
+                n = len(words)
+                for i in range(len(spans) - n + 1):
+                    if all(spans[i + j][0] == words[j] for j in range(n)):
+                        matched.update(range(i, i + n))
 
-    flags = [1 if i in matched else 0 for i in range(len(spans))]
-    pre = [0]
-    for f in flags:
-        pre.append(pre[-1] + f)
-    best_start, best_count = 0, -1
-    for start in range(0, max(len(spans) - window, 0) + 1):
-        stop = min(start + window, len(spans))
-        c = pre[stop] - pre[start]
-        if c > best_count:
-            best_start, best_count = start, c
+    if matched:
+        flags = [1 if i in matched else 0 for i in range(len(spans))]
+        pre = [0]
+        for f in flags:
+            pre.append(pre[-1] + f)
+        best_start, best_count = 0, -1
+        for start in range(0, max(len(spans) - window, 0) + 1):
+            stop = min(start + window, len(spans))
+            c = pre[stop] - pre[start]
+            if c > best_count:
+                best_start, best_count = start, c
+    else:
+        # matchless rows keep the plain leading window — identical
+        # output to the scan above (all window counts zero → earliest
+        # wins), without paying it (the bulk path's common row)
+        best_start = 0
     stop = min(best_start + window, len(spans))
     lo = spans[best_start][1]
     hi = spans[stop - 1][2]

@@ -43,7 +43,7 @@ from sifts_spark.operators import sampling as SA
 from sifts_spark.operators import search as S
 from sifts_spark.operators import textanalysis as TA
 from sifts_spark.operators import vector_search as V
-from sifts_spark.queryparser import parse_query
+from sifts_spark.queryparser import exact_runs_sql, parse_query
 from sifts_spark.sources.tables import load_table
 
 TOKS = tokenize_sql("text")
@@ -337,6 +337,78 @@ def fts_trigram_substr(spark, sf_dir) -> DataFrame:
     )
     return S.match_filter(
         ms, _AST_TRI, "mtext", tokenizer=TOKENIZER_TRIGRAM
+    ).select("doc_id")
+
+
+# ---- exact run-boundary verify (r16, exact_runs gate row) ------------
+#
+# fts_cjk_substr pins the cjk_bigram family's gram-chain MATCH; this
+# row pins the opt-in exact_runs PRECISION knob (operators/search.py:
+# exact_runs_column) — the verify that kills the documented
+# cross-boundary gram-chain over-match (measured in CJK_FP_EVAL.json).
+# Suffixes are boundary-spanning by construction so the result DIFFERS
+# with and without the verify (a regression that turns the knob into a
+# no-op returns MORE rows and hash-mismatches; one that over-kills
+# returns fewer). The query's shape covers the verify's three
+# structural contracts: OR branches verify INDEPENDENTLY (a doc clean
+# on one disjunct survives the other's failed verify), sourced phrases
+# under the positive spine get the raw-Contains anchor, and an AndNot
+# right side keeps INDEX semantics (a cross-run match of the excluded
+# word still excludes — tightening it would resurrect docs). DuckDB
+# evaluates the SAME semantics via queryparser.exact_runs_sql.
+_XR_SUFFIXES = (
+    "前缀中文字后缀",              # A within-run → kept by the verify
+    "中文 文字",                   # A cross-run → index-matched, verify-killed
+    "データベース検索エンジン",      # B within-run → kept
+    "データ タベース",              # B cross-run → verify-killed
+    "データベース接続 数据 据库",    # B clean, NOT-side cross-run → excluded
+    "",                            # no match
+)
+_AST_XR = parse_query(
+    "中文字 OR データベース NOT 数据库", tokenizer=TOKENIZER_CJK
+)
+_XR_CASE_SQL = (
+    "CASE CAST((doc_id % 6 + 6) % 6 AS INT) "  # pmod parity, see _MS_CASE_SQL
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_XR_SUFFIXES[:5])
+    )
+    + " ELSE '' END"
+)
+_XR_SQL = f"""
+WITH ms AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), ' ', {_XR_CASE_SQL}) AS mtext
+  FROM documents
+)
+SELECT doc_id FROM ms
+WHERE {exact_runs_sql(_AST_XR, tokenize_sql('mtext', TOKENIZER_CJK), 'lower(mtext)')}
+"""
+
+
+@_register("fts_cjk_exact", _XR_SQL)
+def fts_cjk_exact(spark, sf_dir) -> DataFrame:
+    """The ``exact_runs=True`` precision knob over the cjk_bigram
+    family: gram-chain matches additionally anchor their WRITTEN query
+    word as a raw substring, so boundary-spanning over-matches drop
+    (FTS5-trigram-grade precision; the reference has no analog —
+    extension past core.py:460-462). Plan shape: the same codegen'd
+    scan predicate as fts_cjk_substr plus one raw Contains per sourced
+    phrase — no shuffle, no UDF (r16 rotation: this row took
+    ``dedup_embedding``'s slot; see the footer note)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _XR_SUFFIXES]),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    ms = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.coalesce(F.col("text"), F.lit("")), suffix
+        ).alias("mtext"),
+    )
+    return S.match_filter(
+        ms, _AST_XR, "mtext", tokenizer=TOKENIZER_CJK, exact_runs=True
     ).select("doc_id")
 
 
@@ -828,10 +900,15 @@ WHERE round({_cos_sql('l.embedding', 'r.embedding')}, 6) >= 0.3
 """
 
 
-@_register("dedup_embedding", _EMB_DUP_SQL)
 def dedup_embedding(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup pairs with the categorical block_col
-    override (same-label pairs only)."""
+    override (same-label pairs only).
+
+    De-registered in r16 (row ceded to ``fts_cjk_exact``): the
+    embedding-near-dup family stays covered by ``dedup_embedding_ivf``
+    (same cosine pairing through the DEFAULT IVF blocker) and
+    ``dedup_clusters``; this block_col variant is pinned by
+    ``test_dedup_embedding_matches_oracle`` with the same SQL twin."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_dup_pairs(emb, block_col="label", threshold=0.3)
@@ -2539,7 +2616,11 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # ceded its row to fts_trigram_substr (the 1-hash-LSH block-join +
 # exact-Jaccard-verify shape stays covered by dedup_minhash's banded
 # variant; retiree pinned by
-# test_dedup_ngram_jaccard_matches_oracle).
+# test_dedup_ngram_jaccard_matches_oracle); in r16 dedup_embedding
+# ceded its row to fts_cjk_exact (embedding-cosine near-dup stays
+# covered by dedup_embedding_ivf — the same pairing through the
+# default IVF blocker — and dedup_clusters; retiree pinned by
+# test_dedup_embedding_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -533,6 +533,38 @@ def conjunctive_sources(ast: Node) -> "list[str] | None":
     return []
 
 
+def exact_runs_sql(ast: Node, tokens_sql: str, raw_sql: str) -> str:
+    """ANSI/DuckDB twin of
+    :func:`~sifts_spark.operators.search.exact_runs_column` — the
+    exact run-boundary verify folded into the AST's SQL predicate:
+    every SOURCED gram-chain phrase additionally requires its written
+    word as a raw substring of ``raw_sql`` (the lowered content
+    expression); user-quoted phrases and ``AndNot`` right sides keep
+    index semantics, OR branches verify independently. The oracle-gate
+    expression for ``exact_runs=True`` rows (r16)."""
+    if isinstance(ast, Phrase) and ast.source is not None:
+        return (
+            f"({ast.to_sql(tokens_sql)} AND coalesce(contains("
+            f"{raw_sql}, '{_sql_quote(ast.source)}'), false))"
+        )
+    if isinstance(ast, And):
+        return (
+            f"({exact_runs_sql(ast.left, tokens_sql, raw_sql)} AND "
+            f"{exact_runs_sql(ast.right, tokens_sql, raw_sql)})"
+        )
+    if isinstance(ast, Or):
+        return (
+            f"({exact_runs_sql(ast.left, tokens_sql, raw_sql)} OR "
+            f"{exact_runs_sql(ast.right, tokens_sql, raw_sql)})"
+        )
+    if isinstance(ast, AndNot):
+        return (
+            f"({exact_runs_sql(ast.left, tokens_sql, raw_sql)} AND NOT "
+            f"coalesce({ast.right.to_sql(tokens_sql)}, false))"
+        )
+    return ast.to_sql(tokens_sql)
+
+
 def has_phrase(ast: Node) -> bool:
     """True when the AST contains a :class:`Phrase` — callers on the
     postings path use this to add the adjacency verify only when one

@@ -295,3 +295,25 @@ def test_dedup_simhash_pairs_matches_oracle(spark):
         (r[0], r[1], r[2]) for r in con.sql(_SIMHASH_PAIRS_SQL).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_embedding_matches_oracle(spark):
+    # de-registered in r16 (row ceded to fts_cjk_exact); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _EMB_DUP_SQL, dedup_embedding
+
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 6))
+        for r in dedup_embedding(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], round(r[2], 6))
+        for r in con.sql(_EMB_DUP_SQL).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -270,6 +270,7 @@ def build_postings(
     content_col: str = "content",
     positions: bool = False,
     max_positions: int | None = None,
+    stop_df_ratio: float | None = None,
     tokenizer: str | None = None,
 ) -> DataFrame:
     """documents → postings (term, id, tf, dl[, pos]).
@@ -297,6 +298,23 @@ def build_postings(
     adjacency stays SOUND: a match found inside the kept prefix is
     definite, an exhausted prefix falls back to content verification —
     never a silently dropped match.
+
+    ``stop_df_ratio=r`` (r16; positional layouts) drops the POSITION
+    arrays — not the postings — of every term whose document frequency
+    exceeds ``r x N``: the stop grams of an expanding family (each
+    script's "the"/"ing" trigrams) carry the least information and the
+    most sidecar bytes (positions are tf-proportional and high-df
+    terms are high-tf). The term keeps candidate fetch and exact
+    BM25 tf/df; only its ADJACENCY evidence degrades, through the SAME
+    truncation-detect machinery as ``max_positions`` (an emptied array
+    reads ``size(pos) < tf`` → the 3-valued evaluator marks affected
+    phrase candidates ``_pending`` and the caller's content verify
+    applies exact semantics — no stop-list sidecar needed at query
+    time, and negation stays sound under the Kleene duals). Lucene's
+    per-field positions-off posture, applied per-term by df. The
+    threshold joins as a broadcast 1-row N so the build stays one lazy
+    plan; the per-term df is a window count over the already-grouped
+    (term, id) frame.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -318,6 +336,22 @@ def build_postings(
     )
     if max_positions is not None:
         out = out.withColumn("pos", F.slice("pos", 1, int(max_positions)))
+    if stop_df_ratio is not None:
+        from pyspark.sql import Window
+
+        n1 = toks.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+        out = (
+            out.join(F.broadcast(n1))
+            .withColumn(
+                "pos",
+                F.when(
+                    dfreq <= F.lit(float(stop_df_ratio)) * F.col("_n"),
+                    F.col("pos"),
+                ).otherwise(F.array().cast("array<int>")),
+            )
+            .drop("_n")
+        )
     return out
 
 

@@ -149,6 +149,106 @@ class TestIndexSidePhrase:
         # definitively rejected index-side, never returned pending
         assert 2 not in got
 
+    def test_stop_df_pruning_recall_equal_and_bytes_shape(self, spark):
+        # r16 (VERDICT item 4): stop_df_ratio empties the POSITION
+        # arrays of high-df grams (the byte-heavy, information-light
+        # sidecar rows) while keeping the postings themselves — the
+        # emptied array reads size(pos) < tf, so affected phrase
+        # candidates degrade to _pending through the EXISTING
+        # truncation machinery and the caller's content verify restores
+        # exact semantics. Pin: pruned + verify ≡ unpruned ≡ scan truth.
+        docs = _docs(spark)
+        pruned = S.build_postings(
+            docs, "doc_id", "text", positions=True, stop_df_ratio=0.5
+        )
+        # "new"/"york" (df 5/6) emptied; "city" (df 1/6) keeps positions
+        rows = {r["term"]: r for r in pruned.collect()}
+        assert rows["new"]["pos"] == [] and rows["york"]["pos"] == []
+        assert rows["city"]["pos"] != [] and rows["city"]["tf"] == 1
+        full = S.build_postings(docs, "doc_id", "text", positions=True)
+
+        from sifts_spark.functions.text import tokenize
+
+        def serve(postings, query):
+            # the Collection serving shape: _pending rows content-verify
+            ast = parse_query(query)
+            res = S.search_postings(postings, ast).join(
+                docs.withColumnRenamed("doc_id", "id"), "id"
+            )
+            verify = ast.to_column(tokenize(F.col("text")))
+            return {
+                int(r["id"])
+                for r in res.filter(
+                    F.when(F.col("_pending"), verify).otherwise(F.lit(True))
+                ).collect()
+            }
+
+        for q in (
+            '"new york"',            # both words stop-pruned
+            '"new haven"',           # one stop word, one positional
+            'city NOT "new york"',   # negated phrase over stop grams
+            '"new york" or city',
+        ):
+            assert serve(pruned, q) == serve(full, q) == _truth(spark, q), q
+
+        # BM25 identical per doc: pruning touches positions only, never
+        # tf/df — the pruned index returns the optimistic SUPERSET
+        # (pending rows the verify resolves), so compare on the exact
+        # index's ids
+        ast = parse_query('"new york" or city')
+        p = {
+            r["id"]: round(r["rank"], 9)
+            for r in S.search_postings(pruned, ast).collect()
+        }
+        f = {
+            r["id"]: round(r["rank"], 9)
+            for r in S.search_postings(full, ast).collect()
+        }
+        assert set(f) <= set(p)
+        for i in f:
+            assert p[i] == f[i]
+
+    def test_stop_df_pruning_trigram_family(self, spark):
+        # the family the knob exists for: every doc shares the stop
+        # word's gram chain; the rare-word chain keeps its positions
+        docs = spark.createDataFrame(
+            [
+                (1, "customer orders arrived"),
+                (2, "customer invoice ledger"),
+                (3, "customer xylophone shipment"),
+                (4, "unrelated cargo manifest"),
+            ],
+            "doc_id long, text string",
+        )
+        pruned = S.build_postings(
+            docs, "doc_id", "text", positions=True,
+            stop_df_ratio=0.6, tokenizer="trigram",
+        )
+        rows = {r["term"]: r for r in pruned.collect()}
+        assert rows["ust"]["pos"] == []      # customer grams: df 3/4
+        assert rows["ylo"]["pos"] != []      # xylophone grams: df 1/4
+        from sifts_spark.functions.text import tokenize
+
+        ast = parse_query("ustome", tokenizer="trigram")
+        res = S.search_postings(pruned, ast).join(
+            docs.withColumnRenamed("doc_id", "id"), "id"
+        )
+        assert {bool(r["_pending"]) for r in res.collect()} == {True}
+        verify = ast.to_column(tokenize(F.col("text"), "trigram"))
+        got = {
+            int(r["id"])
+            for r in res.filter(
+                F.when(F.col("_pending"), verify).otherwise(F.lit(True))
+            ).collect()
+        }
+        truth = {
+            r["doc_id"]
+            for r in S.match_filter(
+                docs, ast, "text", tokenizer="trigram"
+            ).collect()
+        }
+        assert got == truth == {1, 2, 3}
+
     def test_mixed_layout_null_pos_batches_go_pending(self, spark):
         # a pre-positions batch unioned in with pos = null: its docs
         # must come back PENDING (content verify), never dropped

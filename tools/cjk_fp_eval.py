@@ -225,6 +225,16 @@ def main() -> None:
             }
 
     corpus.unpersist()
+    # single-shot wall clocks on a multi-second query carry the bench
+    # artifacts' documented ±host-epoch noise — a with-verify column
+    # occasionally reading BELOW match-only (r15's spaced_boundary:
+    # 3.49 vs 3.85) is epoch noise, not negative verify cost
+    out["_noise_note"] = (
+        "wall_* columns are single-shot (not best-of-N): treat "
+        "differences under ~25% as host-epoch noise (see "
+        "BENCH_EXPECTED.json protocol); fp counts are exact and "
+        "epoch-independent"
+    )
     print(json.dumps(out))
 
 

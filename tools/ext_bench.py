@@ -448,6 +448,56 @@ def main() -> None:
     )
     setup["trigram_postings_bytes"] = _dir_bytes(tri_idx)
     release_all()
+    # ---- stop-gram position pruning (r16, VERDICT item 4): the
+    # trigram sidecar is ~3x word-positional bytes, dominated by the
+    # position arrays of high-df grams. stop_df_ratio empties those
+    # arrays (postings + tf/df stay; adjacency degrades to the
+    # _pending content-verify leg — recall-equality pinned in
+    # tests/test_search_positions.py). Distribution first: on THIS
+    # synthetic vocab (~30 words) the gram-df histogram is degenerate —
+    # nearly every gram sits at df/N 0.78-0.92, so a cap any real
+    # corpus would use (Zipf tail keeps most grams positional) prunes
+    # ~everything here; the rows below are therefore the WORST case:
+    # max bytes win, query degraded to verify on ~all candidates.
+    tri_stats = (
+        spark.read.parquet(tri_idx)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.size("pos")).alias("positions"),
+        )
+    )
+    n_docs_tri = sdocs.count()
+    dist = (
+        tri_stats.select(
+            F.count(F.lit(1)).alias("grams"),
+            F.sum("positions").alias("positions_total"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("df") > cap * n_docs_tri, F.col("positions")
+                    ).otherwise(F.lit(0))
+                ).alias(f"positions_above_df{cap}")
+                for cap in (0.9, 0.75, 0.5)
+            ],
+        ).first()
+    )
+    setup["trigram_gram_df_dist"] = {
+        k: int(dist[k] or 0) for k in dist.asDict()
+    }
+    tri_pruned_idx = tempfile.mkdtemp(prefix="ext_bench_tri_pruned_")
+    timed_setup(
+        "trigram_pruned_postings_build",
+        lambda: S_search.write_postings(
+            S_search.build_postings(
+                sdocs, positions=True, stop_df_ratio=0.75,
+                tokenizer=TOKENIZER_TRIGRAM,
+            ),
+            tri_pruned_idx,
+        ),
+    )
+    setup["trigram_pruned_postings_bytes"] = _dir_bytes(tri_pruned_idx)
+    release_all()
     # "ustome" = the in-word interior of "customer" (~77% of docs — the
     # synthetic vocab is ~30 words, so in-word substrings are either
     # rare-token-bound or common; the HIGH-selectivity case is the
@@ -466,8 +516,29 @@ def main() -> None:
             sdocs, _TRI_Q, "content", tokenizer=TOKENIZER_TRIGRAM
         ).select("id")
 
+    def _trigram_substr_postings_pruned():
+        # the stop-gram-pruned index: "ustome" is all stop grams under
+        # the 0.75 cap on this vocab, so every candidate goes _pending
+        # and pays the content verify — the honest worst case of the
+        # bytes/verify trade (a Zipfian corpus only degrades its
+        # stop-gram-crossing queries)
+        cand = S_search.search_postings(
+            spark.read.parquet(tri_pruned_idx), _TRI_Q
+        )
+        verify = _TRI_Q.to_column(
+            _tokenize(F.col("content"), TOKENIZER_TRIGRAM)
+        )
+        return (
+            cand.join(sdocs, "id")
+            .filter(
+                F.when(F.col("_pending"), verify).otherwise(F.lit(True))
+            )
+            .select("id", "rank")
+        )
+
     QUERIES["trigram_substr_postings"] = _trigram_substr_postings
     QUERIES["trigram_substr_scan"] = _trigram_substr_scan
+    QUERIES["trigram_substr_postings_pruned"] = _trigram_substr_postings_pruned
     # one Arrow pass marking matched terms over the whole corpus (the
     # bulk highlight path, query_df(highlight=True))
     QUERIES["snippet_bulk"] = lambda: sdocs.select(

@@ -315,6 +315,12 @@ def build_postings(
     threshold joins as a broadcast 1-row N so the build stays one lazy
     plan; the per-term df is a window count over the already-grouped
     (term, id) frame.
+
+    Scope: a FULL-index build knob. The store's incremental postings
+    maintenance builds per-append-batch postings, where df would be
+    batch-local — a globally-common gram can be batch-rare and vice
+    versa, so per-batch pruning would mis-prune; pass it to offline
+    builds (or a full-fold rebuild), not through Collection appends.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),

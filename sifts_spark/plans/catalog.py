@@ -412,6 +412,40 @@ def fts_cjk_exact(spark, sf_dir) -> DataFrame:
     ).select("doc_id")
 
 
+# ---- leading-* scan route (r16, substring_scan gate row) -------------
+#
+# The word families store whole tokens, so a leading-* ask has no
+# postings compile; parse_query(substring_scan=True) grants it as
+# scan-only Suffix/Substring leaves and the serving path answers with
+# ONE codegen'd scan predicate (the reference documents `*` anywhere on
+# SQLite, README.md:69 — this is the defined close of that surface
+# divergence). The query covers both scan leaf kinds, a regular Prefix
+# leaf beside them, and a NEGATED scan leaf (AndNot over Suffix) —
+# both engines evaluate the same token-level semantics (ends_with /
+# contains twins), so a one-engine regression in the scan compile
+# cannot pass the gate.
+_AST_SUBSTR = parse_query("*ery val* *tre* NOT *dow", substring_scan=True)
+
+
+@_register(
+    "fts_substr_scan",
+    f"SELECT doc_id FROM documents WHERE {_AST_SUBSTR.to_sql(TOKS)}",
+)
+def fts_substr_scan(spark, sf_dir) -> DataFrame:
+    """Leading-``*`` served at scan cost under a WORD family
+    (``substring_scan=True``): token-suffix (``*ery`` → query),
+    token-contains (``*tre*`` → stream), composed with a prefix atom
+    and a negated suffix (``NOT *dow`` → window) — extension past the
+    reference's backend-divergent ``*`` handling (README.md:69). Plan
+    shape: one codegen'd scan predicate with the raw-Contains
+    necessary-condition prefilter in front (match_filter's scan-leaf
+    branch), no shuffle, no UDF (r16 rotation: this row took
+    ``top_ngrams``'s slot; see the footer note)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return S.match_filter(docs, _AST_SUBSTR, "text").select("doc_id")
+
+
 @_register(
     "fts_bool",
     f"SELECT doc_id FROM documents WHERE {_AST_BOOL.to_sql(TOKS)}",
@@ -1184,12 +1218,18 @@ GROUP BY gram ORDER BY n DESC, gram LIMIT 20
 """
 
 
-@_register("top_ngrams", _TOP_NGRAMS_SQL)
 def top_ngrams_q(spark, sf_dir) -> DataFrame:
     """Corpus bigram census, top-20 by count (count desc, gram asc —
     total order). Map-side n-gram generation → ONE vocabulary-bounded
     hash agg with partial combine → TakeOrdered cut (never a global
-    sort); see operators/textanalysis.py:top_ngrams."""
+    sort); see operators/textanalysis.py:top_ngrams.
+
+    De-registered in r16 (row ceded to ``fts_substr_scan``): the
+    map-side token-n-gram expression stays driver-gated through the
+    shingle-based dedup rows (``dedup_minhash``/``dedup_simhash`` build
+    on the same shingles expr) and the vocab-bounded top-k through
+    ``keywords_tfidf``; this census shape is pinned by
+    ``test_top_ngrams_matches_oracle`` with the same SQL twin."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return TA.top_ngrams(docs, "text", n=2, k=20)
@@ -2620,7 +2660,10 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # ceded its row to fts_cjk_exact (embedding-cosine near-dup stays
 # covered by dedup_embedding_ivf — the same pairing through the
 # default IVF blocker — and dedup_clusters; retiree pinned by
-# test_dedup_embedding_matches_oracle).
+# test_dedup_embedding_matches_oracle), and top_ngrams ceded its row
+# to fts_substr_scan (map-side token-n-gram expr stays covered by the
+# shingle-based dedup rows, vocab-bounded top-k by keywords_tfidf;
+# retiree pinned by test_top_ngrams_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

@@ -317,3 +317,21 @@ def test_dedup_embedding_matches_oracle(spark):
         for r in con.sql(_EMB_DUP_SQL).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_top_ngrams_matches_oracle(spark):
+    # de-registered in r16 (row ceded to fts_substr_scan); original
+    # SQL twin kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _TOP_NGRAMS_SQL, top_ngrams_q
+
+    got = [
+        (r["gram"], r["n"]) for r in top_ngrams_q(spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = [(r[0], r[1]) for r in con.sql(_TOP_NGRAMS_SQL).fetchall()]
+    assert got == want and len(got) == 20

@@ -461,6 +461,11 @@ def main() -> None:
             suspect, times, runs, expected, measure
         )
 
+    # Bracketing stamp: the host's multi-thread mode flips within tens
+    # of minutes (observed 2.8-7.7 same-day) — a start-only stamp can
+    # certify an epoch the run then drifted out of. Disagreeing
+    # start/end stamps mean per-query numbers span two modes.
+    calib_par_end = calibration_parallel_sec()
     total = round(sum(times.values()), 3)
     steal_samples = [s for rs in runs.values() for _, s in rs]
     steal_available = any(s >= 0 for s in steal_samples)
@@ -481,6 +486,7 @@ def main() -> None:
                 "drift": drift,
                 "calibration_sec": calib,
                 "calibration_parallel_sec": calib_par,
+                "calibration_parallel_sec_end": calib_par_end,
                 "calibration_workers": calib_workers,
                 "steal_jiffies_total": steal_total,
                 "steal_available": steal_available,

@@ -327,6 +327,28 @@ class TestLeadingWildcard:
         r = c.query("hello", substring_scan=True)
         assert r["results"][0]["rank"] is not None
 
+    def test_substring_scan_composes_with_cjk_exact_runs(
+        self, spark, tmp_path
+    ):
+        # latin leading-* under cjk_bigram is scan-only; the CJK run is
+        # a sourced gram-chain phrase — the scan route must evaluate
+        # both, and exact_runs must still kill the cross-run over-match
+        c = Collection(
+            str(tmp_path / "w"), "d", spark=spark, tokenizer="cjk_bigram"
+        )
+        c.add(
+            ids=["a", "b", "cc"],
+            contents=[
+                "spark引擎 前缀中文字后缀",
+                "pyspark工具 中文 文字",
+                "flink引擎 中文字",
+            ],
+        )
+        r = c.query("*park 中文字", substring_scan=True)
+        assert sorted(x["id"] for x in r["results"]) == ["a", "b"]
+        r = c.query("*park 中文字", substring_scan=True, exact_runs=True)
+        assert [x["id"] for x in r["results"]] == ["a"]
+
     def test_substring_scan_postings_rejects_scan_leaf(self, spark):
         from sifts_spark.operators.search import search_postings
         from sifts_spark.queryparser import Suffix

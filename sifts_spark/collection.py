@@ -1240,19 +1240,21 @@ class SparkCollection:
         gram-chain phrase.
 
         ``substring_scan=True`` (extension): grants leading-``*``
-        terms the collection's index family CANNOT serve — word-family
-        tokens, latin segments under cjk_bigram, sub-gram-width
-        needles — by compiling them to scan-only suffix/contains
-        leaves and serving the whole query via ONE codegen'd scan
-        predicate over the snapshot (raw-Contains prefiltered). The
+        terms whose head token the family stores whole or
+        sub-gram-length — word-family tokens, latin segments under
+        cjk_bigram, sub-gram-width needles — by compiling them to
+        token-suffix/token-contains leaves (``*x`` / ``*x*``). The
         reference's SQLite backend documents ``*`` anywhere in a term
-        (README.md:69); FTS5 cannot actually index-serve a leading
-        star either, so scan cost is the honest floor. Results take
-        the PLAIN-SCAN shape (storage order, no ``rank``) — exactly
-        the reference's observable behavior, which never orders by
-        rank; BM25 is a postings-path feature. Off by default: the
+        (README.md:69). Served through the SAME postings path as every
+        text query: the term dictionary answers the ask exactly
+        (endswith/contains over the sorted term column — a term-column
+        scan for that disjunct, index bytes instead of corpus bytes,
+        no per-doc re-tokenization), BM25 aggregates tf/df over the
+        matching terms like a trailing-``*`` prefix, and results keep
+        the full ranked-search contract. Off by default: the
         parse-time ``ParseError`` with the retokenize-to-trigram
-        remedy remains the index-path posture.
+        remedy remains the default posture (an unannounced term-scan
+        surprise is worse than an explicit opt-in).
         """
         self._validate_highlight(highlight, query_string, vector_search)
         df, is_search = self._query_plan(
@@ -1621,32 +1623,17 @@ class SparkCollection:
             # stats materialized; at 100 TB a per-query index-stats scan
             # is the difference between an index probe and a table scan).
             fam = self._tok_family()
+            # substring_scan grants (Suffix/Substring leaves) flow
+            # through the SAME postings path as every text query (r16):
+            # the term dictionary answers a token-substring ask exactly
+            # (search_postings: endswith/contains over the sorted term
+            # column — a term-column scan for that disjunct, index
+            # bytes instead of corpus bytes), BM25 aggregates tf/df
+            # over the matching terms like a Prefix leaf, and results
+            # keep the full ranked-search contract.
             ast = parse_query(
                 query_string, tokenizer=fam, substring_scan=substring_scan
             )
-            from sifts_spark.queryparser import has_scan_only
-
-            if has_scan_only(ast):
-                # substring_scan route: scan-only leaves (leading-*
-                # asks the index family cannot serve) make the whole
-                # query ONE codegen'd scan predicate over the snapshot
-                # — match_filter's raw-Contains prefilter shape. The
-                # result takes the PLAIN-SCAN contract (storage order,
-                # no rank): BM25 needs postings stats the scan never
-                # touches, and the reference itself returns storage
-                # order (its QUERY_SEARCH has no ORDER BY).
-                from sifts_spark.operators.search import match_filter
-
-                df = match_filter(
-                    df, ast, "content", fam, exact_runs=exact_runs
-                )
-                if where:
-                    df = df.filter(
-                        compile_where(
-                            F.col("metadata"), where, self._promoted_map()
-                        )
-                    )
-                return df, False
             n_docs, avgdl = self._corpus_stats()
             # search_postings' default pool=None: no operator-internal
             # persist, so the serving path never leaks CacheManager

@@ -382,16 +382,8 @@ def _collect_leaves(ast: Node, negative: bool = False) -> list:
     words the user excluded (reachable via the negated-phrase
     prefilter drop, where scattered excluded words legitimately
     survive)."""
-    if isinstance(ast, (Term, Prefix)):
+    if isinstance(ast, (Term, Prefix, Suffix, Substring)):
         return [(ast, negative)]
-    if isinstance(ast, (Suffix, Substring)):
-        raise ValueError(
-            f"{type(ast).__name__} is a scan-only leaf: no postings "
-            "layout keys tokens by suffix/substring — serve this query "
-            "via the scan strategy (Collection.query routes "
-            "substring_scan ASTs there automatically; operator callers "
-            "use match_filter)"
-        )
     if isinstance(ast, Phrase):
         # the postings index carries no positions: a phrase's candidate
         # set is the AND of its words (a superset); the caller verifies
@@ -410,13 +402,32 @@ def _collect_leaves(ast: Node, negative: bool = False) -> list:
 
 
 def _leaf_tag(leaf: Node) -> str:
-    return leaf.word if isinstance(leaf, Term) else leaf.prefix + "*"
+    # '*' cannot occur inside a stored token (a tokenizer delimiter in
+    # every family), so star-decorated tags never collide with Terms
+    if isinstance(leaf, Term):
+        return leaf.word
+    if isinstance(leaf, Prefix):
+        return leaf.prefix + "*"
+    if isinstance(leaf, Suffix):
+        return "*" + leaf.suffix
+    return "*" + leaf.sub + "*"  # Substring
 
 
 def _leaf_cond(leaf: Node, term: Column) -> Column:
     if isinstance(leaf, Term):
         return term == leaf.word
-    return term.startswith(leaf.prefix)
+    if isinstance(leaf, Prefix):
+        return term.startswith(leaf.prefix)
+    # Suffix/Substring (r16): the term DICTIONARY answers a substring
+    # ask exactly — token-granular semantics identical to the scan
+    # predicate's exists() — but unlike equality/startswith these
+    # conds are NOT range-prunable, so the index probe degrades to a
+    # postings term-column scan (sorted+dict-encoded parquet: still
+    # index bytes, not corpus bytes, and no per-doc re-tokenization —
+    # Lucene's automaton-over-term-dictionary posture)
+    if isinstance(leaf, Suffix):
+        return term.endswith(leaf.suffix)
+    return term.contains(leaf.sub)  # Substring
 
 
 def _retag(ast: Node) -> Node:
@@ -424,8 +435,8 @@ def _retag(ast: Node) -> Node:
     the original AST evaluates directly on the per-id matched-tag set."""
     if isinstance(ast, Term):
         return ast
-    if isinstance(ast, Prefix):
-        return Term(ast.prefix + "*")
+    if isinstance(ast, (Prefix, Suffix, Substring)):
+        return Term(_leaf_tag(ast))
     if isinstance(ast, Phrase):
         # over the tag set a phrase degrades to all-words-present; the
         # adjacency half of its semantics is the caller's content verify
@@ -511,8 +522,8 @@ def _eval_3v(ast: Node, tags: Column, posmap: Column):
     if isinstance(ast, Term):
         c = F.array_contains(tags, ast.word)
         return c, c
-    if isinstance(ast, Prefix):
-        c = F.array_contains(tags, ast.prefix + "*")
+    if isinstance(ast, (Prefix, Suffix, Substring)):
+        c = F.array_contains(tags, _leaf_tag(ast))
         return c, c
     if isinstance(ast, Phrase):
         return _phrase_3v(ast, tags, posmap)
@@ -556,7 +567,13 @@ def search_postings(
     (pushed-down OR of equality/prefix predicates → row-group skipping)
     → groupBy(id) collecting matched tags + summing per-term BM25
     contributions → AST re-evaluated on the tag set. Candidate-
-    proportional, corpus-independent.
+    proportional, corpus-independent. ``Suffix``/``Substring`` leaves
+    (the ``substring_scan`` grants, r16) are served too — their conds
+    (endswith/contains) are not range-prunable, so the probe degrades
+    to a postings TERM-COLUMN scan for that disjunct (sorted,
+    dict-encoded: index bytes, never corpus bytes, no per-doc
+    re-tokenization — Lucene's term-dictionary-automaton posture);
+    everything downstream stays candidate-proportional.
 
     Corpus stats (N, avgdl) join in as a broadcast 1-row DataFrame when
     not passed — the whole query stays ONE lazy plan (no driver-side

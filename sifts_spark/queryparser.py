@@ -76,16 +76,20 @@ class Prefix(Node):
 
 @dataclass(frozen=True)
 class Suffix(Node):
-    """Token-suffix match (``*ello`` → tokens ending in "ello") — a
-    SCAN-ONLY leaf produced by ``parse_query(substring_scan=True)``
-    when a leading ``*`` lands on a token the family stores WHOLE
-    (word families always; a latin segment under cjk_bigram). No
-    postings layout can serve it (word postings key on whole tokens),
-    so :func:`~sifts_spark.operators.search.search_postings` rejects
-    ASTs containing it and ``Collection.query`` routes them to the
-    scan strategy (storage-order plain-scan result shape — exactly
-    the reference's observable behavior, which never orders by rank;
-    README.md:69 documents ``*`` anywhere-in-term on SQLite)."""
+    """Token-suffix match (``*ello`` → tokens ending in "ello") —
+    produced by ``parse_query(substring_scan=True)`` when a leading
+    ``*`` lands on a token the family stores WHOLE (word families
+    always; a latin segment under cjk_bigram); README.md:69 documents
+    ``*`` anywhere-in-term on the reference's SQLite backend. Served
+    two ways with identical token-granular semantics: the scan
+    predicate (``exists`` over on-the-fly tokens, behind the
+    raw-Contains prefilter) and the postings index (r16: the term
+    DICTIONARY answers a substring ask — ``endswith`` over the sorted
+    term column; not range-prunable, so that disjunct's probe is a
+    term-column scan — index bytes, never corpus bytes — and BM25
+    scores like a Prefix leaf, tf/df aggregated over every matching
+    term). ``Collection.query`` therefore serves these like any other
+    text query: ranked, candidate-proportional downstream."""
 
     suffix: str
 
@@ -104,7 +108,8 @@ class Substring(Node):
     """Token-substring match (``*ello*`` → tokens containing "ello";
     also ``*中`` under cjk_bigram, where run-granular substring is the
     family's own posture and grams make contains-in-token ⟺
-    contains-in-run). Scan-only, same routing as :class:`Suffix`."""
+    contains-in-run). Same dual serving as :class:`Suffix`
+    (``contains`` over the term dictionary / the token array)."""
 
     sub: str
 
@@ -474,19 +479,20 @@ def parse_query(
     """Parse the documented query surface under ``tokenizer``'s family.
 
     ``substring_scan=True`` (extension knob): leading-``*`` terms the
-    family's index cannot serve — word-family tokens, latin segments
+    family's index cannot SEEK — word-family tokens, latin segments
     under cjk_bigram, sub-gram-width needles — compile to the
-    scan-only :class:`Suffix`/:class:`Substring` leaves instead of
-    raising; callers must route such ASTs (:func:`has_scan_only`) to
-    the scan strategy, never the postings index."""
+    :class:`Suffix`/:class:`Substring` leaves instead of raising.
+    Both serving strategies answer them with identical token-granular
+    semantics: the scan predicate, and the postings index via a
+    term-dictionary scan (r16)."""
     return QueryParser(query, tokenizer, substring_scan).parse()
 
 
 def has_scan_only(ast: Node) -> bool:
-    """True when the AST contains a scan-only leaf
-    (:class:`Suffix`/:class:`Substring`) — no postings layout serves
-    these; ``Collection.query`` routes such ASTs to the scan
-    strategy (:func:`~sifts_spark.operators.search.match_filter`)."""
+    """True when the AST contains a :class:`Suffix`/:class:`Substring`
+    leaf — ``match_filter`` uses this to put the raw-Contains
+    prefilter in front of word-family scan predicates (the postings
+    path serves these leaves too, via the term dictionary)."""
     if isinstance(ast, (Suffix, Substring)):
         return True
     if isinstance(ast, (And, Or, AndNot)):

@@ -314,14 +314,14 @@ class TestLeadingWildcard:
         r = c.query("*ello", substring_scan=True)
         assert sorted(x["id"] for x in r["results"]) == ["a", "b", "d"]
         assert r["total"] == 3
-        # plain-scan shape: no rank key (reference storage-order
-        # contract; BM25 is a postings-path feature)
-        assert "rank" not in r["results"][0]
+        # r16: served through the postings term dictionary — full
+        # ranked-search contract (BM25 over the matching terms, like a
+        # trailing-* prefix leaf)
+        assert all(x["rank"] is not None for x in r["results"])
         # token-suffix, not containment: 'yellow' does not end in ello
         r = c.query("*ello*", substring_scan=True)
         assert sorted(x["id"] for x in r["results"]) == ["a", "b", "d"]
-        # composes with terms, where, and postings-servable queries
-        # stay on the postings path (rank present)
+        # composes with terms, where, and plain queries
         r = c.query("*ello world", substring_scan=True)
         assert [x["id"] for x in r["results"]] == ["a"]
         r = c.query("hello", substring_scan=True)
@@ -349,15 +349,42 @@ class TestLeadingWildcard:
         r = c.query("*park 中文字", substring_scan=True, exact_runs=True)
         assert [x["id"] for x in r["results"]] == ["a"]
 
-    def test_substring_scan_postings_rejects_scan_leaf(self, spark):
-        from sifts_spark.operators.search import search_postings
-        from sifts_spark.queryparser import Suffix
+    def test_substring_scan_postings_term_dictionary_serving(self, spark):
+        # r16: Suffix/Substring leaves are served by the postings index
+        # through the term dictionary (endswith/contains over the
+        # sorted term column) — same token-granular semantics as the
+        # scan predicate, BM25 aggregated over matching terms
+        from sifts_spark.operators import search as S
+        from sifts_spark.queryparser import AndNot, Substring, Suffix
 
-        postings = spark.createDataFrame(
-            [("hello", "a", 1, 2)], "term string, id string, tf long, dl long"
+        docs = spark.createDataFrame(
+            [
+                ("a", "say hello world"),
+                ("b", "cello solo"),
+                ("c", "nothing here"),
+                ("d", "yellow jello marshmallow"),
+            ],
+            "id string, content string",
         )
-        with pytest.raises(ValueError, match="scan-only"):
-            search_postings(postings, Suffix("ello"))
+        postings = S.build_postings(docs)
+        for ast, want in (
+            (Suffix("ello"), {"a", "b", "d"}),
+            (Substring("ello"), {"a", "b", "d"}),  # yellow+jello both hit
+            (Substring("llo"), {"a", "b", "d"}),
+            (AndNot(Suffix("ello"), Suffix("low")), {"a", "b"}),
+        ):
+            got = {
+                r["id"] for r in S.search_postings(postings, ast).collect()
+            }
+            scan = {
+                r["id"]
+                for r in S.match_filter(docs, ast, "content").collect()
+            }
+            assert got == scan == want, ast
+        # BM25: the suffix leaf's tf sums over every matching term in
+        # the doc (hello+cello... per doc) — rank present and positive
+        r = S.search_postings(postings, Suffix("ello")).collect()
+        assert all(row["rank"] > 0 for row in r)
 
     def test_e2e_collection(self, spark, tmp_path):
         c = Collection(

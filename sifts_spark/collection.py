@@ -1450,6 +1450,7 @@ class SparkCollection:
         group_by_parent: bool = False,
         after: dict | str | None = None,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> dict:
         """MMR diversification over the HYBRID (BM25×vector RRF) pool —
         :meth:`hybrid_query`'s retrieval with :meth:`mmr_query`'s
@@ -1489,7 +1490,7 @@ class SparkCollection:
             raise ValueError(f"fetch_k ({pool_n}) must be >= k ({k})")
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool_n, weights, approx, nprobe,
-            exact_runs=exact_runs,
+            exact_runs=exact_runs, substring_scan=substring_scan,
         )
         joined = fused.join(
             self.docs().select("id", "content", "metadata", "embedding"),
@@ -1714,6 +1715,7 @@ class SparkCollection:
         highlight: bool = False,
         after: dict | None = None,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> dict:
         """Hybrid text+vector search fused by Reciprocal Rank Fusion
         (extension — the reference exposes FTS and vector search only
@@ -1772,6 +1774,7 @@ class SparkCollection:
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe, exact_runs=exact_runs,
+            substring_scan=substring_scan,
         ).persist()  # pool-sized; without it the count + collect each
         # re-run BOTH retrieval legs over the corpus
         try:
@@ -1814,7 +1817,9 @@ class SparkCollection:
             from sifts_spark.functions.snippets import make_snippet
 
             fam = self._tok_family()
-            snip_ast = parse_query(query_string, tokenizer=fam)
+            snip_ast = parse_query(
+                query_string, tokenizer=fam, substring_scan=substring_scan
+            )
             for d in results:
                 d["snippet"] = make_snippet(d["content"], snip_ast, tokenizer=fam)
         return {"total": total if results else 0, "results": results}
@@ -1833,6 +1838,7 @@ class SparkCollection:
         highlight: bool = False,
         after: dict | None = None,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> DataFrame:
         """DataFrame variant of :meth:`hybrid_query` — the ``k`` fused
         winners as a lazy ``(id, content, metadata, rank)`` frame
@@ -1851,6 +1857,7 @@ class SparkCollection:
         fused = self._hybrid_fused(
             query_string, where, rrf_k, pool or max(4 * k, 50),
             weights, approx, nprobe, exact_runs=exact_runs,
+            substring_scan=substring_scan,
         )
         if group_by_parent:
             parents = self._hybrid_parent_pool(fused)
@@ -1874,7 +1881,10 @@ class SparkCollection:
             out = out.withColumn(
                 "snippet",
                 snippet_column(
-                    parse_query(query_string, tokenizer=fam),
+                    parse_query(
+                        query_string, tokenizer=fam,
+                        substring_scan=substring_scan,
+                    ),
                     F.col("content"),
                     tokenizer=fam,
                 ),
@@ -1891,9 +1901,11 @@ class SparkCollection:
         approx: bool,
         nprobe: int,
         exact_runs: bool = False,
+        substring_scan: bool = False,
     ) -> DataFrame:
         """(id, rrf) for every candidate either leg retrieved.
-        ``exact_runs`` applies to the TEXT leg (see :meth:`query`)."""
+        ``exact_runs`` and ``substring_scan`` apply to the TEXT leg
+        (see :meth:`query`)."""
         if not self.use_fts:
             raise ValueError("hybrid_query requires use_fts=True")
         if self.embedding_function is None:
@@ -1904,7 +1916,7 @@ class SparkCollection:
 
         text_leg, _ = self._query_plan(
             query_string, where, None, vector_search=False,
-            exact_runs=exact_runs,
+            exact_runs=exact_runs, substring_scan=substring_scan,
         )
         vec_leg, _ = self._query_plan(
             query_string, where, None, vector_search=True,

@@ -245,3 +245,33 @@ def test_mmr_stale_cursor_raises(mmr_col):
         mmr_col.mmr_query("apple pie", k=2, after={"id": "no-such-doc"})
     with pytest.raises(ValueError, match="after must be"):
         mmr_col.mmr_query("apple pie", k=2, after={"rank": 1.0})
+
+
+def test_hybrid_substring_scan_text_leg(col):
+    # r16: substring_scan threads through all three hybrid surfaces —
+    # the text leg serves the Suffix leaf from the postings term
+    # dictionary ('*ipe' → recipe), fused like any text hit
+    from sifts_spark.queryparser import ParseError
+
+    _LOOKUP["*ipe"] = [0.9, 0.05, 0.05]  # vector leg embeds the query
+    with pytest.raises(ParseError, match="substring_scan"):
+        col.hybrid_query("*ipe")
+    r = col.hybrid_query("*ipe", substring_scan=True)
+    ids = [x["id"] for x in r["results"]]
+    assert ids[0] == "pie"  # only text hit; vector leg ranks the rest
+    got = _python_rrf_substr(col)
+    assert [x["id"] for x in r["results"]] == [i for i, _ in got]
+    m = col.hybrid_mmr_query("*ipe", substring_scan=True, k=2)
+    assert len(m["results"]) == 2
+    df = col.hybrid_query_df("*ipe", substring_scan=True, highlight=True)
+    assert "snippet" in df.columns
+
+
+def _python_rrf_substr(col, rrf_k=60):
+    t = col.query("*ipe", substring_scan=True)["results"]
+    v = col.query("*ipe", vector_search=True)["results"]
+    scores: dict[str, float] = {}
+    for leg in (t, v):
+        for pos, r in enumerate(leg, start=1):
+            scores[r["id"]] = scores.get(r["id"], 0.0) + 1.0 / (rrf_k + pos)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -353,6 +353,28 @@ def main() -> None:
     QUERIES["phrase_positional_index"] = _phrase_positional
     QUERIES["phrase_content_verify"] = _phrase_content_verify
 
+    # leading-* serving strategies (r16): the term DICTIONARY answers
+    # a token-substring ask (endswith over the sorted term column —
+    # index bytes, no re-tokenization) vs the scan predicate
+    # re-tokenizing the corpus. Suffix("mer") ⊂ customer/merge-ish
+    # vocab — a common-word ask, the honest high-selectivity case.
+    from sifts_spark.queryparser import Suffix
+
+    _SUFFIX_Q = Suffix("mer")
+
+    def _suffix_term_dict():
+        return S_search.search_postings(
+            spark.read.parquet(plain_idx), _SUFFIX_Q
+        )
+
+    def _suffix_scan():
+        return S_search.match_filter(sdocs, _SUFFIX_Q, "content").select(
+            "id"
+        )
+
+    QUERIES["suffix_term_dict"] = _suffix_term_dict
+    QUERIES["suffix_scan"] = _suffix_scan
+
     # ---- cjk_bigram family at scale (r14): the honest cost/benefit of
     # bigram expansion. Corpus: the documents table letter-translated to
     # CJK and fully despaced (digits/punct stay and segment runs — the

@@ -661,19 +661,21 @@ class TestTopNgrams:
         assert got == [("the cat", 3), ("cat sat", 2), ("cat mat", 1)]
 
     def test_catalog_duckdb_twin(self, spark):
+        # top_ngrams ceded its catalog row in r16 (fts_substr_scan
+        # rotation) — the function + SQL twin stay importable
         import duckdb
 
-        from sifts_spark.plans.catalog import ORACLES, QUERIES
+        from sifts_spark.plans.catalog import _TOP_NGRAMS_SQL, top_ngrams_q
 
         got = [
             (r["gram"], r["n"])
-            for r in QUERIES["top_ngrams"](spark, SF_DIR).collect()
+            for r in top_ngrams_q(spark, SF_DIR).collect()
         ]
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
         )
-        want = [tuple(t) for t in con.execute(ORACLES["top_ngrams"]).fetchall()]
+        want = [tuple(t) for t in con.execute(_TOP_NGRAMS_SQL).fetchall()]
         assert got == want and len(got) == 20
 
 

@@ -51,13 +51,33 @@ def _reconstruct_cjk_chains(words: tuple, n: int = 2, require_cjk: bool = True) 
     return segs
 
 
+def _lev_le(a: str, b: str, cap: int) -> bool:
+    """Banded Levenshtein ``distance(a, b) <= cap`` — the snippet
+    marker's twin of the engines' ``levenshtein`` (classic, no
+    transposition), with the standard row-minimum early exit."""
+    if abs(len(a) - len(b)) > cap:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > cap:
+            return False
+        prev = cur
+    return prev[-1] <= cap
+
+
 def positive_leaves(ast: Node) -> tuple[set, set, list, set]:
     """(terms, prefixes, phrases, scans) occurring in POSITIVE
     positions — the right side of ``AndNot`` is excluded (a term the
     user excluded must never be highlighted as a match). ``scans``
     holds the scan-only leaves of ``substring_scan`` queries as
     ``("suffix" | "contains", needle)`` pairs."""
-    from sifts_spark.queryparser import Substring, Suffix
+    from sifts_spark.queryparser import Fuzzy, Substring, Suffix
 
     terms: set = set()
     prefixes: set = set()
@@ -73,6 +93,8 @@ def positive_leaves(ast: Node) -> tuple[set, set, list, set]:
             scans.add(("suffix", node.suffix))
         elif isinstance(node, Substring):
             scans.add(("contains", node.sub))
+        elif isinstance(node, Fuzzy):
+            scans.add(("fuzzy", (node.word, node.dist)))
         elif isinstance(node, Phrase):
             phrases.append(tuple(node.words))
         elif isinstance(node, (And, Or)):
@@ -119,10 +141,16 @@ def make_snippet(
     matched: set = set()
 
     def _scan_hit(tok: str) -> bool:
-        return any(
-            tok.endswith(nd) if kind == "suffix" else nd in tok
-            for kind, nd in scans
-        )
+        for kind, nd in scans:
+            if kind == "suffix":
+                if tok.endswith(nd):
+                    return True
+            elif kind == "fuzzy":
+                if _lev_le(tok, nd[0], nd[1]):
+                    return True
+            elif nd in tok:  # contains
+                return True
+        return False
     from sifts_spark.functions.text import TOKENIZER_CJK, gram_width
 
     n_gram = gram_width(tokenizer)

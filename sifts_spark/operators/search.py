@@ -35,6 +35,7 @@ from sifts_spark.functions.text import tokenize
 from sifts_spark.queryparser import (
     And,
     AndNot,
+    Fuzzy,
     Node,
     Or,
     Phrase,
@@ -174,6 +175,11 @@ def necessary_contains(ast: Node, raw_lower: Column) -> Column:
         return raw_lower.contains(ast.suffix)
     if isinstance(ast, Substring):
         return raw_lower.contains(ast.sub)
+    if isinstance(ast, Fuzzy):
+        # an edit can change ANY character — a fuzzy leaf admits no
+        # raw-Contains necessary condition (word families only, so
+        # this is never the expensive-HOF prefilter path anyway)
+        return F.lit(True)
     if isinstance(ast, Phrase):
         cond = None
         for w in ast.words:
@@ -382,7 +388,7 @@ def _collect_leaves(ast: Node, negative: bool = False) -> list:
     words the user excluded (reachable via the negated-phrase
     prefilter drop, where scattered excluded words legitimately
     survive)."""
-    if isinstance(ast, (Term, Prefix, Suffix, Substring)):
+    if isinstance(ast, (Term, Prefix, Suffix, Substring, Fuzzy)):
         return [(ast, negative)]
     if isinstance(ast, Phrase):
         # the postings index carries no positions: a phrase's candidate
@@ -410,6 +416,8 @@ def _leaf_tag(leaf: Node) -> str:
         return leaf.prefix + "*"
     if isinstance(leaf, Suffix):
         return "*" + leaf.suffix
+    if isinstance(leaf, Fuzzy):
+        return f"{leaf.word}~{leaf.dist}"
     return "*" + leaf.sub + "*"  # Substring
 
 
@@ -427,6 +435,11 @@ def _leaf_cond(leaf: Node, term: Column) -> Column:
     # Lucene's automaton-over-term-dictionary posture)
     if isinstance(leaf, Suffix):
         return term.endswith(leaf.suffix)
+    if isinstance(leaf, Fuzzy):
+        # fuzzy (r16): whole-token edit distance over the term
+        # dictionary — same non-prunable term-column-scan class as
+        # Suffix/Substring (Lucene's fuzzy automaton posture)
+        return F.levenshtein(term, F.lit(leaf.word)) <= F.lit(leaf.dist)
     return term.contains(leaf.sub)  # Substring
 
 
@@ -435,7 +448,7 @@ def _retag(ast: Node) -> Node:
     the original AST evaluates directly on the per-id matched-tag set."""
     if isinstance(ast, Term):
         return ast
-    if isinstance(ast, (Prefix, Suffix, Substring)):
+    if isinstance(ast, (Prefix, Suffix, Substring, Fuzzy)):
         return Term(_leaf_tag(ast))
     if isinstance(ast, Phrase):
         # over the tag set a phrase degrades to all-words-present; the
@@ -522,7 +535,7 @@ def _eval_3v(ast: Node, tags: Column, posmap: Column):
     if isinstance(ast, Term):
         c = F.array_contains(tags, ast.word)
         return c, c
-    if isinstance(ast, (Prefix, Suffix, Substring)):
+    if isinstance(ast, (Prefix, Suffix, Substring, Fuzzy)):
         c = F.array_contains(tags, _leaf_tag(ast))
         return c, c
     if isinstance(ast, Phrase):

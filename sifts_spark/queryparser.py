@@ -124,6 +124,38 @@ class Substring(Node):
 
 
 @dataclass(frozen=True)
+class Fuzzy(Node):
+    """Fuzzy term match (``word~`` → Levenshtein distance ≤ 1,
+    ``word~2`` → ≤ 2; Lucene's fuzzy-query syntax) — a defined
+    EXTENSION (the reference has no ``~``; SURVEY §2.4). Word-granular
+    families only: under an expanding family the stored tokens are
+    grams, and edit distance over gram fragments is not a meaningful
+    ask (the parser rejects with the remedy). Served like
+    :class:`Suffix`: the scan predicate computes ``levenshtein`` over
+    on-the-fly tokens; the postings path scans the term dictionary
+    (``levenshtein(term, w) <= d`` — not range-prunable, index bytes
+    only) and BM25 aggregates tf/df over every matching term. Both
+    engines use classic Levenshtein (Spark ``levenshtein`` / DuckDB
+    ``levenshtein``), so the twins agree by construction."""
+
+    word: str
+    dist: int = 1
+
+    def to_column(self, tokens: Column) -> Column:
+        return F.exists(
+            tokens,
+            lambda t: F.levenshtein(t, F.lit(self.word)) <= F.lit(self.dist),
+        )
+
+    def to_sql(self, tokens_sql: str) -> str:
+        w = _sql_quote(self.word)
+        return (
+            f"len(list_filter({tokens_sql}, _t -> "
+            f"levenshtein(_t, '{w}') <= {self.dist})) > 0"
+        )
+
+
+@dataclass(frozen=True)
 class Phrase(Node):
     """Quoted-phrase match: the words occur CONSECUTIVELY in token
     order — an EXTENSION past the reference's documented surface
@@ -339,6 +371,27 @@ class QueryParser:
         # index-servable. Such asks raise with the remedy, or — with
         # ``substring_scan=True`` — compile to the scan-only
         # :class:`Suffix`/:class:`Substring` leaves.
+        # Fuzzy match (r16): trailing `~` / `~2` — Lucene's fuzzy-query
+        # syntax, a defined extension (the reference has no `~`).
+        # Word-granular EDIT DISTANCE is only meaningful over a
+        # whole-token index: under the expanding families the stored
+        # terms are grams, and levenshtein against gram fragments
+        # cross-matches unrelated text (a 2-char gram is within
+        # distance 2 of ANY 2-char word) — reject with the remedy.
+        if (m := re.fullmatch(r"(.+)~(\d+)?", word)) is not None:
+            core, d = m.group(1), m.group(2)
+            dist = 1 if d is None else int(d)
+            if "*" in core:
+                raise ParseError(
+                    f"cannot combine '*' and '~' in {word!r}: a fuzzy "
+                    "match is whole-token edit distance"
+                )
+            if not 1 <= dist <= 2:
+                raise ParseError(
+                    f"fuzzy distance in {word!r} must be 1 or 2 "
+                    "(Lucene's cap; ~0 is just the bare word)"
+                )
+            return self._fuzzy_leaf(word, core, dist)
         leading = word.startswith("*") and len(word) > 1
         orig_word = word
         if leading:
@@ -441,6 +494,30 @@ class QueryParser:
         for leaf in leaves[1:]:
             node = And(node, leaf)
         return node
+
+    def _fuzzy_leaf(self, word: str, core: str, dist: int) -> Node:
+        """Compile ``core~dist``. Word families only (see _atom); the
+        core must be ONE token of the family (fuzzy is term-level,
+        as in Lucene — "don't~" has no single-token edit distance)."""
+        from sifts_spark.functions.text import gram_width, resolve_tokenizer
+
+        fam = resolve_tokenizer(self._tokenizer)
+        if gram_width(fam):
+            raise ParseError(
+                f"'~' in {word!r}: fuzzy match is whole-token edit "
+                f"distance, but tokenizer={fam!r} stores n-grams — "
+                "use a word family (unicode/ascii) for fuzzy matching"
+            )
+        parts = _split_like_tokenizer(core, self._tokenizer)
+        if not parts:
+            raise ParseError(f"no searchable characters in {word!r}")
+        if len(parts) > 1:
+            raise ParseError(
+                f"'~' in {word!r}: fuzzy match applies to a single "
+                f"token, but {core!r} splits into {parts} — fuzzy one "
+                "of them"
+            )
+        return Fuzzy(parts[0], dist)
 
     def _leaf(self, token: str, is_prefix: bool) -> Node:
         """One single-token leaf. In the expanding families a query

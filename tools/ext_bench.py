@@ -375,6 +375,13 @@ def main() -> None:
     QUERIES["suffix_term_dict"] = _suffix_term_dict
     QUERIES["suffix_scan"] = _suffix_scan
 
+    # fuzzy term match (r16): levenshtein over the same term dictionary
+    from sifts_spark.queryparser import Fuzzy
+
+    QUERIES["fuzzy_term_dict"] = lambda: S_search.search_postings(
+        spark.read.parquet(plain_idx), Fuzzy("merge", 1)
+    )
+
     # ---- cjk_bigram family at scale (r14): the honest cost/benefit of
     # bigram expansion. Corpus: the documents table letter-translated to
     # CJK and fully despaced (digits/punct stay and segment runs — the

@@ -569,6 +569,110 @@ def fts_bm25(spark, sf_dir) -> DataFrame:
     )
 
 
+# ---- fuzzy term match (r17, word~ gate row) --------------------------
+#
+# The `word~` / `word~2` extension (SURVEY §2.4; Lucene's fuzzy-query
+# syntax, no reference analog) was the last query-semantics surface
+# without a driver gate. Distance-1 AND distance-2 neighbors are
+# synthesized IN-QUERY (plus a distance-2 and a distance-3 MISS), so
+# the row DIFFERS under any distance-cap regression in either
+# direction: treating ~1 as ~2 pulls in the `mergers` class, ~2 as ~3
+# the `margin`/`stresses` classes, ~2 as ~1 drops `streamer`'s tag.
+# The row returns BM25 rank, which pins the multi-matching-term
+# aggregation (tests/test_fuzzy.py:113's shape): a fuzzy tag's tf sums
+# over EVERY matching term (`marge merg` → tf += 2), df counts docs
+# with ≥1 matching term, and the planted tokens shift dl/avgdl — all
+# reproduced in the DuckDB twin via `levenshtein` list_filters (both
+# engines ship classic Levenshtein, so the twins agree by
+# construction). No natural-vocab token is within distance 1 of
+# `merge` or distance 2 of `stream` except the words themselves
+# (checked against the full 31-token corpus vocabulary).
+_FZ_SUFFIXES = (
+    "marge merg",        # two distance-1 neighbors of merge → tf += 2
+    "emerge",            # distance 1 (front insertion)
+    "mergers margin",    # distance 2 + 3 of merge → matched by NEITHER under ~1
+    "streams streamer",  # distance 1 + 2 of stream → BOTH matched under ~2
+    "stresses",          # distance 4 of stream → miss
+    "",                  # untouched
+)
+_AST_FZ = parse_query("merge~ OR stream~2")
+_FZ_CASE_SQL = (
+    "CASE CAST((doc_id % 6 + 6) % 6 AS INT) "  # pmod parity, see _MS_CASE_SQL
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_FZ_SUFFIXES[:5])
+    )
+    + " ELSE '' END"
+)
+_FZ_SQL = f"""
+WITH ms AS (
+  SELECT doc_id,
+         concat(coalesce(text, ''), ' ', {_FZ_CASE_SQL}) AS mtext
+  FROM documents
+), d AS (
+  SELECT doc_id, {tokenize_sql('mtext')} AS toks FROM ms
+), dd AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM d WHERE len(toks) > 0
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd
+), tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, _t -> levenshtein(_t, 'merge') <= 1))  AS tf_a,
+         len(list_filter(toks, _t -> levenshtein(_t, 'stream') <= 2)) AS tf_b
+  FROM dd
+), dfs AS (
+  SELECT sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_a,
+         sum(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_b
+  FROM tf
+)
+SELECT doc_id,
+       round(
+         CASE WHEN tf_a > 0 THEN
+           ln((n - df_a + 0.5) / (df_a + 0.5) + 1.0)
+             * (tf_a * 2.2) / (tf_a + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0.0 END
+       + CASE WHEN tf_b > 0 THEN
+           ln((n - df_b + 0.5) / (df_b + 0.5) + 1.0)
+             * (tf_b * 2.2) / (tf_b + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ELSE 0.0 END,
+         4) AS rank
+FROM tf, stats, dfs
+WHERE tf_a > 0 OR tf_b > 0
+"""
+
+
+@_register("fts_fuzzy", _FZ_SQL)
+def fts_fuzzy(spark, sf_dir) -> DataFrame:
+    """Fuzzy term match ``merge~ OR stream~2`` with BM25 rank, served
+    from the postings TERM DICTIONARY (operators/search.py:_leaf_cond —
+    ``levenshtein(term, w) <= d`` over the sorted dict-encoded term
+    column: index bytes, never corpus bytes; Lucene's
+    automaton-over-term-dictionary posture). Defined extension past the
+    reference's query surface (core.py:60 tokenizes ``~`` away). Plan
+    shape: one postings probe (term-column scan for the fuzzy conds) →
+    candidate-proportional tag/df/rank aggregation — no corpus
+    re-tokenization, no UDF (r17 rotation: this row took
+    ``dedup_paragraphs``'s slot; see the footer note)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _FZ_SUFFIXES]),
+        (F.pmod(F.col("doc_id"), F.lit(6)) + 1).cast("int"),
+    )
+    ms = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.coalesce(F.col("text"), F.lit("")), suffix
+        ).alias("mtext"),
+    )
+    from sifts_spark.caching import track
+
+    postings = track(S.build_postings(ms, "doc_id", "mtext"))
+    return S.search_postings(postings, _AST_FZ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.round("rank", 4).alias("rank"),
+    )
+
+
 # =====================================================================
 # Metadata predicates / ordering / pagination / counts (R5-R9, R13)
 # =====================================================================
@@ -2360,12 +2464,18 @@ GROUP BY d.doc_id
 """
 
 
-@_register("dedup_paragraphs", _PARA_SQL)
 def dedup_paragraphs(spark, sf_dir) -> DataFrame:
-    """CCNet's corpus-wide paragraph dedup (Wenzek et al. 2020 §3.1)
-    under the driver oracle: first occurrence by (id, pos) wins, short
-    segments exempt, docs reassembled with attrition counts. One
-    digest-keyed window + one id groupBy — see operators/dedup.py."""
+    """CCNet's corpus-wide paragraph dedup (Wenzek et al. 2020 §3.1):
+    first occurrence by (id, pos) wins, short segments exempt, docs
+    reassembled with attrition counts. One digest-keyed window + one id
+    groupBy — see operators/dedup.py.
+
+    De-registered in r17 (row ceded to ``fts_fuzzy``): the digest-keyed
+    window family stays driver-covered by ``remove_dup_spans`` (same
+    first-occurrence-wins window machinery over chunk digests) and the
+    reassembly groupBy by ``curation_report``'s composite; pinned by
+    tests/test_plans.py::test_dedup_paragraphs_matches_oracle against
+    the original ``_PARA_SQL`` twin."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_paragraphs(
@@ -2663,7 +2773,11 @@ def domain_stats_q(spark, sf_dir) -> DataFrame:
 # test_dedup_embedding_matches_oracle), and top_ngrams ceded its row
 # to fts_substr_scan (map-side token-n-gram expr stays covered by the
 # shingle-based dedup rows, vocab-bounded top-k by keywords_tfidf;
-# retiree pinned by test_top_ngrams_matches_oracle).
+# retiree pinned by test_top_ngrams_matches_oracle); in r17
+# dedup_paragraphs ceded its row to fts_fuzzy (digest-keyed
+# first-occurrence-wins window family stays covered by
+# remove_dup_spans, the reassembly groupBy by curation_report; retiree
+# pinned by test_dedup_paragraphs_matches_oracle).
 assert len(QUERIES) <= 50, f"catalog has {len(QUERIES)} entries (> driver's 50)"
 
 

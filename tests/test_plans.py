@@ -319,6 +319,25 @@ def test_dedup_embedding_matches_oracle(spark):
     assert got == want and len(got) > 0
 
 
+def test_dedup_paragraphs_matches_oracle(spark):
+    # de-registered in r17 (row ceded to fts_fuzzy); original SQL twin
+    # kept here
+    import duckdb
+
+    from sifts_spark.plans.catalog import _PARA_SQL, dedup_paragraphs
+
+    got = sorted(
+        (r["id"], r["text"], r["n_paras"], r["n_kept"], r["n_dropped"])
+        for r in dedup_paragraphs(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.sql(_PARA_SQL).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_top_ngrams_matches_oracle(spark):
     # de-registered in r16 (row ceded to fts_substr_scan); original
     # SQL twin kept here

@@ -328,6 +328,16 @@ def build_postings(
     versa, so per-batch pruning would mis-prune; pass it to offline
     builds (or a full-fold rebuild), not through Collection appends.
     """
+    if stop_df_ratio is not None and not positions:
+        # the knob prunes POSITION arrays; on a positions-free build
+        # there is nothing to prune — silently ignoring it would let a
+        # caller believe the layout is df-pruned (loud-failure posture,
+        # as resolve_tokenizer)
+        raise ValueError(
+            "stop_df_ratio prunes position arrays and requires "
+            "positions=True (a positions-free build has no positions "
+            "to prune)"
+        )
     toks = docs.select(
         F.col(id_col).alias("id"),
         tokenize(F.col(content_col), tokenizer).alias("tokens"),

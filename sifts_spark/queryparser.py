@@ -386,6 +386,14 @@ class QueryParser:
                     f"cannot combine '*' and '~' in {word!r}: a fuzzy "
                     "match is whole-token edit distance"
                 )
+            if "~" in core:
+                # `a~~` / `a~1~2`: the inner tilde would be silently
+                # tokenizer-stripped, turning a typo into a different
+                # query (r16 stretch item — reject, don't guess)
+                raise ParseError(
+                    f"malformed fuzzy suffix in {word!r}: use word~ "
+                    "or word~2"
+                )
             if not 1 <= dist <= 2:
                 raise ParseError(
                     f"fuzzy distance in {word!r} must be 1 or 2 "
@@ -496,17 +504,72 @@ class QueryParser:
         return node
 
     def _fuzzy_leaf(self, word: str, core: str, dist: int) -> Node:
-        """Compile ``core~dist``. Word families only (see _atom); the
-        core must be ONE token of the family (fuzzy is term-level,
-        as in Lucene — "don't~" has no single-token edit distance)."""
-        from sifts_spark.functions.text import gram_width, resolve_tokenizer
+        """Compile ``core~dist``. Word families, plus cjk_bigram's
+        NON-expanded tokens (see below); the core must be ONE token of
+        the family (fuzzy is term-level, as in Lucene — "don't~" has no
+        single-token edit distance).
+
+        cjk_bigram stores non-CJK tokens WHOLE (only CJK runs expand,
+        functions/text.py:_cjk_bigram_expand), so a whole-token
+        edit-distance ask over such a token is well-defined there and
+        serves exactly like the word families — the same tokens its
+        Suffix/Substring path already serves (r16 ADVICE). Guard: the
+        index also holds CJK grams and lone CJK chars, whose alphabets
+        are DISJOINT from a non-CJK core, so ``levenshtein`` against
+        them reads ``max(len(core), len(gram))`` — false-positive-free
+        iff ``dist < len(core)`` (a 2-char core at distance 2 would
+        match EVERY stored bigram); shorter asks reject with the
+        remedy. CJK cores stay rejected: their stored form IS grams,
+        and edit distance over gram fragments is not a meaningful ask.
+        trigram expands every ≥3-char token, so no whole-token store
+        exists to serve from — rejected with the remedy."""
+        from sifts_spark.functions.text import (
+            TOKENIZER_CJK,
+            gram_width,
+            resolve_tokenizer,
+        )
 
         fam = resolve_tokenizer(self._tokenizer)
         if gram_width(fam):
+            if fam == TOKENIZER_CJK:
+                import re as _re
+
+                from sifts_spark.functions.text import CJK_RUN_CHARS
+                from sifts_spark.functions.text import _py_parts
+
+                parts = _py_parts(core, self._tokenizer)
+                if len(parts) > 1 and not any(
+                    _re.search(f"[{CJK_RUN_CHARS}]", p) for p in parts
+                ):
+                    raise ParseError(
+                        f"'~' in {word!r}: fuzzy match applies to a "
+                        f"single token, but {core!r} splits into "
+                        f"{parts} — fuzzy one of them"
+                    )
+                if len(parts) == 1 and not _re.search(
+                    f"[{CJK_RUN_CHARS}]", parts[0]
+                ):
+                    if dist >= len(parts[0]):
+                        raise ParseError(
+                            f"'~' in {word!r}: under tokenizer={fam!r} "
+                            f"fuzzy distance must be < the token length "
+                            f"(a {len(parts[0])}-char token at distance "
+                            f"{dist} would collide with the family's "
+                            "stored CJK grams) — lengthen the token or "
+                            "lower the distance"
+                        )
+                    return Fuzzy(parts[0], dist)
             raise ParseError(
                 f"'~' in {word!r}: fuzzy match is whole-token edit "
-                f"distance, but tokenizer={fam!r} stores n-grams — "
-                "use a word family (unicode/ascii) for fuzzy matching"
+                f"distance, but tokenizer={fam!r} stores this core as "
+                "n-grams — use a word family (unicode/ascii) for fuzzy "
+                "matching"
+                + (
+                    " (under cjk_bigram a single NON-CJK token is "
+                    "stored whole and may be fuzzied)"
+                    if fam == TOKENIZER_CJK
+                    else ""
+                )
             )
         parts = _split_like_tokenizer(core, self._tokenizer)
         if not parts:

@@ -56,6 +56,9 @@ class TestFuzzyParse:
             ("*mer~", None),              # no star+fuzzy combos
             ("don't~", None),             # term-level only
             ("~", None),
+            ("a~~", None),                # malformed trailing tildes —
+            ("merge~~", None),            # rejected, not guessed (r17)
+            ("merge~1~2", None),
         ):
             with pytest.raises(ParseError):
                 parse_query(q, tokenizer=fam)
@@ -66,6 +69,31 @@ class TestFuzzyParse:
         from sifts_spark.queryparser import Phrase
 
         assert ast == Phrase(("merge", "sort"))
+
+    def test_latin_under_cjk_bigram_allowed(self):
+        # cjk_bigram stores non-CJK tokens whole — fuzzy over them is
+        # well-defined and granted (r16 ADVICE; the same tokens the
+        # family's Suffix/Substring path serves)
+        assert parse_query("merge~", tokenizer="cjk_bigram") == Fuzzy(
+            "merge", 1
+        )
+        assert parse_query("merge~2", tokenizer="cjk_bigram") == Fuzzy(
+            "merge", 2
+        )
+        # disjoint-alphabet guard: dist >= len(core) would match every
+        # stored CJK gram (levenshtein(core, gram) = max(len, 2))
+        assert parse_query("ab~", tokenizer="cjk_bigram") == Fuzzy("ab", 1)
+        for q in ("ab~2", "a~"):
+            with pytest.raises(ParseError):
+                parse_query(q, tokenizer="cjk_bigram")
+        # multi-token latin core under cjk: the single-token error, not
+        # the gram-family one
+        with pytest.raises(ParseError, match="single"):
+            parse_query("don't~", tokenizer="cjk_bigram")
+        # CJK cores stay rejected: their stored form IS grams
+        for q in ("中文~", "中~", "中文字~2"):
+            with pytest.raises(ParseError):
+                parse_query(q, tokenizer="cjk_bigram")
 
 
 class TestFuzzyServing:
@@ -119,6 +147,44 @@ class TestFuzzyServing:
             for r in S.search_postings(postings, Fuzzy("merge", 1)).collect()
         }
         assert all(v > 0 for v in rows.values())
+
+    def test_latin_fuzzy_serving_under_cjk_bigram(self, spark):
+        # three-way equality on a MIXED latin/CJK corpus: the term
+        # dictionary holds grams + whole latin tokens; the dist<len
+        # guard keeps grams out of reach, so all engines agree
+        import duckdb
+
+        from sifts_spark.functions.text import tokenize_sql
+
+        rows = [
+            ("a", "merge 中文字 sort"),
+            ("b", "marge の merg 検索"),      # two distance-1 neighbors
+            ("c", "數據庫 mergers 引擎"),      # distance 2 only
+            ("d", "中文 データベース"),         # no latin neighbor at all
+        ]
+        docs = spark.createDataFrame(rows, "id string, content string")
+        postings = S.build_postings(docs, tokenizer="cjk_bigram")
+        con = duckdb.connect()
+        con.register("docs_arrow", docs.toPandas())
+        toks = tokenize_sql("content", "cjk_bigram")
+        for q, want in (("merge~", {"a", "b"}), ("merge~2", {"a", "b", "c"})):
+            ast = parse_query(q, tokenizer="cjk_bigram")
+            via_index = {
+                r["id"] for r in S.search_postings(postings, ast).collect()
+            }
+            via_scan = {
+                r["id"]
+                for r in S.match_filter(
+                    docs, ast, "content", tokenizer="cjk_bigram"
+                ).collect()
+            }
+            via_duck = {
+                r[0]
+                for r in con.sql(
+                    f"SELECT id FROM docs_arrow WHERE {ast.to_sql(toks)}"
+                ).fetchall()
+            }
+            assert via_index == via_scan == via_duck == want, q
 
     def test_collection_e2e_with_highlight(self, spark, tmp_path):
         c = Collection(str(tmp_path / "w"), "d", spark=spark)

@@ -149,6 +149,17 @@ class TestIndexSidePhrase:
         # definitively rejected index-side, never returned pending
         assert 2 not in got
 
+    def test_stop_df_ratio_rejected_without_positions(self, spark):
+        # r16 ADVICE: the knob prunes position arrays; a positions-free
+        # build has none — silently ignoring it would let a caller
+        # believe the layout is pruned (loud-failure posture)
+        import pytest
+
+        with pytest.raises(ValueError, match="positions"):
+            S.build_postings(
+                _docs(spark), "doc_id", "text", stop_df_ratio=0.5
+            )
+
     def test_stop_df_pruning_recall_equal_and_bytes_shape(self, spark):
         # r16 (VERDICT item 4): stop_df_ratio empties the POSITION
         # arrays of high-df grams (the byte-heavy, information-light

@@ -48,7 +48,12 @@ from sifts_spark.functions.vector import cosine_similarity
 from sifts_spark.operators import search as _search
 from sifts_spark.queryparser import has_phrase, has_run_phrase, parse_query
 from sifts_spark.session import get_spark
-from sifts_spark.sources.store import DOC_SCHEMA, DocumentStore, validate_name
+from sifts_spark.sources.store import (
+    _UNSET as _UNSET_STOP_DF,
+    DOC_SCHEMA,
+    DocumentStore,
+    validate_name,
+)
 
 # Default metadata column for bulk/streaming ingest: auto-detected if
 # present, NULL-filled if absent. Any EXPLICITLY passed missing column
@@ -509,13 +514,25 @@ class SparkCollection:
         return out
 
     def compact(
-        self, vacuum: bool = True, max_fold_bytes: int | None = None
+        self,
+        vacuum: bool = True,
+        max_fold_bytes: int | None = None,
+        stop_df_ratio=_UNSET_STOP_DF,
     ) -> None:
         """OPTIMIZE + (optionally) VACUUM: fold live batches, then
         reclaim superseded dirs older than ``vacuum_grace_seconds``.
         ``max_fold_bytes`` folds only the small-batch suffix (size-
         tiered; see ``DocumentStore.compact`` for the two safety
         invariants); None folds everything.
+
+        ``stop_df_ratio`` (full folds only): pin — or with ``None``/
+        ``0`` clear — the sticky stop-gram pruning marker before the
+        rebuild, the global-df-safe door to ``build_postings``'s
+        pruning knob (positions of terms with df > ratio×N are
+        dropped; bytes knob — recall is unaffected through the
+        content-verify degradation). Omitted = keep the current
+        marker; later per-append batches build unpruned (batch-local
+        df) and re-converge at the next full fold.
 
         ANN-index interplay: the index is brought up to date FIRST
         (every pending batch assigned), so after the fold every live id
@@ -527,14 +544,21 @@ class SparkCollection:
         if meta is not None and "built_through" in meta:
             self.maintain_vector_index()
         folded = self.store.compact(
-            self.name, postings=self.use_fts, max_fold_bytes=max_fold_bytes
+            self.name,
+            postings=self.use_fts,
+            max_fold_bytes=max_fold_bytes,
+            stop_df_ratio=stop_df_ratio,
         )
         if folded is not None and meta is not None and "built_through" in meta:
             self.store.mark_vector_index_batch_covered(self.name, folded, meta)
         if vacuum:
             self.store.vacuum(self.name, self.vacuum_grace_seconds)
 
-    def retokenize(self, tokenizer: str | None = None) -> str:
+    def retokenize(
+        self,
+        tokenizer: str | None = None,
+        stop_df_ratio=_UNSET_STOP_DF,
+    ) -> str:
         """Rebuild the FTS sidecars under ``tokenizer`` (default: the
         engine's current default family) and re-stamp the sticky
         ``_tokenizer`` marker — the explicit upgrade verb for
@@ -542,8 +566,17 @@ class SparkCollection:
         ``compact()`` performs the same upgrade implicitly, but
         no-ops on single-batch collections). Queries on any handle
         pick the new family up immediately (the marker is read per
-        query). Returns the new family name."""
-        return self.store.retokenize(self.name, tokenizer)
+        query). Returns the new family name.
+
+        ``stop_df_ratio``: pin — or with ``None``/``0`` clear — the
+        sticky stop-gram pruning marker before the rebuild (the
+        global-df-safe door to ``build_postings``'s pruning knob;
+        requires a positional layout). Unlike ``compact()`` this verb
+        rebuilds even single-batch collections, so it is the "apply
+        the pruning NOW" form."""
+        return self.store.retokenize(
+            self.name, tokenizer, stop_df_ratio=stop_df_ratio
+        )
 
     def refresh(self) -> None:
         """Invalidate cached per-snapshot query constants (BM25 corpus

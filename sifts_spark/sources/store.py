@@ -1029,6 +1029,7 @@ class DocumentStore:
         name: str,
         postings: bool = False,
         max_fold_bytes: int | None = None,
+        stop_df_ratio=_UNSET,
     ) -> int | None:
         """Fold live batches of a collection into a single new batch and
         publish a manifest that stops referencing the old ones — Delta
@@ -1056,7 +1057,24 @@ class DocumentStore:
         * TOMBSTONES ARE KEPT in the folded output — a delete recorded
           in the suffix may shadow a live row in an older unfolded
           batch; dropping it would resurrect that row. Tombstones
-          retire at the next full compaction."""
+          retire at the next full compaction.
+
+        ``stop_df_ratio``: FULL folds only (the folded batch is the
+        whole corpus, so global df is computable) — pin (or with
+        ``None``/``0`` clear) the sticky ``_stop_df`` stop-gram
+        pruning marker before the postings sweep; omitted = keep the
+        current marker. Rejected on a suffix fold, whose batches keep
+        batch-local df. On an already-single-batch collection the fold
+        no-ops and the pinned marker takes effect at the next postings
+        rebuild — ``retokenize(stop_df_ratio=)`` forces one now."""
+        if stop_df_ratio is not _UNSET and max_fold_bytes is not None:
+            raise ValueError(
+                "stop_df_ratio requires a FULL fold (max_fold_bytes="
+                "None): a suffix fold's batches keep batch-local df, "
+                "where the knob would mis-prune"
+            )
+        if stop_df_ratio is not _UNSET:
+            self.pin_stop_df(name, stop_df_ratio)
         old = self._batch_dirs(name)
         if max_fold_bytes is not None:
             suffix: list[str] = []
@@ -1312,6 +1330,7 @@ class DocumentStore:
         batch_dir: str,
         positions: bool = False,
         tokenizer: str | None = None,
+        stop_df_ratio: float | None = None,
     ) -> DataFrame:
         from sifts_spark.operators.search import build_postings
 
@@ -1323,7 +1342,12 @@ class DocumentStore:
             # once per pass, not re-read per batch)
             tokenizer = self.postings_tokenizer(name)
         return build_postings(
-            docs, "id", "content", positions=positions, tokenizer=tokenizer
+            docs,
+            "id",
+            "content",
+            positions=positions,
+            tokenizer=tokenizer,
+            stop_df_ratio=stop_df_ratio,
         ).withColumn("batch", F.lit(batch).cast("long"))
 
     def _positions_marker(self, name: str) -> str:
@@ -1391,6 +1415,65 @@ class DocumentStore:
         self._write_small_text(
             self._positions_marker(name), "1" if positional else "0"
         )
+
+    # ---- sticky stop-gram pruning marker (r17 facade door) -----------
+    #
+    # ``build_postings(stop_df_ratio=)`` is deliberately a GLOBAL-df
+    # knob (operators/search.py: per-append-batch df is batch-local and
+    # would mis-prune). The verbs that rebuild postings from the
+    # COMPLETE live corpus — retokenize(), full-fold compact(), the
+    # promote_metadata rewrite — are exactly where global df is
+    # computable, so they accept the knob; this marker makes the choice
+    # sticky (the ``_positions`` pattern): every later full-fold
+    # rebuild reproduces the pruned layout, while per-append
+    # maintenance keeps building UNPRUNED batches (their df is
+    # batch-local — documented scope), converging back to pruned at
+    # the next full fold. Mixed layouts are exact either way: pruning
+    # empties position arrays only, and an emptied array degrades the
+    # affected phrase candidates to the content verify through the
+    # size(pos) < tf truncation machinery.
+
+    def _stop_df_marker(self, name: str) -> str:
+        return f"{self._postings_dir(name)}/_stop_df"
+
+    def stop_df_ratio(self, name: str) -> float | None:
+        """The collection's pinned stop-gram pruning ratio, or None.
+        Fail-safe: an unreadable/torn/out-of-range marker reads as
+        UNPRUNED — pruning is a bytes optimization, so the safe
+        direction under corruption is "keep all positions"."""
+        txt = self._read_small_text(self._stop_df_marker(name))
+        if txt is None:
+            return None
+        try:
+            r = float(txt.strip())
+        except ValueError:
+            return None
+        return r if 0.0 < r <= 1.0 else None
+
+    def pin_stop_df(self, name: str, ratio: float | None) -> None:
+        """Pin (or, with ``ratio=None``/``0``, clear) the stop-gram
+        pruning ratio. Requires a POSITIONAL layout — on a plain one
+        there are no position arrays to prune, and silently recording
+        the knob would let the caller believe the layout is pruned
+        (the build_postings loud-failure posture)."""
+        if not ratio:
+            self._fs.delete(self._Path(self._stop_df_marker(name)), False)
+            return
+        r = float(ratio)
+        if not 0.0 < r <= 1.0:
+            raise ValueError(
+                f"stop_df_ratio must be in (0, 1], got {ratio!r}"
+            )
+        if not self.postings_positions(name):
+            raise ValueError(
+                "stop_df_ratio prunes position arrays, but this "
+                "collection's postings layout is not positional — "
+                "open with index_positions=True (or "
+                "maintain_postings(positions=True)) first"
+            )
+        pdir = self._postings_dir(name)
+        self._fs.mkdirs(self._Path(pdir))
+        self._write_small_text_atomic(self._stop_df_marker(name), repr(r))
 
     # ---- sticky tokenizer marker (r14 unicode flip) ------------------
     #
@@ -1517,7 +1600,12 @@ class DocumentStore:
         self._fs.mkdirs(self._Path(pdir))
         self._write_small_text_atomic(self._tokenizer_marker(name), DEFAULT_TOKENIZER)
 
-    def retokenize(self, name: str, tokenizer: str | None = None) -> str:
+    def retokenize(
+        self,
+        name: str,
+        tokenizer: str | None = None,
+        stop_df_ratio=_UNSET,
+    ) -> str:
         """Rebuild the collection under ``tokenizer`` (default: the
         current default family) — the explicit upgrade verb for
         collections the full-fold upgrade doesn't reach (e.g. a
@@ -1540,10 +1628,18 @@ class DocumentStore:
         manifest whose only live batch has no sidecars, so everything
         builds new-family. Single concurrent DDL WRITER assumed (the
         promote_metadata contract); readers need nothing. Returns the
-        new family."""
+        new family.
+
+        ``stop_df_ratio``: the rebuilt corpus is ONE batch, so global
+        df is computable — pin (or with ``None``/``0`` clear) the
+        sticky ``_stop_df`` stop-gram pruning marker before the
+        rebuild's postings sweep (see :meth:`pin_stop_df`); omitted =
+        keep the current marker."""
         from sifts_spark.functions.text import resolve_tokenizer
 
         t = resolve_tokenizer(tokenizer)
+        if stop_df_ratio is not _UNSET:
+            self.pin_stop_df(name, stop_df_ratio)
         _, pinned = self._tokenizer_marker_value(name)
         old = self._batch_dirs(name)
         if old:
@@ -1624,7 +1720,15 @@ class DocumentStore:
         mf = self.read_manifest(name)
         have = set(self._postings_batch_dirs(name, mf))
         have_dl = set(self._doclen_batch_dirs(name, mf))
-        for d in self._batch_dirs(name, mf):
+        live = self._batch_dirs(name, mf)
+        # the sticky _stop_df marker applies ONLY when the batch being
+        # built IS the entire live corpus (a full-fold/retokenize/
+        # promote rewrite, or a single-batch bulk load) — exactly when
+        # batch-local df equals global df; multi-batch sweeps build
+        # unpruned (batch-local df would mis-prune — the build_postings
+        # scope note) and the layout converges back at the next fold
+        sdf = self.stop_df_ratio(name) if use_pos else None
+        for d in live:
             if d in have and d in have_dl:
                 continue
             token = self._claim_sidecar(name, d, claim_ttl)
@@ -1636,7 +1740,11 @@ class DocumentStore:
             try:
                 if d not in have:
                     p = self._build_batch_postings(
-                        name, d, positions=use_pos, tokenizer=tok
+                        name,
+                        d,
+                        positions=use_pos,
+                        tokenizer=tok,
+                        stop_df_ratio=sdf if live == [d] else None,
                     )
                     # term-sorted within files => parquet min/max
                     # row-group skipping turns a term lookup into an

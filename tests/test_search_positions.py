@@ -375,6 +375,101 @@ class TestCollectionPositional:
         assert rows and all(r["_pending"] is False for r in rows)
 
 
+class TestStopDfFacadeDoor:
+    """r17 (VERDICT item 4): the ``stop_df_ratio`` knob reachable from
+    the Collection facade via the global-df-safe rebuild verbs —
+    ``retokenize()`` and full-fold ``compact()`` — with a sticky
+    ``_stop_df`` marker, while per-append maintenance keeps building
+    unpruned (batch-local df would mis-prune)."""
+
+    CORPUS = TestCollectionPositional.CORPUS  # new/york df 3/4, city 1/4
+
+    def _fill(self, col):
+        col.add([t for _, t in self.CORPUS], ids=[i for i, _ in self.CORPUS])
+
+    def _pos_by_term_id(self, col, name):
+        return {
+            (r["term"], r["id"]): r["pos"]
+            for r in col.store.read_postings(name).collect()
+        }
+
+    def test_retokenize_pins_and_prunes_now(self, store_root, spark):
+        col = Collection(store_root, "sdf", spark=spark)  # positional
+        self._fill(col)
+        col.retokenize(stop_df_ratio=0.5)
+        assert col.store.stop_df_ratio("sdf") == 0.5
+        pos = self._pos_by_term_id(col, "sdf")
+        assert pos[("new", "a")] == [] and pos[("york", "c")] == []
+        assert pos[("city", "a")] != []
+        # recall unaffected: the emptied arrays degrade to the content
+        # verify through size(pos) < tf
+        got = {r["id"] for r in col.query('"new york"')["results"]}
+        assert got == {"a", "c"}
+
+    def test_sticky_across_append_and_full_fold(self, store_root, spark):
+        col = Collection(store_root, "sdf2", spark=spark)
+        self._fill(col)
+        col.retokenize(stop_df_ratio=0.5)
+        # per-append maintenance does NOT prune (batch-local df) —
+        # the fresh batch carries real positions even for stop terms
+        col.add(["brand new york story"], ids=["e"])
+        pos = self._pos_by_term_id(col, "sdf2")
+        assert pos[("new", "e")] != [] and pos[("new", "a")] == []
+        got = {r["id"] for r in col.query('"new york"')["results"]}
+        assert got == {"a", "c", "e"}
+        # a later FULL fold re-converges the whole layout to pruned
+        # without re-passing the knob (the sticky marker)
+        col.compact()
+        assert col.store.stop_df_ratio("sdf2") == 0.5
+        pos = self._pos_by_term_id(col, "sdf2")
+        assert pos[("new", "e")] == [] and pos[("york", "a")] == []
+        assert pos[("city", "a")] != []
+        got = {r["id"] for r in col.query('"new york"')["results"]}
+        assert got == {"a", "c", "e"}
+
+    def test_clear_restores_full_positions(self, store_root, spark):
+        col = Collection(store_root, "sdf3", spark=spark)
+        self._fill(col)
+        col.retokenize(stop_df_ratio=0.5)
+        col.retokenize(stop_df_ratio=0)  # clear + rebuild now
+        assert col.store.stop_df_ratio("sdf3") is None
+        pos = self._pos_by_term_id(col, "sdf3")
+        assert pos[("new", "a")] != [] and pos[("york", "c")] != []
+
+    def test_pin_requires_positional_layout(self, store_root, spark):
+        import pytest
+
+        col = Collection(
+            store_root, "sdfp", spark=spark, index_positions=False
+        )
+        self._fill(col)
+        with pytest.raises(ValueError, match="positional"):
+            col.retokenize(stop_df_ratio=0.5)
+        assert col.store.stop_df_ratio("sdfp") is None
+
+    def test_suffix_fold_rejects_knob(self, store_root, spark):
+        import pytest
+
+        col = Collection(store_root, "sdfs", spark=spark)
+        self._fill(col)
+        with pytest.raises(ValueError, match="FULL fold"):
+            col.compact(max_fold_bytes=1 << 30, stop_df_ratio=0.5)
+
+    def test_torn_marker_reads_unpruned(self, store_root, spark):
+        import os
+
+        col = Collection(store_root, "sdft", spark=spark)
+        self._fill(col)
+        col.retokenize(stop_df_ratio=0.5)
+        marker = os.path.join(
+            store_root, "_postings", "name=sdft", "_stop_df"
+        )
+        with open(marker, "w") as f:
+            f.write("garbage")  # torn write
+        # fail-safe direction: unreadable marker = keep all positions
+        assert col.store.stop_df_ratio("sdft") is None
+
+
 def test_plain_optout_pinned_before_first_write(store_root, spark):
     """r13 code-review fix: an explicit index_positions=False on a
     still-EMPTY collection is recorded (two-valued _positions marker),

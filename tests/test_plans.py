@@ -37,9 +37,12 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #   fts_phrase        — routed through search_postings since r12
 #                       (positional index path): the same 1-row
 #                       corpus-stats frame as fts_bm25
+#   fts_fuzzy         — search_postings without precomputed stats
+#                       (r17 gate row): the same 1-row corpus-stats
+#                       frame as fts_phrase/fts_bm25
 _BNLJ_ALLOWED = {
     "fts_bm25", "vector_knn", "vector_knn_batch", "hybrid_rrf",
-    "keywords_tfidf", "fts_phrase",
+    "keywords_tfidf", "fts_phrase", "fts_fuzzy",
 }
 
 

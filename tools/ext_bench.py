@@ -376,10 +376,17 @@ def main() -> None:
     QUERIES["suffix_scan"] = _suffix_scan
 
     # fuzzy term match (r16): levenshtein over the same term dictionary
+    # (non-prunable term-column scan — the Prefix cost class); the ~2
+    # variant (r17) puts the wider distance's cost on record: the cond
+    # is the same one-pass levenshtein, so the delta is candidate
+    # volume, not probe shape
     from sifts_spark.queryparser import Fuzzy
 
     QUERIES["fuzzy_term_dict"] = lambda: S_search.search_postings(
         spark.read.parquet(plain_idx), Fuzzy("merge", 1)
+    )
+    QUERIES["fuzzy2_term_dict"] = lambda: S_search.search_postings(
+        spark.read.parquet(plain_idx), Fuzzy("merge", 2)
     )
 
     # ---- cjk_bigram family at scale (r14): the honest cost/benefit of
@@ -568,6 +575,130 @@ def main() -> None:
     QUERIES["trigram_substr_postings"] = _trigram_substr_postings
     QUERIES["trigram_substr_scan"] = _trigram_substr_scan
     QUERIES["trigram_substr_postings_pruned"] = _trigram_substr_postings_pruned
+
+    # ---- stop-gram pruning on a ZIPF-df corpus (r17, VERDICT item 3).
+    # The ~30-word synthetic vocab above is DEGENERATE for df pruning
+    # (75/76 grams above the 0.75 cap — the rows above are the
+    # documented worst case, where every query crosses stop grams and
+    # pays the verify). This corpus has a realistic Zipf(s≈1)
+    # vocabulary instead: 20k words drawn log-uniformly (inverse-CDF
+    # over a deterministic hash — density ∝ 1/rank), words are
+    # zero-padded base-26 encodings of the rank so grams share across
+    # words the way real morphology shares them. Measured at 5k docs:
+    # 9 of ~16.8k grams exceed the 0.75 df cap yet carry ~39% of ALL
+    # position payload — the head-concentration regime the knob is
+    # for. The ratios are N-invariant (per-doc token count fixed), so
+    # the two-scale rows compare cleanly. Rows: bytes + build for both
+    # layouts, then the same gram-chain query served on both indexes
+    # in both regimes — a mid-rank word (every gram under the cap:
+    # positions KEPT, index-side adjacency on the pruned index too)
+    # and the rank-1 stop word (all grams pruned: the degraded leg,
+    # now bounded to stop-word asks instead of the whole surface).
+    import math as _math
+
+    _ZR = 20000.0
+
+    def _zword(rank):
+        return F.translate(
+            F.lpad(F.conv(rank.cast("string"), 10, 26), 4, "0"),
+            "0123456789ABCDEFGHIJKLMNOP",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+
+    def _zrank(doc_id, i):
+        u = (
+            F.pmod(F.hash(doc_id, i, F.lit(42)), F.lit(1000003))
+            + F.lit(0.5)
+        ) / F.lit(1000003.0)
+        return F.floor(F.exp(u * F.lit(_math.log(_ZR)))).cast("int")
+
+    _ztoks = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: _zword(_zrank(F.col("doc_id"), i)),
+    )
+    zdocs = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat_ws(" ", _ztoks).alias("content"),
+    )
+    zipf_idx = tempfile.mkdtemp(prefix="ext_bench_zipf_postings_")
+    zipf_pruned_idx = tempfile.mkdtemp(prefix="ext_bench_zipf_pruned_")
+    timed_setup(
+        "zipf_postings_build",
+        lambda: S_search.write_postings(
+            S_search.build_postings(
+                zdocs, positions=True, tokenizer=TOKENIZER_TRIGRAM
+            ),
+            zipf_idx,
+        ),
+    )
+    timed_setup(
+        "zipf_pruned_postings_build",
+        lambda: S_search.write_postings(
+            S_search.build_postings(
+                zdocs,
+                positions=True,
+                stop_df_ratio=0.75,
+                tokenizer=TOKENIZER_TRIGRAM,
+            ),
+            zipf_pruned_idx,
+        ),
+    )
+    setup["zipf_postings_bytes"] = _dir_bytes(zipf_idx)
+    setup["zipf_pruned_postings_bytes"] = _dir_bytes(zipf_pruned_idx)
+    release_all()
+    zn = docs.count()
+    zdist = (
+        spark.read.parquet(zipf_idx)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("id").alias("df"),
+            F.sum(F.size("pos")).alias("positions"),
+        )
+        .select(
+            F.count(F.lit(1)).alias("grams"),
+            F.sum("positions").alias("positions_total"),
+            F.sum(
+                F.when(F.col("df") > 0.75 * zn, 1).otherwise(F.lit(0))
+            ).alias("grams_above_df0.75"),
+            F.sum(
+                F.when(
+                    F.col("df") > 0.75 * zn, F.col("positions")
+                ).otherwise(F.lit(0))
+            ).alias("positions_above_df0.75"),
+        )
+        .first()
+    )
+    setup["zipf_gram_df_dist"] = {
+        k: int(zdist[k] or 0) for k in zdist.asDict()
+    }
+    # rank-500 word "aatg": grams aat (df≈0.48N) / atg (df≈0.03N) —
+    # both KEPT at the 0.75 cap; rank-1 word "aaab": grams aaa/aab at
+    # df≈N — both pruned (words are rank encodings, so the choices are
+    # deterministic; dfs re-measurable from zipf_gram_df_dist's frame)
+    _ZMID_Q = parse_query("aatg", tokenizer=TOKENIZER_TRIGRAM)
+    _ZSTOP_Q = parse_query("aaab", tokenizer=TOKENIZER_TRIGRAM)
+
+    def _zipf_serve(idx, q):
+        cand = S_search.search_postings(spark.read.parquet(idx), q)
+        verify = q.to_column(_tokenize(F.col("content"), TOKENIZER_TRIGRAM))
+        return (
+            cand.join(zdocs, "id")
+            .filter(
+                F.when(F.col("_pending"), verify).otherwise(F.lit(True))
+            )
+            .select("id", "rank")
+        )
+
+    QUERIES["zipf_substr_postings"] = lambda: _zipf_serve(zipf_idx, _ZMID_Q)
+    QUERIES["zipf_substr_postings_pruned"] = lambda: _zipf_serve(
+        zipf_pruned_idx, _ZMID_Q
+    )
+    QUERIES["zipf_stopword_postings"] = lambda: _zipf_serve(
+        zipf_idx, _ZSTOP_Q
+    )
+    QUERIES["zipf_stopword_postings_pruned"] = lambda: _zipf_serve(
+        zipf_pruned_idx, _ZSTOP_Q
+    )
     # one Arrow pass marking matched terms over the whole corpus (the
     # bulk highlight path, query_df(highlight=True))
     QUERIES["snippet_bulk"] = lambda: sdocs.select(
@@ -849,6 +980,12 @@ def main() -> None:
         "stages": manifest["stages"],
     }
 
+    # end-of-run bracket stamp (r17, the bench.py protocol): the host's
+    # multi-thread mode flips faster than a spot probe can gate a long
+    # run — only agreeing START and END stamps certify the epoch the
+    # timed rows actually ran on
+    calib_par_end = _bench.calibration_parallel_sec()
+
     print(
         json.dumps(
             {
@@ -861,6 +998,7 @@ def main() -> None:
                 "e2e": e2e,
                 "calibration_sec": calib,
                 "calibration_parallel_sec": calib_par,
+                "calibration_parallel_sec_end": calib_par_end,
                 "calibration_workers": os.cpu_count() or 1,
                 "sf_dir": sf_dir,
             }

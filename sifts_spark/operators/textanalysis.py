@@ -119,8 +119,23 @@ def quality_score(
     the kernel stays available for corpora where the crossover flips.
     """
     text = F.col(text_col)
-    toks = tokenize(text)
-    n = F.size(toks)
+    # r17: bind the tokenize subtree ONCE through a staged Project
+    # (guide §1.2 "per-task work"): the single-Project shape inlined
+    # the split+filter tokens expression into five consumers (n,
+    # n_stop, ttr's distinct, len_feat) — visible five-fold in
+    # explain("formatted") — and the HOF-bearing Project is
+    # codegen-fallback, so codegen subexpression elimination never
+    # applies. CollapseProject keeps the stage boundary because the
+    # `_toks` alias is multiply referenced and non-cheap. Punctuation
+    # count as a length delta (the class matches single chars, so
+    # chars-removed == matches) instead of materializing an array of
+    # every punct char. Value-identical (exact-equality A/B over sf1 +
+    # sf0.1; test_quality_python_reference pins the values, the
+    # text_quality oracle row the semantics); measured ~8% at sf1
+    # interleaved A/B.
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[^a-zA-Z0-9\\s]", "")
+    )
     if impl == "arrow":
         from sifts_spark.functions.hashing import (
             ensure_min_parallelism,
@@ -128,27 +143,55 @@ def quality_score(
         )
 
         docs = ensure_min_parallelism(docs)
-        n_stop = stopword_count_arrow(text, LANG_MARKERS["en"])
+        staged = docs.select(
+            F.col(id_col).alias("id"),
+            text.alias("_text"),
+            tokenize(text).alias("_toks"),
+            n_punct.alias("_npunct"),
+            stopword_count_arrow(text, LANG_MARKERS["en"]).alias("_nstop"),
+        )
+        n_stop = F.col("_nstop")
     else:
         stop = F.array([F.lit(w) for w in LANG_MARKERS["en"]])
-        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    n_punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
-    punct_ratio = F.round(n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
-    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n, F.lit(1)), 6)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1))
-    len_feat = F.least(n.cast("double") / 50.0, F.lit(1.0))
-    quality = F.round(
-        0.35 * len_feat
-        + 0.25 * ttr
-        + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))
-        + 0.15 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        staged = docs.select(
+            F.col(id_col).alias("id"),
+            text.alias("_text"),
+            tokenize(text).alias("_toks"),
+            n_punct.alias("_npunct"),
+        )
+        n_stop = F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(stop, t))
+        )
+    n = F.size(F.col("_toks"))
+    punct_ratio = F.round(
+        F.col("_npunct").cast("double")
+        / F.greatest(F.length("_text"), F.lit(1)),
         6,
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n, F.lit(1)), 6)
+    ttr = F.size(F.array_distinct(F.col("_toks"))).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1))
+    len_feat = F.least(n.cast("double") / 50.0, F.lit(1.0))
+    mid = staged.select(
+        "id",
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality"),
+        ttr.alias("_ttr"),
+        len_feat.alias("_lenf"),
+    )
+    return mid.select(
+        "id",
+        "punct_ratio",
+        "stopword_ratio",
+        F.round(
+            0.35 * F.col("_lenf")
+            + 0.25 * F.col("_ttr")
+            + 0.25 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+            + 0.15
+            * (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))),
+            6,
+        ).alias("quality"),
     )
 
 
@@ -363,7 +406,23 @@ def keywords_tfidf(
     tf = toks_exploded.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_docs = tf.select(F.countDistinct("id").alias("n_docs"))
+    # r17: N as a map-side sum over the DOCS table, not
+    # countDistinct(id) over tf — the tf branch re-ran the whole
+    # tokenize→explode→(id,term) shuffle→agg pipeline a second time
+    # just to count docs with ≥1 token (no exchange reuse: the two
+    # aggregation pipelines differ, runtime-checked). The docs-side
+    # count is one scan + tokenize with a 1-row partial sum — no
+    # explode, no shuffle (guide §2.3/§2.4). Equal by construction:
+    # ids are unique, so distinct ids in tf == docs whose token array
+    # is non-empty. Value-pinned by the keywords_tfidf oracle row and
+    # the exact-equality A/B in the r17 notes; persisting tf instead
+    # was A/B-measured SLOWER (cache materialization cost exceeds the
+    # second tokenize pass at sf1).
+    n_docs = docs.select(
+        F.sum(
+            (F.size(tokenize(F.col(text_col))) > 0).cast("long")
+        ).alias("n_docs")
+    )
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
     scored = (
         tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))

@@ -504,13 +504,25 @@ def srp_knn_join(
             srp_band_keys_arrow(F.col(query_vec_col), planes, bands)
         ).alias("band", "key"),
     )
-    cand = (
-        data_sig.join(query_sig, ["band", "key"])
-        .select("query_id", "id", "qv", "v")
-        .dropDuplicates(["query_id", "id"])
+    cand = data_sig.join(query_sig, ["band", "key"]).select(
+        "query_id", "id", "qv", "v"
     )
     if exclude_self:
         cand = cand.filter(F.col("id") != F.col("query_id"))
+    # r17: score FIRST, dedup multi-band collisions AFTER, on scalars.
+    # The old dropDuplicates ran BEFORE scoring and therefore carried
+    # both dim-sized float arrays (qv, v) through its exchange — and
+    # because first() over array<float> is not hash-aggregable, Spark
+    # planned it as Sort → SortAggregate → Exchange → Sort →
+    # SortAggregate (visible in the r17 before-plan). Scoring the
+    # duplicate collisions costs one extra Arrow dot per extra band
+    # hit (duplicates carry identical vectors → identical rounded
+    # cos_sim, so max() is value-deterministic), while the dedup
+    # becomes a partial-agg HashAggregate whose exchange moves three
+    # scalars instead of two 64-float arrays (guide §2.3: shuffle
+    # fewer bytes; §2.1: avoid sort aggregates). Value-identical:
+    # pinned by test_srp_dedup_after_score_value_identical and the
+    # srp_knn oracle row.
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
     return (
         cand.select(
@@ -518,6 +530,8 @@ def srp_knn_join(
             "id",
             cosine_similarity_arrow(F.col("v"), F.col("qv")).alias("cos_sim"),
         )
+        .groupBy("query_id", "id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -562,6 +562,79 @@ def test_untokenizable_docs_excluded_from_simhash(spark):
     release_all()
 
 
+def test_digest_memo_kernels_match_hof_twins(spark):
+    """r17: the Arrow sketch kernels memoize per-batch digest vectors
+    (minhash shingle digests, simhash token prefixes). Pin them
+    value-identical to the pure-JVM expression twins on a batch built
+    to HIT the cache hard: heavy shingle/token repetition across docs,
+    plus null/empty edges — the exact traffic the memo serves."""
+    from sifts_spark.functions.hashing import (
+        minhash_signature_arrow,
+        shingle_minhash_arrow,
+        simhash64_arrow,
+    )
+    from sifts_spark.functions.text import shingles, tokenize
+    from sifts_spark.operators.dedup import minhash_signature
+
+    rows = [(i, "alpha beta gamma delta " * 5) for i in range(20)] + [
+        (100, "alpha beta gamma epsilon zeta eta theta"),
+        (101, "totally different words here now"),
+        (102, ""),
+        (103, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = F.array_distinct(shingles(tokenize(F.col("text")), 3))
+    base = docs.select("doc_id", sh.alias("sh"))
+    hof = {
+        r["doc_id"]: r["sig"]
+        for r in base.select(
+            "doc_id", minhash_signature(F.col("sh")).alias("sig")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["sig"]
+        for r in base.select(
+            "doc_id", minhash_signature_arrow(F.col("sh")).alias("sig")
+        ).collect()
+    }
+    assert arrow == hof
+    fused = {
+        r["doc_id"]: (r["sk"]["sh"], r["sk"]["sig"])
+        for r in docs.select(
+            "doc_id", shingle_minhash_arrow(F.col("text")).alias("sk")
+        ).collect()
+    }
+    jvm_sh = {r["doc_id"]: r["sh"] for r in base.collect()}
+
+    def _norm(sig):
+        # null text: the fused kernel carries NULL, the expression twin
+        # an all-NULL array — representationally different, identical
+        # downstream (band keys are NULL either way, so the doc is
+        # filtered before candidates; pre-existing, unrelated to the
+        # r17 memoization)
+        return None if sig is None or all(x is None for x in sig) else sig
+
+    for doc_id, sig in hof.items():
+        got_sh, got_sig = fused[doc_id]
+        # fused path emits the distinct-shingle SET (python set order);
+        # compare as sets, and the signature exactly
+        assert sorted(got_sh or []) == sorted(jvm_sh[doc_id] or []), doc_id
+        assert _norm(got_sig) == _norm(sig), doc_id
+    # simhash: arrow (memoized) vs hof expression twin
+    from sifts_spark.operators import dedup as D
+
+    for impl in ("arrow", "hof"):
+        fps = {
+            r["id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in D.simhash_fingerprints(docs, impl=impl).collect()
+        }
+        if impl == "arrow":
+            arrow_fps = fps
+        else:
+            assert arrow_fps == fps
+    release_all()
+
+
 def test_cap_buckets_ignores_null_keys(spark):
     """NULL band keys (zero-shingle docs) are exclusions, not buckets:
     the skew guard must neither flag them hot nor count their rows as

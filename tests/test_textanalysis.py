@@ -72,6 +72,55 @@ def test_quality_arrow_matches_hof(spark):
     assert a == h
 
 
+def test_quality_python_reference(spark):
+    """Pin quality_score values against an independent driver-side
+    Python computation — guards the r17 staged-Project restructure
+    (tokenize bound once, punct count as a regexp_replace length
+    delta) against any value drift, including the punct-count
+    equivalence (single-char class: chars removed == matches)."""
+    import re
+
+    from sifts_spark.operators.textanalysis import LANG_MARKERS, quality_score
+
+    rows = [
+        (1, "the cat and the hat was in that box of things!!"),
+        (2, "zzz!!! ??? ###"),
+        (3, ""),
+        (5, "the " * 60),
+        (6, "a b c d e f g h i j"),
+        (7, "Mixé unicode: çà-et-là 123, twice twice."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["punct_ratio"], r["stopword_ratio"], r["quality"])
+        for r in quality_score(docs).collect()
+    }
+    stop = set(LANG_MARKERS["en"])
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^\w]+", text.lower(), flags=re.UNICODE) if t]
+        # \w in python ~ [\p{L}\p{N}_]; the engine's unicode family has
+        # no underscore — split on it too for the reference
+        toks = [p for t in toks for p in t.split("_") if p]
+        n = len(toks)
+        n_punct = len(re.findall(r"[^a-zA-Z0-9\s]", text))
+        punct_ratio = round(n_punct / max(len(text), 1), 6)
+        stop_ratio = round(sum(t in stop for t in toks) / max(n, 1), 6)
+        ttr = len(set(toks)) / max(n, 1)
+        len_feat = min(n / 50.0, 1.0)
+        quality = round(
+            0.35 * len_feat
+            + 0.25 * ttr
+            + 0.25 * min(stop_ratio * 5.0, 1.0)
+            + 0.15 * (1.0 - min(punct_ratio * 10.0, 1.0)),
+            6,
+        )
+        assert got[doc_id] == (punct_ratio, stop_ratio, quality), (
+            doc_id,
+            got[doc_id],
+            (punct_ratio, stop_ratio, quality),
+        )
+
+
 def test_repetition_stats_against_python_reference(spark):
     """Arrow kernel pinned against an independent driver-side Python
     computation on real corpus docs plus hand-built degenerate cases."""

@@ -123,6 +123,68 @@ def test_srp_knn_recall_against_exact(spark):
             assert abs(r["cos_sim"] - exact_sim[key]) < 1e-9
 
 
+def test_srp_dedup_after_score_value_identical(spark):
+    """Pin the r17 srp_knn_join shape change (score multi-band
+    collisions first, dedup on scalars after) against a reference that
+    dedups candidate pairs BEFORE scoring — the pre-r17 order. Rows
+    must match exactly: duplicates of a collided pair carry identical
+    vectors, so scoring them and taking max() cannot change any
+    (query_id, id, cos_sim, rank)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cosine_similarity_arrow
+    from sifts_spark.operators.vector_search import (
+        srp_band_keys_arrow,
+        srp_hyperplanes,
+        srp_knn_join,
+    )
+    from sifts_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        (r["query_id"], r["id"], r["cos_sim"], r["rank"])
+        for r in srp_knn_join(
+            emb, queries, dim=64, k=5, bands=8, seed=1
+        ).collect()
+    )
+
+    planes = srp_hyperplanes(64, 32, 1)
+    vecs = ensure_min_parallelism(emb)
+    data_sig = vecs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        F.posexplode(
+            srp_band_keys_arrow(F.col("embedding"), planes, 8)
+        ).alias("band", "key"),
+    )
+    query_sig = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.posexplode(
+            srp_band_keys_arrow(F.col("embedding"), planes, 8)
+        ).alias("band", "key"),
+    )
+    cand = (
+        data_sig.join(query_sig, ["band", "key"])
+        .select("query_id", "id", "qv", "v")
+        .dropDuplicates(["query_id", "id"])
+        .filter(F.col("id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("id"))
+    ref = sorted(
+        (r["query_id"], r["id"], r["cos_sim"], r["rank"])
+        for r in cand.select(
+            "query_id", "id",
+            cosine_similarity_arrow(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == ref
+
+
 def test_vector_search_with_where_filter(store_root, spark):
     """vector_search composes with metadata where: the filter constrains
     candidates BEFORE ranking, and total is the filtered match count

@@ -47,7 +47,12 @@ def main() -> int:
     only = set(sys.argv[3:])
 
     from sifts_spark.caching import release_all
-    from sifts_spark.plans.catalog import QUERIES, fts_term, top_orders_revenue
+    from sifts_spark.plans.catalog import (
+        PREBUILT,
+        QUERIES,
+        fts_term,
+        top_orders_revenue,
+    )
     from sifts_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -65,6 +70,31 @@ def main() -> int:
         "top_orders_revenue": top_orders_revenue,
         "fts_term": fts_term,
     }
+
+    # Mirror bench.py's PREBUILT setup so the captured plans for
+    # fts_bm25 / fts_fuzzy / hybrid_rrf / dedup_clusters are the
+    # steady-state TIMED shapes (on-disk postings + persisted minhash
+    # pairs), not the in-query index build the bench times separately.
+    if os.environ.get("SIFTS_PLAN_PREBUILT", "1") == "1":
+        import tempfile
+
+        from sifts_spark.operators import dedup as D
+        from sifts_spark.operators import search as S
+        from sifts_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        idx_dir = tempfile.mkdtemp(prefix="sifts_plan_postings_")
+        S.write_postings(S.build_postings(docs, "doc_id", "text"), idx_dir)
+        PREBUILT["postings"] = spark.read.parquet(idx_dir)
+        PREBUILT["stats"] = S.corpus_stats(PREBUILT["postings"])
+        pairs_dir = tempfile.mkdtemp(prefix="sifts_plan_pairs_")
+        D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_size=3,
+            jaccard_threshold=0.5,
+        ).write.mode("overwrite").parquet(pairs_dir)
+        release_all()
+        PREBUILT["minhash_pairs"] = spark.read.parquet(pairs_dir)
+        PREBUILT["minhash_pairs_sf"] = SF_DIR
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans", tag,

@@ -115,6 +115,35 @@ def cosine_similarity_arrow(a_col: Column, b_col: Column) -> Column:
     return _cos(a_col, b_col)
 
 
+def cosine_vs_const_arrow(vec_col: Column, query_vec) -> Column:
+    """cosine(vec, CONSTANT query) rounded to 6 dp, Arrow-vectorized —
+    the fixed-query twin of :func:`cosine_similarity_arrow` for the
+    single-query exact-kNN scan (r17): the query vector is closed over
+    driver-side, so only ONE column crosses the Python boundary
+    instead of shipping the same query array per row (guide §4.1).
+    NULL/zero-norm → NULL, like the HOF path."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        za = np.zeros(len(q))
+        av = np.array(
+            [za if x is None else np.asarray(x, dtype=np.float64) for x in a]
+        )
+        num = av @ q
+        denom = np.sqrt((av * av).sum(axis=1)) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, num / denom, np.nan)
+        return pd.Series(np.round(out, 6)).where(~np.isnan(out), None)
+
+    return _cos(vec_col)
+
+
 def cell_assign_arrow(vec_col: Column, centroid_rows) -> Column:
     """Map-side nearest-centroid id, Arrow-vectorized. Value-identical
     to :func:`sifts_spark.operators.vector_search.cell_assign_expr`:

@@ -35,8 +35,31 @@ def knn(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Exact top-k for one literal query vector → (id, cos_sim)."""
+    """Exact top-k for one literal query vector → (id, cos_sim).
+
+    ``impl="arrow"`` (r17 default) scores with the numpy batch kernel —
+    the interpreted HOF fold was ~30 µs/vector and dominated the scan
+    (guide §4.2); ``impl="hof"`` keeps the pure-JVM expression. Same
+    6-dp rounded values either way (pinned by the impl-equivalence
+    test; sum-order differs only in the last ulp, 9 digits under the
+    rounding guard)."""
+    if impl == "arrow":
+        from sifts_spark.functions.hashing import ensure_min_parallelism
+        from sifts_spark.functions.vector import cosine_vs_const_arrow
+
+        return (
+            ensure_min_parallelism(vectors)
+            .select(
+                F.col(id_col).alias("id"),
+                cosine_vs_const_arrow(F.col(vec_col), query_vec).alias(
+                    "cos_sim"
+                ),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("id"))
+            .limit(k)
+        )
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         vectors.select(
@@ -57,20 +80,35 @@ def knn_join(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     exclude_self: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k per query row → (query_id, id, cos_sim, rank).
 
     Query side is broadcast (queries ≪ corpus); ranking is a window
     per query id. Deterministic tiebreak on neighbor id.
-    """
+
+    ``impl="arrow"`` (r17 default) scores the exploded (corpus ×
+    queries) pairs with the numpy batch kernel — the interpreted HOF
+    fold paid ~30 µs/pair and was 4× the whole query at sf1 (guide
+    §4.2); ``impl="hof"`` keeps the pure-JVM expression. Same 6-dp
+    rounded values (impl-equivalence test + the vector_knn_batch
+    oracle row)."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
+    if impl == "arrow":
+        from sifts_spark.functions.hashing import ensure_min_parallelism
+        from sifts_spark.functions.vector import cosine_similarity_arrow
+
+        vectors = ensure_min_parallelism(vectors)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     joined = v.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("id") != F.col("query_id"))
-    sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
+    if impl == "arrow":
+        sim = cosine_similarity_arrow(F.col("v"), F.col("qv"))
+    else:
+        sim = F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("id")
     )

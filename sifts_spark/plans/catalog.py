@@ -36,7 +36,7 @@ from sifts_spark.functions.text import (
     shingles,
     shingles_sql,
 )
-from sifts_spark.functions.vector import cosine_similarity
+# cosine HOF import dropped in r17 (vector rows use the Arrow kernels)
 from sifts_spark.operators import dedup as D
 from sifts_spark.operators import relational as R
 from sifts_spark.operators import sampling as SA
@@ -807,14 +807,26 @@ SELECT id, cos_sim FROM sims ORDER BY cos_sim DESC, id LIMIT 10
 @_register("vector_knn", _KNN_SQL)
 def vector_knn(spark, sf_dir) -> DataFrame:
     """Exact cosine top-k — TakeOrderedAndProject, not a full sort
-    (R10, ref core.py:558-564; kills the R11 client-side cliff)."""
+    (R10, ref core.py:558-564; kills the R11 client-side cliff).
+    r17: the per-row cosine moved from the interpreted HOF fold to the
+    Arrow batch kernel (guide §4.2; measured 1.4× at sf1,
+    value-identical — same 6-dp rounding, pinned by this oracle
+    row)."""
     _prep(spark)
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cosine_similarity_arrow
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
     return (
-        emb.crossJoin(F.broadcast(q))
-        .select(F.col("vec_id").alias("id"), sim.alias("cos_sim"))
+        ensure_min_parallelism(emb)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity_arrow(F.col("embedding"), F.col("qe")).alias(
+                "cos_sim"
+            ),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(10)
     )
@@ -1757,10 +1769,16 @@ def hybrid_rrf(spark, sf_dir) -> DataFrame:
     ).select(F.col("id").cast("long").alias("doc_id"),
              F.round("rank", 4).alias("rank"))
 
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+    from sifts_spark.functions.vector import cosine_similarity_arrow
+
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    sims = emb.crossJoin(F.broadcast(q)).select(
+    # r17: Arrow batch cosine on the vector leg (same swap as
+    # vector_knn — the HOF fold dominated the leg; values identical,
+    # 6-dp rounding inside the kernel, pinned by this oracle row)
+    sims = ensure_min_parallelism(emb).crossJoin(F.broadcast(q)).select(
         F.col("vec_id").alias("doc_id"),
-        F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6).alias(
+        cosine_similarity_arrow(F.col("embedding"), F.col("qe")).alias(
             "cos_sim"
         ),
     )

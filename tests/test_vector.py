@@ -123,6 +123,33 @@ def test_srp_knn_recall_against_exact(spark):
             assert abs(r["cos_sim"] - exact_sim[key]) < 1e-9
 
 
+def test_exact_knn_arrow_matches_hof(spark):
+    """r17: knn/knn_join default to the Arrow cosine kernel; pin both
+    against the pure-JVM HOF expression path — identical (query, id,
+    cos_sim, rank) rows, including the literal-query fixed-vector
+    kernel (cosine_vs_const_arrow)."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.operators.vector_search import knn, knn_join
+    from sifts_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        (r["query_id"], r["id"], r["cos_sim"], r["rank"])
+        for r in knn_join(emb, queries, k=5, impl="arrow").collect()
+    )
+    h = sorted(
+        (r["query_id"], r["id"], r["cos_sim"], r["rank"])
+        for r in knn_join(emb, queries, k=5, impl="hof").collect()
+    )
+    assert a == h
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ka = [(r["id"], r["cos_sim"]) for r in knn(emb, qv, k=10, impl="arrow").collect()]
+    kh = [(r["id"], r["cos_sim"]) for r in knn(emb, qv, k=10, impl="hof").collect()]
+    assert ka == kh
+
+
 def test_srp_dedup_after_score_value_identical(spark):
     """Pin the r17 srp_knn_join shape change (score multi-band
     collisions first, dedup on scalars after) against a reference that

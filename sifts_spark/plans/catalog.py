@@ -808,25 +808,22 @@ SELECT id, cos_sim FROM sims ORDER BY cos_sim DESC, id LIMIT 10
 def vector_knn(spark, sf_dir) -> DataFrame:
     """Exact cosine top-k — TakeOrderedAndProject, not a full sort
     (R10, ref core.py:558-564; kills the R11 client-side cliff).
-    r17: the per-row cosine moved from the interpreted HOF fold to the
-    Arrow batch kernel (guide §4.2; measured 1.4× at sf1,
-    value-identical — same 6-dp rounding, pinned by this oracle
-    row)."""
+    r17 note: deliberately KEPT on the JVM HOF cosine — the Arrow
+    kernel wins 1.4× at sf1 but loses ~0.17s at sf0.1 (the Python
+    worker round-trip constant vs a 2000-row corpus; interleaved A/B
+    both scales), and this row's floor is gated at sf0.1. The batch
+    row (vector_knn_batch) sits past the crossover and uses the
+    kernel; single-query callers get it via operators.vector_search.
+    knn(impl="arrow")."""
     _prep(spark)
-    from sifts_spark.functions.hashing import ensure_min_parallelism
-    from sifts_spark.functions.vector import cosine_similarity_arrow
+    from sifts_spark.functions.vector import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
     return (
-        ensure_min_parallelism(emb)
-        .crossJoin(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("id"),
-            cosine_similarity_arrow(F.col("embedding"), F.col("qe")).alias(
-                "cos_sim"
-            ),
-        )
+        emb.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("id"), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("id"))
         .limit(10)
     )

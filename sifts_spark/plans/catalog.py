@@ -1824,26 +1824,37 @@ GROUP BY p.p_brand
 
 @_register("part_small_qty_revenue", _SMALLQTY_SQL)
 def part_small_qty_revenue(spark, sf_dir) -> DataFrame:
-    """TPC-H Q17 shape: correlated aggregate subquery decorrelated into
-    an agg + self-join — revenue of lineitems below 90% of their part's
-    average quantity, by brand. Every join key here is ``partkey``: the
-    threshold agg's output is already hash-partitioned by it, so the
-    fact↔threshold join reuses that exchange, and ``part`` shuffles on
-    the same key — one partitioning carried through the whole plan. No
-    broadcast hints: threshold and ``part`` are both SF-proportional
-    (NOT dim-sized at 100 TB); AQE may still broadcast them when small.
-    Final agg is 25 brands — partial map-side combine collapses it.
-    DECIMAL revenue sum: order-independent."""
+    """TPC-H Q17 shape: revenue of lineitems below 90% of their part's
+    average quantity, by brand.
+
+    r17 (guide §2.4: remove shuffles outright): the correlated
+    aggregate is decorrelated into a WINDOW over ``l_partkey`` instead
+    of the r1-r16 agg + self-join — lineitem is scanned ONCE (was
+    twice) and crosses ONE exchange (the window's hashpartitioning;
+    was two: the threshold agg's plus the join side's), then the
+    per-part avg, the filter, the part join and the brand agg all run
+    on that partitioning. Value-identical: window-avg ≡ group-avg over
+    the same rows (l_quantity is whole-valued at every sf, so the
+    double partial sums are exact and order-free); interleaved A/B at
+    sf0.1 read best 2.23→1.47s with toPandas-equality pinned. No
+    broadcast hints: ``part`` is SF-proportional (NOT dim-sized at
+    100 TB); AQE may still broadcast it when small. Final agg is 25
+    brands — partial map-side combine collapses it. DECIMAL revenue
+    sum: order-independent."""
     _prep(spark)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    thresh = li.groupBy("l_partkey").agg(
-        (F.lit(0.9) * F.avg(F.col("l_quantity").cast("double"))).alias("qty_thresh")
+    w = Window.partitionBy("l_partkey")
+    base = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn(
+            "qty_thresh",
+            F.lit(0.9) * F.avg(F.col("l_quantity").cast("double")).over(w),
+        )
+        .filter(F.col("l_quantity").cast("double") < F.col("qty_thresh"))
     )
     return (
-        li.join(thresh, "l_partkey")
-        .filter(F.col("l_quantity").cast("double") < F.col("qty_thresh"))
-        .join(
+        base.join(
             part.select("p_partkey", "p_brand"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -2217,11 +2228,30 @@ def image_features(spark, sf_dir) -> DataFrame:
 )
 def lineitem_pricing(spark, sf_dir) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the scan+partial-agg benchmark.
-    DECIMAL sums for order-independence; predicate pushes to parquet."""
+    DECIMAL sums for order-independence; predicate pushes to parquet.
+
+    r17: the decimal partial aggregation is spread across cores first
+    (guide §2.6) — a single local parquet file reads as ONE split, so
+    without the spread the whole decimal-cast partial agg ran on one
+    core. No-op on a real multi-file table (files >= cores). Exact
+    reorder-safety: decimal sums are exact, count is exact, and
+    avg(l_quantity) sums INTEGRAL doubles (checked over every sf:
+    l_quantity is whole-valued, partial sums stay exactly
+    representable), so grouping order cannot move any output bit."""
     _prep(spark)
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
+        ensure_min_parallelism(
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1999-12-31 00:00:00").cast("timestamp")
+            ).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
@@ -2249,16 +2279,25 @@ def revenue_by_nation(spark, sf_dir) -> DataFrame:
     """Star-join benchmark: fact × 3 dims. Dims broadcast (under the
     64 MB threshold) → no fact shuffle until the final small agg."""
     _prep(spark)
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # r17: spread the fact side before the join probes + decimal agg
+    # (guide §2.6) — one local file = one split serialized the whole
+    # probe+agg pipeline on a single core; no-op on multi-file tables.
+    # Decimal sum + count are exactly order-independent.
+    li_s = ensure_min_parallelism(
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     return (
         # orders is fact-sized — shuffle join (AQE may still pick SHJ);
         # only true dims broadcast.
-        li.join(orders.select("o_orderkey", "o_custkey"),
-                li["l_orderkey"] == F.col("o_orderkey"))
+        li_s.join(orders.select("o_orderkey", "o_custkey"),
+                  li_s["l_orderkey"] == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
@@ -2370,9 +2409,17 @@ def top_orders_revenue(spark, sf_dir) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    from sifts_spark.functions.hashing import ensure_min_parallelism
+
+    # r17: spread the filtered fact side (guide §2.6; see
+    # lineitem_pricing) — decimal sum is exactly order-independent.
+    li_f = ensure_min_parallelism(
+        li.filter(F.col("l_shipdate") > cutoff).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+    )
     return (
-        li.filter(F.col("l_shipdate") > cutoff)
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        li_f.join(o, li_f["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),

@@ -226,17 +226,8 @@ def match_filter(
     0.36s at sf0.1 for cjk). The ascii/unicode families keep the
     direct shape — their tokenize is cheap and the pinned plans stay
     byte-identical."""
-    from sifts_spark.functions.hashing import ensure_min_parallelism
     from sifts_spark.functions.text import gram_width
 
-    # r17 (guide §2.6/§6.1): a single local parquet file reads as ONE
-    # split, serializing this whole codegen'd predicate on one core
-    # while the other 31 idle. Spread first — scale-adaptive: on a real
-    # multi-file table (files >= cores) this is a no-op and the plan
-    # keeps its 0-Exchange pushdown shape; only the
-    # fewer-splits-than-cores case pays a (text-sized but local)
-    # round-robin exchange to buy full-width predicate evaluation.
-    df = ensure_min_parallelism(df)
     toks = tokenize(F.col(content_col), tokenizer)
     if gram_width(tokenizer):
         # necessary-contains prefilter (r15): the expansion HOFs are

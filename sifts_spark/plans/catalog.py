@@ -2409,17 +2409,13 @@ def top_orders_revenue(spark, sf_dir) -> DataFrame:
         .select("o_orderkey", "o_orderdate")
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    from sifts_spark.functions.hashing import ensure_min_parallelism
-
-    # r17: spread the filtered fact side (guide §2.6; see
-    # lineitem_pricing) — decimal sum is exactly order-independent.
-    li_f = ensure_min_parallelism(
-        li.filter(F.col("l_shipdate") > cutoff).select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        )
-    )
+    # r17: a pre-join spread (see lineitem_pricing) was A/B-measured
+    # HERE and NOT kept — the shipdate predicate keeps ~2% of lineitem,
+    # so the single-task residue is tiny and the extra stage cost more
+    # than it parallelized (best 0.81s unspread vs 1.00s spread).
     return (
-        li_f.join(o, li_f["l_orderkey"] == o["o_orderkey"])
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),

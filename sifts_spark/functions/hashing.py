@@ -20,6 +20,7 @@ by the sketch; nothing extra crosses the JVM<->Python boundary.
 
 from __future__ import annotations
 
+import os
 from hashlib import md5
 
 import numpy as np
@@ -46,7 +47,7 @@ def _py_shingles(toks: list[str], n: int) -> list[str]:
     return [" ".join(toks)]
 
 
-def ensure_min_parallelism(df):
+def ensure_min_parallelism(df, bytes_per_split: int | None = None):
     """Repartition up to the session's default parallelism when the
     input has fewer partitions (a single local parquet file reads as ONE
     split — which would serialize any per-partition kernel). On a real
@@ -60,12 +61,41 @@ def ensure_min_parallelism(df):
     source can repartition needlessly under this test; that mild
     round-robin cost beats paying the RDD conversion on every hot call,
     and the many-small-files layout of real table storage makes the
-    no-op branch the common one."""
+    no-op branch the common one.
+
+    ``bytes_per_split`` (r17, guide §2.2 "fewer, larger partitions"):
+    when set and the input is file-backed, the spread target is derived
+    from input SIZE — ``ceil(total_bytes / bytes_per_split)``, capped
+    at default parallelism — instead of unconditionally core-count.
+    For cheap vectorized kernels (ns/byte: the numpy cosine/matmul
+    family) a tiny table blasted to 32 splits pays 32× the per-task
+    Arrow-boundary overhead for microseconds of compute; measured at
+    sf0.1 the 32-way spread was the WORST width for every vector row
+    (ivf_knn 0.99→0.59s best at ~4-way, dedup_embedding_ivf
+    0.94→0.49s). Compute-heavy text kernels (µs/byte: md5 sketches,
+    tokenize) keep the default full-width spread. When the size-derived
+    target does not exceed the file count, the frame passes through
+    unchanged — no exchange at all."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files:
         if len(files) >= target:
             return df
+        if bytes_per_split:
+            total = 0
+            for f in files:
+                try:
+                    total += os.path.getsize(
+                        f[5:] if f.startswith("file:") else f
+                    )
+                except OSError:
+                    total = 0
+                    break
+            if total:
+                sized = -(-total // bytes_per_split)  # ceil
+                target = max(1, min(target, sized))
+                if target <= len(files):
+                    return df
     elif df.rdd.getNumPartitions() >= target:
         # non-file source (in-memory test frames, cached plans): the RDD
         # view is the only partition-count oracle; cheap for those.

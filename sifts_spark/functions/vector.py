@@ -19,6 +19,17 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Spread sizing for the numpy batch kernels below (r17): their compute
+# is ns/byte (one matmul per Arrow batch), so a tiny vector table
+# spread to core-count splits pays per-task Arrow-boundary overhead
+# far exceeding the kernel — size splits by BYTES instead
+# (ensure_min_parallelism(bytes_per_split=...), guide §2.2). 128 KiB
+# ≈ 300 64-dim float vectors per split; measured best-width band at
+# sf0.1 (~4-8 splits for the 0.8 MB embeddings table, 32-way was the
+# worst width for every vector row), converging to full width as the
+# table grows.
+VEC_BYTES_PER_SPLIT = 128 << 10
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(

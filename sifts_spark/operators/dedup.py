@@ -1009,9 +1009,12 @@ def embedding_dup_pairs(
         rows = _dense_cells(centroid_rows(centroids))
         if impl == "arrow":
             from sifts_spark.functions.hashing import ensure_min_parallelism
-            from sifts_spark.functions.vector import cell_assign_arrow
+            from sifts_spark.functions.vector import (
+                VEC_BYTES_PER_SPLIT,
+                cell_assign_arrow,
+            )
 
-            vectors = ensure_min_parallelism(vectors)
+            vectors = ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
             assign = cell_assign_arrow(F.col(vec_col), rows)
         else:
             assign = cell_assign_expr(F.col(vec_col), rows)
@@ -1243,7 +1246,10 @@ def semdedup(
     import pandas as pd
 
     from sifts_spark.functions.hashing import ensure_min_parallelism
-    from sifts_spark.functions.vector import cell_assign_arrow
+    from sifts_spark.functions.vector import (
+        VEC_BYTES_PER_SPLIT,
+        cell_assign_arrow,
+    )
     from sifts_spark.operators.vector_search import (
         centroid_rows,
         deterministic_centroids,
@@ -1258,7 +1264,7 @@ def semdedup(
     cent = {int(c): np.asarray(v, dtype=np.float64) for c, v in rows}
 
     base = track(
-        ensure_min_parallelism(vectors)
+        ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         # NULL embeddings must not reach the assignment kernel: an
         # all-NaN similarity row argmaxes to cell 0 (not NULL), which

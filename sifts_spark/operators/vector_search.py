@@ -50,10 +50,13 @@ def knn(
     the kernel wins linearly (1.4× at 20k vectors)."""
     if impl == "arrow":
         from sifts_spark.functions.hashing import ensure_min_parallelism
-        from sifts_spark.functions.vector import cosine_vs_const_arrow
+        from sifts_spark.functions.vector import (
+            VEC_BYTES_PER_SPLIT,
+            cosine_vs_const_arrow,
+        )
 
         return (
-            ensure_min_parallelism(vectors)
+            ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
             .select(
                 F.col(id_col).alias("id"),
                 cosine_vs_const_arrow(F.col(vec_col), query_vec).alias(
@@ -101,9 +104,12 @@ def knn_join(
     )
     if impl == "arrow":
         from sifts_spark.functions.hashing import ensure_min_parallelism
-        from sifts_spark.functions.vector import cosine_similarity_arrow
+        from sifts_spark.functions.vector import (
+            VEC_BYTES_PER_SPLIT,
+            cosine_similarity_arrow,
+        )
 
-        vectors = ensure_min_parallelism(vectors)
+        vectors = ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     joined = v.crossJoin(F.broadcast(q))
     if exclude_self:
@@ -388,7 +394,11 @@ def ivf_knn_join(
     pure-JVM expression path (zero Python in the plan).
     """
     from sifts_spark.functions.hashing import ensure_min_parallelism
-    from sifts_spark.functions.vector import cell_assign_arrow, cell_topn_arrow
+    from sifts_spark.functions.vector import (
+        VEC_BYTES_PER_SPLIT,
+        cell_assign_arrow,
+        cell_topn_arrow,
+    )
 
     rows = centroid_rows(centroids)
     assign = (
@@ -397,7 +407,7 @@ def ivf_knn_join(
         else (lambda c: cell_assign_expr(c, rows))
     )
     if impl == "arrow":
-        vectors = ensure_min_parallelism(vectors)
+        vectors = ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
     # coalesce makes the join key provably non-nullable, so the inner
     # join does NOT infer an IsNotNull(cell_id) filter. That inference
     # is poison on a Python-UDF key: the filter's UDF instance is pushed
@@ -527,10 +537,13 @@ def srp_knn_join(
     trade, the exact twin is :func:`knn_join`.
     """
     from sifts_spark.functions.hashing import ensure_min_parallelism
-    from sifts_spark.functions.vector import cosine_similarity_arrow
+    from sifts_spark.functions.vector import (
+        VEC_BYTES_PER_SPLIT,
+        cosine_similarity_arrow,
+    )
 
     planes = srp_hyperplanes(dim, n_planes, seed)
-    vectors = ensure_min_parallelism(vectors)
+    vectors = ensure_min_parallelism(vectors, VEC_BYTES_PER_SPLIT)
     data_sig = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

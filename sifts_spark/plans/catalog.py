@@ -1767,13 +1767,18 @@ def hybrid_rrf(spark, sf_dir) -> DataFrame:
              F.round("rank", 4).alias("rank"))
 
     from sifts_spark.functions.hashing import ensure_min_parallelism
-    from sifts_spark.functions.vector import cosine_similarity_arrow
+    from sifts_spark.functions.vector import (
+        VEC_BYTES_PER_SPLIT,
+        cosine_similarity_arrow,
+    )
 
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     # r17: Arrow batch cosine on the vector leg (same swap as
     # vector_knn — the HOF fold dominated the leg; values identical,
     # 6-dp rounding inside the kernel, pinned by this oracle row)
-    sims = ensure_min_parallelism(emb).crossJoin(F.broadcast(q)).select(
+    sims = ensure_min_parallelism(emb, VEC_BYTES_PER_SPLIT).crossJoin(
+        F.broadcast(q)
+    ).select(
         F.col("vec_id").alias("doc_id"),
         cosine_similarity_arrow(F.col("embedding"), F.col("qe")).alias(
             "cos_sim"

@@ -229,7 +229,11 @@ def language_id(
     if impl == "arrow":
         from sifts_spark.functions.hashing import ensure_min_parallelism, langid_arrow
 
-        out = ensure_min_parallelism(docs).select(
+        # r17: bytes-sized spread (guide §2.2) — the marker-probe kernel
+        # is ~0.1 ms/doc, so core-count splits of a sub-MB corpus pay
+        # more per-task Arrow overhead than compute; width sweep at
+        # sf0.1 read med 0.63s (32-way) vs 0.51-0.52s (8-16-way).
+        out = ensure_min_parallelism(docs, 64 << 10).select(
             F.col(id_col).alias("id"),
             langid_arrow(F.col(text_col), LANG_MARKERS).alias("_lid"),
         )

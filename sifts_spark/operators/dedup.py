@@ -861,7 +861,6 @@ def duplicate_clusters(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Small dup-subgraph short-circuit: the edge list is |pairs|-sized
     # and BOUNDED (unlike the corpus) — below the threshold (~200k
@@ -870,8 +869,19 @@ def duplicate_clusters(
     # join+checkpoint rounds with one collect + one createDataFrame.
     # Past the threshold the distributed propagation below runs — the
     # 100 TB path when dup pairs themselves are huge.
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
+    #
+    # r17 (guide §1.2: don't schedule jobs you throw away): the
+    # decision and the edges arrive in ONE limit-collect — the former
+    # eager checkpoint + count() + toLocalIterator sequence paid a
+    # materialization job, a count job, and one fetch job per edge
+    # partition for a frame the driver path consumes exactly once.
+    # The +1 over-fetch is what distinguishes "exactly threshold" from
+    # "past it"; on the distributed branch the discarded ≤ few-MB
+    # collect is noise against the iterative rounds it precedes, and
+    # edges are only then checkpointed (that branch reuses them every
+    # round; the driver branch never does).
+    edge_rows = edges.limit(driver_threshold + 1).collect()
+    if len(edge_rows) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -882,7 +892,7 @@ def duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.toLocalIterator():
+        for row in edge_rows:
             a, b = row["src"], row["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -909,6 +919,7 @@ def duplicate_clusters(
             )
         )
 
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -81,6 +81,16 @@ def ensure_min_parallelism(df, bytes_per_split: int | None = None):
     if files:
         if len(files) >= target:
             return df
+        # r17: files under-count native parallelism — parquet scans
+        # split per ROW GROUP, so one 73 MB file with 49 row groups
+        # already feeds every core and a spread's exchange is pure
+        # cost (measured: the sf1 lineitem agg read 1.32s unspread vs
+        # 1.92s spread, while the single-row-group sf0.1 file wins
+        # spread). Count row groups (cached footer read, local files
+        # only; falls back to the file count elsewhere).
+        splits = _native_splits(files)
+        if splits >= target:
+            return df
         if bytes_per_split:
             total = 0
             for f in files:
@@ -94,13 +104,42 @@ def ensure_min_parallelism(df, bytes_per_split: int | None = None):
             if total:
                 sized = -(-total // bytes_per_split)  # ceil
                 target = max(1, min(target, sized))
-                if target <= len(files):
+                if target <= splits:
                     return df
     elif df.rdd.getNumPartitions() >= target:
         # non-file source (in-memory test frames, cached plans): the RDD
         # view is the only partition-count oracle; cheap for those.
         return df
     return df.repartition(target)
+
+
+_NATIVE_SPLITS_CACHE: dict = {}
+
+
+def _native_splits(files) -> int:
+    """Total parquet row groups across ``files`` — the real upper bound
+    on scan parallelism for a small file set (Spark assigns each row
+    group to the task whose byte range holds its start). Footer-read
+    per distinct file list, memoized (the bench and any steady-state
+    serving loop re-read the same tables); non-local or non-parquet
+    inputs fall back to the file count, which only makes the caller
+    spread more eagerly — the pre-r17 behavior."""
+    key = tuple(files)
+    hit = _NATIVE_SPLITS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in files:
+            p = f[5:] if f.startswith("file:") else f
+            n += pq.ParquetFile(p).metadata.num_row_groups
+    except Exception:
+        n = len(files)
+    if len(_NATIVE_SPLITS_CACHE) < 256:
+        _NATIVE_SPLITS_CACHE[key] = n
+    return n
 
 
 # r17: the md5 digests of a shingle/token are pure functions of the

@@ -1499,20 +1499,27 @@ def events_cube(spark, sf_dir) -> DataFrame:
     "FROM events GROUP BY 1",
 )
 def events_pivot(spark, sf_dir) -> DataFrame:
-    """PIVOT: daily value by event type as columns. The value list is
-    EXPLICIT — Spark's two-pass value discovery (a distinct scan before
-    the agg) is the thing to avoid at 100 TB; with pinned values this
-    compiles to one pass of conditional aggregates. DECIMAL sums for
-    order-independence, as everywhere."""
+    """PIVOT: daily value by event type as columns, written as ONE
+    conditional aggregation. The value list is EXPLICIT — Spark's
+    two-pass value discovery (a distinct scan before the agg) is the
+    thing to avoid at 100 TB — and even `.pivot(col, values)` compiles
+    to TWO aggregates (partial by (day, type) → exchange → PivotFirst
+    by day → second exchange); `sum(CASE WHEN ...)` per pinned value is
+    the same result in one partial-agg pass with one exchange. A type
+    absent on a day sums only NULLs → NULL, identical to the pivot
+    cell. DECIMAL sums for order-independence, as everywhere."""
     _prep(spark)
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
-        .pivot("event_type", ["click", "purchase", "view"])
-        .agg(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-        )
-    )
+    dec_val = F.col("value").cast("decimal(18,6)")
+    per_type = [
+        F.sum(F.when(F.col("event_type") == t, dec_val))
+        .cast("double")
+        .alias(t)
+        for t in ("click", "purchase", "view")
+    ]
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(*per_type)
 
 
 @_register(

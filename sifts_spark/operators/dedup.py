@@ -870,18 +870,31 @@ def duplicate_clusters(
     # Past the threshold the distributed propagation below runs — the
     # 100 TB path when dup pairs themselves are huge.
     #
-    # r17 (guide §1.2: don't schedule jobs you throw away): the
-    # decision and the edges arrive in ONE limit-collect — the former
-    # eager checkpoint + count() + toLocalIterator sequence paid a
-    # materialization job, a count job, and one fetch job per edge
-    # partition for a frame the driver path consumes exactly once.
-    # The +1 over-fetch is what distinguishes "exactly threshold" from
-    # "past it"; on the distributed branch the discarded ≤ few-MB
-    # collect is noise against the iterative rounds it precedes, and
-    # edges are only then checkpointed (that branch reuses them every
-    # round; the driver branch never does).
-    edge_rows = edges.limit(driver_threshold + 1).collect()
-    if len(edge_rows) <= driver_threshold:
+    # r17 (guide §1.2: don't schedule jobs you throw away): one
+    # collect replaces the former toLocalIterator, which paid one
+    # fetch job PER EDGE PARTITION for a frame the driver path
+    # consumes exactly once (sf0.1 A/B best 0.93→0.74). The distinct
+    # is materialized ONCE before the branch probe and shared by both
+    # branches: the first cut of this rewrite probed with
+    # limit(threshold+1).collect() straight off the distinct and
+    # checkpointed only in the distributed branch, which re-ran the
+    # full distinct shuffle AND shipped threshold rows of nothing to
+    # the driver on every over-threshold call — the sf1 cross-check
+    # caught it (interleaved A/B best 3.20 → 2.31 for this shape; at
+    # the 100 TB pair scale the recompute is a second full shuffle of
+    # the edge list, and the ship is pure waste). The probe count on
+    # the checkpoint is ~free and ships zero rows; the under-threshold
+    # collect reads checkpointed partitions, not a recompute. The
+    # extra materialization job costs the driver branch ~0.1s at
+    # sf0.1 (A/B med 0.49→0.62) — accepted: the under branch is
+    # bounded by construction (≤ threshold edges) while the over
+    # branch is the one that grows with the corpus. A persist()-based
+    # variant (materialization fused into the count job) was A/B'd
+    # and NOT kept: cache-write overhead made it slower at sf0.1
+    # (+0.16) without beating this shape at sf1.
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        edge_rows = edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -919,7 +932,7 @@ def duplicate_clusters(
             )
         )
 
-    edges = edges.localCheckpoint(eager=True)
+    # edges already checkpointed above (shared with the branch probe)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -156,6 +156,37 @@ def test_duplicate_clusters_distributed_path_matches_unionfind(spark):
     assert fast["0"] == "0"  # singleton labels itself
 
 
+def test_duplicate_clusters_threshold_boundary_inclusive(spark):
+    """The branch probe is ``count <= driver_threshold`` — INCLUSIVE at
+    exactly-threshold (r17 rewrote the probe from limit-collect to a
+    count on the shared checkpoint; this pins the boundary either way).
+    6 undirected pairs -> 12 directed distinct edges: threshold=12 must
+    take the driver branch, 11 the distributed one, values identical."""
+    from sifts_spark.operators.dedup import duplicate_clusters
+
+    verts = spark.createDataFrame([(str(i),) for i in range(20)], "id STRING")
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"),
+         ("7", "9"), ("9", "8"),
+         ("15", "16")],
+        "id_a STRING, id_b STRING",
+    )
+    at = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            verts, pairs, id_col="id", driver_threshold=12
+        ).collect()
+    }
+    under = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            verts, pairs, id_col="id", driver_threshold=11
+        ).collect()
+    }
+    assert at == under
+    assert at["4"] == "1" and at["8"] == "7" and at["16"] == "15"
+
+
 # ---------------------------------------------------------------------
 # De-registered catalog entries (the driver checks only 50 entries, so
 # docs_intersect / events_rollup ceded their rows to docs_except /

@@ -191,55 +191,47 @@ def minhash_signature(
     )
 
 
-def minhash_banded_sketches(
+def _minhash_sketch_rows(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
-    bands: int = 4,
     shingle_size: int = 3,
     impl: str = "arrow",
     tokenizer: str | None = None,
 ) -> DataFrame:
-    """``(id, sh, band, key)`` — one row per doc per band: the
-    PERSISTABLE half of MinHash-LSH dedup. All map-side (no shuffle).
+    """``(id, sh, sig)`` — ONE row per doc: the pre-band half of the
+    MinHash sketch (distinct shingle set + signature). All map-side.
 
-    This is the corpus's dedup INDEX: write it once (ideally bucketed by
-    ``(band, key)`` so later joins reuse the layout) and feed it to
-    :func:`minhash_lsh_pairs_incremental` to dedup each new increment
-    against the corpus without ever re-sketching the corpus — the
-    daily-ingest shape at 100 TB. ``sh`` (the distinct shingle set)
-    rides along so the exact Jaccard verify needs no second pass over
-    the text."""
-    rows_per_band = num_hashes // bands
+    Split out of :func:`minhash_banded_sketches` (r18) so the one-shot
+    pipeline can persist the sketch BEFORE the band explode: the
+    exploded layout stores each doc's ``sh`` array once per band
+    (``bands``× the cache bytes of the dominant column) when the only
+    post-explode consumers need either the skinny ``(id, band, key)``
+    rows or a single ``(id, sh)`` row per doc."""
     if impl == "arrow":
         # Fused tokenize+shingle+signature Arrow kernel — one batch per
         # partition (spread first: one local file reads as one split).
         sk = shingle_minhash_arrow(F.col("_t"), num_hashes, shingle_size, tokenizer)
-        base = (
+        return (
             ensure_min_parallelism(
                 docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
             )
             .select("id", sk.alias("_sk"))
             .select("id", F.col("_sk.sh").alias("sh"), F.col("_sk.sig").alias("sig"))
         )
-    else:
-        toks = tokenize(F.col(text_col), tokenizer)
-        base = docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
-        ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-    # zero-shingle docs (nothing tokenizable: punctuation-only content
-    # — pre-r14 also any non-Latin script — under the tokenizer) cannot
-    # participate in shingle dedup: their all-NULL signatures would
-    # otherwise band-join into ONE constant-key mega-bucket (md5 of the
-    # null-skipping array_join) and dedup whole scripts down to a
-    # single survivor (see shingles()). Their band KEY is nulled in the
-    # same projection — null keys never match an equi-join, and a
-    # row-dropping filter on the kernel's output column would make
-    # Catalyst re-evaluate the Arrow kernel once for the predicate and
-    # once for the projection (plan-pinned by
-    # test_minhash_sketches_computed_once_per_query).
+    toks = tokenize(F.col(text_col), tokenizer)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(toks, shingle_size)).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+
+def _band_keys(base: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """``(id, sh, band, key)`` from a ``(id, sh, sig)`` sketch frame —
+    the band-key explode shared by the persistable index layout and the
+    one-shot pipeline. ``key`` is nulled for zero-shingle docs (see the
+    rationale in :func:`minhash_banded_sketches`)."""
     return base.select(
         "id",
         "sh",
@@ -265,6 +257,44 @@ def minhash_banded_sketches(
             )
         ).alias("bk"),
     ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_banded_sketches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    impl: str = "arrow",
+    tokenizer: str | None = None,
+) -> DataFrame:
+    """``(id, sh, band, key)`` — one row per doc per band: the
+    PERSISTABLE half of MinHash-LSH dedup. All map-side (no shuffle).
+
+    This is the corpus's dedup INDEX: write it once (ideally bucketed by
+    ``(band, key)`` so later joins reuse the layout) and feed it to
+    :func:`minhash_lsh_pairs_incremental` to dedup each new increment
+    against the corpus without ever re-sketching the corpus — the
+    daily-ingest shape at 100 TB. ``sh`` (the distinct shingle set)
+    rides along so the exact Jaccard verify needs no second pass over
+    the text."""
+    rows_per_band = num_hashes // bands
+    base = _minhash_sketch_rows(
+        docs, id_col, text_col, num_hashes, shingle_size, impl, tokenizer
+    )
+    # zero-shingle docs (nothing tokenizable: punctuation-only content
+    # — pre-r14 also any non-Latin script — under the tokenizer) cannot
+    # participate in shingle dedup: their all-NULL signatures would
+    # otherwise band-join into ONE constant-key mega-bucket (md5 of the
+    # null-skipping array_join) and dedup whole scripts down to a
+    # single survivor (see shingles()). Their band KEY is nulled in the
+    # same projection — null keys never match an equi-join, and a
+    # row-dropping filter on the kernel's output column would make
+    # Catalyst re-evaluate the Arrow kernel once for the predicate and
+    # once for the projection (plan-pinned by
+    # test_minhash_sketches_computed_once_per_query).
+    return _band_keys(base, bands, rows_per_band)
 
 
 def minhash_lsh_pairs(
@@ -303,14 +333,24 @@ def minhash_lsh_pairs(
     a dropped bucket are simply not candidates, the standard recall
     trade every production LSH dedup makes. ``None`` disables the cap.
     """
-    # Materialize the banded sketches ONCE: without this, the whole md5
+    # Materialize the sketch ONCE: without this, the whole md5
     # signature subtree is re-evaluated for each side of the self-join
     # and again per candidate row (Catalyst doesn't CSE across join
     # branches) — measured 150s → ~5s at 500 docs. On a cluster this
     # persists the (small) sketch table, never the corpus.
-    banded = track(
-        minhash_banded_sketches(
-            docs, id_col, text_col, num_hashes, bands, shingle_size, impl,
+    #
+    # r18: persist PRE-explode (one ``(id, sh, sig)`` row per doc, not
+    # the `bands`-rows-per-doc banded frame): the exploded layout wrote
+    # each doc's ``sh`` array into the cache once per band — 4× the
+    # bytes of the cache's dominant column for consumers that only need
+    # the skinny band keys or one ``(id, sh)`` row. The band-key md5s
+    # are re-derived from the cached ``sig`` where needed (4 short md5s
+    # per doc — noise next to the cache write they used to inflate).
+    # Band keys, candidates and verify values are expression-identical;
+    # interleaved A/B at sf0.1 and the oracle row pin the equivalence.
+    base = track(
+        _minhash_sketch_rows(
+            docs, id_col, text_col, num_hashes, shingle_size, impl,
             tokenizer,
         )
     )
@@ -325,7 +365,9 @@ def minhash_lsh_pairs(
     # all. The persisted-INDEX layout (minhash_banded_sketches, sh
     # riding along bucketed by (band, key)) is unchanged — this is the
     # one-shot build path only.
-    keys = banded.select("id", "band", "key")
+    keys = _band_keys(base, bands, num_hashes // bands).select(
+        "id", "band", "key"
+    )
     if max_bucket_size is not None:
         # cache the CAPPED frame too: both self-join sides read it, and
         # without the cache each branch re-runs the guard's aggregation
@@ -353,12 +395,11 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
-    # One sketch row per doc per band, unconditionally (the band explode
-    # emits every band index; only `key` can be NULL) — band 0 is a
-    # shuffle-free one-row-per-doc shingle sidecar. Taken PRE-cap so a
-    # doc whose band-0 bucket was capped but whose other-band candidacy
-    # survived still verifies.
-    sh_tbl = banded.filter(F.col("band") == 0).select("id", "sh")
+    # One sketch row per doc straight off the pre-explode cache (r18 —
+    # previously the band-0 slice of the exploded frame). Taken PRE-cap
+    # so a doc whose band-0 bucket was capped but whose other-band
+    # candidacy survived still verifies.
+    sh_tbl = base.select("id", "sh")
     cand = cand_ids.join(
         sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",

@@ -312,7 +312,9 @@ def test_minhash_band_join_exchanges_carry_no_shingles(spark):
     exchange only (id, band, key) — each doc's full shingle array used
     to cross it `bands` times per side, the dominant exchange bytes of
     an unbucketed first build. Shingles now enter the plan only through
-    the band=0 sidecar scans feeding the candidate id-joins."""
+    the one-row-per-doc sketch-cache scans feeding the candidate
+    id-joins (r18: the pre-explode ``(id, sh, sig)`` cache replaced the
+    band=0 slice of the exploded frame as the sidecar source)."""
     import contextlib
     import io
     import re
@@ -333,8 +335,12 @@ def test_minhash_band_join_exchanges_carry_no_shingles(spark):
     assert band_exchanges, details  # the band-key shuffle exists
     for b in band_exchanges:
         assert not re.search(r"\bsh#", b), b
-    # the shingle sidecar is the band=0 pruned scan, never an exchange
-    assert re.search(r"InMemoryTableScan[\s\S]*?\(band#\d+ = 0\)", details)
+    # the shingle sidecar is a column-pruned (id, sh) scan of the
+    # one-row-per-doc sketch cache, never an exchange
+    assert re.search(
+        r"\(\d+\) InMemoryTableScan\s*\nOutput \[2\]: \[id#\d+L?, sh#\d+\]",
+        details,
+    ), details
     release_all()
 
 

@@ -1955,12 +1955,18 @@ def events_asof(spark, sf_dir) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # r18: the (user, ts) dedup as a partial-aggregable max_by instead
+    # of a row_number window (guide §2.3 "aggregate before you
+    # shuffle") — same exchange key, but duplicates now merge map-side
+    # and the window's per-partition sort disappears. Value-identical:
+    # row_number over event_id DESC picking _rn=1 IS max_by(value,
+    # event_id) when event_id is unique (it is: primary key), and
+    # round-after-pick == round-of-picked-value. A/B best at sf0.1
+    # 0.651->0.580, sf1 1.804->1.694 (med 4.44->2.83), rows identical.
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "ts", F.round("value", 6).alias("value"))
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max_by("value", "event_id"), 6).alias("value"))
     )
     out = R.asof_join(clicks, purchases, on="user_id", prefix="purchase_")
     return out.select(

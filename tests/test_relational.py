@@ -258,3 +258,29 @@ def test_group_count_matches_oracle(spark):
         r.source: (r.n_docs, round(r.avg_chars, 6)) for _, r in odf.iterrows()
     }
     assert got == want and len(got) > 3
+
+
+def test_events_pivot_matches_dotpivot_formulation(spark):
+    """Independent-formulation pin for events_pivot (r17 ADVICE): the
+    registered DuckDB oracle is written as the SAME conditional
+    aggregates the r17 rewrite uses, so the driver gate no longer
+    cross-checks two formulations. Compare the shipped frame against
+    Spark's own ``.pivot(col, values)`` path (PivotFirst — a genuinely
+    different physical aggregation) on the real sf0.001 events table."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.plans.catalog import events_pivot
+    from sifts_spark.sources.tables import load_table
+
+    got = {
+        r.day: (r.click, r.purchase, r.view)
+        for r in events_pivot(spark, _SF_DIR).collect()
+    }
+    ev = load_table(spark, _SF_DIR, "events")
+    piv = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+    want = {r.day: (r.click, r.purchase, r.view) for r in piv.collect()}
+    assert got == want and len(got) > 3

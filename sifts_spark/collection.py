@@ -44,7 +44,7 @@ from sifts_spark.functions.metadata import (
     compile_where,
     lexicographic_after,
 )
-from sifts_spark.functions.vector import cosine_similarity
+from sifts_spark.functions.vector import cosine_vs_const_seqfold_arrow
 from sifts_spark.operators import search as _search
 from sifts_spark.queryparser import has_phrase, has_run_phrase, parse_query
 from sifts_spark.session import get_spark
@@ -1644,9 +1644,18 @@ class SparkCollection:
                     self._approx_candidates(qvec, nprobe, adc_limit, refine),
                     "id",
                 )
-            qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+            # r18: the seqfold Arrow kernel replaces the interpreted
+            # HOF fold on the serving path. Collection rank is
+            # UNROUNDED and user-visible, so the ordinary Arrow cosine
+            # (pairwise-SIMD sum order, last-ulp drift) was never
+            # eligible; this kernel reproduces the fold's exact float
+            # semantics (sequential cumsum, same IEEE ops) — pinned
+            # bit-exact incl. null/zero-norm/dim-mismatch/NaN edges by
+            # test_seqfold_kernel_bitexact_vs_hof. A/B on this shape:
+            # sf1 med 0.620→0.305s (2×), sf0.1 parity.
             df = df.filter(F.col("embedding").isNotNull()).withColumn(
-                "rank", cosine_similarity(F.col("embedding"), qlit)
+                "rank",
+                cosine_vs_const_seqfold_arrow(F.col("embedding"), qvec),
             )
             is_search = True
         elif has_text:

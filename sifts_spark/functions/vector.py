@@ -155,6 +155,88 @@ def cosine_vs_const_arrow(vec_col: Column, query_vec) -> Column:
     return _cos(vec_col)
 
 
+def cosine_vs_const_seqfold_arrow(vec_col: Column, query_vec) -> Column:
+    """UNROUNDED cosine(vec, CONSTANT query), bit-identical to the
+    interpreted HOF expression ``cosine_similarity(vec, qlit)`` — the
+    Collection.query serving-path twin (r18).
+
+    The catalog kernels round to 6 dp, which absorbs the last-ulp
+    sum-order difference between numpy's pairwise SIMD reduction and
+    the HOF's sequential left fold. Collection rank is UNROUNDED (it is
+    user-visible and pinned by tests against the HOF values), so this
+    kernel reproduces the fold's exact float semantics instead of
+    rounding them away:
+
+    * products elementwise in double after an exact float32→float64
+      widen — same IEEE values as ``x.cast("double") * y.cast("double")``;
+    * the fold via ``np.cumsum`` (strictly sequential left-to-right
+      double adds; the fold's ``0.0 + x0`` is exact, so prefix sums are
+      bit-equal);
+    * ``sqrt`` is correctly rounded on both sides (IEEE-754);
+    * NULL/length edges match ``zip_with``/``aggregate``/``when``:
+      null row → NULL; dim mismatch → NULL (zip_with pads with null →
+      null fold); zero-norm (either side) or empty array → denom 0 →
+      NULL; NaN-poisoned input → NaN (Spark's ``NaN > 0`` is TRUE under
+      its total order, so the HOF emits NaN/NaN = NaN, not NULL).
+
+    Pinned bit-exact against the HOF by
+    tests/test_vector.py::test_seqfold_kernel_bitexact_vs_hof.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if len(q) == 0 or np.isnan(q).any():
+        # Degenerate queries: the HOF's NULL/NaN algebra over a NaN or
+        # empty LITERAL side is row-shape-dependent and cannot cross
+        # the pandas→Arrow boundary (pandas floats have no NaN≠NULL
+        # distinction) — serve the expression path, which is exact by
+        # definition and never hot for a nonsense query.
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            "array<double>"
+        )
+        return cosine_similarity(vec_col, qlit)
+    qn = float(np.sqrt(np.cumsum(q * q)[-1]))
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        vals = a.to_numpy()
+        ok = np.fromiter(
+            (x is not None and len(x) == len(q) for x in vals),
+            dtype=bool, count=n,
+        )
+        out: list = [None] * n
+        idx = np.flatnonzero(ok)
+        if len(idx):
+            m = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in idx]
+            )
+            dot = np.cumsum(m * q, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            denom = na * qn
+            vpositive = denom > 0  # IEEE: False for 0 and NaN
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = dot / denom
+            for j, i in enumerate(idx):
+                if vpositive[j]:
+                    out[i] = float(ratio[j])
+                # NaN-poisoned rows stay None here; the JVM wrapper
+                # below re-injects NaN (pandas cannot carry NaN≠NULL).
+        return pd.Series(out, dtype="object")
+
+    # NaN-poisoned vectors: the HOF emits NaN (Spark's total order has
+    # NaN > 0, so `when(denom > 0, ...)` takes the THEN branch and
+    # NaN/NaN = NaN), while pandas→Arrow would collapse the kernel's
+    # NaN to NULL. array_max propagates NaN under the same total order
+    # (NaN is the max whenever present), so one cheap JVM collection
+    # expression restores the exact edge.
+    return F.when(
+        F.isnan(F.array_max(vec_col)), F.lit(float("nan"))
+    ).otherwise(_cos(vec_col))
+
+
 def cell_assign_arrow(vec_col: Column, centroid_rows) -> Column:
     """Map-side nearest-centroid id, Arrow-vectorized. Value-identical
     to :func:`sifts_spark.operators.vector_search.cell_assign_expr`:

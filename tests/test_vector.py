@@ -658,3 +658,58 @@ def test_backfill_embeddings(store_root, spark):
     got = {r["id"]: r["content"] for r in col.docs().collect()}
     assert got == {"1": "Lorem ipsum dolor", "2": "sit amet",
                    "3": "consectetur"}
+
+
+def test_seqfold_kernel_bitexact_vs_hof(spark):
+    """r18: the Collection.query vector rank kernel
+    (cosine_vs_const_seqfold_arrow) must be BIT-EXACT vs the interpreted
+    HOF expression — Collection rank is unrounded and user-visible, so
+    even a last-ulp sum-order drift is a value change. Covers the real
+    float32 embeddings plus the edge rows the HOF semantics define:
+    null, empty, zero-norm, dim-mismatch, NaN-poisoned."""
+    from pyspark.sql import functions as F
+
+    from sifts_spark.functions.vector import (
+        cosine_similarity,
+        cosine_vs_const_seqfold_arrow,
+    )
+    from sifts_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    qlit = F.array(*[F.lit(x) for x in qvec]).cast("array<double>")
+    both = emb.select(
+        "vec_id",
+        cosine_similarity(F.col("embedding"), qlit).alias("hof"),
+        cosine_vs_const_seqfold_arrow(F.col("embedding"), qvec).alias("seq"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        # exact equality, not approx: bit-for-bit parity is the contract
+        assert r["hof"] == r["seq"], (r["vec_id"], r["hof"].hex(), r["seq"].hex())
+
+    dim = len(qvec)
+    edge_rows = [
+        (1, None),
+        (2, []),
+        (3, [0.0] * dim),                      # zero norm -> NULL
+        (4, [1.0] * (dim - 1)),                # dim mismatch -> NULL
+        (5, [float("nan")] + [1.0] * (dim - 1)),  # NaN-poisoned -> NaN
+        (6, [1.0] * dim),
+    ]
+    edges = spark.createDataFrame(edge_rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["hof"], r["seq"])
+        for r in edges.select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), qlit).alias("hof"),
+            cosine_vs_const_seqfold_arrow(F.col("embedding"), qvec).alias("seq"),
+        ).collect()
+    }
+    for vid, (hof, seq) in got.items():
+        if hof is None or seq is None:
+            assert hof is None and seq is None, (vid, hof, seq)
+        elif hof != hof:  # NaN
+            assert seq != seq, (vid, hof, seq)
+        else:
+            assert hof == seq, (vid, hof, seq)

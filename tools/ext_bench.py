@@ -738,6 +738,39 @@ def main() -> None:
 
     QUERIES["mmr_rerank_pool200"] = _mmr_rerank
 
+    # r18: the Collection.query(vector_search=True) serving shape —
+    # filter-notNull → UNROUNDED rank vs a constant query → order desc
+    # → page — under the interpreted HOF fold vs the bit-exact
+    # sequential-fold Arrow kernel that replaced it on the serving path
+    # (functions/vector.cosine_vs_const_seqfold_arrow; values pinned
+    # bit-identical by test_seqfold_kernel_bitexact_vs_hof). Both rows
+    # stay in the artifact so the within-artifact contrast survives
+    # epoch drift.
+    from sifts_spark.functions.vector import cosine_vs_const_seqfold_arrow
+
+    _qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    ]
+    _qlit = F.array(*[F.lit(x) for x in _qv]).cast("array<double>")
+
+    QUERIES["vector_rank_hof"] = lambda: (
+        emb.filter(F.col("embedding").isNotNull())
+        .withColumn(
+            "rank", cosine_similarity(F.col("embedding"), _qlit)
+        )
+        .orderBy(F.col("rank").desc(), "vec_id")
+        .limit(50)
+    )
+    QUERIES["vector_rank_seqfold"] = lambda: (
+        emb.filter(F.col("embedding").isNotNull())
+        .withColumn(
+            "rank", cosine_vs_const_seqfold_arrow(F.col("embedding"), _qv)
+        )
+        .orderBy(F.col("rank").desc(), "vec_id")
+        .limit(50)
+    )
+
     # r12: trainable language ID (fastText-grade) — trained once on the
     # corpus's labels (setup), scored in one Arrow matmul scan
     from sifts_spark.operators.textanalysis import langid_score, train_langid

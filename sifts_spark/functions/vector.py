@@ -231,9 +231,14 @@ def cosine_vs_const_seqfold_arrow(vec_col: Column, query_vec) -> Column:
     # NaN/NaN = NaN), while pandas→Arrow would collapse the kernel's
     # NaN to NULL. array_max propagates NaN under the same total order
     # (NaN is the max whenever present), so one cheap JVM collection
-    # expression restores the exact edge.
+    # expression restores the exact edge. The size guard keeps the
+    # NaN+dim-mismatch combination on the kernel path: there zip_with's
+    # null padding nulls the fold FIRST (acc + NULL = NULL beats NaN),
+    # so the HOF emits NULL, not NaN.
     return F.when(
-        F.isnan(F.array_max(vec_col)), F.lit(float("nan"))
+        F.isnan(F.array_max(vec_col))
+        & (F.size(vec_col) == F.lit(len(q))),
+        F.lit(float("nan")),
     ).otherwise(_cos(vec_col))
 
 

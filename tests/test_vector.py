@@ -696,6 +696,10 @@ def test_seqfold_kernel_bitexact_vs_hof(spark):
         (4, [1.0] * (dim - 1)),                # dim mismatch -> NULL
         (5, [float("nan")] + [1.0] * (dim - 1)),  # NaN-poisoned -> NaN
         (6, [1.0] * dim),
+        # NaN + dim mismatch: zip_with's null padding nulls the fold
+        # BEFORE the NaN can win (acc + NULL = NULL), so the HOF emits
+        # NULL here, not NaN — the wrapper's size guard pins this
+        (7, [float("nan")] + [1.0] * dim),
     ]
     edges = spark.createDataFrame(edge_rows, "vec_id long, embedding array<float>")
     got = {
